@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Dev-only self-check harness (NOT part of the shipped library).
+
+Emulates the driver's correctness gate: runs graft.Verify at a given SF,
+then executes each oracle SQL in DuckDB over the same parquet tables and
+compares results (schema, row count, values) with rows sorted and
+columns sorted by name.
+
+Usage: python3 tools/selfcheck.py [sfdir] [outdir]
+"""
+import json, math, sys, subprocess, glob, os
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def run_verify():
+    r = subprocess.run(
+        ["sbt", f'runMain graft.Verify {SF} {OUT}'],
+        capture_output=True, text=True, cwd="/root/repo")
+    if r.returncode != 0:
+        print(r.stdout[-4000:]); print(r.stderr[-4000:])
+        sys.exit("verify failed")
+    for line in r.stdout.splitlines():
+        if "[verify]" in line:
+            print(line)
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return float(v)
+    if isinstance(v, int):
+        return float(v) if abs(v) < 2**52 else v
+    return str(v)
+
+
+def frame_key(df):
+    import pandas as pd
+    cols = sorted(df.columns)
+    rows = []
+    for t in df[cols].itertuples(index=False):
+        rows.append(tuple(norm_cell(v) for v in t))
+    rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return cols, rows
+
+
+def main():
+    import duckdb
+    run_verify()
+    oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    passed = failed = 0
+    for name in sorted(oracle):
+        qdir = f"{OUT}/{name}"
+        files = glob.glob(f"{qdir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); failed += 1; continue
+        got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'").df()
+        try:
+            want = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}"); failed += 1; continue
+        gc, gr = frame_key(got)
+        wc, wr = frame_key(want)
+        if gc != wc:
+            print(f"FAIL {name}: columns {gc} != {wc}"); failed += 1; continue
+        if len(gr) != len(wr):
+            print(f"FAIL {name}: rows {len(gr)} != {len(wr)}"); failed += 1; continue
+        if gr != wr:
+            bad = next(i for i, (a, b) in enumerate(zip(gr, wr)) if a != b)
+            print(f"FAIL {name}: value mismatch at sorted row {bad}:")
+            print(f"  spark: {gr[bad]}")
+            print(f"  duck : {wr[bad]}")
+            failed += 1
+            continue
+        print(f"PASS {name} ({len(gr)} rows)")
+        passed += 1
+    print(f"\n{passed} passed, {failed} failed")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
