@@ -57,7 +57,8 @@ object RefinedOps {
         case Some(c) =>
           val parts = split(col(c), java.util.regex.Pattern.quote(spec.splitBy))
           val picked = spec.partOrder.map { i =>
-            val p = coalesce(element_at(parts, i + 1), lit("")) // 1-based
+            // try_element_at: out-of-range part → "" (ANSI mode throws on element_at)
+            val p = coalesce(try_element_at(parts, lit(i + 1)), lit("")) // 1-based
             if (spec.trimParts) trim(p) else p
           }
           d.withColumn(c, concat_ws(spec.joinWith, picked: _*))
@@ -80,12 +81,16 @@ object RefinedOps {
     }
 
   /** Uppercase every column name, dropping the given flag columns —
-    * the REFINED projection. reference: RAW_SNOWFLAKE_TO_REFINED_SNOWFLAKE.py:599-604 */
+    * the REFINED projection — and sanitize separators (space, '/', '.')
+    * to '_' so names stay parquet/SQL-friendly (the reference's Rater8
+    * sanitization applied uniformly).
+    * reference: RAW_SNOWFLAKE_TO_REFINED_SNOWFLAKE.py:599-604;
+    * Rater8_Reviews.ipynb upload_to_snowflake_merge. */
   def uppercaseProject(df: DataFrame, drop: Set[String] = Set("IS_NEW")): DataFrame = {
     val dropNorm = drop.map(normName)
     val cols = df.columns.toSeq
       .filterNot(c => dropNorm.contains(normName(c)))
-      .map(c => col(c).as(c.toUpperCase))
+      .map(c => col(c).as(c.replaceAll("[ /.]", "_").toUpperCase))
     df.select(cols: _*)
   }
 

@@ -1,0 +1,226 @@
+package graft.plans
+
+import java.util.UUID
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.TableCatalog
+import graft.config._
+import graft.operators.{CuratedOps, RefinedOps}
+import graft.sources.CsvStageReader
+
+/** Run identity threaded through every stage for end-to-end lineage.
+  * reference: PARENT_RUN_ID propagation,
+  * SF_Notebooks/RAW_ADLS_TO_RAW_SNOWFLAKE.py:222-230. */
+final case class RunContext(
+    parentRunId: String = UUID.randomUUID().toString,
+    notifier: Notifier = NoopNotifier) {
+  def newLogId(): String = UUID.randomUUID().toString
+}
+
+/** Append-only run/step logging to a catalog log table (W7).
+  * reference: RAW_ADLS_TO_RAW_SNOWFLAKE.py:316-382 (+3 variants). */
+final class IngestLog(spark: SparkSession, catalog: TableCatalog, logTable: String) {
+  def log(ctx: RunContext, practice: String, fileType: String, step: String,
+      status: String, rowCount: Long = -1, error: String = ""): Unit = {
+    import spark.implicits._
+    val row = Seq((ctx.newLogId(), ctx.parentRunId, practice, fileType, step,
+      status, rowCount, error, new java.sql.Timestamp(System.currentTimeMillis())))
+      .toDF("LOG_ID", "PARENT_RUN_ID", "PRACTICE_NAME", "FILE_TYPE",
+        "STEP_NAME", "STATUS", "ROW_COUNT", "ERROR_MESSAGE", "LOG_TIME")
+    catalog.append(logTable, row)
+  }
+}
+
+final case class StageResult(status: String, rowCount: Long, details: String = "")
+
+/** RAW stage: stage files → single multi-file CSV scan → metadata
+  * columns → append to the RAW table.
+  *
+  * Unlike the reference's per-file loop
+  * (RAW_ADLS_TO_RAW_SNOWFLAKE.py:1180-1244) all matched files load in
+  * ONE scan; per-file lineage comes from input_file_name(). IS_NEW is
+  * only attached when a refined stage is configured (:1224-1231).
+  */
+final class RawStage(spark: SparkSession, catalog: TableCatalog,
+    log: Option[IngestLog] = None) {
+
+  def run(ctx: RunContext, practice: String, spec: IngestSpec,
+      stageDir: String): StageResult = {
+    val rawTable = spec.target.rawTable.getOrElse(
+      throw new IllegalArgumentException("no raw table configured"))
+    val files = CsvStageReader.listFiles(spark, stageDir, spec.source.filePattern)
+    if (files.isEmpty)
+      return StageResult("NO_FILES", 0, s"no files matching in $stageDir")
+
+    val df = CsvStageReader.read(spark, files.map(_.path), spec.source)
+    val withMeta = RefinedOps.withRawMetadata(
+      CsvStageReader.withFileName(df).drop("file_name_raw"),
+      ctx.parentRunId,
+      markNew = spec.target.refinedTable.isDefined,
+      fileName = element_at(split(input_file_name(), "/"), -1))
+
+    if (spec.target.loadMode == "overwrite") catalog.overwrite(rawTable, withMeta)
+    else catalog.append(rawTable, withMeta)
+    val n = catalog.read(rawTable).filter(col("PARENT_RUN_ID") === ctx.parentRunId).count()
+    log.foreach(_.log(ctx, practice, spec.fileType, "RAW_LOAD", "SUCCESS", n))
+    StageResult("SUCCESS", n, s"${files.length} files")
+  }
+
+  /** Query-source ingest branch (S5): materialize a SQL query over
+    * registered views; skip when empty.
+    * reference: RAW_ADLS_TO_RAW_SNOWFLAKE.py:979-1112. */
+  def runQuery(ctx: RunContext, practice: String, spec: IngestSpec): StageResult = {
+    val rawTable = spec.target.rawTable.getOrElse(
+      throw new IllegalArgumentException("no raw table configured"))
+    val q = spec.source.query.getOrElse(
+      throw new IllegalArgumentException("no query configured"))
+    val df = spark.sql(q)
+    if (df.isEmpty) {
+      log.foreach(_.log(ctx, practice, spec.fileType, "RAW_QUERY", "SKIPPED", 0))
+      return StageResult("SKIPPED", 0, "query returned no rows")
+    }
+    val withMeta = RefinedOps.withRawMetadata(df, ctx.parentRunId,
+      markNew = spec.target.refinedTable.isDefined, fileName = lit("query_source"))
+    if (spec.target.loadMode == "overwrite") catalog.overwrite(rawTable, withMeta)
+    else catalog.append(rawTable, withMeta)
+    val n = catalog.read(rawTable).filter(col("PARENT_RUN_ID") === ctx.parentRunId).count()
+    log.foreach(_.log(ctx, practice, spec.fileType, "RAW_QUERY", "SUCCESS", n))
+    StageResult("SUCCESS", n)
+  }
+}
+
+/** REFINED stage: consume RAW rows WHERE IS_NEW=1, apply the transform
+  * chain, append to REFINED, then clear IS_NEW — but ONLY for the batch
+  * actually read (keyed by PARENT_RUN_ID), fixing the reference's
+  * read-then-clear race where rows ingested between the read and the
+  * UPDATE were silently skipped
+  * (RAW_SNOWFLAKE_TO_REFINED_SNOWFLAKE.py:379 vs :717).
+  */
+final class RefinedStage(spark: SparkSession, catalog: TableCatalog,
+    log: Option[IngestLog] = None) {
+
+  def run(ctx: RunContext, practice: String, spec: IngestSpec): StageResult = {
+    val rawTable = spec.target.rawTable.get
+    val refinedTable = spec.target.refinedTable.getOrElse(
+      throw new IllegalArgumentException("no refined table configured"))
+    val raw = catalog.read(rawTable)
+    val batch = raw.filter(col("IS_NEW") === 1)
+    val runIds = batch.select("PARENT_RUN_ID").distinct()
+      .collect().map(_.getString(0)).toSeq // bounded: one id per pipeline run
+    if (runIds.isEmpty) {
+      log.foreach(_.log(ctx, practice, spec.fileType, "REFINED_LOAD", "SKIPPED", 0))
+      return StageResult("SKIPPED", 0, "no IS_NEW rows")
+    }
+    val transformed = RefinedOps.refinedTransform(batch, spec.target)
+    val out = RefinedOps.withRefinedMetadata(transformed, ctx.parentRunId)
+    catalog.append(refinedTable, out)
+    val n = out.count()
+    // clear only the runs we consumed
+    catalog.updateWhere(rawTable, Map("IS_NEW" -> lit(0)),
+      col("IS_NEW") === 1 && col("PARENT_RUN_ID").isin(runIds: _*))
+    log.foreach(_.log(ctx, practice, spec.fileType, "REFINED_LOAD", "SUCCESS", n))
+    StageResult("SUCCESS", n)
+  }
+}
+
+/** CURATED stage: mapping projection + metadata columns + lookup
+  * classification + source filters + optional future-only filter →
+  * INSERT INTO curated; RECORD_TYPE distribution; CRM sync through the
+  * sink trait; clear IS_VALID for consumed rows.
+  * reference: REFINED_SNOWFLAKE_TO_CURATED_SNOWFLAKE.py:1309-1801.
+  */
+final class CuratedStage(spark: SparkSession, catalog: TableCatalog,
+    log: Option[IngestLog] = None, crmSink: CrmSink = DryRunCrmSink) {
+
+  def run(ctx: RunContext, practice: String, spec: IngestSpec,
+      now: java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis()))
+      : StageResult = {
+    val refinedTable = spec.target.refinedTable.get
+    val curatedTable = spec.target.curatedTable.getOrElse(
+      throw new IllegalArgumentException("no curated table configured"))
+    val refined = catalog.read(refinedTable)
+
+    // source rows: IS_VALID=1 AND config filters
+    val valid = refined.filter(col("IS_VALID") === 1)
+      .filter(CuratedOps.compileFilter(refined, spec.target.sourceFilter))
+
+    // cache: the reference recomputes this SELECT 3-4× (insert,
+    // distribution, sync fetch) — one cache is a pure win (SURVEY §4)
+    valid.cache()
+    try {
+      val classified = spec.target.curatedLookup match {
+        case Some(lk) => CuratedOps.lookupClassify(valid, catalog.read(lk.lookupTable), lk)
+        case None => valid.withColumn("RECORD_TYPE", lit("NEW"))
+      }
+
+      // mapped projection keeps RECORD_TYPE from classification
+      val mapped =
+        if (spec.target.curatedMapping.isEmpty) classified
+        else CuratedOps.mappingProjection(classified,
+          spec.target.curatedMapping :+ MappingSpec("RECORD_TYPE", "RECORD_TYPE", None, " ", None))
+
+      val withMeta = mapped
+        .withColumn("SOURCE_PRACTICE", lit(practice))
+        .withColumn("SOURCE_TABLE", lit(refinedTable))
+        .withColumn("PARENT_RUN_ID", lit(ctx.parentRunId))
+        .withColumn("CREATED_DATE", lit(now))
+
+      val future = spec.target.sync.flatMap(_.futureOnly) match {
+        case Some(f) => withMeta.filter(CuratedOps.futureOnlyFilter(withMeta, f, lit(now)))
+        case None => withMeta
+      }
+
+      catalog.append(curatedTable, future)
+      val n = future.count()
+
+      // RECORD_TYPE distribution (A3)
+      val dist = future.groupBy("RECORD_TYPE").count().collect()
+        .map(r => s"${r.get(0)}=${r.getLong(1)}").sorted.mkString(",")
+
+      // CRM sync through the pluggable sink (never collects to driver)
+      spec.target.sync.filter(_.enabled).foreach { sync =>
+        val payload =
+          if (sync.fieldMappings.isEmpty) future
+          else {
+            val cols = sync.fieldMappings.toSeq.sortBy(_._1).map { case (tgt, fv) =>
+              CuratedOps.fieldValue(future, fv).as(tgt)
+            }
+            future.select(cols: _*)
+          }
+        val (ok, bad) = CrmBatch.deliverPartitioned(payload, "records", None,
+          sync.batchSize, crmSink)
+        log.foreach(_.log(ctx, practice, spec.fileType, "CRM_SYNC",
+          if (bad == 0) "SUCCESS" else "PARTIAL", ok, s"failed=$bad"))
+      }
+
+      // consume the IS_VALID flags for the batch we read
+      catalog.updateWhere(refinedTable, Map("IS_VALID" -> lit(0)),
+        col("IS_VALID") === 1)
+      log.foreach(_.log(ctx, practice, spec.fileType, "CURATED_LOAD", "SUCCESS", n, dist))
+      StageResult("SUCCESS", n, dist)
+    } finally valid.unpersist()
+  }
+}
+
+/** Full medallion pipeline: precheck gate → RAW → REFINED → CURATED,
+  * stage chaining as plain function calls (the reference's stored-proc
+  * CALL chain, SURVEY §3.1). */
+final class Pipeline(spark: SparkSession, catalog: TableCatalog,
+    log: Option[IngestLog] = None, crmSink: CrmSink = DryRunCrmSink) {
+
+  def run(ctx: RunContext, practice: String, spec: IngestSpec,
+      stageDir: String): Seq[(String, StageResult)] = {
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, StageResult)]
+    val raw = new RawStage(spark, catalog, log).run(ctx, practice, spec, stageDir)
+    results += ("RAW" -> raw)
+    if (raw.status == "SUCCESS" && spec.target.refinedTable.isDefined) {
+      val refined = new RefinedStage(spark, catalog, log).run(ctx, practice, spec)
+      results += ("REFINED" -> refined)
+      if (refined.status == "SUCCESS" && spec.target.curatedTable.isDefined) {
+        results += ("CURATED" ->
+          new CuratedStage(spark, catalog, log, crmSink).run(ctx, practice, spec))
+      }
+    }
+    results.toSeq
+  }
+}

@@ -1,0 +1,113 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+/** Pluggable external-effect boundaries. The reference's Logic App /
+  * Teams / Dataverse HTTP calls become these traits; the engine core
+  * never talks to the network itself.
+  */
+trait Notifier {
+  def notify(event: String, payload: Map[String, String]): Unit
+}
+
+object NoopNotifier extends Notifier {
+  def notify(event: String, payload: Map[String, String]): Unit = ()
+}
+
+final class RecordingNotifier extends Notifier {
+  val events = scala.collection.mutable.ArrayBuffer.empty[(String, Map[String, String])]
+  def notify(event: String, payload: Map[String, String]): Unit =
+    events += ((event, payload))
+}
+
+/** One CRM operation: upsert-by-alternate-key / update-by-id / create.
+  * reference: SF_Notebooks/REFINED_SNOWFLAKE_TO_CURATED_SNOWFLAKE.py:472-648 */
+final case class CrmOp(method: String, entity: String, key: Option[String],
+    fields: Map[String, String])
+
+trait CrmSink extends Serializable {
+  /** Deliver one batch of ops; returns per-op status codes. */
+  def deliver(batch: Seq[CrmOp]): Seq[Int]
+}
+
+/** Dry-run sink: succeeds everything (DATAVERSE_DRY_RUN analog,
+  * reference: REFINED_SNOWFLAKE_TO_CURATED_SNOWFLAKE.py:511-520). */
+object DryRunCrmSink extends CrmSink {
+  def deliver(batch: Seq[CrmOp]): Seq[Int] = batch.map(_ => 204)
+}
+
+object CrmBatch {
+  /** Render a Dataverse-style multipart $batch request body (pure
+    * function — unit-testable without any network).
+    * reference: REFINED_SNOWFLAKE_TO_CURATED_SNOWFLAKE.py:528-648 */
+  def render(batchId: String, ops: Seq[CrmOp]): String = {
+    val sb = new StringBuilder
+    val changeset = s"changeset_$batchId"
+    sb.append(s"--batch_$batchId\r\n")
+    sb.append(s"Content-Type: multipart/mixed; boundary=$changeset\r\n\r\n")
+    ops.zipWithIndex.foreach { case (op, i) =>
+      sb.append(s"--$changeset\r\n")
+      sb.append("Content-Type: application/http\r\n")
+      sb.append(s"Content-ID: ${i + 1}\r\n\r\n")
+      val target = op.key match {
+        case Some(k) => s"${op.entity}($k)"
+        case None => op.entity
+      }
+      sb.append(s"${op.method} $target HTTP/1.1\r\n")
+      sb.append("Content-Type: application/json; type=entry\r\n")
+      if (op.method == "PATCH" && op.key.exists(!_.contains("=")))
+        sb.append("If-Match: *\r\n")
+      sb.append("\r\n")
+      sb.append(jsonObject(op.fields)).append("\r\n")
+    }
+    sb.append(s"--$changeset--\r\n")
+    sb.append(s"--batch_$batchId--\r\n")
+    sb.toString
+  }
+
+  /** Parse per-op HTTP status codes out of a multipart batch response.
+    * reference: REFINED_SNOWFLAKE_TO_CURATED_SNOWFLAKE.py:610-633 */
+  def parseStatuses(responseBody: String): Seq[Int] =
+    raw"HTTP/1\.1 (\d{3})".r.findAllMatchIn(responseBody)
+      .map(_.group(1).toInt).toSeq
+
+  private def jsonObject(fields: Map[String, String]): String =
+    fields.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + escape(k) + "\":" + (if (v == null) "null" else "\"" + escape(v) + "\"")
+    }.mkString("{", ",", "}")
+
+  private def escape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Partition-parallel batched delivery: rows never collect to the
+    * driver; each partition builds ≤batchSize batches and hands them to
+    * the sink. Returns (delivered, failed) counts. */
+  def deliverPartitioned(df: DataFrame, entity: String, keyColumn: Option[String],
+      batchSize: Int, sink: CrmSink): (Long, Long) = {
+    val fieldCols = df.columns
+    val counts = df.rdd.mapPartitions { rows =>
+      var ok = 0L; var bad = 0L
+      rows.grouped(batchSize).foreach { group =>
+        val ops = group.map { r =>
+          val fields = fieldCols.zipWithIndex.map { case (c, i) =>
+            c -> (if (r.isNullAt(i)) null else r.get(i).toString)
+          }.toMap
+          val key = keyColumn.flatMap(k => Option(fields.getOrElse(k, null)))
+          CrmOp(if (key.isDefined) "PATCH" else "POST", entity, key, fields)
+        }
+        val statuses = sink.deliver(ops.toSeq)
+        ok += statuses.count(s => s >= 200 && s < 300)
+        bad += statuses.count(s => s < 200 || s >= 300)
+      }
+      Iterator((ok, bad))
+    }.collect()
+    (counts.map(_._1).sum, counts.map(_._2).sum)
+  }
+}
