@@ -9,9 +9,10 @@ object SparkEntry {
     Queries.all("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all ++ QueriesText.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
-  def oracleSql: Map[String, String] = Oracles.all
+  def oracleSql: Map[String, String] = Oracles.all ++ OraclesText.all
 }

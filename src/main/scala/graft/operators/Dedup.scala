@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines, built for
+  * shuffle-shaped scale:
+  *
+  *  - exact / bag dedup: one hash-groupBy (map-side partial agg)
+  *  - MinHash + LSH banding: explode → per-band min-agg → bucket join;
+  *    candidate verification joins only within colliding buckets, never
+  *    all-pairs
+  *  - SimHash: 64-bit signature from token hashes, Hamming-style
+  *    banding
+  *  - n-gram Jaccard: exact verification on blocked candidate pairs
+  *
+  * Everything is relational (explode/groupBy/join) — at 100 TB each
+  * step is one shuffle keyed by doc/band/token, no driver materialization
+  * and no all-pairs blowup: complexity is Σ bucket², controlled by band
+  * width.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical keeper (min id) per normalized-text hash. */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), exactFingerprint(col(textCol)).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_docs"))
+
+  /** Distinct survivors after exact dedup (keeps the min-id doc). */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keepers = exactDuplicates(df, idCol, textCol)
+      .select(col("keeper_id").as(idCol))
+    df.join(keepers, idCol)
+  }
+
+  /** MinHash signatures: for each (doc, band) the lexicographic min of
+    * the seeded md5 over the doc's shingles — `bands` permutations, one
+    * shuffle (explode + groupBy). Returns (id, band, minhash). */
+  def minhashBands(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 2, bands: Int = 8): DataFrame = {
+    val sh = df
+      .select(col(idCol), explode(shingles(tokens(col(textCol)), shingleN)).as("shingle"))
+      .distinct() // shingle sets, not bags
+    val perBand = (0 until bands).map { b =>
+      sh.select(col(idCol), lit(b).as("band"),
+        seededHash(b, col("shingle")).as("h"))
+    }.reduce(_ unionByName _)
+    perBand.groupBy(col(idCol), col("band"))
+      .agg(min(col("h")).as("minhash"))
+  }
+
+  /** LSH candidate pairs: docs sharing any band minhash. Pairs are
+    * produced per colliding bucket only (groupBy band+minhash), with
+    * id_a < id_b canonical order. */
+  def lshCandidates(bandsDf: DataFrame, idCol: String): DataFrame = {
+    val a = bandsDf.select(col("band"), col("minhash"), col(idCol).as("id_a"))
+    val b = bandsDf.select(col("band"), col("minhash"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "minhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard between candidate pairs over a (id, term) relation:
+    * |A∩B| via a term-level join restricted to the candidate pairs,
+    * |A∪B| = |A|+|B|−|A∩B|. Returns id_a, id_b, inter, size_a, size_b
+    * (integer-exact; thresholding is the caller's cross-multiplication). */
+  def pairJaccardTerms(terms: DataFrame, pairs: DataFrame): DataFrame = {
+    // terms: (id, term) DISTINCT
+    val sizes = terms.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val ta = terms.select(col("id").as("id_a"), col("term"))
+    val tb = terms.select(col("id").as("id_b"), col("term"))
+    val inter = pairs
+      .join(ta, "id_a")
+      .join(tb, Seq("id_b", "term"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("size_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("size_b")), "id_b")
+  }
+
+  /** (id, term) relation of distinct word-shingles. */
+  def shingleTerms(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(shingles(tokens(col(textCol)), n)).as("term")).distinct()
+
+  /** (id, term) relation of distinct character n-grams. */
+  def charNgramTerms(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(charNgrams(col(textCol), n)).as("term")).distinct()
+
+  /** Near-duplicate pairs at jaccard ≥ num/den (exact integer
+    * comparison: den·inter ≥ num·union). */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 2, bands: Int = 8,
+      thresholdNum: Int = 6, thresholdDen: Int = 10): DataFrame = {
+    val cand = lshCandidates(minhashBands(df, idCol, textCol, shingleN, bands), idCol)
+    val terms = shingleTerms(df, idCol, textCol, shingleN)
+    pairJaccardTerms(terms, cand)
+      .filter(col("inter") * thresholdDen >=
+        (col("size_a") + col("size_b") - col("inter")) * thresholdNum)
+      .select(col("id_a"), col("id_b"), col("inter"), col("size_a"), col("size_b"))
+  }
+
+  /** 64-bit SimHash signature as a 64-char '0'/'1' string: bit j is the
+    * sign of the sum over distinct tokens of (bit j of md5(token))·2−1.
+    * Engine-portable: the bit source is hex-digit arithmetic on md5, the
+    * aggregation an integer sum. */
+  def simhashBits(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(array_distinct(tokens(lower(col(textCol))))).as("tok"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+    val contrib = toks
+      .select(col("id"), col("h"), explode(sequence(lit(0), lit(63))).as("j"))
+      // hex digit j/4 of the md5, bit (3 - j%4) of that digit
+      .withColumn("hexd", conv(substring(col("h"),
+        (col("j").cast("int") / lit(4)).cast("int") + 1, lit(1)), 16, 10).cast("int"))
+      .withColumn("bit",
+        when(col("j") % 4 === 0, shiftright(col("hexd"), 3) % 2)
+          .when(col("j") % 4 === 1, shiftright(col("hexd"), 2) % 2)
+          .when(col("j") % 4 === 2, shiftright(col("hexd"), 1) % 2)
+          .otherwise(col("hexd") % 2))
+      .withColumn("delta", col("bit") * 2 - 1)
+    val sums = contrib.groupBy(col("id"), col("j"))
+      .agg(sum(col("delta")).as("s"))
+      .withColumn("sigbit", when(col("s") > 0, lit("1")).otherwise(lit("0")))
+    sums.groupBy(col("id"))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("j"), col("sigbit")))),
+        x => x.getField("sigbit"))).as("simhash"))
+  }
+}
