@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization. Empty/blank text → empty array. */
-  def tokens(text: Column): Column =
-    filter(split(trim(text), "\\s+"), t => t =!= "")
+  /** Whitespace tokenization. Empty/blank text → empty array.
+    * split on trimmed text can only produce an empty token for blank
+    * input, so a cheap conditional replaces a per-element filter HOF. */
+  def tokens(text: Column): Column = {
+    val t = trim(text)
+    when(t === "", array().cast("array<string>")).otherwise(split(t, "\\s+"))
+  }
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

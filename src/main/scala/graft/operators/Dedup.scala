@@ -40,14 +40,16 @@ object Dedup {
     * shuffle (explode + groupBy). Returns (id, band, minhash). */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 2, bands: Int = 8): DataFrame = {
-    val sh = df
-      .select(col(idCol), explode(shingles(tokens(col(textCol)), shingleN)).as("shingle"))
-      .distinct() // shingle sets, not bags
-    val perBand = (0 until bands).map { b =>
-      sh.select(col(idCol), lit(b).as("band"),
-        seededHash(b, col("shingle")).as("h"))
-    }.reduce(_ unionByName _)
-    perBand.groupBy(col(idCol), col("band"))
+    // per-row array_distinct gives shingle SETS without a dedup shuffle
+    val sh = df.select(col(idCol),
+      explode(array_distinct(shingles(tokens(col(textCol)), shingleN))).as("shingle"))
+    // one pass: explode the band ids over the shingle rows instead of
+    // re-evaluating the tokenize+shingle pipeline once per band
+    sh.select(col(idCol), col("shingle"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("h", md5(concat(col("band").cast("string"), lit(":"),
+        col("shingle")).cast("binary")))
+      .groupBy(col(idCol), col("band"))
       .agg(min(col("h")).as("minhash"))
   }
 
@@ -84,12 +86,12 @@ object Dedup {
   /** (id, term) relation of distinct word-shingles. */
   def shingleTerms(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),
-      explode(shingles(tokens(col(textCol)), n)).as("term")).distinct()
+      explode(array_distinct(shingles(tokens(col(textCol)), n))).as("term"))
 
   /** (id, term) relation of distinct character n-grams. */
   def charNgramTerms(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),
-      explode(charNgrams(col(textCol), n)).as("term")).distinct()
+      explode(array_distinct(charNgrams(col(textCol), n))).as("term"))
 
   /** Near-duplicate pairs at jaccard ≥ num/den (exact integer
     * comparison: den·inter ≥ num·union). */

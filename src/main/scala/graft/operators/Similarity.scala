@@ -123,12 +123,21 @@ object Similarity {
   def cosineNearDupes(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 8): DataFrame = {
     val sig = signSignature(col(vecCol), planes)
-    val withSig = df.select(col(idCol), col(vecCol), sig.as("bucket"))
-    val a = withSig.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = withSig.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    // precompute each vector's norm once (N evaluations) so the pair
+    // stage runs a single dot product per candidate instead of three
+    // higher-order-function passes
+    val withSig = df.select(col(idCol), col(vecCol), sig.as("bucket"),
+      sqrt(aggregate(transform(col(vecCol), x => x * x),
+        lit(0.0), (acc, v) => acc + v)).as("norm"))
+    val a = withSig.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), col("norm").as("norm_a"))
+    val b = withSig.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), col("norm").as("norm_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("sim",
+        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v) / (col("norm_a") * col("norm_b")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
