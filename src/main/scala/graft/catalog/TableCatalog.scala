@@ -109,6 +109,14 @@ final class TableCatalog(spark: SparkSession, root: String) {
   def overwrite(fq: String, df: DataFrame): Unit =
     commitVersion(fq, dir => df.write.mode(SaveMode.Overwrite).parquet(dir.toString))
 
+  /** Overwrite with hive-style partitioning — the 100 TB layout: RAW/
+    * REFINED tables partitioned by e.g. (practice, load date) so
+    * incremental reads and flag-clear rewrites touch only the affected
+    * partitions (partition pruning; SURVEY §7.4). */
+  def overwritePartitioned(fq: String, df: DataFrame, partitionCols: Seq[String]): Unit =
+    commitVersion(fq, dir => df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(dir.toString))
+
   /** TRUNCATE: keep schema, zero rows. */
   def truncate(fq: String): Unit = {
     val empty = read(fq).limit(0)

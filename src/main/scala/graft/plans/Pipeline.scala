@@ -202,17 +202,65 @@ final class CuratedStage(spark: SparkSession, catalog: TableCatalog,
   }
 }
 
+/** Precheck gate over staged files: per-file validation battery; FAIL
+  * moves the file to the error dir (with the `_PRI_{runId}` rename) and
+  * blocks ingest for the whole drop.
+  * reference: SF_Notebooks/ADLS_FILE_PRECHECK.py:1172-1247. */
+final class PrecheckStage(spark: SparkSession, log: Option[IngestLog] = None) {
+  import graft.precheck.{CheckResult, Precheck}
+  import graft.sources.ArchiveMover
+
+  def run(ctx: RunContext, practice: String, spec: IngestSpec, stageDir: String,
+      errorDir: Option[String]): (Boolean, Map[String, Seq[CheckResult]]) = {
+    val pc = spec.precheck.getOrElse(return (true, Map.empty))
+    val delimiter = spec.source.delimiter.headOption.getOrElse(',')
+    val files = CsvStageReader.listFiles(spark, stageDir, spec.source.filePattern)
+    val results = files.map { f =>
+      val lines = spark.read.textFile(f.path).limit(7).collect().toSeq
+      val total = spark.read.textFile(f.path).count()
+      val checks = Precheck.checkFile(f.name, f.size, lines, total, delimiter, pc)
+      checks.foreach { c =>
+        log.foreach(_.log(ctx, practice, spec.fileType, s"PRECHECK:${c.checkName}",
+          c.status, -1, c.details))
+      }
+      f -> checks
+    }
+    val failed = results.filter(_._2.exists(_.failed))
+    failed.foreach { case (f, _) =>
+      errorDir.foreach(ed => ArchiveMover.moveToError(spark, f.path, ed, ctx.parentRunId))
+      ctx.notifier.notify("precheck_failed",
+        Map("practice" -> practice, "file" -> f.name))
+    }
+    (failed.isEmpty, results.map { case (f, cs) => f.name -> cs }.toMap)
+  }
+}
+
 /** Full medallion pipeline: precheck gate → RAW → REFINED → CURATED,
   * stage chaining as plain function calls (the reference's stored-proc
-  * CALL chain, SURVEY §3.1). */
+  * CALL chain, SURVEY §3.1). On success, staged files move to the
+  * archive dir (W9). */
 final class Pipeline(spark: SparkSession, catalog: TableCatalog,
     log: Option[IngestLog] = None, crmSink: CrmSink = DryRunCrmSink) {
 
   def run(ctx: RunContext, practice: String, spec: IngestSpec,
-      stageDir: String): Seq[(String, StageResult)] = {
+      stageDir: String, errorDir: Option[String] = None,
+      archiveDir: Option[String] = None): Seq[(String, StageResult)] = {
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, StageResult)]
+    if (spec.precheck.isDefined) {
+      val (ok, checks) = new PrecheckStage(spark, log).run(ctx, practice, spec,
+        stageDir, errorDir)
+      val failedChecks = checks.values.flatten.count(_.failed)
+      results += ("PRECHECK" -> StageResult(if (ok) "SUCCESS" else "FAILED",
+        checks.size, s"$failedChecks failed checks"))
+      if (!ok) return results.toSeq
+    }
     val raw = new RawStage(spark, catalog, log).run(ctx, practice, spec, stageDir)
     results += ("RAW" -> raw)
+    if (raw.status == "SUCCESS") archiveDir.foreach { ad =>
+      CsvStageReader.listFiles(spark, stageDir, spec.source.filePattern)
+        .foreach(f => graft.sources.ArchiveMover.moveToArchive(spark, f.path, ad))
+      ctx.notifier.notify("archived", Map("practice" -> practice))
+    }
     if (raw.status == "SUCCESS" && spec.target.refinedTable.isDefined) {
       val refined = new RefinedStage(spark, catalog, log).run(ctx, practice, spec)
       results += ("REFINED" -> refined)

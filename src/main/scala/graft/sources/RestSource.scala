@@ -110,6 +110,34 @@ object RestSource {
   private def truncate(s: String): String =
     if (s == null) "" else s.take(200)
 
+  // ---- auth --------------------------------------------------------------
+
+  /** OAuth2 client-credentials token fetch; returns the bearer token.
+    * reference: ELLKAY_API_TO_RAW_SNOWFLAKE.py:258-308 */
+  def fetchToken(http: HttpClient, tokenUrl: String, clientId: String,
+      clientSecret: String, policy: RetryPolicy = RetryPolicy()): String = {
+    val form = s"grant_type=client_credentials&client_id=$clientId&client_secret=$clientSecret"
+    val (_, body) = withRetry(policy)(() => http.request("POST", tokenUrl,
+      Map("Content-Type" -> "application/x-www-form-urlencoded"), Some(form)))
+    val tok = mapper.readTree(body).path("access_token")
+    if (tok.isMissingNode || tok.asText.isEmpty)
+      throw RestError("no access_token in token response", 200)
+    tok.asText
+  }
+
+  /** Standard auth headers: bearer token + per-practice service key.
+    * reference: ELLKAY_API_TO_RAW_SNOWFLAKE.py:391-402 */
+  def authHeaders(token: String, siteServiceKey: Option[String]): Map[String, String] =
+    Map("Authorization" -> s"Bearer $token") ++
+      siteServiceKey.map("SiteServiceKey" -> _)
+
+  /** Strip a leading engine error-code prefix from error text before
+    * logging/notification.
+    * reference: RAW_ADLS_TO_RAW_SNOWFLAKE.py:760-766 */
+  def cleanErrorMessage(msg: String): String =
+    if (msg == null) ""
+    else msg.replaceFirst("^\\(?\\d{4,6}\\)?\\s*(\\(\\w+\\))?:?\\s*", "").trim
+
   // ---- fetch patterns ----------------------------------------------------
 
   /** Single-call fetch (S8). */

@@ -92,7 +92,7 @@ class PipelineSpec extends SparkTestBase {
     val sink = new RecordingCrmSinkForTest
     val ctx = RunContext()
     val results = new Pipeline(spark, cat, None, sink).run(ctx, "testpractice", spec, stage)
-    assert(results.map(_._1) == Seq("RAW", "REFINED", "CURATED"))
+    assert(results.map(_._1) == Seq("PRECHECK", "RAW", "REFINED", "CURATED"))
     assert(results.forall(_._2.status == "SUCCESS"))
 
     // RAW: metadata + IS_NEW consumed by refined stage
