@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.expressions.GraftFunctions
+import graft.operators.Dedup
+
+/** Query wave 4: native-expression operators, sessionization, rollup. */
+object QueriesMore {
+
+  import Queries.{table, events}
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- SimHash near-dup via native codegen'd hamming distance ----
+    "q36_simhash_neardup" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val sig = Dedup.simhashBits(
+        table(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+      val a = sig.select(col("doc_id").as("id_a"), col("simhash").as("sig_a"),
+        substring(col("simhash"), 1, 8).as("blk"))
+      val b = sig.select(col("doc_id").as("id_b"), col("simhash").as("sig_b"),
+        substring(col("simhash"), 1, 8).as("blk"))
+      a.join(b, "blk").filter(col("id_a") < col("id_b"))
+        .withColumn("hamming", GraftFunctions.hamming(col("sig_a"), col("sig_b")))
+        .filter(col("hamming") <= 24)
+        .select("id_a", "id_b", "hamming")
+    }),
+
+    // ---- Karp–Rabin rolling-hash fingerprint (native expression;
+    //      rows-only check — no portable SQL equivalent) ----
+    "q37_rolling_fingerprint" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      table(s, dir, "documents")
+        .select(col("doc_id"), GraftFunctions.rollingHash(col("text")).as("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_docs"))
+    }),
+
+    // ---- gap-based sessionization (30-min inactivity boundary) ----
+    "q38_sessionize" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val gapped = e.withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") > 30L * 60 * 1000000, 1L).otherwise(0L))
+      val sessions = gapped.withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      sessions.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("session_start_us"),
+          max(col("ts_us")).as("session_end_us"))
+    }),
+
+    // ---- ROLLUP multi-level aggregation ----
+    "q39_rollup" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(14, 2))).cast("double")
+            .as("sum_price"))))
+}
+
+object OraclesMore {
+  val all: Map[String, String] = Map(
+    "q36_simhash_neardup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+         t AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS tok FROM d),
+         h AS (SELECT doc_id, md5(tok) AS h FROM t),
+         c AS (SELECT doc_id, h, i AS j,
+                 strpos('0123456789abcdef', substring(h, (i // 4) + 1, 1)) - 1 AS hexd
+               FROM h, generate_series(0, 63) AS g(i)),
+         bits AS (SELECT doc_id, j,
+                 CASE j % 4 WHEN 0 THEN (hexd >> 3) % 2
+                            WHEN 1 THEN (hexd >> 2) % 2
+                            WHEN 2 THEN (hexd >> 1) % 2
+                            ELSE hexd % 2 END AS bit
+               FROM c),
+         sums AS (SELECT doc_id, j, SUM(bit * 2 - 1) AS s FROM bits GROUP BY doc_id, j),
+         sig AS (SELECT doc_id,
+                   string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+                 FROM sums GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.simhash AS sig_a, b.simhash AS sig_b
+                   FROM sig a JOIN sig b
+                     ON substring(a.simhash, 1, 8) = substring(b.simhash, 1, 8)
+                    AND a.doc_id < b.doc_id),
+         dist AS (SELECT id_a, id_b,
+                    CAST(COUNT(CASE WHEN substring(sig_a, i + 1, 1) <> substring(sig_b, i + 1, 1) THEN 1 END) AS INTEGER) AS hamming
+                  FROM pairs, generate_series(0, 63) AS g(i)
+                  GROUP BY id_a, id_b, sig_a, sig_b)
+         SELECT id_a, id_b, hamming FROM dist WHERE hamming <= 24""",
+
+    "q38_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         g AS (SELECT user_id, event_id, ts_us,
+                 LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+               FROM e),
+         m AS (SELECT user_id, event_id, ts_us,
+                 CASE WHEN prev_us IS NULL OR ts_us - prev_us > 30 * 60 * 1000000
+                      THEN 1 ELSE 0 END AS new_session
+               FROM g),
+         s AS (SELECT user_id, ts_us,
+                 CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+               FROM m)
+         SELECT user_id, session_id, COUNT(*) AS n_events,
+           CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
+           CAST(MAX(ts_us) AS BIGINT) AS session_end_us
+         FROM s GROUP BY user_id, session_id""",
+
+    "q39_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""")
+}
