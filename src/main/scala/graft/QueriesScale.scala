@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.operators.Salting
+
+/** Query wave 5: skew-mitigation operators proven equivalent to their
+  * plain forms, window-function suite, set ops, pivot, sketches. */
+object QueriesScale {
+
+  import Queries.{table, events}
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- salted join == plain join (skew mitigation correctness) ----
+    "q40_salted_join" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem").filter(col("l_quantity") >= 40)
+        .select("l_orderkey", "l_linenumber")
+      val o = table(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      Salting.saltedJoin(li, o, Seq("l_orderkey"), factor = 8)
+    }),
+
+    // ---- salted two-phase aggregation == plain aggregation ----
+    "q41_salted_agg" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .withColumn("qty_dec", col("l_quantity").cast(DecimalType(14, 2)))
+      Salting.saltedSumCount(li, Seq("l_returnflag"), "qty_dec", factor = 16)
+        .select(col("l_returnflag"),
+          col("sum_qty_dec").cast("double").as("sum_qty"), col("n"))
+    }),
+
+    // ---- window-function suite: rank/dense_rank/lag/running sum ----
+    "q42_window_suite" -> ((s, dir) => {
+      val o = table(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        sum(col("o_totalprice").cast(DecimalType(14, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double").as("running_price"))
+    }),
+
+    // ---- set operations: INTERSECT / EXCEPT (distinct semantics) ----
+    "q43_setops" -> ((s, dir) => {
+      val hi = table(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+        .select(col("l_suppkey"))
+      val lo = table(s, dir, "lineitem").filter(col("l_quantity") <= 3)
+        .select(col("l_suppkey"))
+      hi.intersect(lo).withColumn("op", lit("both"))
+        .unionByName(hi.except(lo).withColumn("op", lit("hi_only")))
+    }),
+
+    // ---- pivot: per-user event-type counts as columns ----
+    "q44_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = events(s, dir).groupBy(col("user_id"))
+        .pivot("event_type", types).agg(count(lit(1)))
+      // align null-vs-zero with conditional-count SQL semantics
+      p.select(col("user_id") +: types.map(t =>
+        coalesce(col(t), lit(0L)).as(t)): _*)
+    }),
+
+    // ---- HLL sketch: approx distinct (rows-only; sketch values are
+    //      engine-specific by nature) + exact for reference ----
+    "q45_approx_distinct" -> ((s, dir) =>
+      table(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))))
+}
+
+object OraclesScale {
+  val all: Map[String, String] = Map(
+    "q40_salted_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority
+         FROM (SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity >= 40) l
+         JOIN (SELECT o_orderkey AS l_orderkey, o_orderpriority FROM orders) o
+         USING (l_orderkey)""",
+
+    "q41_salted_agg" ->
+      """SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+         COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q42_window_suite" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(RANK() OVER w AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+           LAG(o_orderkey, 1) OVER w AS prev_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+             OVER (w ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_price
+         FROM orders WHERE o_orderkey < 2000
+         WINDOW w AS (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice DESC, o_orderkey)""",
+
+    "q43_setops" ->
+      """WITH hi AS (SELECT l_suppkey FROM lineitem WHERE l_quantity >= 45),
+         lo AS (SELECT l_suppkey FROM lineitem WHERE l_quantity <= 3)
+         SELECT l_suppkey, 'both' AS op FROM (SELECT * FROM hi INTERSECT SELECT * FROM lo)
+         UNION ALL
+         SELECT l_suppkey, 'hi_only' AS op FROM (SELECT * FROM hi EXCEPT SELECT * FROM lo)""",
+
+    "q44_pivot" ->
+      """SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+         FROM events GROUP BY user_id""")
+}

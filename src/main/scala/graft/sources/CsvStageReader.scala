@@ -59,7 +59,7 @@ object CsvStageReader {
 
   /** Raw physical-line scan (FIELD_DELIMITER=NONE equivalent) for
     * precheck header/row inspection.
-    * reference: SF_NotebooKS/ADLS_FILE_PRECHECK.py:789-824 */
+    * reference: SF_Notebooks/ADLS_FILE_PRECHECK.py:789-824 */
   def readLines(spark: SparkSession, file: String): DataFrame =
     spark.read.text(file)
 
