@@ -70,7 +70,24 @@ object QueriesScale {
     "q45_approx_distinct" -> ((s, dir) =>
       table(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))))
+          countDistinct(col("l_partkey")).as("exact_parts"))),
+
+    // ---- as-of join: each event joined to the user's latest order ≤ ts ----
+    "q46_asof_join" -> ((s, dir) => {
+      val l = events(s, dir).filter(col("user_id") < 50)
+        .select("event_id", "user_id", "ts")
+      // unique right key per (user, date): deterministic survivor
+      val r = table(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      graft.operators.AsOfJoin.asOf(l, r, Seq("user_id"),
+          leftId = "event_id", leftTime = "ts", rightTime = "o_orderdate")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("o_orderkey"),
+          // o_orderdate arrives as TIMESTAMP_NTZ; session TZ is UTC so
+          // the cast is epoch-preserving
+          unix_micros(col("o_orderdate").cast("timestamp")).as("order_date_us"))
+    }))
 }
 
 object OraclesScale {
@@ -112,5 +129,20 @@ object OraclesScale {
            COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
            COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
            COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
-         FROM events GROUP BY user_id""")
+         FROM events GROUP BY user_id""",
+
+    "q46_asof_join" ->
+      """WITH r AS (SELECT o_custkey AS user_id, o_orderdate,
+                      MAX(o_orderkey) AS o_orderkey
+                    FROM orders GROUP BY 1, 2),
+         l AS (SELECT event_id, user_id, ts FROM events WHERE user_id < 50),
+         j AS (SELECT l.event_id, l.user_id, l.ts, r.o_orderdate, r.o_orderkey,
+                 COALESCE(r.o_orderdate <= l.ts, FALSE) AS ok
+               FROM l LEFT JOIN r USING (user_id)),
+         p AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                 ORDER BY ok DESC, o_orderdate DESC NULLS LAST) AS rn FROM j)
+         SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CASE WHEN ok THEN o_orderkey END AS o_orderkey,
+           CASE WHEN ok THEN epoch_us(o_orderdate) END AS order_date_us
+         FROM p WHERE rn = 1""")
 }
