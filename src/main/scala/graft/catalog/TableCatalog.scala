@@ -11,10 +11,18 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *
   * Layout: `<root>/<db>/<schema>/<table>/v_<n>/part-*.parquet` plus a
   * one-line `_CURRENT` pointer file naming the live version. Writers
-  * materialize a full new version directory and then atomically swap the
-  * pointer (rename), so readers never observe a half-written table and
+  * materialize a new version and then atomically swap the pointer
+  * (rename), so readers never observe a half-written table and
   * concurrent readers of the old version are unaffected. Old versions
   * are pruned, keeping one back for in-flight readers.
+  *
+  * Appends are O(delta): the new version directory holds only the new
+  * files plus a `_MANIFEST` that references the previous version's data
+  * files by path (the same idea as Delta/Iceberg manifest logs) — no
+  * data is copied or rewritten. Reads resolve the manifest chain into
+  * one multi-path parquet scan. Rewriting operations (overwrite,
+  * truncate, update, merge) materialize fresh files and start a new
+  * chain, which is when old versions become prunable.
   *
   * At cluster scale every operation here is a distributed parquet
   * read/write — no driver-side row materialization. UPDATE rewrites are
@@ -54,13 +62,46 @@ final class TableCatalog(spark: SparkSession, root: String) {
 
   def exists(fq: String): Boolean = currentVersion(fq).isDefined
 
+  private def manifestPath(dir: Path) = new Path(dir, "_MANIFEST")
+
+  private def writeManifest(dir: Path, referenced: Seq[Path]): Unit = {
+    val out = fs.create(manifestPath(dir), true)
+    try out.write(referenced.map(_.toString).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Data files of a version: its own part files plus everything its
+    * manifest references (already fully resolved when written). */
+  private def dataFiles(fq: String, v: Int): Seq[Path] = {
+    val dir = versionDir(fq, v)
+    val own = fs.listStatus(dir).filter(_.isFile)
+      .map(_.getPath)
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+      .toSeq
+    val mf = manifestPath(dir)
+    val referenced =
+      if (!fs.exists(mf)) Nil
+      else {
+        val in = fs.open(mf)
+        val text = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+        text.split("\n").toSeq.filter(_.nonEmpty).map(new Path(_))
+      }
+    referenced ++ own
+  }
+
   def read(fq: String): DataFrame = currentVersion(fq) match {
-    case Some(v) => spark.read.parquet(versionDir(fq, v).toString)
+    case Some(v) =>
+      val files = dataFiles(fq, v)
+      if (files.isEmpty) // truncated table: schema-only marker dir
+        spark.read.parquet(versionDir(fq, v).toString)
+      else spark.read.parquet(files.map(_.toString): _*)
     case None => throw new IllegalArgumentException(s"table not found: $fq")
   }
 
   def readIfExists(fq: String): Option[DataFrame] =
-    currentVersion(fq).map(v => spark.read.parquet(versionDir(fq, v).toString))
+    currentVersion(fq).map(_ => read(fq))
 
   def count(fq: String): Long =
     readIfExists(fq).map(_.count()).getOrElse(0L)
@@ -76,32 +117,30 @@ final class TableCatalog(spark: SparkSession, root: String) {
     if (fs.exists(currentPointer(fq))) fs.delete(currentPointer(fq), false)
     if (!fs.rename(tmp, currentPointer(fq)))
       throw new IllegalStateException(s"failed to commit $fq v$next")
-    // prune all but the previous version (kept for in-flight readers)
+    // prune old versions (keeping one back for in-flight readers) —
+    // but NEVER a directory holding data files referenced by the new
+    // version's manifest chain, nor by the kept-back previous version's
+    val live = (dataFiles(fq, next) ++
+      (if (next > 0 && fs.exists(versionDir(fq, next - 1)))
+        dataFiles(fq, next - 1) else Nil))
+      .map(p => fs.makeQualified(p.getParent).toString).toSet
     (0 until next - 1).foreach { v =>
-      val old = versionDir(fq, v)
-      if (fs.exists(old)) fs.delete(old, true)
+      val old = fs.makeQualified(versionDir(fq, v))
+      if (fs.exists(old) && !live.contains(old.toString)) fs.delete(old, true)
     }
   }
 
   /** Append (creating the table if absent — save_as_table semantics).
-    * The new version holds old data + new files; existing parquet files
-    * are not rewritten, just referenced by copy into the new version
-    * via FileSystem-level hard link when possible, else by plan union. */
+    * O(delta): only the new rows are written; the prior version's data
+    * files are carried by manifest reference, never copied or
+    * rewritten. */
   def append(fq: String, df: DataFrame): Unit = currentVersion(fq) match {
     case None => commitVersion(fq, dir => df.write.mode(SaveMode.Overwrite).parquet(dir.toString))
     case Some(v) =>
+      val carried = dataFiles(fq, v)
       commitVersion(fq, dir => {
-        // copy prior version's files (cheap rename-scope metadata op on
-        // object stores with server-side copy; avoids recomputing data)
-        fs.mkdirs(dir)
-        val prior = fs.listStatus(versionDir(fq, v)).filter(_.isFile)
-          .filterNot(_.getPath.getName.startsWith("_"))
-        prior.foreach { st =>
-          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
-            new Path(dir, "prev_" + st.getPath.getName), false,
-            spark.sparkContext.hadoopConfiguration)
-        }
-        df.write.mode(SaveMode.Append).parquet(dir.toString)
+        df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+        writeManifest(dir, carried)
       })
   }
 

@@ -43,6 +43,29 @@ class CatalogSpec extends SparkTestBase {
     assert(rows == Map(1 -> "old", 2 -> "new", 3 -> "new"))
   }
 
+  test("append is O(delta): prior data files referenced, not copied") {
+    val root = tempDir("cat")
+    val cat = new TableCatalog(spark, root)
+    val t = "d.s.grow"
+    cat.append(t, Seq.tabulate(100)(i => (i, s"v$i")).toDF("id", "v"))
+    def partFiles(dir: java.io.File): Seq[java.io.File] =
+      Option(dir.listFiles).map(_.toSeq).getOrElse(Nil)
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+    val v0Files = partFiles(new java.io.File(s"$root/d/s/grow/v_000000")).map(_.getName).toSet
+    cat.append(t, Seq((1000, "new")).toDF("id", "v"))
+    // v1 holds only the delta + a manifest; v0's files untouched in place
+    val v1 = new java.io.File(s"$root/d/s/grow/v_000001")
+    assert(partFiles(v1).nonEmpty)
+    assert(new java.io.File(v1, "_MANIFEST").exists)
+    assert(partFiles(new java.io.File(s"$root/d/s/grow/v_000000"))
+      .map(_.getName).toSet == v0Files)
+    assert(cat.count(t) == 101)
+    // long append chains stay correct and prune nothing still referenced
+    (0 until 5).foreach(i => cat.append(t, Seq((2000 + i, "x")).toDF("id", "v")))
+    assert(cat.count(t) == 106)
+    assert(cat.read(t).filter(col("id") < 100).count() == 100)
+  }
+
   test("readers of the old version survive an overwrite (COW)") {
     val cat = new TableCatalog(spark, tempDir("cat"))
     val t = "d.s.cow"
