@@ -17,7 +17,9 @@ object GraftFunctions {
 
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_hamming" -> (exprs => HammingDistance(exprs(0), exprs(1))),
-    "graft_rolling_hash" -> (exprs => RollingHash(exprs.head)))
+    "graft_rolling_hash" -> (exprs => RollingHash(exprs.head)),
+    "graft_minhash" -> (exprs => MinHashSignature(exprs(0),
+      exprs(1).eval().asInstanceOf[Int])))
 
   /** Idempotent per-session registration (temp functions). */
   def register(spark: SparkSession): Unit = {
@@ -37,6 +39,12 @@ object GraftFunctions {
     * registration. */
   def rollingHash(c: Column): Column =
     call_function("graft_rolling_hash", c)
+
+  /** Per-row MinHash signature (array of `bands` md5-min values) over a
+    * shingle-set array — no explode, no shuffle. Requires registration. */
+  def minhashSignature(shingles: Column, bands: Int): Column =
+    call_function("graft_minhash", shingles,
+      org.apache.spark.sql.functions.lit(bands))
 }
 
 /** Session-extension wiring: injects the native functions at session

@@ -36,21 +36,23 @@ object Dedup {
   }
 
   /** MinHash signatures: for each (doc, band) the lexicographic min of
-    * the seeded md5 over the doc's shingles — `bands` permutations, one
-    * shuffle (explode + groupBy). Returns (id, band, minhash). */
+    * the seeded md5 over the doc's shingle set. Computed PER ROW by the
+    * native [[graft.functions.expressions.MinHashSignature]] expression —
+    * no explode, no shuffle (the earlier relational formulation shuffled
+    * ~|doc|·|shingles|·bands rows through a groupBy). Returns
+    * (id, band, minhash), value-identical to the relational/oracle form. */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 2, bands: Int = 8): DataFrame = {
-    // per-row array_distinct gives shingle SETS without a dedup shuffle
-    val sh = df.select(col(idCol),
-      explode(array_distinct(shingles(tokens(col(textCol)), shingleN))).as("shingle"))
-    // one pass: explode the band ids over the shingle rows instead of
-    // re-evaluating the tokenize+shingle pipeline once per band
-    sh.select(col(idCol), col("shingle"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("h", md5(concat(col("band").cast("string"), lit(":"),
-        col("shingle")).cast("binary")))
-      .groupBy(col(idCol), col("band"))
-      .agg(min(col("h")).as("minhash"))
+    graft.functions.expressions.GraftFunctions.register(df.sparkSession)
+    // a small-document table often arrives as one row group → one task;
+    // spread the md5-heavy signature work across the cluster first
+    // (shuffling the raw docs is cheap relative to hashing them)
+    val spread = df.select(col(idCol), col(textCol))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    spread.select(col(idCol),
+        posexplode(graft.functions.expressions.GraftFunctions.minhashSignature(
+          array_distinct(shingles(tokens(col(textCol)), shingleN)), bands))
+          .as(Seq("band", "minhash")))
   }
 
   /** LSH candidate pairs: docs sharing any band minhash. Pairs are
