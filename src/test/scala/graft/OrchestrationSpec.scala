@@ -145,6 +145,26 @@ class OrchestrationSpec extends SparkTestBase {
     assert(out.select("file_name").distinct().as[String].head() == "query_source")
   }
 
+  test("headerless pipe-delimited gz file reads with fixed schema (humana shape)") {
+    val stage = tempDir("gz")
+    // synthetic Pharmacy_Claims-shaped data: headerless, pipe, gzipped
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$stage/claims_202401.txt.gz"))
+    gz.write("M001|C1|12.5\nM002|C2|30.0\n".getBytes("UTF-8"))
+    gz.close()
+    val spec = graft.config.SourceSpec(
+      container = None, directory = None, filePattern = Some(".*\\.txt(\\.gz)?$"),
+      delimiter = "|", header = false,
+      columns = Seq("SRC_MBR_ID", "CLAIM_NBR", "NET_PAID_AMT"),
+      query = None, api = Map.empty)
+    val files = CsvStageReader.listFiles(spark, stage, spec.filePattern)
+    assert(files.map(_.name) == Seq("claims_202401.txt.gz"))
+    val df = CsvStageReader.read(spark, files.map(_.path), spec)
+    assert(df.columns.toSeq == Seq("SRC_MBR_ID", "CLAIM_NBR", "NET_PAID_AMT"))
+    assert(df.count() == 2) // no header row consumed
+    assert(df.filter(col("SRC_MBR_ID") === "M001").count() == 1)
+  }
+
   test("ingest log records stage rows") {
     val cat = new TableCatalog(spark, tempDir("wh"))
     val log = new IngestLog(spark, cat, "LOGDB.S.RAW_INGEST_LOG")
