@@ -85,6 +85,22 @@ object QueriesPipeline {
         s"pipeline failed: $results")
       cat.read("CU.S.CUST")
         .select("cust_key", "cust_name", "segment", "seg_name", "RECORD_TYPE")
+    }),
+
+    // stateful streaming dedup under the oracle: one AvailableNow drain
+    // sees all rows per key in one batch, so first-seen = min(seenAt,
+    // payload) per key — declaratively expressible in SQL
+    "q48_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val work = Files.createTempDirectory("graft_sdedup").toString
+      Queries.events(s, dir)
+        .filter(col("user_id") < 40)
+        .select(col("user_id").as("key"), col("event_type").as("payload"),
+          col("event_id").as("seenAt"))
+        .as[graft.streaming.StreamingDedup.Keyed]
+        .write.mode("overwrite").parquet(s"$work/in")
+      graft.streaming.StreamingDedup.runToCompletion(s, s"$work/in",
+        queryName = s"sdedup_${work.hashCode.abs}", stateTtlMs = 0)
     }))
 
   /** The same transform chain, declared directly in SQL. */
@@ -106,5 +122,13 @@ object QueriesPipeline {
          SELECT f.cust_id AS cust_key, f.cust_name, f.segment,
            concat_ws('/', COALESCE(f.segment, ''), COALESCE(f.cust_name, '')) AS seg_name,
            CASE WHEN CAST(f.cust_id AS BIGINT) % 3 = 0 THEN 'UPDATE' ELSE 'NEW' END AS "RECORD_TYPE"
-         FROM filtered f""")
+         FROM filtered f""",
+
+    "q48_stream_dedup" ->
+      """WITH k AS (SELECT user_id AS key, event_type AS payload,
+                      event_id AS "seenAt"
+                    FROM events WHERE user_id < 40),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+                 ORDER BY "seenAt", payload) AS rn FROM k)
+         SELECT key, payload, "seenAt" FROM r WHERE rn = 1""")
 }
