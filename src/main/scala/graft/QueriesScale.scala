@@ -72,6 +72,26 @@ object QueriesScale {
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))),
 
+    // ---- CUBE multi-dimensional aggregation ----
+    "q49_cube" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(14, 2))).cast("double")
+            .as("sum_qty"))),
+
+    // ---- string-function suite (portable subset) ----
+    "q50_string_suite" -> ((s, dir) =>
+      table(s, dir, "customer")
+        .select(col("c_custkey"),
+          lpad(col("c_name"), 25, "*").as("padded"),
+          substring(col("c_name"), 10, 5).as("mid"),
+          instr(col("c_name"), "#").cast("long").as("hash_pos"),
+          translate(col("c_name"), "0123456789", "##########").as("masked"),
+          reverse(col("c_name")).as("rev"),
+          repeat(col("c_mktsegment"), 2).as("twice"),
+          left(col("c_mktsegment"), lit(3)).as("seg3"))),
+
     // ---- as-of join: each event joined to the user's latest order ≤ ts ----
     "q46_asof_join" -> ((s, dir) => {
       val l = events(s, dir).filter(col("user_id") < 50)
@@ -130,6 +150,22 @@ object OraclesScale {
            COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
            COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
          FROM events GROUP BY user_id""",
+
+    "q49_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+
+    "q50_string_suite" ->
+      """SELECT c_custkey,
+           lpad(c_name, 25, '*') AS padded,
+           substring(c_name, 10, 5) AS mid,
+           CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+           translate(c_name, '0123456789', '##########') AS masked,
+           reverse(c_name) AS rev,
+           repeat(c_mktsegment, 2) AS twice,
+           left(c_mktsegment, 3) AS seg3
+         FROM customer""",
 
     "q46_asof_join" ->
       """WITH r AS (SELECT o_custkey AS user_id, o_orderdate,
