@@ -13,11 +13,14 @@ import graft.config._
   */
 object RefinedOps {
 
-  /** Case-/punctuation-insensitive column-name normalization: strip
-    * non-alphanumerics, lowercase.
+  /** Case-/punctuation-insensitive column-name normalization:
+    * lowercase, then strip non-alphanumerics — in that order, like the
+    * reference's `re.sub('[^a-z0-9]', '', name.lower())`. (The reverse
+    * order is not idempotent: lowercasing can introduce combining marks,
+    * e.g. 'İ' → "i̇", which a later pass would strip differently.)
     * reference: RAW_SNOWFLAKE_TO_REFINED_SNOWFLAKE.py:399-404 */
   def normName(s: String): String =
-    s.filter(_.isLetterOrDigit).toLowerCase
+    s.toLowerCase.filter(_.isLetterOrDigit)
 
   /** Resolve a config-declared column name against actual DataFrame
     * columns via normName. First match wins (stable in column order). */

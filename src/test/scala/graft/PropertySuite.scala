@@ -1,0 +1,133 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import graft.config.ReformatSpec
+import graft.functions.expressions.{HammingDistance, RollingHash}
+import graft.operators.RefinedOps
+import graft.precheck.Precheck
+import graft.sources.Params
+
+/** ScalaCheck property suites for the pure (non-Spark) kernels of the
+  * config compilers and native expressions — the SURVEY §5 test plan's
+  * property-based leg. Spark-side behavior of the same operators is
+  * covered by the example specs and the DuckDB oracle gate. */
+object GraftProperties extends Properties("graft") {
+
+  private val word: Gen[String] =
+    Gen.chooseNum(0, 12).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+
+  // ---- normName / resolution ----------------------------------------------
+
+  property("normName is idempotent") = forAll { (s: String) =>
+    RefinedOps.normName(RefinedOps.normName(s)) == RefinedOps.normName(s)
+  }
+
+  property("normName ignores case and separators") = forAll(word) { w =>
+    RefinedOps.normName(w.toUpperCase) == RefinedOps.normName(w.toLowerCase) &&
+    RefinedOps.normName(s" ${w}_/ ") == RefinedOps.normName(w)
+  }
+
+  property("resolve finds any case/separator variant of a column") =
+    forAll(Gen.nonEmptyListOf(word.suchThat(_.nonEmpty))) { cols =>
+      val distinct = cols.distinctBy(RefinedOps.normName)
+      Prop.all(distinct.map { c =>
+        val variant = c.toUpperCase.flatMap(ch => s"$ch ")
+        val resolved = RefinedOps.resolve(distinct, variant)
+        Prop(resolved.contains(c)) :| s"variant of $c resolved to $resolved"
+      }: _*)
+    }
+
+  // ---- CSV line parser -----------------------------------------------------
+
+  private val csvField: Gen[String] =
+    Gen.chooseNum(0, 10).flatMap(n => Gen.stringOfN(n,
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '.', '-'))))
+
+  property("parseCsvLine inverts join for plain fields") =
+    forAll(Gen.nonEmptyListOf(csvField)) { fields =>
+      Precheck.parseCsvLine(fields.mkString(","), ',') == fields.map(_.trim)
+    }
+
+  property("parseCsvLine preserves delimiters inside quotes") =
+    forAll(Gen.nonEmptyListOf(csvField)) { fields =>
+      val quoted = fields.map(f => "\"" + f + ",x\"")
+      Precheck.parseCsvLine(quoted.mkString(","), ',') ==
+        fields.map(f => (f + ",x").trim)
+    }
+
+  // ---- Params --------------------------------------------------------------
+
+  property("Params k=v round-trips for clean keys/values") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.identifier.suchThat(s => s.nonEmpty && !s.contains('=')),
+      word.suchThat(v => !v.contains('=') && !v.contains('|'))))) { pairs =>
+      val raw = pairs.map { case (k, v) => s"$k=$v" }.mkString("|")
+      val parsed = Params.parse(raw)
+      // last occurrence wins for duplicate keys (Map semantics)
+      val want = pairs.toMap
+      Prop.all(want.toSeq.map { case (k, v) =>
+        Prop(parsed.get(k).contains(v.trim)) :| s"key $k"
+      }: _*)
+    }
+
+  // ---- split_reorder kernel (mirrors the Column compiler's semantics) -----
+
+  private def splitReorderReference(value: String, spec: ReformatSpec): String = {
+    val parts = value.split(java.util.regex.Pattern.quote(spec.splitBy), -1)
+    spec.partOrder.map { i =>
+      val p = if (i >= 0 && i < parts.length) parts(i) else ""
+      if (spec.trimParts) p.trim else p
+    }.mkString(spec.joinWith)
+  }
+
+  property("split_reorder reference never throws, any part_order") =
+    forAll(word, Gen.listOf(Gen.chooseNum(-2, 8))) { (v, order) =>
+      val spec = ReformatSpec("c", ",", order, " ", trimParts = true)
+      splitReorderReference(v, spec) != null
+    }
+
+  property("split_reorder identity when order is [0] and no delimiter") =
+    forAll(word.suchThat(w => !w.contains(','))) { w =>
+      splitReorderReference(w, ReformatSpec("c", ",", Seq(0), " ", true)) == w.trim
+    }
+
+  // ---- native expression kernels ------------------------------------------
+
+  property("rolling hash matches BigInt reference") = forAll { (s: String) =>
+    val m = BigInt(2).pow(61) - 1
+    val want = s.getBytes("UTF-8").foldLeft(BigInt(0))((h, b) =>
+      (h * 257 + (b & 0xff)) mod m).toLong
+    RollingHash.compute(s.getBytes("UTF-8")) == want
+  }
+
+  private val equalLengthTriple: Gen[(String, String, String)] = for {
+    n <- Gen.chooseNum(0, 12)
+    a <- Gen.stringOfN(n, Gen.alphaNumChar)
+    b <- Gen.stringOfN(n, Gen.alphaNumChar)
+    c <- Gen.stringOfN(n, Gen.alphaNumChar)
+  } yield (a, b, c)
+
+  property("hamming is a metric on equal-length strings") =
+    forAll(equalLengthTriple) { case (a, b, c) =>
+      val dab = HammingDistance.compute(a, b)
+      val dbc = HammingDistance.compute(b, c)
+      val dac = HammingDistance.compute(a, c)
+      dab >= 0 &&
+        (dab == 0) == (a == b) &&
+        dab == HammingDistance.compute(b, a) &&
+        dac <= dab + dbc
+    }
+
+  // ---- precheck row-count bounds ------------------------------------------
+
+  property("row-count gate honors min/max bounds") =
+    forAll(Gen.chooseNum(0L, 1000L), Gen.chooseNum(0L, 100L),
+      Gen.chooseNum(0L, 1000L)) { (total, min, max0) =>
+      val max = min + max0
+      val spec = graft.config.PrecheckSpec(Nil, min, Some(max), true, false, false)
+      val data = math.max(0, total - 1)
+      val r = Precheck.checkRowCount(total, spec)
+      r.failed == (data < min || data > max)
+    }
+}
