@@ -92,6 +92,21 @@ object QueriesScale {
           repeat(col("c_mktsegment"), 2).as("twice"),
           left(col("c_mktsegment"), lit(3)).as("seg3"))),
 
+    // ---- curated row-value builders: value-remap transform,
+    //      canceled-flag rule, dummy-key synthesis (§2.6) ----
+    "q51_value_builders" -> ((s, dir) => {
+      val e = events(s, dir)
+      val remap = graft.config.FieldValueSpec(Some("event_type"), Nil, " ", Nil,
+        Map("purchase" -> "100000001", "SIGNUP" -> "100000002"), "evt_", "")
+      e.select(col("event_id"),
+        graft.operators.CuratedOps.fieldValue(e, remap).as("remapped"),
+        graft.operators.CuratedOps.canceledFlag(col("event_type"),
+          values = Seq("ERROR"), containsAny = Seq("sign")).as("canceled"),
+        graft.operators.CuratedOps.dummyKey(
+          when(col("event_type") === "purchase", col("props")),
+          col("user_id")).as("sync_key"))
+    }),
+
     // ---- as-of join: each event joined to the user's latest order ≤ ts ----
     "q46_asof_join" -> ((s, dir) => {
       val l = events(s, dir).filter(col("user_id") < 50)
@@ -166,6 +181,18 @@ object OraclesScale {
            repeat(c_mktsegment, 2) AS twice,
            left(c_mktsegment, 3) AS seg3
          FROM customer""",
+
+    "q51_value_builders" ->
+      """SELECT event_id,
+           'evt_' || (CASE WHEN lower(event_type) = 'purchase' THEN '100000001'
+                           WHEN lower(event_type) = 'signup' THEN '100000002'
+                           ELSE event_type END) AS remapped,
+           CASE WHEN event_type IS NOT NULL AND
+                     (upper(event_type) IN ('ERROR') OR contains(lower(event_type), 'sign'))
+                THEN 'Y' ELSE 'N' END AS canceled,
+           CASE WHEN event_type = 'purchase' AND trim(props) <> '' THEN props
+                ELSE 'NOMBI_' || CAST(user_id AS VARCHAR) END AS sync_key
+         FROM events""",
 
     "q46_asof_join" ->
       """WITH r AS (SELECT o_custkey AS user_id, o_orderdate,
