@@ -83,21 +83,19 @@ object TextFunctions {
   def bagFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(lower(text))))).cast("binary"))
 
-  /** Word n-gram shingles from a token array ("w1 w2", "w2 w3", ...). */
+  /** Word n-gram shingles from a token array ("w1 w2", "w2 w3", ...).
+    * Native kernel ([[graft.functions.expressions.WordShingles]]);
+    * value-identical to the HOF formulation
+    * `transform(sequence(1, size-n+1), i -> concat_ws(' ', slice(toks, i, n)))`
+    * but ~1000× cheaper per element (single loop vs interpreted lambda). */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.expressions.GraftFunctions.wordShingles(toks, n)
 
-  /** Character n-grams of the normalized text. */
-  def charNgrams(text: Column, n: Int): Column = {
-    val s = concat_ws(" ", tokens(lower(text)))
-    when(length(s) >= n,
-      transform(sequence(lit(1), length(s) - (n - 1)),
-        i => substring(s, i, lit(n))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Character n-grams of the normalized text (native kernel, same
+    * values as `transform(sequence(1, len-n+1), i -> substring(s, i, n))`). */
+  def charNgrams(text: Column, n: Int): Column =
+    graft.functions.expressions.GraftFunctions.charNgramsNative(
+      concat_ws(" ", tokens(lower(text))), n)
 
   /** Deterministic per-seed shingle hash for MinHash: the md5 hex of
     * `seed:shingle`. Lexicographic MIN over these hex strings is a

@@ -19,6 +19,14 @@ object GraftFunctions {
     "graft_hamming" -> (exprs => HammingDistance(exprs(0), exprs(1))),
     "graft_rolling_hash" -> (exprs => RollingHash(exprs.head)),
     "graft_minhash" -> (exprs => MinHashSignature(exprs(0),
+      exprs(1).eval().asInstanceOf[Int])),
+    "graft_shingles" -> (exprs => WordShingles(exprs(0),
+      exprs(1).eval().asInstanceOf[Int])),
+    "graft_char_ngrams" -> (exprs => CharNgrams(exprs(0),
+      exprs(1).eval().asInstanceOf[Int])),
+    "graft_dot" -> (exprs => ArrayDot(exprs(0), exprs(1))),
+    "graft_quant_dot" -> (exprs => ArrayQuantDot(exprs(0), exprs(1))),
+    "graft_sign_sig" -> (exprs => SignSignature(exprs(0),
       exprs(1).eval().asInstanceOf[Int])))
 
   /** Idempotent per-session registration (temp functions). */
@@ -45,6 +53,46 @@ object GraftFunctions {
   def minhashSignature(shingles: Column, bands: Int): Column =
     call_function("graft_minhash", shingles,
       org.apache.spark.sql.functions.lit(bands))
+
+  /** Registers against the active session — for façades invoked from
+    * generic Column-building code that can't thread a session through. */
+  private def ensureActive(): Unit = register(SparkSession.active)
+
+  /** Word n-gram shingles of a token array (native kernel). */
+  def wordShingles(toks: Column, n: Int): Column = {
+    ensureActive()
+    call_function("graft_shingles", toks, org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** Character n-grams of a string (native kernel). */
+  def charNgramsNative(text: Column, n: Int): Column = {
+    ensureActive()
+    call_function("graft_char_ngrams", text, org.apache.spark.sql.functions.lit(n))
+  }
+
+  // the kernels read array<double>; the casts below are identity on
+  // double arrays and a widening element cast on float arrays (same
+  // values as the per-element x.cast("double") of the HOF formulation)
+
+  /** Double dot product (left-to-right sum; null on length mismatch). */
+  def arrayDot(a: Column, b: Column): Column = {
+    ensureActive()
+    call_function("graft_dot", a.cast("array<double>"), b.cast("array<double>"))
+  }
+
+  /** Exact 1e-7-quantized integer dot product (engine-portable). */
+  def arrayQuantDot(a: Column, b: Column): Column = {
+    ensureActive()
+    call_function("graft_quant_dot",
+      a.cast("array<double>"), b.cast("array<double>"))
+  }
+
+  /** Hyperplane sign-signature LSH bucket key. */
+  def signSignature(vec: Column, planes: Int): Column = {
+    ensureActive()
+    call_function("graft_sign_sig", vec.cast("array<double>"),
+      org.apache.spark.sql.functions.lit(planes))
+  }
 }
 
 /** Session-extension wiring: injects the native functions at session

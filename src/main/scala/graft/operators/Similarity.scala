@@ -24,12 +24,15 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Similarity {
 
-  /** Double-precision cosine similarity of two float arrays. */
+  import graft.functions.expressions.GraftFunctions
+
+  /** Double-precision cosine similarity of two float arrays (native
+    * dot-product kernel; left-to-right sums, same values as the
+    * zip_with/aggregate formulation). */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
+    val dot = GraftFunctions.arrayDot(a, b)
+    val na = sqrt(GraftFunctions.arrayDot(a, a))
+    val nb = sqrt(GraftFunctions.arrayDot(b, b))
     dot / (na * nb)
   }
 
@@ -38,13 +41,11 @@ object Similarity {
     * precision), products and sums are 64-bit integer arithmetic —
     * exact in any engine, any accumulation order. Result is scaled by
     * 1e14; descale with [[descaleDot]]. Decimal-from-float casts are
-    * deliberately avoided: engines disagree on that rounding path. */
+    * deliberately avoided: engines disagree on that rounding path.
+    * Native kernel ([[graft.functions.expressions.ArrayQuantDot]]) with
+    * Spark-identical HALF_UP rounding. */
   def dotExact(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        round(x.cast("double") * 1e7).cast("long") *
-          round(y.cast("double") * 1e7).cast("long")),
-      lit(0L), (acc, v) => acc + v)
+    GraftFunctions.arrayQuantDot(a, b)
 
   def descaleDot(scaled: Column): Column =
     (scaled.cast("double") / 1e14)
@@ -125,10 +126,8 @@ object Similarity {
     val sig = signSignature(col(vecCol), planes)
     // precompute each vector's norm once (N evaluations) so the pair
     // stage runs a single dot product per candidate instead of three
-    // higher-order-function passes
     val withSig = df.select(col(idCol), col(vecCol), sig.as("bucket"),
-      sqrt(aggregate(transform(col(vecCol), x => x * x),
-        lit(0.0), (acc, v) => acc + v)).as("norm"))
+      sqrt(GraftFunctions.arrayDot(col(vecCol), col(vecCol))).as("norm"))
     val a = withSig.select(col("bucket"), col(idCol).as("id_a"),
       col(vecCol).as("va"), col("norm").as("norm_a"))
     val b = withSig.select(col("bucket"), col(idCol).as("id_b"),
@@ -136,26 +135,16 @@ object Similarity {
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim",
-        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-          lit(0.0), (acc, v) => acc + v) / (col("norm_a") * col("norm_b")))
+        GraftFunctions.arrayDot(col("va"), col("vb")) /
+          (col("norm_a") * col("norm_b")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
 
   /** Sign signature over `planes` deterministic hyperplanes: plane p's
     * component i = ((1103515245·(p·dim+i) + 12345) mod 2001) − 1000,
-    * an LCG-style integer mix both engines can evaluate exactly. */
-  def signSignature(vec: Column, planes: Int): Column = {
-    val dims = size(vec)
-    val perPlane = (0 until planes).map { p =>
-      val dot = aggregate(
-        zip_with(vec, sequence(lit(0), dims - 1), (x, i) => {
-          val mix = (lit(1103515245L) * (lit(p.toLong) * dims + i) + 12345L) % 2001L - 1000L
-          x.cast("double") * mix.cast("double")
-        }),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit("1")).otherwise(lit("0"))
-    }
-    concat(perPlane: _*)
-  }
+    * an LCG-style integer mix both engines can evaluate exactly.
+    * Native kernel ([[graft.functions.expressions.SignSignature]]). */
+  def signSignature(vec: Column, planes: Int): Column =
+    GraftFunctions.signSignature(vec, planes)
 }
