@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus-level training-data operators: duplicate clustering,
+  * benchmark decontamination, stratified quota sampling, TF-IDF term
+  * scoring, document chunking, PII scrubbing, and corpus vocabulary
+  * statistics. Extends the per-pair dedup family in [[Dedup]] to the
+  * whole-corpus decisions an LLM data pipeline actually ships:
+  * "which docs form one duplicate cluster", "which docs leak the eval
+  * set", "keep at most N per stratum".
+  *
+  * Scale posture (100 TB): every operator is explode/groupBy/join
+  * shaped. The one iterative algorithm (connected components) does
+  * O(diameter) distributed passes with per-pass materialization —
+  * near-dup graphs are overwhelmingly tiny star/clique clusters, so
+  * diameter is small and the label frontier collapses after 2-3
+  * passes. Decontamination broadcasts the eval-set shingles (eval
+  * benchmarks are MBs, corpora are TBs). All numeric scoring is
+  * integer-exact so results are independent of partitioning and
+  * accumulation order.
+  */
+object Corpus {
+
+  /** Connected components by iterative min-label propagation.
+    *
+    * `nodes`: one column `id`; `edges`: columns `id_a`, `id_b`
+    * (undirected, any orientation). Returns (id, component) where
+    * component = min id reachable. Each pass is one shuffle
+    * (edge join + min-agg); iteration stops when no label changes.
+    * Lineage is cut per pass with localCheckpoint so the plan stays
+    * O(1) deep regardless of iteration count (on a cluster, swap for
+    * reliable checkpointing to the DFS).
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaEdges = labels.join(sym, labels("id") === sym("src"))
+        .select(sym("dst").as("id"), col("label"))
+      val next = labels.union(viaEdges)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Duplicate clusters: LSH near-dup candidate pairs → connected
+    * components. Returns (id, component) for every doc in `df`
+    * (singletons map to themselves). */
+  def dedupClusters(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 2, bands: Int = 4): DataFrame = {
+    val cand = Dedup.lshCandidates(
+      Dedup.minhashBands(df, idCol, textCol, shingleN, bands), idCol)
+    connectedComponents(df.select(col(idCol).as("id")), cand)
+  }
+
+  /** Benchmark decontamination: count, per training doc, the distinct
+    * word `n`-gram shingles it shares with the eval corpus. The eval
+    * shingle vocabulary is broadcast — eval benchmarks are tiny next
+    * to a training corpus, so the scan-side join is shuffle-free.
+    * Returns (doc_id, n_hits, is_contaminated) for every train doc. */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val evalTerms = Dedup.shingleTerms(eval, idCol, textCol, n)
+      .select(col("term")).distinct()
+    val trainTerms = Dedup.shingleTerms(train, idCol, textCol, n)
+    val hits = trainTerms.join(broadcast(evalTerms), "term")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+    train.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("is_contaminated"))
+  }
+
+  /** Deterministic stratified quota sampling: keep at most `quota`
+    * rows per stratum, chosen by a stable hash order (md5 of the id's
+    * decimal string — engine-portable, uniform, reproducible). One
+    * window shuffle keyed by the strata; no driver involvement. */
+  def quotaSample(df: DataFrame, strata: Seq[String], idCol: String,
+      quota: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= quota)
+  }
+
+  /** Integer-exact TF-IDF: score_x1m = (tf · 1 000 000 · N) div df,
+    * all 64-bit integer arithmetic (portable across engines; the 1e6
+    * scale keeps rank resolution). Returns the top `k` terms per doc
+    * by (score desc, term asc). Two shuffles: (doc,term) counts and
+    * the per-doc window. N (corpus size) rides a broadcast scalar. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score_x1m", expr("(tf * 1000000 * n) div df"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score_x1m").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("id").as(idCol), col("term"), col("tf"), col("df"),
+        col("score_x1m"), col("rk"))
+  }
+
+  /** Sliding-window document chunking: token windows of `width` with
+    * stride `stride` (last chunks may be shorter; blank docs yield one
+    * empty chunk). Pure per-row explode — embarrassingly parallel. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      width: Int, stride: Int): DataFrame = {
+    val tk = TextFunctions.tokens(col(textCol))
+    df.select(col(idCol), tk.as("tk"))
+      .withColumn("start",
+        explode(sequence(lit(1L), greatest(size(col("tk")).cast("long"), lit(1L)),
+          lit(stride.toLong))))
+      .select(col(idCol), col("start"),
+        expr(s"(start - 1) div $stride").as("chunk_idx"),
+        size(slice(col("tk"), col("start").cast("int"), lit(width)))
+          .cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("tk"), col("start").cast("int"), lit(width)))
+          .as("chunk_text"))
+  }
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val SsnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  private val LongNumRe = "[0-9]{7,}"
+
+  /** PII scrubbing: redact email / SSN / long-digit-run patterns with
+    * typed placeholders and report per-pattern match counts (counted
+    * on the original text). Regexes stay in the Java∩RE2 common
+    * subset so any engine agrees on matches. Scan-local, no shuffle. */
+  def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailRe, "<EMAIL>"),
+        SsnRe, "<SSN>"),
+      LongNumRe, "<NUM>")
+    // typed regexp_extract_all, not expr(...): SQL string literals
+    // eat backslashes, which would corrupt the patterns
+    df.select(col(idCol),
+      scrubbed.as("scrubbed"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0)))
+        .cast("long").as("n_email"),
+      size(regexp_extract_all(t, lit(SsnRe), lit(0)))
+        .cast("long").as("n_ssn"),
+      size(regexp_extract_all(t, lit(LongNumRe), lit(0)))
+        .cast("long").as("n_num"))
+  }
+
+  /** Corpus vocabulary: top `k` lowercase tokens by frequency with a
+    * deterministic (count desc, token asc) order. groupBy gets
+    * map-side partial aggregation for free, so the shuffle carries the
+    * vocabulary, not the corpus; sort+limit plans as a distributed
+    * TakeOrdered (per-partition top-k, merged), and only the k
+    * survivors see the single-partition ranking window. */
+  def wordFreq(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(k)
+    top.withColumn("rk",
+      row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+  }
+}

@@ -28,8 +28,14 @@ object GraftProperties extends Properties("graft") {
     RefinedOps.normName(s" ${w}_/ ") == RefinedOps.normName(w)
   }
 
+  // generate non-empty words directly: suchThat-discards inside
+  // nonEmptyListOf accumulate and can exhaust ScalaCheck's give-up
+  // budget on unlucky seeds
+  private val nonEmptyWord: Gen[String] =
+    Gen.chooseNum(1, 12).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+
   property("resolve finds any case/separator variant of a column") =
-    forAll(Gen.nonEmptyListOf(word.suchThat(_.nonEmpty))) { cols =>
+    forAll(Gen.nonEmptyListOf(nonEmptyWord)) { cols =>
       val distinct = cols.distinctBy(RefinedOps.normName)
       Prop.all(distinct.map { c =>
         val variant = c.toUpperCase.flatMap(ch => s"$ch ")
