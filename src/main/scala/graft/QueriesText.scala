@@ -113,13 +113,11 @@ object QueriesText {
       Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", k = 2)
     }),
 
-    // ---- embedding cosine near-dup (double-precision; rows-only check) ----
+    // ---- embedding cosine near-dup (exact quantized arithmetic) ----
     "q33_cosine_neardup" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
-      Similarity.cosineNearDupes(e, "vec_id", "embedding",
+      Similarity.cosineNearDupesExact(e, "vec_id", "embedding",
         threshold = 0.4, planes = 4)
-        .agg(count(lit(1)).as("n_pairs"),
-          countDistinct(col("id_a")).as("n_left_docs"))
     }),
 
     // ---- multimodal: binary payload + partition-batched stub decode ----
@@ -321,6 +319,40 @@ object OraclesText {
          SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
                 CAST(dot AS DOUBLE) / 100000000000000.0 AS dot
          FROM ranked WHERE rank <= 2""",
+
+    // exact quantized arithmetic end-to-end: xq = round(x·1e7) as
+    // BIGINT, LCG-mix plane components, integer sums; the only doubles
+    // are the final ÷/×/√ on exact integers (correctly rounded IEEE ops
+    // — bit-identical across engines). 64 = embedding dims.
+    "q33_cosine_neardup" ->
+      """WITH u AS (SELECT vec_id, unnest(embedding) AS x,
+             unnest(generate_series(0, len(embedding) - 1)) AS i
+           FROM embeddings),
+         q AS (SELECT vec_id, i,
+             CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT) AS xq FROM u),
+         bits AS (SELECT vec_id, p,
+             CASE WHEN SUM(xq * ((CAST(1103515245 AS BIGINT) * (p * 64 + i) + 12345) % 2001 - 1000)) > 0
+               THEN '1' ELSE '0' END AS bit
+           FROM q CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS p) planes
+           GROUP BY vec_id, p),
+         sig AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+                 FROM bits GROUP BY vec_id),
+         n2 AS (SELECT vec_id, CAST(SUM(xq * xq) AS BIGINT) AS n2q FROM q GROUP BY vec_id),
+         pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                   FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         dots AS (SELECT p.id_a, p.id_b, CAST(SUM(qa.xq * qb.xq) AS BIGINT) AS dotq
+                  FROM pairs p
+                  JOIN q qa ON qa.vec_id = p.id_a
+                  JOIN q qb ON qb.vec_id = p.id_b AND qb.i = qa.i
+                  GROUP BY p.id_a, p.id_b)
+         SELECT d.id_a, d.id_b,
+           CAST(d.dotq AS DOUBLE) /
+             (sqrt(CAST(na.n2q AS DOUBLE)) * sqrt(CAST(nb.n2q AS DOUBLE))) AS sim
+         FROM dots d
+         JOIN n2 na ON na.vec_id = d.id_a
+         JOIN n2 nb ON nb.vec_id = d.id_b
+         WHERE CAST(d.dotq AS DOUBLE) /
+             (sqrt(CAST(na.n2q AS DOUBLE)) * sqrt(CAST(nb.n2q AS DOUBLE))) >= 0.4""",
 
     "q34_multimodal" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,

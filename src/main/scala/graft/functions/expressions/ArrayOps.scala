@@ -191,9 +191,12 @@ object ArrayQuantDot {
 
 /** Sign signature over `planes` deterministic LCG-mix hyperplanes (the
   * blocking key of [[graft.operators.Similarity.cosineNearDupes]]).
-  * Value-identical to the Column formulation: for plane p, bit =
-  * (Σ_i x_i · (((1103515245·(p·dims+i) + 12345) mod 2001) − 1000) > 0),
-  * doubles summed left to right, '1'/'0' chars concatenated. */
+  * Integer-exact: components quantize to round(x·1e7) (HALF_UP, same
+  * as [[ArrayQuantDot]]), plane components are
+  * ((1103515245·(p·dims+i) + 12345) mod 2001) − 1000, and the per-plane
+  * accumulation is 64-bit integer arithmetic — so the signature is
+  * reproducible in ANY engine, independent of accumulation order
+  * (|xq·mix| ≤ 1e10, dims·1e10 ≪ 2^63). Bit p = (Σ > 0). */
 case class SignSignature(child: Expression, planes: Int)
     extends UnaryExpression {
 
@@ -214,16 +217,24 @@ case class SignSignature(child: Expression, planes: Int)
 }
 
 object SignSignature {
+  /** Same quantizer as [[ArrayQuantDot]]: Spark Round(HALF_UP) → long. */
+  private def q(x: Double): Long =
+    java.math.BigDecimal.valueOf(x * 1e7)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
   def compute(vec: ArrayData, planes: Int): UTF8String = {
     val dims = vec.numElements()
+    val xq = new Array[Long](dims)
+    var i = 0
+    while (i < dims) { xq(i) = q(vec.getDouble(i)); i += 1 }
     val bits = new Array[Char](planes)
     var p = 0
     while (p < planes) {
-      var acc = 0.0
-      var i = 0
+      var acc = 0L
+      i = 0
       while (i < dims) {
         val mix = (1103515245L * (p.toLong * dims + i) + 12345L) % 2001L - 1000L
-        acc += vec.getDouble(i) * mix.toDouble
+        acc += xq(i) * mix
         i += 1
       }
       bits(p) = if (acc > 0) '1' else '0'

@@ -141,9 +141,36 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Exact-arithmetic near-duplicate pairs (oracle-parity variant):
+    * the quantized dot Σ round(aᵢ·1e7)·round(bᵢ·1e7) and squared norms
+    * are exact 64-bit integers, and the similarity
+    * dotq / (√n2aq · √n2bq) applies only correctly-rounded IEEE ops
+    * (÷, ×, √) to those exact integers — so the doubles, and the
+    * threshold comparison, are bit-identical in any engine. The 1e7
+    * quantization scale cancels in the ratio. */
+  def cosineNearDupesExact(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 8): DataFrame = {
+    val sig = signSignature(col(vecCol), planes)
+    val withSig = df.select(col(idCol), col(vecCol), sig.as("bucket"),
+      dotExact(col(vecCol), col(vecCol)).as("n2q"))
+    val a = withSig.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), col("n2q").as("n2_a"))
+    val b = withSig.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), col("n2q").as("n2_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim",
+        dotExact(col("va"), col("vb")).cast("double") /
+          (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
   /** Sign signature over `planes` deterministic hyperplanes: plane p's
     * component i = ((1103515245·(p·dim+i) + 12345) mod 2001) − 1000,
-    * an LCG-style integer mix both engines can evaluate exactly.
+    * an LCG-style integer mix, applied to 1e-7-quantized components in
+    * 64-bit integer arithmetic — engine-portable and
+    * accumulation-order-independent.
     * Native kernel ([[graft.functions.expressions.SignSignature]]). */
   def signSignature(vec: Column, planes: Int): Column =
     GraftFunctions.signSignature(vec, planes)

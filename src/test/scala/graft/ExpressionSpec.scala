@@ -59,4 +59,63 @@ class ExpressionSpec extends SparkTestBase {
       .head()
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
+
+  test("word shingles kernel matches the HOF formulation") {
+    GraftFunctions.register(spark)
+    val df = Seq(Tuple1(Seq("a", "b", "c", "d")), Tuple1(Seq("a")),
+      Tuple1(Seq.empty[String])).toDF("tk")
+    val native = df.select(GraftFunctions.wordShingles(col("tk"), 2))
+      .as[Seq[String]].collect()
+    val hof = df.select(expr(
+      "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1), i -> concat_ws(' ', slice(tk, i, 2))) ELSE array() END"))
+      .as[Seq[String]].collect()
+    assert(native.toSeq == hof.toSeq)
+    assert(native(0) == Seq("a b", "b c", "c d") && native(1).isEmpty && native(2).isEmpty)
+  }
+
+  test("char ngrams kernel matches substring semantics incl. code points") {
+    GraftFunctions.register(spark)
+    val df = Seq("abcd", "ü β", "ab", "").toDF("s")
+    val native = df.select(GraftFunctions.charNgramsNative(col("s"), 3))
+      .as[Seq[String]].collect()
+    assert(native(0) == Seq("abc", "bcd"))
+    assert(native(1) == Seq("ü β")) // 3 code points
+    assert(native(2).isEmpty && native(3).isEmpty)
+  }
+
+  test("array dot kernels: values, length mismatch, null element") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+                graft_dot(array(1.0D), array(1.0D, 2.0D)) AS mismatch,
+                graft_dot(array(1.0D, NULL), array(1.0D, 2.0D)) AS withnull,
+                graft_quant_dot(array(0.5D), array(0.5D)) AS qd""").head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getLong(3) == 5000000L * 5000000L)
+  }
+
+  test("quant dot rounds HALF_UP like Spark's round()") {
+    import graft.functions.expressions.ArrayQuantDot
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // 0.15e-6 quantizes to round(1.5)=2, -0.15e-6 to round(-1.5)=-2
+    val a = new GenericArrayData(Array[Any](1.5e-7, -1.5e-7))
+    assert(ArrayQuantDot.compute(a, a) == 8L) // 2*2 + (-2)*(-2)
+  }
+
+  test("sign signature: integer-exact, deterministic, bucket shape") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      Tuple1(Array(0.5f, -0.25f, 0.125f)),
+      Tuple1(Array(0.5f, -0.25f, 0.125f)),   // identical vec, same bucket
+      Tuple1(Array(-0.5f, 0.25f, -0.125f))). // negated → complementary bits
+      toDF("v")
+    val sigs = df.select(GraftFunctions.signSignature(col("v"), 8))
+      .as[String].collect()
+    assert(sigs(0).length == 8 && sigs(0).matches("[01]{8}"))
+    assert(sigs(0) == sigs(1))
+    // strictly complementary only if no plane sum is exactly zero; with
+    // these values sums are nonzero, so negation flips every bit
+    assert(sigs(2) == sigs(0).map(c => if (c == '1') '0' else '1'))
+  }
 }
