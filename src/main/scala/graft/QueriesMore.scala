@@ -95,6 +95,31 @@ object OraclesMore {
                   GROUP BY id_a, id_b, sig_a, sig_b)
          SELECT id_a, id_b, hamming FROM dist WHERE hamming <= 24""",
 
+    // Karp–Rabin polynomial hash Σ byte_j·257^(n-1-j) mod 2^61−1,
+    // rebuilt relationally: a recursive-CTE powers-of-257 table (one
+    // row per exponent, HUGEINT intermediates) joined per character.
+    // Valid because the sf0.01 corpus is pure ASCII (byte == code
+    // point); the fold-with-mod and sum-then-mod forms are equal.
+    "q37_rolling_fingerprint" ->
+      """WITH RECURSIVE pw(k, p) AS (
+           SELECT 0, CAST(1 AS BIGINT)
+           UNION ALL
+           SELECT k + 1, CAST((CAST(p AS HUGEINT) * 257) % 2305843009213693951 AS BIGINT)
+           FROM pw WHERE k + 1 < (SELECT max(strlen(text)) FROM documents)),
+         d AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+         ch AS (SELECT doc_id, text, n, unnest(generate_series(1, n)) AS j
+                FROM d WHERE n > 0),
+         contrib AS (SELECT c.doc_id,
+             CAST(ascii(substring(c.text, CAST(c.j AS INTEGER), 1)) AS HUGEINT)
+               * CAST(pw.p AS HUGEINT) AS t
+           FROM ch c JOIN pw ON pw.k = c.n - c.j),
+         h AS (SELECT doc_id, CAST(SUM(t) % 2305843009213693951 AS BIGINT) AS fp
+               FROM contrib GROUP BY doc_id),
+         fps AS (SELECT d.doc_id, CAST(COALESCE(h.fp, 0) AS BIGINT) AS fp
+                 FROM d LEFT JOIN h ON h.doc_id = d.doc_id)
+         SELECT fp, MIN(doc_id) AS keeper_id, COUNT(*) AS n_docs
+         FROM fps GROUP BY fp""",
+
     "q38_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
          g AS (SELECT user_id, event_id, ts_us,

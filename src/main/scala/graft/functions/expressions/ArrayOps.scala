@@ -170,10 +170,19 @@ case class ArrayQuantDot(left: Expression, right: Expression)
 }
 
 object ArrayQuantDot {
-  /** Spark's Round(HALF_UP) on a double, then the integral cast to long. */
-  private def q(x: Double): Long =
-    java.math.BigDecimal.valueOf(x * 1e7)
-      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+  /** Spark's Round(HALF_UP) on a double, then the integral cast to
+    * long — computed as sign·Math.round(|x·1e7|), which is provably
+    * identical to the BigDecimal(HALF_UP) path for |x·1e7| < 2^52:
+    * half-integer boundaries are exactly representable there, so the
+    * shortest-decimal representation BigDecimal.valueOf rounds is on
+    * the same side of every .5 boundary as the binary value, and
+    * Math.round (floor(y+0.5) with the JDK7+ boundary fix) rounds
+    * ties up = away from zero for the positive magnitude. ~100×
+    * cheaper than a BigDecimal allocation per element. */
+  private[graft] def q(x: Double): Long = {
+    val y = x * 1e7
+    if (y >= 0) Math.round(y) else -Math.round(-y)
+  }
 
   def compute(a: ArrayData, b: ArrayData): Any = {
     val n = a.numElements()
@@ -217,10 +226,8 @@ case class SignSignature(child: Expression, planes: Int)
 }
 
 object SignSignature {
-  /** Same quantizer as [[ArrayQuantDot]]: Spark Round(HALF_UP) → long. */
-  private def q(x: Double): Long =
-    java.math.BigDecimal.valueOf(x * 1e7)
-      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+  /** Same quantizer as [[ArrayQuantDot.q]]. */
+  private def q(x: Double): Long = ArrayQuantDot.q(x)
 
   def compute(vec: ArrayData, planes: Int): UTF8String = {
     val dims = vec.numElements()

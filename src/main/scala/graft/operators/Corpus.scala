@@ -40,6 +40,13 @@ object Corpus {
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    // labels only ever decrease, so Σ label is a strictly decreasing
+    // convergence witness: one decimal agg per pass instead of a
+    // labels⋈labels comparison join (decimal sum — no 64-bit wrap at
+    // any node count)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -48,12 +55,10 @@ object Corpus {
       val next = labels.union(viaEdges)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .limit(1).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       i += 1
     }
     labels

@@ -107,6 +107,16 @@ object GraftProperties extends Properties("graft") {
     RollingHash.compute(s.getBytes("UTF-8")) == want
   }
 
+  property("fast quantizer == BigDecimal HALF_UP (Spark Round semantics)") =
+    forAll(Gen.oneOf(
+      Gen.chooseNum(-10.0, 10.0),                      // embedding-ish range
+      Gen.chooseNum(-10000000L, 10000000L).map(_ / 2e7) // dense .5 boundaries
+    )) { x =>
+      val want = java.math.BigDecimal.valueOf(x * 1e7)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      graft.functions.expressions.ArrayQuantDot.q(x) == want
+    }
+
   private val equalLengthTriple: Gen[(String, String, String)] = for {
     n <- Gen.chooseNum(0, 12)
     a <- Gen.stringOfN(n, Gen.alphaNumChar)
