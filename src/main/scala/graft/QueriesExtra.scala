@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{Profiler, Quantiles, Scd2, TextStats}
+
+/** Round-2 additions: subword tokenization, repetition quality signals,
+  * per-group top-k, exact distributed percentiles, date/time suite,
+  * single-pass profiling, SCD2 dimension build, histograms, bigram LM
+  * tables. Same exactness discipline as [[Queries]]: every computed
+  * numeric that crosses the oracle boundary is integer/decimal-exact.
+  */
+object QueriesExtra {
+
+  import Queries.{table, events}
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- BPE-ish tokenization + repeated-token signal ----
+    "q62_bpe_tokens" -> ((s, dir) =>
+      TextStats.tokenSignals(table(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- Gopher-style top-bigram repetition fraction ----
+    "q63_repetition" -> ((s, dir) =>
+      TextStats.topBigramRepetition(table(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- top-k per group (longest docs per language) ----
+    "q64_topk_per_group" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      d.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("lang", "doc_id", "n_chars", "rk")
+    }),
+
+    // ---- exact PERCENTILE_DISC at scale (integer rank arithmetic) ----
+    "q65_percentiles" -> ((s, dir) =>
+      Quantiles.percentilesDisc(table(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity",
+        Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))),
+
+    // ---- date/time function suite ----
+    "q66_date_suite" -> ((s, dir) =>
+      table(s, dir, "orders").filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          date_format(col("o_orderdate"), "EEEE").as("dow_name"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+          date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+          datediff(lit("1998-12-31").cast("date"), col("o_orderdate"))
+            .cast("long").as("days_to_eoy"))),
+
+    // ---- single-pass per-column profiling ----
+    "q67_profile" -> ((s, dir) =>
+      Profiler.profile(table(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))),
+
+    // ---- SCD2 validity intervals from the event log ----
+    "q68_scd2" -> ((s, dir) =>
+      Scd2.build(events(s, dir), "user_id", "ts", "event_id", Seq("event_type"))),
+
+    // ---- fixed-width histogram of order totals ----
+    "q69_histogram" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(least(floor(col("o_totalprice") / 25000.0), lit(9))
+          .cast("long").as("price_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("sum_price"))),
+
+    // ---- corpus bigram LM: most frequent successor per word ----
+    "q70_bigram_next" -> ((s, dir) =>
+      TextStats.bigramNext(table(s, dir, "documents"), "text", minCount = 10L)))
+}
+
+object OraclesExtra {
+  private val toks =
+    "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+  private val toksLower =
+    "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
+
+  val all: Map[String, String] = Map(
+    "q62_bpe_tokens" ->
+      s"""WITH t AS (SELECT doc_id,
+           regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+') AS bpe,
+           $toks AS ws
+         FROM documents)
+         SELECT doc_id,
+           CAST(len(bpe) AS BIGINT) AS n_bpe,
+           md5(array_to_string(bpe, '|')) AS tok_md5,
+           CAST(len(ws) AS BIGINT) AS n_ws,
+           CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+           CAST(CASE WHEN len(ws) > 0
+             THEN ((len(ws) - len(list_distinct(ws))) * 1000) // len(ws)
+             ELSE 0 END AS BIGINT) AS dup_permille
+         FROM t""",
+
+    "q63_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM t),
+         bg AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS big FROM idx),
+         c AS (SELECT doc_id, big, COUNT(*) AS c FROM bg GROUP BY doc_id, big),
+         top AS (SELECT doc_id, MAX(c) AS top_n, SUM(c) AS n_bg FROM c GROUP BY doc_id)
+         SELECT t.doc_id,
+           CAST(COALESCE(top.top_n, 0) AS BIGINT) AS top_bigram_n,
+           CAST(COALESCE(top.n_bg, 0) AS BIGINT) AS n_bigrams,
+           CAST(CASE WHEN COALESCE(top.n_bg, 0) > 0
+             THEN (top.top_n * 1000) // top.n_bg ELSE 0 END AS BIGINT)
+             AS top_bigram_permille
+         FROM t LEFT JOIN top ON top.doc_id = t.doc_id""",
+
+    "q64_topk_per_group" ->
+      """SELECT lang, doc_id, n_chars, CAST(rk AS BIGINT) AS rk FROM (
+           SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+           FROM documents) WHERE rk <= 3""",
+
+    "q65_percentiles" ->
+      """SELECT l_returnflag,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50,
+           percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90,
+           percentile_disc(0.99) WITHIN GROUP (ORDER BY l_quantity) AS p99
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q66_date_suite" ->
+      """SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS d,
+           CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(quarter(o_orderdate) AS BIGINT) AS q,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           CAST(day(o_orderdate) AS BIGINT) AS dom,
+           strftime(o_orderdate, '%A') AS dow_name,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           strftime(CAST(o_orderdate + INTERVAL 30 DAY AS DATE), '%Y-%m-%d') AS plus30,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS days_to_eoy
+         FROM orders WHERE o_orderkey < 1000""",
+
+    "q67_profile" ->
+      """SELECT 'c_custkey' AS "column", COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(c_custkey) AS n_null,
+           COUNT(DISTINCT c_custkey) AS n_distinct,
+           CAST(MIN(c_custkey) AS VARCHAR) AS min_repr,
+           CAST(MAX(c_custkey) AS VARCHAR) AS max_repr FROM customer
+         UNION ALL
+         SELECT 'c_name', COUNT(*), COUNT(*) - COUNT(c_name),
+           COUNT(DISTINCT c_name), MIN(c_name), MAX(c_name) FROM customer
+         UNION ALL
+         SELECT 'c_nationkey', COUNT(*), COUNT(*) - COUNT(c_nationkey),
+           COUNT(DISTINCT c_nationkey),
+           CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR) FROM customer
+         UNION ALL
+         SELECT 'c_acctbal', COUNT(*), COUNT(*) - COUNT(c_acctbal),
+           COUNT(DISTINCT c_acctbal),
+           CAST(CAST(MIN(c_acctbal) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(MAX(c_acctbal) AS DECIMAL(18,2)) AS VARCHAR) FROM customer
+         UNION ALL
+         SELECT 'c_mktsegment', COUNT(*), COUNT(*) - COUNT(c_mktsegment),
+           COUNT(DISTINCT c_mktsegment), MIN(c_mktsegment), MAX(c_mktsegment) FROM customer""",
+
+    "q68_scd2" ->
+      """SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           COALESCE(strftime(LEAD(ts) OVER w, '%Y-%m-%d %H:%M:%S'),
+             '9999-01-01 00:00:00') AS valid_to,
+           CAST(CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+
+    "q69_histogram" ->
+      """SELECT CAST(LEAST(FLOOR(o_totalprice / 25000.0), 9) AS BIGINT) AS price_bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY 1""",
+
+    "q70_bigram_next" ->
+      s"""WITH t AS (SELECT $toksLower AS tk FROM documents),
+         idx AS (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM t),
+         bg AS (SELECT tk[i] AS w, tk[i+1] AS next_tok FROM idx),
+         c AS (SELECT w, next_tok, COUNT(*) AS n FROM bg GROUP BY w, next_tok),
+         r AS (SELECT w, next_tok, n,
+             ROW_NUMBER() OVER (PARTITION BY w ORDER BY n DESC, next_tok) AS rk
+           FROM c)
+         SELECT w, next_tok, n FROM r WHERE rk = 1 AND n >= 10""")
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus text statistics beyond the quality/langid family:
+  * subword-ish tokenization, repetition signals (the strongest
+  * low-quality indicator in web-scale corpora), and bigram
+  * language-model tables. All composed from built-in expressions so
+  * they run inside whole-stage codegen; per-doc signals are one
+  * narrow scan, corpus-level tables are one explode + hash-agg shuffle
+  * keyed by term — the same shape at 100 TB as at sf0.01.
+  */
+object TextStats {
+
+  /** GPT-2-style pre-tokenizer pattern, restricted to the syntax subset
+    * shared by java.util.regex and RE2 so results are engine-portable:
+    * contractions, letter runs, digit runs, punctuation runs — each
+    * optionally preceded by one space (the "byte-level BPE boundary"
+    * trick: leading space is part of the token). */
+  val BpePattern = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  /** BPE-ish pre-tokenization: the array of pattern matches in order.
+    * (Real BPE would further merge within these pre-tokens against a
+    * learned vocabulary; counts over pre-tokens are the standard cheap
+    * proxy used for corpus token budgeting.) */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  /** Per-doc token/repetition signals, integer-exact:
+    *  - n_bpe: BPE-ish token count; n_ws: whitespace token count
+    *  - tok_md5: md5 of the joined BPE token stream (tokenization
+    *    fingerprint — equal streams ⇒ equal hash on any engine)
+    *  - dup_permille: (n_ws − n_distinct) · 1000 / n_ws, the repeated
+    *    token fraction (Gopher-style repetition signal)
+    */
+  def tokenSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bpe = bpeTokens(col(textCol))
+    val ws = TextFunctions.tokens(col(textCol))
+    df.select(
+      col(idCol),
+      size(bpe).cast("long").as("n_bpe"),
+      md5(concat_ws("|", bpe).cast("binary")).as("tok_md5"),
+      size(ws).cast("long").as("n_ws"),
+      size(array_distinct(ws)).cast("long").as("n_distinct"))
+      .withColumn("dup_permille",
+        when(col("n_ws") > 0,
+          ((col("n_ws") - col("n_distinct")) * 1000L / col("n_ws")).cast("long"))
+          .otherwise(lit(0L)))
+  }
+
+  /** Top-bigram repetition: for each doc, the count of its most
+    * frequent word bigram and that count as a per-mille fraction of all
+    * bigrams (Gopher "top 2-gram fraction"). Relational explode →
+    * two-level hash agg; docs with < 2 tokens report zeros. */
+  def topBigramRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol),
+      TextFunctions.shingles(TextFunctions.tokens(col(textCol)), 2).as("bg"))
+    val perBigram = base
+      .select(col(idCol), explode(col("bg")).as("big"))
+      .groupBy(col(idCol), col("big")).agg(count(lit(1)).as("c"))
+    val top = perBigram.groupBy(col(idCol))
+      .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
+    base.select(col(idCol))
+      .join(top, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+      .withColumn("top_bigram_permille",
+        when(col("n_bigrams") > 0,
+          (col("top_bigram_n") * 1000L / col("n_bigrams")).cast("long"))
+          .otherwise(lit(0L)))
+  }
+
+  /** Corpus bigram LM table: for each word, its most frequent successor
+    * (count-desc, lexicographic tie-break) with count ≥ minCount.
+    * One explode + one hash agg + one per-word window — the canonical
+    * "conditional next-token distribution" build. */
+  def bigramNext(df: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = df.select(explode(
+      TextFunctions.shingles(TextFunctions.tokens(lower(col(textCol))), 2)).as("big"))
+      .select(split(col("big"), " ").getItem(0).as("w"),
+        split(col("big"), " ").getItem(1).as("next_tok"))
+    val counts = bg.groupBy(col("w"), col("next_tok")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("w")).orderBy(col("n").desc, col("next_tok"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("n") >= minCount)
+      .select(col("w"), col("next_tok"), col("n"))
+  }
+}
