@@ -17,10 +17,16 @@ object Bench {
     // codegen (janino) compiles each plan before timing — the timed
     // sf run then measures execution, not compilation. Falls back to
     // generic warm-up when no smaller SF is available.
+    // Optional dev-only subset filter (comma-separated names); the
+    // driver sets no filter and always benches the full registry.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val warmDir = "/root/testdata/sf0.001"
     spark.range(100000).selectExpr("sum(id)").collect()
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     else spark.read.parquet(s"$sfDir/region.parquet").count()
@@ -28,7 +34,7 @@ object Bench {
     // the target SF still pays one-off costs (row-group footer reads,
     // AQE stage re-plans, JIT tiering); the min is the steady-state
     // per-query execution time the cluster would see.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -98,6 +98,7 @@ object QueriesPipeline {
         .select(col("user_id").as("key"), col("event_type").as("payload"),
           col("event_id").as("seenAt"))
         .as[graft.streaming.StreamingDedup.Keyed]
+        .coalesce(4)
         .write.mode("overwrite").parquet(s"$work/in")
       graft.streaming.StreamingDedup.runToCompletion(s, s"$work/in",
         queryName = s"sdedup_${work.hashCode.abs}", stateTtlMs = 0)

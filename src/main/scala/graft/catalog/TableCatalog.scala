@@ -162,25 +162,99 @@ final class TableCatalog(spark: SparkSession, root: String) {
     commitVersion(fq, dir => empty.write.mode(SaveMode.Overwrite).parquet(dir.toString))
   }
 
-  /** UPDATE t SET col = value WHERE predicate — copy-on-write rewrite.
-    * Columns referenced by `where` must exist; rows not matching keep
-    * their value. */
-  def updateWhere(fq: String, assignments: Map[String, Column], where: Column): Unit = {
-    val cur = read(fq)
-    val updated = assignments.foldLeft(cur) { case (d, (c, v)) =>
-      d.withColumn(c, when(where, v).otherwise(col(c)))
-    }
-    commitVersion(fq, dir => updated.write.mode(SaveMode.Overwrite).parquet(dir.toString))
+  /** Split a version's files into (files containing rows matching
+    * `pred`, untouched files). Parquet footer min/max stats prune the
+    * probe scan; comparison is by path, robust to URI qualification. */
+  private def touchedFiles(files: Seq[Path], pred: Column): (Seq[Path], Seq[Path]) = {
+    val hit = spark.read.parquet(files.map(_.toString): _*)
+      .filter(pred)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
+    files.partition(p => hit.contains(fs.makeQualified(p).toUri.getPath))
   }
 
-  /** MERGE INTO fq USING source ON keys — source wins on match. */
+  /** UPDATE t SET col = value WHERE predicate — copy-on-write at FILE
+    * granularity: only files that contain at least one matching row
+    * are rewritten; every other file is carried into the new version
+    * by manifest reference. On a partitioned 100 TB table with a
+    * selective predicate this touches a handful of files instead of
+    * the whole table (the same pruning Delta/Iceberg do for UPDATE). */
+  def updateWhere(fq: String, assignments: Map[String, Column], where: Column): Unit = {
+    val v = currentVersion(fq).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $fq"))
+    val files = dataFiles(fq, v)
+    if (files.isEmpty) return
+    val (hit, carried) = touchedFiles(files, where)
+    if (hit.isEmpty) return // no matching rows anywhere: current version stands
+    val cur = spark.read.parquet(hit.map(_.toString): _*)
+    val updated = assignments.foldLeft(cur) { case (d, (c, value)) =>
+      d.withColumn(c, when(where, value).otherwise(col(c)))
+    }
+    commitVersion(fq, dir => {
+      updated.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+      if (carried.nonEmpty) writeManifest(dir, carried)
+    })
+  }
+
+  /** MERGE INTO fq USING source ON keys — source wins on match. Same
+    * file-granular copy-on-write as [[updateWhere]]: only files that
+    * contain a key present in `source` are merged and rewritten;
+    * untouched files ride along by manifest reference, so merge cost
+    * scales with the overlap, not the table. */
   def merge(fq: String, source: DataFrame, keys: Seq[String]): Unit =
     readIfExists(fq) match {
       case None => overwrite(fq, source)
-      case Some(target) =>
-        val merged = graft.operators.MergeOps.upsert(target, source, keys)
-        commitVersion(fq, dir => merged.write.mode(SaveMode.Overwrite).parquet(dir.toString))
+      case Some(_) =>
+        val v = currentVersion(fq).get
+        val files = dataFiles(fq, v)
+        val src = source.cache()
+        try {
+          val keyPred = {
+            // files whose rows semi-join the source keys get rewritten
+            val keySet = src.select(keys.map(col): _*).distinct()
+            val target = spark.read.parquet(files.map(_.toString): _*)
+            val hitPaths = target.join(keySet, keys, "left_semi")
+              .select(input_file_name().as("f")).distinct()
+              .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
+            hitPaths
+          }
+          val (hit, carried) = files.partition(
+            p => keyPred.contains(fs.makeQualified(p).toUri.getPath))
+          val base =
+            if (hit.isEmpty) src.limit(0) // no overlap: plain append of source
+            else spark.read.parquet(hit.map(_.toString): _*)
+          val merged = graft.operators.MergeOps.upsert(base, src, keys)
+          commitVersion(fq, dir => {
+            merged.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+            if (carried.nonEmpty) writeManifest(dir, carried)
+          })
+        } finally src.unpersist()
     }
+
+  /** (file count, total bytes) of the live version — the compaction
+    * policy input. */
+  def fileStats(fq: String): (Int, Long) = {
+    val v = currentVersion(fq).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $fq"))
+    val files = dataFiles(fq, v)
+    (files.size, files.map(p => fs.getFileStatus(p).getLen).sum)
+  }
+
+  /** OPTIMIZE-style compaction: rewrite the manifest chain's many
+    * small files into `ceil(bytes / targetFileBytes)` right-sized
+    * files and start a fresh chain. O(delta) appends make ingest
+    * cheap but accumulate files; periodic compaction restores scan
+    * efficiency (row-group locality, fewer tasks, fewer footers) —
+    * the standard small-file remedy on a 100 TB lakehouse. */
+  def compact(fq: String, targetFileBytes: Long = 128L << 20): Unit = {
+    val v = currentVersion(fq).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $fq"))
+    val (nFiles, bytes) = fileStats(fq)
+    if (nFiles <= 1) return
+    val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = read(fq).repartition(parts)
+    commitVersion(fq, dir => df.write.mode(SaveMode.Overwrite).parquet(dir.toString))
+  }
 
   /** Append a single metadata/log row (log-table writer W7). */
   def appendRow(fq: String, row: DataFrame): Unit = append(fq, row)

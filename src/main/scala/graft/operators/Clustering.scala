@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Distributed k-means (Lloyd's algorithm) over an embedding column,
+  * in fixed-point integer arithmetic so results are bit-exact across
+  * engines: components quantize to `round(x·1e7)` longs, distances are
+  * integer squared-L2, centroid updates are `floor(sum / n)` (the sum
+  * stays ≤ ~1e10 per dimension, exactly representable in a double, so
+  * the floor is deterministic).
+  *
+  * Scale shape: centroids are k·dim longs — always broadcast; each
+  * Lloyd iteration is one broadcast-join assignment pass over the
+  * vectors plus one dim-exploded aggregation (two shuffles of k·dim
+  * rows, independent of corpus size). No driver-side math.
+  *
+  * The reference has no ML surface; this extends the engine for
+  * training-data curation (cluster-balanced sampling, IVF coarse
+  * quantizers — see [[Similarity]]).
+  */
+object Clustering {
+
+  private val Scale = 1e7
+
+  private def quantize(c: Column): Column =
+    transform(c, x => round(x.cast("double") * Scale).cast("long"))
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** Assign each vector to its nearest centroid (ties → lowest id). */
+  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = vecs.crossJoin(broadcast(centroids))
+      .withColumn("d", sqDist(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("vid")).orderBy(col("d"), col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("cid"))
+  }
+
+  /** Run `iters` Lloyd iterations seeded with the vectors whose id is
+    * `< k`; returns (id, cluster) for every vector. */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val vecs = df.select(col(idCol).as("vid"), quantize(col(vecCol)).as("qv"))
+      .cache()
+    try {
+      var centroids = vecs.filter(col("vid") < k)
+        .select(col("vid").as("cid"), col("qv").as("cv"))
+      var assigned = assign(vecs, centroids)
+      for (_ <- 2 to iters) {
+        // new centroid = per-dimension floor-mean over members
+        val perDim = assigned.join(vecs, "vid")
+          .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+            .cast("long").as("cval"))
+        centroids = perDim.groupBy(col("cid"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("cval")))).as("ps"))
+          .select(col("cid"), transform(col("ps"), s => s.getField("cval")).as("cv"))
+        assigned = assign(vecs, centroids)
+      }
+      assigned
+    } finally vecs.unpersist()
+  }
+}

@@ -46,14 +46,23 @@ object EventStream {
     * proves the streaming plan computes exactly what the batch plan
     * does. */
   def runHourlyToCompletion(spark: SparkSession, dir: String,
-      queryName: String = "graft_stream_hourly"): DataFrame = {
-    val q = hourlyAgg(readStream(spark, dir))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+      queryName: String = "graft_stream_hourly",
+      statePartitions: Int = 8): DataFrame = {
+    // State-store partition count is fixed by shuffle.partitions at
+    // query start and every partition pays a delta+commit file per
+    // micro-batch; size it to the state (hour×type cardinality), not
+    // to the session's scan parallelism.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = hourlyAgg(readStream(spark, dir))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(queryName)
   }
 }

@@ -52,20 +52,28 @@ object StreamingDedup {
     * return the emitted (first-seen) records. */
   def runToCompletion(spark: SparkSession, inputDir: String,
       queryName: String = "graft_stream_dedup",
-      stateTtlMs: Long = 3600000): DataFrame = {
+      stateTtlMs: Long = 3600000,
+      statePartitions: Int = 8): DataFrame = {
     import spark.implicits._
-    val src = spark.readStream
-      .schema(org.apache.spark.sql.Encoders.product[Keyed].schema)
-      .parquet(inputDir)
-      .as[Keyed]
-    val q = firstSeen(src, stateTtlMs)
-      .toDF()
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    // Size state-store partitioning to the key space, not the scan
+    // parallelism — each partition writes a delta+commit file per
+    // micro-batch (see EventStream.runHourlyToCompletion).
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[Keyed].schema)
+        .parquet(inputDir)
+        .as[Keyed]
+      val q = firstSeen(src, stateTtlMs)
+        .toDF()
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(queryName)
   }
 }

@@ -75,4 +75,68 @@ class CatalogSpec extends SparkTestBase {
     assert(before.count() == 1) // old version still readable
     assert(cat.read(t).as[(Int, String)].head() == ((2, "b")))
   }
+
+  test("updateWhere rewrites only files containing matching rows") {
+    val root = tempDir("cat")
+    val cat = new TableCatalog(spark, root)
+    val t = "d.s.pruned"
+    // two appends → two versions; the second version's own files hold
+    // only ids 100-101, first version's files hold 0-99
+    cat.append(t, Seq.tabulate(100)(i => (i, 1)).toDF("id", "IS_NEW").repartition(2))
+    cat.append(t, Seq((100, 1), (101, 0)).toDF("id", "IS_NEW"))
+    def partNames(v: String): Set[String] =
+      Option(new java.io.File(s"$root/d/s/pruned/$v").listFiles)
+        .map(_.toSeq).getOrElse(Nil)
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .map(_.getName).toSet
+    val v0 = partNames("v_000000")
+    // predicate touches only the delta files of v1
+    cat.updateWhere(t, Map("IS_NEW" -> lit(0)), col("id") === 100)
+    val v2 = new java.io.File(s"$root/d/s/pruned/v_000002")
+    assert(v2.isDirectory && new java.io.File(v2, "_MANIFEST").exists)
+    // untouched v0 data files are carried by reference, not rewritten
+    val manifest = scala.io.Source.fromFile(new java.io.File(v2, "_MANIFEST"))
+      .getLines().mkString("\n")
+    assert(v0.forall(manifest.contains))
+    val rows = cat.read(t).as[(Int, Int)].collect().toMap
+    assert(rows(100) == 0 && rows(101) == 0 && rows(0) == 1 && rows.size == 102)
+    // no-match predicate is a no-op: no new version directory
+    cat.updateWhere(t, Map("IS_NEW" -> lit(9)), col("id") === -1)
+    assert(!new java.io.File(s"$root/d/s/pruned/v_000003").exists)
+  }
+
+  test("merge rewrites only files overlapping the source keys") {
+    val root = tempDir("cat")
+    val cat = new TableCatalog(spark, root)
+    val t = "d.s.mprune"
+    cat.append(t, Seq.tabulate(50)(i => (i, "old")).toDF("k", "v").repartition(2))
+    cat.append(t, Seq((100, "old"), (101, "old")).toDF("k", "v"))
+    cat.merge(t, Seq((100, "new"), (200, "new")).toDF("k", "v"), Seq("k"))
+    val rows = cat.read(t).as[(Int, String)].collect().toMap
+    assert(rows.size == 53 && rows(100) == "new" && rows(200) == "new" && rows(0) == "old")
+    // the merged version carries the non-overlapping files by manifest
+    val v2 = new java.io.File(s"$root/d/s/mprune/v_000002")
+    assert(new java.io.File(v2, "_MANIFEST").exists)
+    // merge with zero key overlap appends without rewriting anything
+    cat.merge(t, Seq((300, "new")).toDF("k", "v"), Seq("k"))
+    assert(cat.count(t) == 54)
+  }
+
+  test("compact collapses a long append chain into right-sized files") {
+    val root = tempDir("cat")
+    val cat = new TableCatalog(spark, root)
+    val t = "d.s.compact"
+    (0 until 6).foreach(i =>
+      cat.append(t, Seq((i, s"v$i")).toDF("id", "v").coalesce(1)))
+    val (nBefore, bytes) = cat.fileStats(t)
+    assert(nBefore == 6 && bytes > 0)
+    cat.compact(t) // tiny table → single target file
+    val (nAfter, _) = cat.fileStats(t)
+    assert(nAfter == 1)
+    assert(cat.read(t).as[(Int, String)].collect().toMap ==
+      (0 until 6).map(i => i -> s"v$i").toMap)
+    // compacting a single-file table is a no-op
+    cat.compact(t)
+    assert(cat.fileStats(t)._1 == 1)
+  }
 }
