@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Profiler, Quantiles, Scd2, TextStats}
+import graft.operators.{Cdc, Clustering, Linkage, Profiler, Quantiles, Scd2, TextStats}
 
 /** Round-2 additions: subword tokenization, repetition quality signals,
   * per-group top-k, exact distributed percentiles, date/time suite,
@@ -78,7 +78,35 @@ object QueriesExtra {
 
     // ---- corpus bigram LM: most frequent successor per word ----
     "q70_bigram_next" -> ((s, dir) =>
-      TextStats.bigramNext(table(s, dir, "documents"), "text", minCount = 10L)))
+      TextStats.bigramNext(table(s, dir, "documents"), "text", minCount = 10L)),
+
+    // ---- k-means over embeddings (2 Lloyd iterations, fixed-point) ----
+    "q71_kmeans" -> ((s, dir) =>
+      Clustering.kmeans(table(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, iters = 2)
+        .select(col("vid").as("vec_id"), col("cid").as("cluster"))),
+
+    // ---- blocked fuzzy self-join (entity resolution) ----
+    "q72_fuzzy_join" -> ((s, dir) =>
+      Linkage.fuzzySelfJoin(
+        table(s, dir, "part").select("p_partkey", "p_name", "p_brand"),
+        "p_partkey", "p_name", Seq("p_brand"), maxDist = 4)),
+
+    // ---- CDC changelog collapse to live snapshot ----
+    "q73_cdc_apply" -> ((s, dir) => {
+      val changes = table(s, dir, "orders").select(
+        col("o_custkey").as("key"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 10 < 2, "D").otherwise("U").as("op"),
+        col("o_totalprice").as("price"),
+        col("o_orderstatus").as("status"))
+      Cdc.applyChanges(changes, Seq("key"), "seq", "op")
+    }),
+
+    // ---- heavy-hitter skew report (salting diagnostic) ----
+    "q74_heavy_hitters" -> ((s, dir) =>
+      Profiler.heavyHitters(
+        table(s, dir, "lineitem").select("l_suppkey"), Seq("l_suppkey"), 20)))
 }
 
 object OraclesExtra {
@@ -190,5 +218,55 @@ object OraclesExtra {
          r AS (SELECT w, next_tok, n,
              ROW_NUMBER() OVER (PARTITION BY w ORDER BY n DESC, next_tok) AS rk
            FROM c)
-         SELECT w, next_tok, n FROM r WHERE rk = 1 AND n >= 10""")
+         SELECT w, next_tok, n FROM r WHERE rk = 1 AND n >= 10""",
+
+    "q71_kmeans" ->
+      """WITH q AS (SELECT vec_id AS vid,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS qv
+           FROM embeddings),
+         c0 AS (SELECT vid AS cid, qv AS cv FROM q WHERE vid < 8),
+         a1 AS (SELECT vid, cid FROM (
+             SELECT q.vid, c0.cid, ROW_NUMBER() OVER (PARTITION BY q.vid ORDER BY
+               (SELECT SUM((x - y) * (x - y))
+                FROM (SELECT unnest(q.qv) AS x, unnest(c0.cv) AS y) z) ASC, c0.cid) AS rn
+             FROM q, c0) WHERE rn = 1),
+         d1 AS (SELECT a1.cid, q.qv, unnest(generate_series(1, len(q.qv))) AS i
+                FROM a1 JOIN q USING (vid)),
+         p1 AS (SELECT cid, i,
+                  CAST(floor(CAST(SUM(qv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cval
+                FROM d1 GROUP BY cid, i),
+         c1 AS (SELECT cid, list(cval ORDER BY i) AS cv FROM p1 GROUP BY cid),
+         a2 AS (SELECT vid, cid FROM (
+             SELECT q.vid, c1.cid, ROW_NUMBER() OVER (PARTITION BY q.vid ORDER BY
+               (SELECT SUM((x - y) * (x - y))
+                FROM (SELECT unnest(q.qv) AS x, unnest(c1.cv) AS y) z) ASC, c1.cid) AS rn
+             FROM q, c1) WHERE rn = 1)
+         SELECT vid AS vec_id, cid AS cluster FROM a2""",
+
+    "q72_fuzzy_join" ->
+      """SELECT a.p_brand, a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         WHERE levenshtein(a.p_name, b.p_name) <= 4""",
+
+    "q73_cdc_apply" ->
+      """SELECT key, seq, op, price, status FROM (
+           SELECT o_custkey AS key, o_orderkey AS seq,
+             CASE WHEN o_orderkey % 10 < 2 THEN 'D' ELSE 'U' END AS op,
+             o_totalprice AS price, o_orderstatus AS status,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderkey DESC,
+                 CASE WHEN o_orderkey % 10 < 2 THEN 'D' ELSE 'U' END DESC) AS rn
+           FROM orders) WHERE rn = 1 AND op <> 'D'""",
+
+    "q74_heavy_hitters" ->
+      """WITH c AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey),
+         t AS (SELECT COUNT(*) AS total FROM lineitem)
+         SELECT l_suppkey, n, CAST(rank AS BIGINT) AS rank,
+           CAST(floor(n * 1000.0 / total) AS BIGINT) AS share_permille
+         FROM (SELECT l_suppkey, n,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, l_suppkey) AS rank FROM c), t
+         WHERE rank <= 20""")
 }

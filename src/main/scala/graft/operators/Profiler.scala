@@ -46,4 +46,19 @@ object Profiler {
     }
     one.select(inline(array(structs: _*)))
   }
+
+  /** Heavy-hitter skew report: the top `topN` keys by frequency with
+    * their permille share of all rows (integer-exact). This is the
+    * diagnostic that decides when a join/agg needs [[Salting]] — a key
+    * holding tens of permille of a 100 TB table is a straggler task
+    * waiting to happen. Two aggregates, one shuffle on the key. */
+  def heavyHitters(df: DataFrame, keyCols: Seq[String], topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+    val total = df.count()
+    val w = Window.orderBy(col("n").desc +: keyCols.map(col): _*)
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+      .withColumn("share_permille", floor(col("n") * 1000L / lit(total)).cast("long"))
+  }
 }
