@@ -29,7 +29,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g default: the box has 128 GiB and the 51-query bench run at
-  // sf0.1 GC-thrashes an 8g heap (shuffle + broadcast + codegen cache).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 48g default: the box has 128 GiB and the 70+-query bench run at
+  // sf0.1 GC-thrashes smaller heaps (shuffle + broadcast + codegen
+  // cache + streaming state accumulate across the run).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -184,7 +184,10 @@ final class TableCatalog(spark: SparkSession, root: String) {
       throw new IllegalArgumentException(s"table not found: $fq"))
     val files = dataFiles(fq, v)
     if (files.isEmpty) return
-    val (hit, carried) = touchedFiles(files, where)
+    // single-file tables have nothing to prune — skip the probe job
+    val (hit, carried) =
+      if (files.size == 1) (files, Seq.empty[Path])
+      else touchedFiles(files, where)
     if (hit.isEmpty) return // no matching rows anywhere: current version stands
     val cur = spark.read.parquet(hit.map(_.toString): _*)
     val updated = assignments.foldLeft(cur) { case (d, (c, value)) =>

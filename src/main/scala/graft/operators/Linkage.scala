@@ -19,17 +19,32 @@ import org.apache.spark.sql.functions._
 object Linkage {
 
   /** All pairs (id_a < id_b) within the same block whose edit distance
-    * is ≤ `maxDist`. Output: block cols, id_a, id_b, dist. */
+    * is ≤ `maxDist`. Output: block cols, id_a, id_b, dist.
+    *
+    * The expensive DP kernel runs once per distinct *(block, value)*
+    * pair, never per row pair: real datasets repeat values (names,
+    * addresses, normalized strings), so the comparison space collapses
+    * from Σ|block|² row pairs to Σ|distinct-in-block|² — the result
+    * then rebuilds via two equi-joins on (block, value), which Catalyst
+    * broadcasts/shuffles like any join. A length-band filter rejects
+    * candidate value pairs before the kernel (|len a − len b| > k ⇒
+    * dist > k). */
   def fuzzySelfJoin(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], maxDist: Int): DataFrame = {
-    val a = df.select(
-      blockCols.map(col) :+ col(idCol).as("id_a") :+ col(textCol).as("t_a"): _*)
-    val b = df.select(
-      blockCols.map(col) :+ col(idCol).as("id_b") :+ col(textCol).as("t_b"): _*)
-    a.join(b, blockCols)
-      .filter(col("id_a") < col("id_b"))
+    val bc = blockCols.map(col)
+    val names = df.select(bc :+ col(textCol).as("t_a"): _*).distinct()
+    val namesB = df.select(bc :+ col(textCol).as("t_b"): _*).distinct()
+    val pairDist = names.join(namesB, blockCols)
+      .filter(abs(length(col("t_a")) - length(col("t_b"))) <= maxDist)
       .withColumn("dist", levenshtein(col("t_a"), col("t_b")).cast("long"))
       .filter(col("dist") <= maxDist)
-      .select(blockCols.map(col) :+ col("id_a") :+ col("id_b") :+ col("dist"): _*)
+    val a = df.select(
+      bc :+ col(idCol).as("id_a") :+ col(textCol).as("t_a"): _*)
+    val b = df.select(
+      bc :+ col(idCol).as("id_b") :+ col(textCol).as("t_b"): _*)
+    a.join(pairDist, blockCols :+ "t_a")
+      .join(b, blockCols :+ "t_b")
+      .filter(col("id_a") < col("id_b"))
+      .select(bc :+ col("id_a") :+ col("id_b") :+ col("dist"): _*)
   }
 }

@@ -56,9 +56,11 @@ object Profiler {
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
     val total = df.count()
+    // distributed TakeOrdered first; the global rank window then only
+    // ever sees topN rows, not one row per key (billions at scale)
+    val top = counts.orderBy(col("n").desc +: keyCols.map(col): _*).limit(topN)
     val w = Window.orderBy(col("n").desc +: keyCols.map(col): _*)
-    counts.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topN)
+    top.withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("share_permille", floor(col("n") * 1000L / lit(total)).cast("long"))
   }
 }
