@@ -106,7 +106,59 @@ object QueriesExtra {
     // ---- heavy-hitter skew report (salting diagnostic) ----
     "q74_heavy_hitters" -> ((s, dir) =>
       Profiler.heavyHitters(
-        table(s, dir, "lineitem").select("l_suppkey"), Seq("l_suppkey"), 20)))
+        table(s, dir, "lineitem").select("l_suppkey"), Seq("l_suppkey"), 20)),
+
+    // ---- append chain + OPTIMIZE compaction preserves content ----
+    "q75_compaction" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_compact").toString
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val c = table(s, dir, "customer").filter(col("c_custkey") <= 300)
+        .select("c_custkey", "c_name", "c_acctbal")
+      val t = "D.S.COMPACT"
+      cat.append(t, c.filter(col("c_custkey") % 3 === 0))
+      cat.append(t, c.filter(col("c_custkey") % 3 === 1))
+      cat.append(t, c.filter(col("c_custkey") % 3 === 2))
+      cat.compact(t)
+      require(cat.fileStats(t)._1 < 3, "compaction must reduce file count")
+      cat.read(t)
+    }),
+
+    // ---- incremental CDC snapshot (pruned MERGE) == full recompute ----
+    "q76_incremental_snapshot" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_snap").toString
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val changes = table(s, dir, "orders").select(
+        col("o_custkey").as("key"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 10 < 2, "D").otherwise("U").as("op"),
+        col("o_totalprice").as("price"),
+        col("o_orderstatus").as("status"))
+      val mid = 30000L
+      val t = "D.S.SNAP"
+      // batch 1: full collapse (keep tombstones so later batches can
+      // override them); batch 2: collapse independently, MERGE on key —
+      // valid because the split is on seq, so batch-2 changes are
+      // strictly newer per key
+      def collapse(b: org.apache.spark.sql.DataFrame) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("seq").desc, col("op").desc)
+        b.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      }
+      cat.overwrite(t, collapse(changes.filter(col("seq") <= mid)))
+      cat.merge(t, collapse(changes.filter(col("seq") > mid)), Seq("key"))
+      cat.read(t).filter(col("op") =!= "D")
+    }),
+
+    // ---- ORC source/sink round-trip (format breadth beyond parquet) ----
+    "q77_orc_roundtrip" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      table(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+        .write.mode("overwrite").orc(s"$work/sup")
+      s.read.orc(s"$work/sup")
+        .filter(col("s_suppkey") % 2 === 0)
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_nationkey").cast("long").as("nation"))
+    }))
 }
 
 object OraclesExtra {
@@ -268,5 +320,22 @@ object OraclesExtra {
            CAST(floor(n * 1000.0 / total) AS BIGINT) AS share_permille
          FROM (SELECT l_suppkey, n,
                  ROW_NUMBER() OVER (ORDER BY n DESC, l_suppkey) AS rank FROM c), t
-         WHERE rank <= 20""")
+         WHERE rank <= 20""",
+
+    "q75_compaction" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey <= 300""",
+
+    "q76_incremental_snapshot" ->
+      """SELECT key, seq, op, price, status FROM (
+           SELECT o_custkey AS key, o_orderkey AS seq,
+             CASE WHEN o_orderkey % 10 < 2 THEN 'D' ELSE 'U' END AS op,
+             o_totalprice AS price, o_orderstatus AS status,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderkey DESC,
+                 CASE WHEN o_orderkey % 10 < 2 THEN 'D' ELSE 'U' END DESC) AS rn
+           FROM orders) WHERE rn = 1 AND op <> 'D'""",
+
+    "q77_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS nation
+         FROM supplier WHERE s_suppkey % 2 = 0""")
 }

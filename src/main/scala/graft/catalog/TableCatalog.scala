@@ -103,6 +103,40 @@ final class TableCatalog(spark: SparkSession, root: String) {
   def readIfExists(fq: String): Option[DataFrame] =
     currentVersion(fq).map(_ => read(fq))
 
+  /** Time travel: read a specific committed version, if its files are
+    * still on disk (the pruner keeps current and current−1; older
+    * versions survive only while referenced by a live manifest chain).
+    * Version numbers are the monotonically increasing commit sequence —
+    * the same contract as Delta's VERSION AS OF. */
+  def readVersion(fq: String, version: Int): DataFrame = {
+    val dir = versionDir(fq, version)
+    if (!fs.exists(dir))
+      throw new IllegalArgumentException(s"$fq version $version not retained")
+    val files = dataFiles(fq, version)
+    if (files.isEmpty) spark.read.parquet(dir.toString)
+    else spark.read.parquet(files.map(_.toString): _*)
+  }
+
+  /** The live committed version number (None = table absent). */
+  def version(fq: String): Option[Int] = currentVersion(fq)
+
+  /** Append rows whose schema may add columns relative to the table:
+    * the read side resolves the union schema (absent columns read as
+    * null). Opt-in — schema unions cost a footer merge per file at
+    * planning time, so the default `read` path stays fixed-schema. */
+  def appendEvolving(fq: String, df: DataFrame): Unit = append(fq, df)
+
+  /** Read resolving the union of all file schemas in the chain
+    * (for tables grown via [[appendEvolving]]). */
+  def readMergedSchema(fq: String): DataFrame = currentVersion(fq) match {
+    case Some(v) =>
+      val files = dataFiles(fq, v)
+      if (files.isEmpty) spark.read.parquet(versionDir(fq, v).toString)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(files.map(_.toString): _*)
+    case None => throw new IllegalArgumentException(s"table not found: $fq")
+  }
+
   def count(fq: String): Long =
     readIfExists(fq).map(_.count()).getOrElse(0L)
 
@@ -213,13 +247,15 @@ final class TableCatalog(spark: SparkSession, root: String) {
         val src = source.cache()
         try {
           val keyPred = {
-            // files whose rows semi-join the source keys get rewritten
+            // files whose rows semi-join the source keys get rewritten;
+            // input_file_name() must bind to the scan BEFORE the join
+            // (it is per-source)
             val keySet = src.select(keys.map(col): _*).distinct()
             val target = spark.read.parquet(files.map(_.toString): _*)
-            val hitPaths = target.join(keySet, keys, "left_semi")
-              .select(input_file_name().as("f")).distinct()
+              .select(keys.map(col) :+ input_file_name().as("__file"): _*)
+            target.join(keySet, keys, "left_semi")
+              .select(col("__file")).distinct()
               .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
-            hitPaths
           }
           val (hit, carried) = files.partition(
             p => keyPred.contains(fs.makeQualified(p).toUri.getPath))
@@ -257,6 +293,46 @@ final class TableCatalog(spark: SparkSession, root: String) {
     val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = read(fq).repartition(parts)
     commitVersion(fq, dir => df.write.mode(SaveMode.Overwrite).parquet(dir.toString))
+  }
+
+  /** Compaction with Z-ORDER clustering on `zorderCols` (numeric):
+    * rows are range-partitioned and sorted by the Morton (bit-
+    * interleaved) code of the columns, so each output file covers a
+    * small hyper-rectangle of the key space — parquet footer min/max
+    * then prune multi-dimensionally, the data-skipping layout Delta's
+    * OPTIMIZE ZORDER BY provides. Columns scale to 16-bit equal-width
+    * buckets from global min/max (one stats pass); rank-based
+    * bucketing can substitute when distributions are heavily skewed. */
+  def compactZOrder(fq: String, zorderCols: Seq[String],
+      targetFileBytes: Long = 128L << 20): Unit = {
+    require(zorderCols.nonEmpty, "zorder columns required")
+    val df = read(fq)
+    val statsRow = df.agg(
+      lit(1).as("__one"),
+      zorderCols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__min_$c"),
+        max(col(c).cast("double")).as(s"__max_$c"))): _*).head()
+    val bits = 16
+    val maxVal = (1 << bits) - 1
+    val scaled = zorderCols.zipWithIndex.map { case (c, i) =>
+      val lo = statsRow.getDouble(1 + 2 * i)
+      val hi = statsRow.getDouble(2 + 2 * i)
+      if (hi == lo) lit(0L)
+      else least(lit(maxVal.toLong), greatest(lit(0L),
+        floor((col(c).cast("double") - lo) / (hi - lo) * maxVal).cast("long")))
+    }
+    val n = scaled.size
+    val morton = (0 until bits).flatMap(b => scaled.zipWithIndex.map {
+      case (s, i) => shiftleft(shiftright(s, b).bitwiseAND(lit(1L)), b * n + i)
+    }).reduce(_.bitwiseOR(_))
+    val (_, bytes) = fileStats(fq)
+    val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val clustered = df.withColumn("__z", morton)
+      .repartitionByRange(parts, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    commitVersion(fq, dir =>
+      clustered.write.mode(SaveMode.Overwrite).parquet(dir.toString))
   }
 
   /** Append a single metadata/log row (log-table writer W7). */

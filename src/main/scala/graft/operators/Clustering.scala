@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Distributed k-means (Lloyd's algorithm) over an embedding column,
   * in fixed-point integer arithmetic so results are bit-exact across
@@ -30,15 +29,17 @@ object Clustering {
   private def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
 
-  /** Assign each vector to its nearest centroid (ties → lowest id). */
-  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = vecs.crossJoin(broadcast(centroids))
-      .withColumn("d", sqDist(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("vid")).orderBy(col("d"), col("cid"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vid"), col("cid"))
-  }
+  /** Assign each vector to its nearest centroid (ties → lowest id).
+    * argmin as `min(struct(dist, cid))` — lexicographic struct min is
+    * a partial-aggregable agg (map-side combine, no sort), unlike a
+    * row_number window which would shuffle-sort every (vector ×
+    * centroid) row. */
+  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
+      .select(col("vid"),
+        struct(sqDist(col("qv"), col("cv")).as("d"), col("cid")).as("dc"))
+      .groupBy(col("vid"))
+      .agg(min(col("dc")).getField("cid").as("cid"))
 
   /** Run `iters` Lloyd iterations seeded with the vectors whose id is
     * `< k`; returns (id, cluster) for every vector. */

@@ -139,4 +139,55 @@ class CatalogSpec extends SparkTestBase {
     cat.compact(t)
     assert(cat.fileStats(t)._1 == 1)
   }
+
+  test("time travel reads a retained prior version") {
+    val cat = new TableCatalog(spark, tempDir("cat"))
+    val t = "d.s.tt"
+    cat.append(t, Seq((1, "a")).toDF("id", "v"))          // v0
+    cat.append(t, Seq((2, "b")).toDF("id", "v"))          // v1
+    assert(cat.version(t).contains(1))
+    assert(cat.readVersion(t, 0).count() == 1)
+    assert(cat.readVersion(t, 1).count() == 2)
+    intercept[IllegalArgumentException](cat.readVersion(t, 7))
+  }
+
+  test("appendEvolving + readMergedSchema resolves the union schema") {
+    val cat = new TableCatalog(spark, tempDir("cat"))
+    val t = "d.s.evolve"
+    cat.append(t, Seq((1, "a")).toDF("id", "v"))
+    cat.appendEvolving(t, Seq((2, "b", 9.5)).toDF("id", "v", "score"))
+    val merged = cat.readMergedSchema(t)
+    assert(merged.columns.toSet == Set("id", "v", "score"))
+    val rows = merged.select("id", "score").as[(Int, Option[Double])]
+      .collect().toMap
+    assert(rows == Map(1 -> None, 2 -> Some(9.5)))
+  }
+
+  test("compactZOrder clusters files into narrow key ranges") {
+    val cat = new TableCatalog(spark, tempDir("cat"))
+    val t = "d.s.zorder"
+    // 64x64 grid appended in 4 shuffled chunks → unclustered files
+    val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x, y, x * 64 + y)
+    val shuffled = scala.util.Random.shuffle(grid.toList)
+    shuffled.grouped(1024).foreach(chunk =>
+      cat.append(t, chunk.toDF("x", "y", "payload").coalesce(1)))
+    cat.compactZOrder(t, Seq("x", "y"), targetFileBytes = 6 * 1024)
+    val (nFiles, _) = cat.fileStats(t)
+    assert(nFiles >= 4, s"expected at least 4 output files, got $nFiles")
+    // content preserved exactly
+    assert(cat.read(t).count() == 4096)
+    assert(cat.read(t).agg(sum($"payload")).as[Long].head() ==
+      grid.map(_._3.toLong).sum)
+    // each z-ordered file covers a narrow hyper-rectangle: with ≥4
+    // z-curve segments, the AVERAGE area of per-file bounding boxes
+    // must be far below a random layout's (which spans ~63×63 ≈ 3969)
+    val root = cat.read(t)
+    val perFile = root.groupBy(input_file_name().as("f"))
+      .agg((max($"x") - min($"x")).as("xs"), (max($"y") - min($"y")).as("ys"))
+      .as[(String, Int, Int)].collect()
+    val avgArea = perFile.map { case (_, xs, ys) =>
+      (xs + 1).toLong * (ys + 1) }.sum.toDouble / perFile.length
+    assert(avgArea <= 2100,
+      s"z-order should shrink bounding boxes: avg $avgArea of ${perFile.mkString(", ")}")
+  }
 }
