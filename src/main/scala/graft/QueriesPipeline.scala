@@ -18,7 +18,8 @@ import graft.plans.{Pipeline, RunContext}
   */
 object QueriesPipeline {
 
-  private val configJson =
+  // exposed for plan/profiling diagnostics (Explain, dev scripts)
+  val configJson =
     """{
       "Practices": [{
         "practice_name": "oracle_practice",

@@ -171,10 +171,12 @@ final class CuratedStage(spark: SparkSession, catalog: TableCatalog,
       }
 
       catalog.append(curatedTable, future)
-      val n = future.count()
 
-      // RECORD_TYPE distribution (A3)
-      val dist = future.groupBy("RECORD_TYPE").count().collect()
+      // RECORD_TYPE distribution (A3); total row count = Σ distribution
+      // (one action instead of a separate count job)
+      val distRows = future.groupBy("RECORD_TYPE").count().collect()
+      val n = distRows.map(_.getLong(1)).sum
+      val dist = distRows
         .map(r => s"${r.get(0)}=${r.getLong(1)}").sorted.mkString(",")
 
       // CRM sync through the pluggable sink (never collects to driver)
