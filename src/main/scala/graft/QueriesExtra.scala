@@ -158,6 +158,20 @@ object QueriesExtra {
         .filter(col("s_suppkey") % 2 === 0)
         .select(col("s_suppkey"), col("s_name"),
           col("s_nationkey").cast("long").as("nation"))
+    }),
+
+    // ---- Z-ORDER compaction preserves content exactly ----
+    "q78_zorder" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val o = table(s, dir, "orders").filter(col("o_orderkey") <= 20000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val t = "D.S.ZORD"
+      cat.append(t, o.filter(col("o_orderkey") % 2 === 0))
+      cat.append(t, o.filter(col("o_orderkey") % 2 === 1))
+      cat.compactZOrder(t, Seq("o_custkey", "o_totalprice"),
+        targetFileBytes = 64L * 1024)
+      cat.read(t)
     }))
 }
 
@@ -337,5 +351,9 @@ object OraclesExtra {
 
     "q77_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS nation
-         FROM supplier WHERE s_suppkey % 2 = 0""")
+         FROM supplier WHERE s_suppkey % 2 = 0""",
+
+    "q78_zorder" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_orderkey <= 20000""")
 }
