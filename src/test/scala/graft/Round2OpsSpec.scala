@@ -56,6 +56,48 @@ class Round2OpsSpec extends SparkTestBase {
     assert(out == List(("a", 70L, 1L, 700L), ("b", 20L, 2L, 200L)))
   }
 
+  test("fuzzySelfJoin equals the naive quadratic reference on random data") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Seq("alpha", "alpa", "alphq", "beta", "betta", "gamma",
+      "gamm", "delta", "dleta", "zzzzzzz")
+    for (round <- 1 to 3) {
+      val rows = Seq.tabulate(60)(i =>
+        (i.toLong, vocab(rnd.nextInt(vocab.size)), s"b${rnd.nextInt(3)}"))
+      val df = rows.toDF("id", "name", "blk")
+      val got = Linkage.fuzzySelfJoin(df, "id", "name", Seq("blk"), maxDist = 2)
+        .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+          if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val want = (for {
+        (ia, na, ba) <- rows; (ib, nb, bb) <- rows
+        if ba == bb && ia < ib
+        d = lev(na, nb) if d <= 2
+      } yield (ia, ib, d.toLong)).toSet
+      assert(got == want, s"round $round mismatch")
+    }
+  }
+
+  test("cdc applyChanges equals a driver-side last-writer fold") {
+    val rnd = new scala.util.Random(7)
+    val changes = Seq.tabulate(300)(i =>
+      (rnd.nextInt(20).toLong, i.toLong,
+        if (rnd.nextInt(5) == 0) "D" else "U", s"v$i"))
+    val got = Cdc.applyChanges(changes.toDF("key", "seq", "op", "v"),
+        Seq("key"), "seq", "op")
+      .select("key", "v").as[(Long, String)].collect().toMap
+    val want = changes.groupBy(_._1).flatMap { case (k, cs) =>
+      val last = cs.maxBy(_._2)
+      if (last._3 == "D") None else Some(k -> last._4)
+    }
+    assert(got == want)
+  }
+
   test("percentilesDisc picks the ceil(p*n) ranked value per group") {
     // group g: values 10,20,30,40 → p50 = rank ceil(0.5*4)=2 → 20;
     // p90 = rank ceil(3.6)=4 → 40
