@@ -172,7 +172,13 @@ object QueriesExtra {
       cat.compactZOrder(t, Seq("o_custkey", "o_totalprice"),
         targetFileBytes = 64L * 1024)
       cat.read(t)
-    }))
+    }),
+
+    // ---- interpolated percentiles at dyadic p (bit-exact doubles) ----
+    "q79_percentile_cont" -> ((s, dir) =>
+      Quantiles.percentilesCont(table(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity",
+        Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)))))
 }
 
 object OraclesExtra {
@@ -355,5 +361,12 @@ object OraclesExtra {
 
     "q78_zorder" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-         WHERE o_orderkey <= 20000""")
+         WHERE o_orderkey <= 20000""",
+
+    "q79_percentile_cont" ->
+      """SELECT l_returnflag,
+           percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50,
+           percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75
+         FROM lineitem GROUP BY l_returnflag""")
 }

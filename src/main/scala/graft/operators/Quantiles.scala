@@ -33,4 +33,42 @@ object Quantiles {
     }
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** PERCENTILE_CONT (linear interpolation between the two adjacent
+    * sorted values at position p·(n−1), Postgres/DuckDB semantics).
+    *
+    * Engine-portable exactness holds when p is DYADIC (k/2^m — 0.25,
+    * 0.5, 0.75…) and values are modest integers-in-doubles: every
+    * intermediate (p·(n−1), the fraction, both products, the sum) is
+    * then exactly representable, so any algebraically equivalent
+    * interpolation formula yields bit-identical doubles. For arbitrary
+    * p use [[percentilesDisc]], whose integer rank arithmetic is exact
+    * unconditionally.
+    *
+    * Same plan shape as disc: both windows share one hash partitioning
+    * on the group key — a single shuffle at any scale. */
+  def percentilesCont(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val ranked = df.select(col(groupCol), col(valueCol))
+      .withColumn("__rn", row_number().over(w).cast("long") - 1)
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val aggs = ps.flatMap { case (name, p) =>
+      val pos = lit(p) * (col("__n") - 1).cast("double")
+      Seq(
+        max(when(col("__rn") === floor(pos).cast("long"), col(valueCol)))
+          .as(s"__lo_$name"),
+        max(when(col("__rn") === ceil(pos).cast("long"), col(valueCol)))
+          .as(s"__hi_$name"))
+    }
+    val g = ranked.groupBy(col(groupCol))
+      .agg(max(col("__n")).as("__gn"), aggs: _*)
+    val outs = ps.map { case (name, p) =>
+      val pos = lit(p) * (col("__gn") - 1).cast("double")
+      val frac = pos - floor(pos)
+      (col(s"__lo_$name") * (lit(1.0) - frac) + col(s"__hi_$name") * frac)
+        .as(name)
+    }
+    g.select(col(groupCol) +: outs: _*)
+  }
 }

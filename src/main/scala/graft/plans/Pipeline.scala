@@ -105,8 +105,12 @@ final class RefinedStage(spark: SparkSession, catalog: TableCatalog,
       throw new IllegalArgumentException("no refined table configured"))
     val raw = catalog.read(rawTable)
     val batch = raw.filter(col("IS_NEW") === 1)
-    val runIds = batch.select("PARENT_RUN_ID").distinct()
-      .collect().map(_.getString(0)).toSeq // bounded: one id per pipeline run
+    // one job yields both the consumed run ids and the batch row count
+    // (the refined transform chain is 1:1 — regex/split/strip/project
+    // never add or drop rows — so n(out) == n(batch))
+    val runStats = batch.groupBy("PARENT_RUN_ID").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val runIds = runStats.map(_._1).toSeq // bounded: one id per pipeline run
     if (runIds.isEmpty) {
       log.foreach(_.log(ctx, practice, spec.fileType, "REFINED_LOAD", "SKIPPED", 0))
       return StageResult("SKIPPED", 0, "no IS_NEW rows")
@@ -114,7 +118,7 @@ final class RefinedStage(spark: SparkSession, catalog: TableCatalog,
     val transformed = RefinedOps.refinedTransform(batch, spec.target)
     val out = RefinedOps.withRefinedMetadata(transformed, ctx.parentRunId)
     catalog.append(refinedTable, out)
-    val n = out.count()
+    val n = runStats.map(_._2).sum
     // clear only the runs we consumed
     catalog.updateWhere(rawTable, Map("IS_NEW" -> lit(0)),
       col("IS_NEW") === 1 && col("PARENT_RUN_ID").isin(runIds: _*))
