@@ -178,7 +178,14 @@ object QueriesExtra {
     "q79_percentile_cont" -> ((s, dir) =>
       Quantiles.percentilesCont(table(s, dir, "lineitem"),
         "l_returnflag", "l_quantity",
-        Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)))))
+        Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)))),
+
+    // ---- canonical text normalization (accent fold + ws collapse) ----
+    "q80_normalize" -> ((s, dir) =>
+      table(s, dir, "documents").select(col("doc_id"),
+        TextStats.normalize(concat(col("text"),
+          lit("  RÉSUMÉ  Café\tNiño  à-la-carte "),
+          col("doc_id").cast("string"))).as("norm"))))
 }
 
 object OraclesExtra {
@@ -368,5 +375,13 @@ object OraclesExtra {
            percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,
            percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50,
            percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75
-         FROM lineitem GROUP BY l_returnflag""")
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q80_normalize" ->
+      """SELECT doc_id,
+           TRIM(regexp_replace(
+             translate(lower(text || '  RÉSUMÉ  Café' || chr(9) || 'Niño  à-la-carte ' || CAST(doc_id AS VARCHAR)),
+               'áàâäãåéèêëíìîïóòôöõúùûüçñý', 'aaaaaaeeeeiiiiooooouuuucny'),
+             '\s+', ' ', 'g')) AS norm
+         FROM documents""")
 }

@@ -28,6 +28,18 @@ object TextStats {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit(BpePattern), lit(0))
 
+  private val AccentFrom = "áàâäãåéèêëíìîïóòôöõúùûüçñý"
+  private val AccentTo = "aaaaaaeeeeiiiiooooouuuucny"
+
+  /** Canonical text normalization for dedup keys and matching:
+    * lowercase → fold common Latin accents (fixed translate map — the
+    * deterministic subset of Unicode NFD+strip that both JVM and
+    * other engines reproduce byte-identically) → collapse whitespace
+    * runs → trim. Pure codegen'd expressions, no UDF. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      translate(lower(text), AccentFrom, AccentTo), "\\s+", " "))
+
   /** Per-doc token/repetition signals, integer-exact:
     *  - n_bpe: BPE-ish token count; n_ws: whitespace token count
     *  - tok_md5: md5 of the joined BPE token stream (tokenization
