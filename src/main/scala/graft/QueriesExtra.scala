@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Cdc, Clustering, Linkage, Profiler, Quantiles, Scd2, TextStats}
+import graft.operators.{Cdc, Clustering, Linkage, MaterializedAgg, Profiler, Quantiles, Scd2, TextStats}
 
 /** Round-2 additions: subword tokenization, repetition quality signals,
   * per-group top-k, exact distributed percentiles, date/time suite,
@@ -185,7 +185,21 @@ object QueriesExtra {
       table(s, dir, "documents").select(col("doc_id"),
         TextStats.normalize(concat(col("text"),
           lit("  RÉSUMÉ  Café\tNiño  à-la-carte "),
-          col("doc_id").cast("string"))).as("norm"))))
+          col("doc_id").cast("string"))).as("norm"))),
+
+    // ---- incremental materialized aggregate == full recompute ----
+    "q81_incremental_agg" -> ((s, dir) => {
+      val o = table(s, dir, "orders").select(
+        col("o_orderstatus"), col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      val keys = Seq("o_orderstatus")
+      val b1 = o.filter(col("o_orderkey") % 3 =!= 0).drop("o_orderkey")
+      val b2 = o.filter(col("o_orderkey") % 3 === 0).drop("o_orderkey")
+      val v1 = MaterializedAgg.refresh(None, b1, keys, Seq("price"))
+      MaterializedAgg.refresh(Some(v1), b2, keys, Seq("price"))
+        .select(col("o_orderstatus"), col("n"),
+          col("sum_price").cast("double").as("sum_price"))
+    }))
 }
 
 object OraclesExtra {
@@ -383,5 +397,10 @@ object OraclesExtra {
              translate(lower(text || '  RÉSUMÉ  Café' || chr(9) || 'Niño  à-la-carte ' || CAST(doc_id AS VARCHAR)),
                'áàâäãåéèêëíìîïóòôöõúùûüçñý', 'aaaaaaeeeeiiiiooooouuuucny'),
              '\s+', ' ', 'g')) AS norm
-         FROM documents""")
+         FROM documents""",
+
+    "q81_incremental_agg" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY o_orderstatus""")
 }

@@ -19,6 +19,9 @@ object Verify {
       // events.parquet uses TIMESTAMP(NANOS); read as long, converted
       // to micros in Queries.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // size-based post-shuffle coalescing: writes after a shuffle
+      // produce right-sized files instead of one per shuffle partition
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
