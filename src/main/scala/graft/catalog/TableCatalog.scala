@@ -70,28 +70,79 @@ final class TableCatalog(spark: SparkSession, root: String) {
     finally out.close()
   }
 
+  private def manifestEntries(dir: Path): Seq[Path] = {
+    val mf = manifestPath(dir)
+    if (!fs.exists(mf)) Nil
+    else {
+      val in = fs.open(mf)
+      val text = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      text.split("\n").toSeq.filter(_.nonEmpty).map(new Path(_))
+    }
+  }
+
+  // ---- hive-partitioned layout support ------------------------------------
+  // A partitioned version records its partition columns in _PARTITIONS;
+  // its manifest entries are whole VERSION DIRECTORIES (partition
+  // discovery needs a directory + basePath, not bare files).
+
+  private def partitionsPath(dir: Path) = new Path(dir, "_PARTITIONS")
+
+  private def writePartitions(dir: Path, cols: Seq[String]): Unit = {
+    val out = fs.create(partitionsPath(dir), true)
+    try out.write(cols.mkString(",").getBytes("UTF-8")) finally out.close()
+  }
+
+  private def partitionColsOf(fq: String, v: Int): Seq[String] = {
+    val p = partitionsPath(versionDir(fq, v))
+    if (!fs.exists(p)) Nil
+    else {
+      val in = fs.open(p)
+      val text = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      text.split(",").toSeq.filter(_.nonEmpty)
+    }
+  }
+
+  /** Chain of data directories for a partitioned version: referenced
+    * prior version dirs first, own dir last. */
+  private def chainDirs(fq: String, v: Int): Seq[Path] =
+    manifestEntries(versionDir(fq, v)) :+ versionDir(fq, v)
+
+  private def listFilesRecursive(dir: Path): Seq[Path] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (!p.getName.startsWith("_") && !p.getName.startsWith(".")) buf += p
+    }
+    buf.toSeq
+  }
+
   /** Data files of a version: its own part files plus everything its
-    * manifest references (already fully resolved when written). */
+    * manifest references. Partitioned versions resolve recursively
+    * through partition subdirectories across the chain. */
   private def dataFiles(fq: String, v: Int): Seq[Path] = {
+    if (partitionColsOf(fq, v).nonEmpty)
+      return chainDirs(fq, v).filter(fs.exists(_)).flatMap(listFilesRecursive)
     val dir = versionDir(fq, v)
     val own = fs.listStatus(dir).filter(_.isFile)
       .map(_.getPath)
       .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
       .toSeq
-    val mf = manifestPath(dir)
-    val referenced =
-      if (!fs.exists(mf)) Nil
-      else {
-        val in = fs.open(mf)
-        val text = try new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-        finally in.close()
-        text.split("\n").toSeq.filter(_.nonEmpty).map(new Path(_))
-      }
-    referenced ++ own
+    manifestEntries(dir) ++ own
   }
 
+  private def readPartitionedChain(fq: String, v: Int): DataFrame =
+    chainDirs(fq, v).filter(fs.exists(_))
+      .map(d => spark.read.option("basePath", d.toString).parquet(d.toString))
+      .reduce(_.unionByName(_))
+
   def read(fq: String): DataFrame = currentVersion(fq) match {
+    case Some(v) if partitionColsOf(fq, v).nonEmpty =>
+      readPartitionedChain(fq, v)
     case Some(v) =>
       val files = dataFiles(fq, v)
       if (files.isEmpty) // truncated table: schema-only marker dir
@@ -112,6 +163,8 @@ final class TableCatalog(spark: SparkSession, root: String) {
     val dir = versionDir(fq, version)
     if (!fs.exists(dir))
       throw new IllegalArgumentException(s"$fq version $version not retained")
+    if (partitionColsOf(fq, version).nonEmpty)
+      return readPartitionedChain(fq, version)
     val files = dataFiles(fq, version)
     if (files.isEmpty) spark.read.parquet(dir.toString)
     else spark.read.parquet(files.map(_.toString): _*)
@@ -152,15 +205,18 @@ final class TableCatalog(spark: SparkSession, root: String) {
     if (!fs.rename(tmp, currentPointer(fq)))
       throw new IllegalStateException(s"failed to commit $fq v$next")
     // prune old versions (keeping one back for in-flight readers) —
-    // but NEVER a directory holding data files referenced by the new
-    // version's manifest chain, nor by the kept-back previous version's
+    // but NEVER a directory holding data referenced by the new
+    // version's manifest chain, nor by the kept-back previous
+    // version's. Ancestor-prefix check: partitioned chains nest data
+    // under partition subdirectories of old version dirs.
     val live = (dataFiles(fq, next) ++
       (if (next > 0 && fs.exists(versionDir(fq, next - 1)))
         dataFiles(fq, next - 1) else Nil))
-      .map(p => fs.makeQualified(p.getParent).toString).toSet
+      .map(p => fs.makeQualified(p).toString).toSet
     (0 until next - 1).foreach { v =>
-      val old = fs.makeQualified(versionDir(fq, v))
-      if (fs.exists(old) && !live.contains(old.toString)) fs.delete(old, true)
+      val old = fs.makeQualified(versionDir(fq, v)).toString
+      val referenced = live.exists(lp => lp == old || lp.startsWith(old + "/"))
+      if (fs.exists(new Path(old)) && !referenced) fs.delete(new Path(old), true)
     }
   }
 
@@ -171,29 +227,53 @@ final class TableCatalog(spark: SparkSession, root: String) {
   def append(fq: String, df: DataFrame): Unit = currentVersion(fq) match {
     case None => commitVersion(fq, dir => df.write.mode(SaveMode.Overwrite).parquet(dir.toString))
     case Some(v) =>
-      val carried = dataFiles(fq, v)
-      commitVersion(fq, dir => {
-        df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
-        writeManifest(dir, carried)
-      })
+      val pcols = partitionColsOf(fq, v)
+      if (pcols.nonEmpty) {
+        // partitioned chain: the delta lands partitioned in the new
+        // version dir; prior data rides along as whole directories
+        val carried = chainDirs(fq, v)
+        commitVersion(fq, dir => {
+          df.write.mode(SaveMode.Overwrite)
+            .partitionBy(pcols: _*).parquet(dir.toString)
+          writePartitions(dir, pcols)
+          writeManifest(dir, carried)
+        })
+      } else {
+        val carried = dataFiles(fq, v)
+        commitVersion(fq, dir => {
+          df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+          writeManifest(dir, carried)
+        })
+      }
   }
 
-  /** Overwrite = drop + recreate with df's schema. */
+  /** Overwrite = drop + recreate with df's schema (unpartitioned). */
   def overwrite(fq: String, df: DataFrame): Unit =
     commitVersion(fq, dir => df.write.mode(SaveMode.Overwrite).parquet(dir.toString))
 
   /** Overwrite with hive-style partitioning — the 100 TB layout: RAW/
     * REFINED tables partitioned by e.g. (practice, load date) so
     * incremental reads and flag-clear rewrites touch only the affected
-    * partitions (partition pruning; SURVEY §7.4). */
+    * partitions (partition pruning; SURVEY §7.4). Subsequent appends /
+    * updates / merges stay partitioned (layout is recorded per
+    * version in `_PARTITIONS`). */
   def overwritePartitioned(fq: String, df: DataFrame, partitionCols: Seq[String]): Unit =
-    commitVersion(fq, dir => df.write.mode(SaveMode.Overwrite)
-      .partitionBy(partitionCols: _*).parquet(dir.toString))
+    commitVersion(fq, dir => {
+      df.write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCols: _*).parquet(dir.toString)
+      writePartitions(dir, partitionCols)
+    })
 
-  /** TRUNCATE: keep schema, zero rows. */
+  /** TRUNCATE: keep schema, zero rows (layout preserved). */
   def truncate(fq: String): Unit = {
+    val v = currentVersion(fq).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $fq"))
+    val pcols = partitionColsOf(fq, v)
     val empty = read(fq).limit(0)
-    commitVersion(fq, dir => empty.write.mode(SaveMode.Overwrite).parquet(dir.toString))
+    commitVersion(fq, dir => {
+      empty.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+      if (pcols.nonEmpty) writePartitions(dir, pcols)
+    })
   }
 
   /** Split a version's files into (files containing rows matching
@@ -216,6 +296,21 @@ final class TableCatalog(spark: SparkSession, root: String) {
   def updateWhere(fq: String, assignments: Map[String, Column], where: Column): Unit = {
     val v = currentVersion(fq).getOrElse(
       throw new IllegalArgumentException(s"table not found: $fq"))
+    val pcols = partitionColsOf(fq, v)
+    if (pcols.nonEmpty) {
+      // partitioned: full partitioned rewrite (predicates on partition
+      // columns prune the scan; per-file pruning needs flat files)
+      val cur = read(fq)
+      val updated = assignments.foldLeft(cur) { case (d, (c, value)) =>
+        d.withColumn(c, when(where, value).otherwise(col(c)))
+      }
+      commitVersion(fq, dir => {
+        updated.write.mode(SaveMode.Overwrite)
+          .partitionBy(pcols: _*).parquet(dir.toString)
+        writePartitions(dir, pcols)
+      })
+      return
+    }
     val files = dataFiles(fq, v)
     if (files.isEmpty) return
     // single-file tables have nothing to prune — skip the probe job
@@ -243,6 +338,18 @@ final class TableCatalog(spark: SparkSession, root: String) {
       case None => overwrite(fq, source)
       case Some(_) =>
         val v = currentVersion(fq).get
+        val pcols = partitionColsOf(fq, v)
+        if (pcols.nonEmpty) {
+          // partitioned: full partitioned rewrite (key overlap pruning
+          // needs flat files; partition-local merges can layer later)
+          val merged = graft.operators.MergeOps.upsert(read(fq), source, keys)
+          commitVersion(fq, dir => {
+            merged.write.mode(SaveMode.Overwrite)
+              .partitionBy(pcols: _*).parquet(dir.toString)
+            writePartitions(dir, pcols)
+          })
+          return
+        }
         val files = dataFiles(fq, v)
         val src = source.cache()
         try {
@@ -291,8 +398,20 @@ final class TableCatalog(spark: SparkSession, root: String) {
     val (nFiles, bytes) = fileStats(fq)
     if (nFiles <= 1) return
     val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val df = read(fq).repartition(parts)
-    commitVersion(fq, dir => df.write.mode(SaveMode.Overwrite).parquet(dir.toString))
+    val pcols = partitionColsOf(fq, v)
+    if (pcols.nonEmpty) {
+      // co-locate rows of each partition before the partitioned write
+      // so each partition directory compacts to ~one file
+      val df = read(fq).repartition(parts, pcols.map(col): _*)
+      commitVersion(fq, dir => {
+        df.write.mode(SaveMode.Overwrite)
+          .partitionBy(pcols: _*).parquet(dir.toString)
+        writePartitions(dir, pcols)
+      })
+    } else {
+      val df = read(fq).repartition(parts)
+      commitVersion(fq, dir => df.write.mode(SaveMode.Overwrite).parquet(dir.toString))
+    }
   }
 
   /** Compaction with Z-ORDER clustering on `zorderCols` (numeric):
@@ -306,6 +425,9 @@ final class TableCatalog(spark: SparkSession, root: String) {
   def compactZOrder(fq: String, zorderCols: Seq[String],
       targetFileBytes: Long = 128L << 20): Unit = {
     require(zorderCols.nonEmpty, "zorder columns required")
+    require(currentVersion(fq).forall(v => partitionColsOf(fq, v).isEmpty),
+      "compactZOrder requires an unpartitioned table (z-cluster within " +
+        "partitions by compacting each partition's table separately)")
     val df = read(fq)
     val statsRow = df.agg(
       lit(1).as("__one"),

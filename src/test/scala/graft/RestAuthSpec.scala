@@ -39,6 +39,8 @@ class RestAuthSpec extends AnyFunSuite {
 
 class CatalogPartitionSpec extends SparkTestBase {
   import spark.implicits._
+  import org.apache.spark.sql.functions._
+
   test("partitioned overwrite prunes partitions on read") {
     val cat = new graft.catalog.TableCatalog(spark, tempDir("part"))
     val df = Seq(("p1", "2024-01-01", 1), ("p1", "2024-01-02", 2),
@@ -51,5 +53,38 @@ class CatalogPartitionSpec extends SparkTestBase {
     // partition filter reaches the scan
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") || plan.contains("practice"))
+  }
+
+  test("partitioned table survives append, update, merge, compact") {
+    val cat = new graft.catalog.TableCatalog(spark, tempDir("part"))
+    val t = "d.s.plife"
+    cat.overwritePartitioned(t,
+      Seq(("p1", 1, 1), ("p2", 2, 1)).toDF("practice", "id", "IS_NEW"),
+      Seq("practice"))
+
+    // append keeps prior partitions' data (dir-granularity manifest)
+    cat.append(t, Seq(("p1", 3, 1), ("p3", 4, 1)).toDF("practice", "id", "IS_NEW"))
+    assert(cat.read(t).count() == 4)
+    assert(cat.read(t).filter($"practice" === "p1").count() == 2)
+
+    // updateWhere rewrites partitioned and keeps all rows
+    cat.updateWhere(t, Map("IS_NEW" -> lit(0)), col("IS_NEW") === 1 && col("id") < 4)
+    val flags = cat.read(t).select("id", "IS_NEW").as[(Int, Int)].collect().toMap
+    assert(flags == Map(1 -> 0, 2 -> 0, 3 -> 0, 4 -> 1))
+
+    // merge upserts by key across partitions
+    cat.merge(t, Seq(("p2", 2, 9), ("p4", 9, 9)).toDF("practice", "id", "IS_NEW"),
+      Seq("id"))
+    val merged = cat.read(t).select("id", "IS_NEW").as[(Int, Int)].collect().toMap
+    assert(merged == Map(1 -> 0, 2 -> 9, 3 -> 0, 4 -> 1, 9 -> 9))
+    assert(cat.read(t).filter($"practice" === "p4").count() == 1)
+
+    // compaction keeps content and layout; pruning stays partition-aware
+    cat.append(t, Seq(("p1", 10, 1)).toDF("practice", "id", "IS_NEW"))
+    cat.compact(t)
+    assert(cat.read(t).count() == 6)
+    val pruned = cat.read(t).filter($"practice" === "p1")
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(pruned.count() == 3)
   }
 }
