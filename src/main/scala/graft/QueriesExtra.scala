@@ -141,7 +141,7 @@ object QueriesExtra {
       // strictly newer per key
       def collapse(b: org.apache.spark.sql.DataFrame) = {
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("key")).orderBy(col("seq").desc, col("op").desc)
+          .partitionBy(col("key")).orderBy(col("seq").desc, col("op").asc)
         b.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
       }
       cat.overwrite(t, collapse(changes.filter(col("seq") <= mid)))
@@ -351,7 +351,7 @@ object OraclesExtra {
              o_totalprice AS price, o_orderstatus AS status,
              ROW_NUMBER() OVER (PARTITION BY o_custkey
                ORDER BY o_orderkey DESC,
-                 CASE WHEN o_orderkey % 10 < 2 THEN 'D' ELSE 'U' END DESC) AS rn
+                 CASE WHEN o_orderkey % 10 < 2 THEN 'D' ELSE 'U' END ASC) AS rn
            FROM orders) WHERE rn = 1 AND op <> 'D'""",
 
     "q74_heavy_hitters" ->
@@ -373,7 +373,7 @@ object OraclesExtra {
              o_totalprice AS price, o_orderstatus AS status,
              ROW_NUMBER() OVER (PARTITION BY o_custkey
                ORDER BY o_orderkey DESC,
-                 CASE WHEN o_orderkey % 10 < 2 THEN 'D' ELSE 'U' END DESC) AS rn
+                 CASE WHEN o_orderkey % 10 < 2 THEN 'D' ELSE 'U' END ASC) AS rn
            FROM orders) WHERE rn = 1 AND op <> 'D'""",
 
     "q77_orc_roundtrip" ->

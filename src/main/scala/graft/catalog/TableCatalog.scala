@@ -182,6 +182,13 @@ final class TableCatalog(spark: SparkSession, root: String) {
   /** Read resolving the union of all file schemas in the chain
     * (for tables grown via [[appendEvolving]]). */
   def readMergedSchema(fq: String): DataFrame = currentVersion(fq) match {
+    case Some(v) if partitionColsOf(fq, v).nonEmpty =>
+      // per-dir partition discovery (bare leaf files would silently
+      // drop the partition columns), schema union across the chain
+      chainDirs(fq, v).filter(fs.exists(_))
+        .map(d => spark.read.option("basePath", d.toString)
+          .option("mergeSchema", "true").parquet(d.toString))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
     case Some(v) =>
       val files = dataFiles(fq, v)
       if (files.isEmpty) spark.read.parquet(versionDir(fq, v).toString)
@@ -334,10 +341,9 @@ final class TableCatalog(spark: SparkSession, root: String) {
     * untouched files ride along by manifest reference, so merge cost
     * scales with the overlap, not the table. */
   def merge(fq: String, source: DataFrame, keys: Seq[String]): Unit =
-    readIfExists(fq) match {
+    currentVersion(fq) match {
       case None => overwrite(fq, source)
-      case Some(_) =>
-        val v = currentVersion(fq).get
+      case Some(v) =>
         val pcols = partitionColsOf(fq, v)
         if (pcols.nonEmpty) {
           // partitioned: full partitioned rewrite (key overlap pruning

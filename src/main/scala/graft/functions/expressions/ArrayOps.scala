@@ -113,9 +113,12 @@ case class ArrayDot(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val cls = ArrayDot.getClass.getName.stripSuffix("$") + "$"
-      s"""Object r = $cls.MODULE$$.compute($a, $b);
-         |if (r == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = ((java.lang.Double) r).doubleValue(); }
+      // freshName defends against same-scope reuse when several kernel
+      // instances land in one generated function
+      val r = ctx.freshName("dotRes")
+      s"""Object $r = $cls.MODULE$$.compute($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Double) $r).doubleValue(); }
          |""".stripMargin
     })
 
@@ -158,9 +161,10 @@ case class ArrayQuantDot(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val cls = ArrayQuantDot.getClass.getName.stripSuffix("$") + "$"
-      s"""Object r = $cls.MODULE$$.compute($a, $b);
-         |if (r == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = ((java.lang.Long) r).longValue(); }
+      val r = ctx.freshName("qdotRes") // see ArrayDot
+      s"""Object $r = $cls.MODULE$$.compute($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Long) $r).longValue(); }
          |""".stripMargin
     })
 

@@ -19,12 +19,14 @@ import org.apache.spark.sql.expressions.Window
 object Cdc {
 
   /** Collapse `changes` to the live snapshot. `seqCol` must totally
-    * order changes within a key (ties broken by the op column
-    * descending so a same-seq D beats a U — deterministic). */
+    * order changes within a key; same-seq ties break by the op column
+    * ASCENDING, so 'D' (< 'I' < 'U' lexicographically) wins over an
+    * insert/update at the same sequence — a tied delete removes the
+    * key, the conservative choice. */
   def applyChanges(changes: DataFrame, keyCols: Seq[String], seqCol: String,
       opCol: String): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(seqCol).desc, col(opCol).desc)
+      .orderBy(col(seqCol).desc, col(opCol).asc)
     changes.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .filter(col(opCol) =!= "D")

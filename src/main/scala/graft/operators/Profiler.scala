@@ -55,12 +55,18 @@ object Profiler {
   def heavyHitters(df: DataFrame, keyCols: Seq[String], topN: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
-    val total = df.count()
+    // total = Σ per-key counts — derived from `counts` (whose shuffle
+    // the reused-exchange rule computes once), never a second scan of
+    // the raw input
+    val total = counts.agg(sum(col("n")).as("__total"))
     // distributed TakeOrdered first; the global rank window then only
     // ever sees topN rows, not one row per key (billions at scale)
     val top = counts.orderBy(col("n").desc +: keyCols.map(col): _*).limit(topN)
     val w = Window.orderBy(col("n").desc +: keyCols.map(col): _*)
     top.withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn("share_permille", floor(col("n") * 1000L / lit(total)).cast("long"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_permille",
+        floor(col("n") * 1000L / col("__total")).cast("long"))
+      .drop("__total")
   }
 }

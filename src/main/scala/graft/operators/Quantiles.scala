@@ -23,13 +23,19 @@ object Quantiles {
   /** @param ps (outputName, numerator, denominator) per percentile */
   def percentilesDisc(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[(String, Int, Int)]): DataFrame = {
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    // SQL semantics: NULL values are ignored — they sort last (outside
+    // the 1..__n non-null rank range, __n counting only non-nulls) so
+    // they can never be selected; an all-null group yields NULL.
+    val w = Window.partitionBy(col(groupCol)).orderBy(asc_nulls_last(valueCol))
     val ranked = df.select(col(groupCol), col(valueCol))
       .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .withColumn("__n",
+        count(col(valueCol)).over(Window.partitionBy(col(groupCol))))
     val aggs = ps.map { case (name, num, den) =>
-      val rank = (col("__n") * num + (den - 1)) / den  // integer div on longs
-      max(when(col("__rn") === rank.cast("long"), col(valueCol))).as(name)
+      // true integral division (Column `/` on longs is double division,
+      // which rounds for huge counts): ⌈n·num/den⌉ = (n·num+den−1) div den
+      val rank = expr(s"(__n * $num + ${den - 1}) div $den")
+      max(when(col("__rn") === rank, col(valueCol))).as(name)
     }
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
@@ -49,10 +55,14 @@ object Quantiles {
     * on the group key — a single shuffle at any scale. */
   def percentilesCont(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[(String, Double)]): DataFrame = {
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    // NULLs sort last and __n counts only non-nulls (SQL semantics —
+    // see percentilesDisc): 0-based non-null ranks are 0..__n−1 and
+    // p·(__n−1) can never land on a null row.
+    val w = Window.partitionBy(col(groupCol)).orderBy(asc_nulls_last(valueCol))
     val ranked = df.select(col(groupCol), col(valueCol))
       .withColumn("__rn", row_number().over(w).cast("long") - 1)
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .withColumn("__n",
+        count(col(valueCol)).over(Window.partitionBy(col(groupCol))))
     val aggs = ps.flatMap { case (name, p) =>
       val pos = lit(p) * (col("__n") - 1).cast("double")
       Seq(

@@ -27,8 +27,10 @@ object Similarity {
   import graft.functions.expressions.GraftFunctions
 
   /** Double-precision cosine similarity of two float arrays (native
-    * dot-product kernel; left-to-right sums, same values as the
-    * zip_with/aggregate formulation). */
+    * dot-product kernel; left-to-right sums). Products are computed in
+    * double — for float inputs this differs in the last ulp from a
+    * zip_with float·float formulation; threshold-exact comparisons
+    * should use the quantized-integer path below instead. */
   def cosine(a: Column, b: Column): Column = {
     val dot = GraftFunctions.arrayDot(a, b)
     val na = sqrt(GraftFunctions.arrayDot(a, a))

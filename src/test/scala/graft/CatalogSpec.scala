@@ -168,7 +168,7 @@ class CatalogSpec extends SparkTestBase {
     val t = "d.s.zorder"
     // 64x64 grid appended in 4 shuffled chunks → unclustered files
     val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x, y, x * 64 + y)
-    val shuffled = scala.util.Random.shuffle(grid.toList)
+    val shuffled = new scala.util.Random(424242).shuffle(grid.toList)
     shuffled.grouped(1024).foreach(chunk =>
       cat.append(t, chunk.toDF("x", "y", "payload").coalesce(1)))
     cat.compactZOrder(t, Seq("x", "y"), targetFileBytes = 6 * 1024)

@@ -118,4 +118,28 @@ class ExpressionSpec extends SparkTestBase {
     // these values sums are nonzero, so negation flips every bit
     assert(sigs(2) == sigs(0).map(c => if (c == '1') '0' else '1'))
   }
+
+  test("repeated dot kernels in one stage compile under strict codegen") {
+    // non-nullable children: nullSafeExec emits no scoping block, so
+    // the kernels' locals land in one Java scope — freshName must keep
+    // them distinct. fallback=false turns a Janino failure into an
+    // error instead of silent interpreted execution.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // array(lit…) children are NON-nullable — the collision-prone path
+      val a = array(lit(1.0f), lit(2.0f))
+      val b = array(lit(3.0f), lit(4.0f))
+      val df = spark.range(1)
+        .select(graft.operators.Similarity.cosine(a, b).as("c"),
+          GraftFunctions.arrayQuantDot(a, b).as("q1"),
+          GraftFunctions.arrayQuantDot(b, b).as("q2"))
+      val row = df.collect().head
+      assert(math.abs(row.getDouble(0) - 11.0 / math.sqrt(5.0 * 25.0)) < 1e-12)
+      assert(row.getLong(1) == 1100000000000000L) // (1e7·3e7)+(2e7·4e7)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
 }

@@ -40,7 +40,8 @@ class Round2OpsSpec extends SparkTestBase {
     val changes = Seq(
       (1L, 1L, "I", "a"), (1L, 2L, "U", "b"),            // key 1 → b
       (2L, 1L, "I", "x"), (2L, 9L, "D", "gone"),         // key 2 deleted
-      (3L, 5L, "U", "only")                               // key 3 → only
+      (3L, 5L, "U", "only"),                              // key 3 → only
+      (4L, 7L, "U", "upd"), (4L, 7L, "D", "tie")          // same-seq tie → D wins
     ).toDF("key", "seq", "op", "v")
     val out = Cdc.applyChanges(changes, Seq("key"), "seq", "op")
       .select("key", "v").as[(Long, String)].collect().toMap
@@ -96,6 +97,18 @@ class Round2OpsSpec extends SparkTestBase {
       if (last._3 == "D") None else Some(k -> last._4)
     }
     assert(got == want)
+  }
+
+  test("percentiles ignore NULL values; all-null group yields NULL") {
+    val df = Seq(("g", Option(10)), ("g", Option.empty[Int]), ("g", Option(20)),
+      ("g", Option(30)), ("h", Option.empty[Int])).toDF("grp", "v")
+    val disc = Quantiles.percentilesDisc(df, "grp", "v", Seq(("p50", 1, 2)))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    // g: non-null {10,20,30}, rank ceil(0.5*3)=2 → 20; h: all null → NULL
+    assert(disc == Map("g" -> Some(20), "h" -> None))
+    val cont = Quantiles.percentilesCont(df, "grp", "v", Seq(("p50", 0.5)))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(cont == Map("g" -> Some(20.0), "h" -> None))
   }
 
   test("percentilesDisc picks the ceil(p*n) ranked value per group") {
