@@ -187,6 +187,13 @@ object QueriesExtra {
           lit("  RÉSUMÉ  Café\tNiño  à-la-carte "),
           col("doc_id").cast("string"))).as("norm"))),
 
+    // ---- LISTAGG / string_agg with deterministic order ----
+    "q82_listagg" -> ((s, dir) =>
+      table(s, dir, "supplier")
+        .groupBy(col("s_nationkey").cast("long").as("nation"))
+        .agg(concat_ws(",", array_sort(collect_list(col("s_name"))))
+          .as("names"))),
+
     // ---- incremental materialized aggregate == full recompute ----
     "q81_incremental_agg" -> ((s, dir) => {
       val o = table(s, dir, "orders").select(
@@ -402,5 +409,10 @@ object OraclesExtra {
     "q81_incremental_agg" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-         FROM orders GROUP BY o_orderstatus""")
+         FROM orders GROUP BY o_orderstatus""",
+
+    "q82_listagg" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS nation,
+           string_agg(s_name, ',' ORDER BY s_name) AS names
+         FROM supplier GROUP BY s_nationkey""")
 }
