@@ -37,7 +37,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * (SF_Notebooks/RAW_SNOWFLAKE_TO_REFINED_SNOWFLAKE.py:713-724), MERGE
   * (SF_Notebooks/Rater8_Reviews.ipynb run_merge).
   */
-final class TableCatalog(spark: SparkSession, root: String) {
+class TableCatalog(spark: SparkSession, root: String) {
 
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -107,9 +107,39 @@ final class TableCatalog(spark: SparkSession, root: String) {
   }
 
   /** Chain of data directories for a partitioned version: referenced
-    * prior version dirs first, own dir last. */
+    * prior dirs first, own dir last. Entries are either whole version
+    * directories (append carries everything) or individual partition
+    * leaf directories (update/merge carry only untouched partitions). */
   private def chainDirs(fq: String, v: Int): Seq[Path] =
     manifestEntries(versionDir(fq, v)) :+ versionDir(fq, v)
+
+  /** The version directory that owns a chain entry (the entry itself if
+    * it IS a version dir; else the nearest `v_NNNNNN` ancestor). Used as
+    * `basePath` so partition-column discovery sees the full
+    * `col=value/...` suffix of leaf-dir entries. */
+  private def versionAncestor(p: Path): Path = {
+    var cur = p
+    while (cur != null && !cur.getName.matches("v_\\d{6}")) cur = cur.getParent
+    Option(cur).getOrElse(p)
+  }
+
+  /** One scan per owning version over a set of chain entries (version
+    * dirs and/or partition leaf dirs), partition columns recovered via
+    * basePath. `withFileCol` projects `input_file_name()` on each scan
+    * BEFORE the union so downstream joins stay legal. */
+  private def readPartitionedDirs(entries: Seq[Path],
+      mergeSchema: Boolean = false,
+      withFileCol: Option[String] = None): DataFrame = {
+    val existing = entries.filter(fs.exists(_))
+    existing.groupBy(versionAncestor).toSeq.sortBy(_._1.toString)
+      .map { case (base, dirs) =>
+        var r = spark.read.option("basePath", base.toString)
+        if (mergeSchema) r = r.option("mergeSchema", "true")
+        val df = r.parquet(dirs.map(_.toString).sorted: _*)
+        withFileCol.map(c => df.withColumn(c, input_file_name())).getOrElse(df)
+      }
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = mergeSchema))
+  }
 
   private def listFilesRecursive(dir: Path): Seq[Path] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
@@ -136,9 +166,7 @@ final class TableCatalog(spark: SparkSession, root: String) {
   }
 
   private def readPartitionedChain(fq: String, v: Int): DataFrame =
-    chainDirs(fq, v).filter(fs.exists(_))
-      .map(d => spark.read.option("basePath", d.toString).parquet(d.toString))
-      .reduce(_.unionByName(_))
+    readPartitionedDirs(chainDirs(fq, v))
 
   def read(fq: String): DataFrame = currentVersion(fq) match {
     case Some(v) if partitionColsOf(fq, v).nonEmpty =>
@@ -183,12 +211,9 @@ final class TableCatalog(spark: SparkSession, root: String) {
     * (for tables grown via [[appendEvolving]]). */
   def readMergedSchema(fq: String): DataFrame = currentVersion(fq) match {
     case Some(v) if partitionColsOf(fq, v).nonEmpty =>
-      // per-dir partition discovery (bare leaf files would silently
+      // per-version partition discovery (bare leaf files would silently
       // drop the partition columns), schema union across the chain
-      chainDirs(fq, v).filter(fs.exists(_))
-        .map(d => spark.read.option("basePath", d.toString)
-          .option("mergeSchema", "true").parquet(d.toString))
-        .reduce(_.unionByName(_, allowMissingColumns = true))
+      readPartitionedDirs(chainDirs(fq, v), mergeSchema = true)
     case Some(v) =>
       val files = dataFiles(fq, v)
       if (files.isEmpty) spark.read.parquet(versionDir(fq, v).toString)
@@ -294,20 +319,40 @@ final class TableCatalog(spark: SparkSession, root: String) {
     files.partition(p => hit.contains(fs.makeQualified(p).toUri.getPath))
   }
 
+  /** Split a partitioned version's leaf partition directories into
+    * (touched, carried) given the qualified paths of files containing
+    * matching rows. Partition-granular: a leaf dir is touched when any
+    * of its files holds a match. */
+  private def touchedPartitionDirs(fq: String, v: Int,
+      hitFilePaths: Set[String]): (Seq[Path], Seq[Path]) = {
+    val byDir = dataFiles(fq, v).groupBy(_.getParent)
+    val (hit, carried) = byDir.partition { case (_, files) =>
+      files.exists(f => hitFilePaths.contains(fs.makeQualified(f).toUri.getPath))
+    }
+    (hit.keys.toSeq.sortBy(_.toString), carried.keys.toSeq.sortBy(_.toString))
+  }
+
   /** UPDATE t SET col = value WHERE predicate — copy-on-write at FILE
     * granularity: only files that contain at least one matching row
     * are rewritten; every other file is carried into the new version
-    * by manifest reference. On a partitioned 100 TB table with a
-    * selective predicate this touches a handful of files instead of
-    * the whole table (the same pruning Delta/Iceberg do for UPDATE). */
+    * by manifest reference. Partitioned tables prune at PARTITION-DIR
+    * granularity: the probe scan reads only the predicate columns
+    * (column pruning; partition-column predicates additionally prune
+    * whole directories), and only leaf partition dirs containing a
+    * matching row are rewritten — a per-run flag clear on a 100 TB
+    * partitioned table rewrites the run's partitions, not the table
+    * (the same pruning Delta/Iceberg do for UPDATE). */
   def updateWhere(fq: String, assignments: Map[String, Column], where: Column): Unit = {
     val v = currentVersion(fq).getOrElse(
       throw new IllegalArgumentException(s"table not found: $fq"))
     val pcols = partitionColsOf(fq, v)
     if (pcols.nonEmpty) {
-      // partitioned: full partitioned rewrite (predicates on partition
-      // columns prune the scan; per-file pruning needs flat files)
-      val cur = read(fq)
+      val probe = readPartitionedDirs(chainDirs(fq, v), withFileCol = Some("__file"))
+      val hitFiles = probe.filter(where).select(col("__file")).distinct()
+        .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
+      if (hitFiles.isEmpty) return // no matching rows: current version stands
+      val (hitDirs, carriedDirs) = touchedPartitionDirs(fq, v, hitFiles)
+      val cur = readPartitionedDirs(hitDirs)
       val updated = assignments.foldLeft(cur) { case (d, (c, value)) =>
         d.withColumn(c, when(where, value).otherwise(col(c)))
       }
@@ -315,6 +360,7 @@ final class TableCatalog(spark: SparkSession, root: String) {
         updated.write.mode(SaveMode.Overwrite)
           .partitionBy(pcols: _*).parquet(dir.toString)
         writePartitions(dir, pcols)
+        if (carriedDirs.nonEmpty) writeManifest(dir, carriedDirs)
       })
       return
     }
@@ -346,14 +392,31 @@ final class TableCatalog(spark: SparkSession, root: String) {
       case Some(v) =>
         val pcols = partitionColsOf(fq, v)
         if (pcols.nonEmpty) {
-          // partitioned: full partitioned rewrite (key overlap pruning
-          // needs flat files; partition-local merges can layer later)
-          val merged = graft.operators.MergeOps.upsert(read(fq), source, keys)
-          commitVersion(fq, dir => {
-            merged.write.mode(SaveMode.Overwrite)
-              .partitionBy(pcols: _*).parquet(dir.toString)
-            writePartitions(dir, pcols)
-          })
+          // partitioned: rewrite only leaf partition dirs whose rows
+          // overlap the source keys; carry the rest by manifest. New
+          // key values land in fresh partition dirs via the
+          // partitioned write of the merged delta.
+          val src = source.cache()
+          try {
+            val keySet = src.select(keys.map(col): _*).distinct()
+            val probe = readPartitionedDirs(chainDirs(fq, v),
+                withFileCol = Some("__file"))
+              .select(keys.map(col) :+ col("__file"): _*)
+            val hitFiles = probe.join(keySet, keys, "left_semi")
+              .select(col("__file")).distinct()
+              .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
+            val (hitDirs, carriedDirs) = touchedPartitionDirs(fq, v, hitFiles)
+            val base =
+              if (hitDirs.isEmpty) src.limit(0) // no overlap: partitioned append
+              else readPartitionedDirs(hitDirs)
+            val merged = graft.operators.MergeOps.upsert(base, src, keys)
+            commitVersion(fq, dir => {
+              merged.write.mode(SaveMode.Overwrite)
+                .partitionBy(pcols: _*).parquet(dir.toString)
+              writePartitions(dir, pcols)
+              if (carriedDirs.nonEmpty) writeManifest(dir, carriedDirs)
+            })
+          } finally src.unpersist()
           return
         }
         val files = dataFiles(fq, v)

@@ -144,8 +144,18 @@ final class CuratedStage(spark: SparkSession, catalog: TableCatalog,
       throw new IllegalArgumentException("no curated table configured"))
     val refined = catalog.read(refinedTable)
 
+    // the batch = all flagged rows AT READ TIME, keyed by the refined
+    // run ids actually consumed (bounded: one id per upstream run).
+    // Rows appended between this read and the flag clear belong to
+    // other run ids and must survive — the same read-then-clear race
+    // the REFINED stage fixes (reference:
+    // RAW_SNOWFLAKE_TO_REFINED_SNOWFLAKE.py:379 vs :717).
+    val flagged = refined.filter(col("IS_VALID") === 1)
+    val consumedRunIds = flagged.select("REFINED_PARENT_RUN_ID").distinct()
+      .collect().map(_.getString(0)).toSeq
+
     // source rows: IS_VALID=1 AND config filters
-    val valid = refined.filter(col("IS_VALID") === 1)
+    val valid = flagged
       .filter(CuratedOps.compileFilter(refined, spec.target.sourceFilter))
 
     // cache: the reference recomputes this SELECT 3-4× (insert,
@@ -199,9 +209,13 @@ final class CuratedStage(spark: SparkSession, catalog: TableCatalog,
           if (bad == 0) "SUCCESS" else "PARTIAL", ok, s"failed=$bad"))
       }
 
-      // consume the IS_VALID flags for the batch we read
-      catalog.updateWhere(refinedTable, Map("IS_VALID" -> lit(0)),
-        col("IS_VALID") === 1)
+      // consume the IS_VALID flags for the runs we read — scoped, so
+      // rows flagged by runs arriving mid-stage are left for the next
+      // pass instead of being silently zeroed
+      if (consumedRunIds.nonEmpty)
+        catalog.updateWhere(refinedTable, Map("IS_VALID" -> lit(0)),
+          col("IS_VALID") === 1 &&
+            col("REFINED_PARENT_RUN_ID").isin(consumedRunIds: _*))
       log.foreach(_.log(ctx, practice, spec.fileType, "CURATED_LOAD", "SUCCESS", n, dist))
       StageResult("SUCCESS", n, dist)
     } finally valid.unpersist()

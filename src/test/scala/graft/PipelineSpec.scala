@@ -125,6 +125,58 @@ class PipelineSpec extends SparkTestBase {
     assert(fields.flatMap(_.get("crm_office_tag")).exists(_.startsWith("OFF_")))
   }
 
+  test("curated flag clear is scoped to consumed runs (read-clear race)") {
+    val root = tempDir("wh")
+    val cat = new TableCatalog(spark, root)
+    val stage = tempDir("stage")
+    writeFile(stage, "a.csv",
+      """appt_id,Appt Provider,Appt Location,Appt Status
+        |{X},"P, Q",L,Scheduled
+        |""".stripMargin)
+    val cfg = IngestConfig.parse(configJson)
+    val spec = cfg.practices.head.ingest.head
+    import spark.implicits._
+    cat.append("LK.S.PATIENTS", Seq("zz").toDF("KNOWN_ID"))
+    new Pipeline(spark, cat).run(RunContext(), "p", spec, stage)
+    val refinedT = "REFDB.S.APPT"
+    assert(cat.read(refinedT).filter(col("IS_VALID") === 1).count() == 0)
+
+    // flag a fresh batch for run A
+    val rowA = cat.read(refinedT).limit(1)
+      .withColumn("IS_VALID", lit(1))
+      .withColumn("REFINED_PARENT_RUN_ID", lit("runA"))
+      .withColumn("APPT_ID", lit("RACE_A"))
+    cat.append(refinedT, rowA)
+
+    // a catalog that simulates a concurrent writer: the moment the
+    // curated stage pins its read snapshot, a row from ANOTHER refined
+    // run lands in the table
+    val racing = new TableCatalog(spark, root) {
+      private var injected = false
+      override def read(fq: String): org.apache.spark.sql.DataFrame = {
+        val snapshot = super.read(fq)
+        if (fq == refinedT && !injected) {
+          injected = true
+          super.append(fq, snapshot.limit(1)
+            .withColumn("IS_VALID", lit(1))
+            .withColumn("REFINED_PARENT_RUN_ID", lit("runLate"))
+            .withColumn("APPT_ID", lit("RACE_LATE")))
+        }
+        snapshot
+      }
+    }
+    val r = new CuratedStage(spark, racing).run(RunContext(), "p", spec)
+    assert(r.status == "SUCCESS")
+    // the mid-stage row survives the clear (blanket IS_VALID=1 would
+    // have zeroed it — the reference's race)
+    val still = cat.read(refinedT).filter(col("IS_VALID") === 1)
+    assert(still.select("REFINED_PARENT_RUN_ID").as[String].collect().toSeq
+      == Seq("runLate"))
+    // and the next pass consumes it normally
+    new CuratedStage(spark, racing).run(RunContext(), "p", spec)
+    assert(cat.read(refinedT).filter(col("IS_VALID") === 1).count() == 0)
+  }
+
   test("second run with no new files is a clean no-op for refined") {
     val cat = new TableCatalog(spark, tempDir("wh"))
     val stage = tempDir("stage")

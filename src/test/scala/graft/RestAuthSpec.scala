@@ -87,4 +87,78 @@ class CatalogPartitionSpec extends SparkTestBase {
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
     assert(pruned.count() == 3)
   }
+
+  test("partitioned updateWhere rewrites only touched partition dirs") {
+    val root = tempDir("part")
+    val cat = new graft.catalog.TableCatalog(spark, root)
+    val t = "d.s.pprune"
+    cat.overwritePartitioned(t,
+      Seq(("p1", 1, 1), ("p2", 2, 1), ("p3", 3, 1))
+        .toDF("practice", "id", "IS_NEW"),
+      Seq("practice"))
+    def leafFiles(v: String, part: String): Set[String] =
+      Option(new java.io.File(s"$root/d/s/pprune/$v/practice=$part").listFiles)
+        .map(_.toSeq).getOrElse(Nil)
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .map(_.getName).toSet
+    val p1Before = leafFiles("v_000000", "p1")
+    val p3Before = leafFiles("v_000000", "p3")
+    assert(p1Before.nonEmpty && p3Before.nonEmpty)
+
+    // predicate matches rows only in practice=p2
+    cat.updateWhere(t, Map("IS_NEW" -> org.apache.spark.sql.functions.lit(0)),
+      col("practice") === "p2")
+    val v1 = new java.io.File(s"$root/d/s/pprune/v_000001")
+    assert(v1.isDirectory && new java.io.File(v1, "_MANIFEST").exists)
+    // new version holds ONLY the rewritten p2 partition
+    assert(leafFiles("v_000001", "p2").nonEmpty)
+    assert(leafFiles("v_000001", "p1").isEmpty && leafFiles("v_000001", "p3").isEmpty)
+    // untouched partitions carried by manifest, original files in place
+    val manifest = scala.io.Source.fromFile(new java.io.File(v1, "_MANIFEST"))
+      .getLines().mkString("\n")
+    assert(manifest.contains("v_000000/practice=p1"))
+    assert(manifest.contains("v_000000/practice=p3"))
+    assert(!manifest.contains("practice=p2"))
+    assert(leafFiles("v_000000", "p1") == p1Before)
+    assert(leafFiles("v_000000", "p3") == p3Before)
+    val rows = cat.read(t).select("id", "IS_NEW")
+      .as[(Int, Int)].collect().toMap
+    assert(rows == Map(1 -> 1, 2 -> 0, 3 -> 1))
+    // partition pruning still reaches the scan after a pruned update
+    val plan = cat.read(t).filter($"practice" === "p1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    // no-match predicate is a no-op: no new version directory
+    cat.updateWhere(t, Map("IS_NEW" -> org.apache.spark.sql.functions.lit(9)),
+      col("id") === -1)
+    assert(!new java.io.File(s"$root/d/s/pprune/v_000002").exists)
+  }
+
+  test("partitioned merge rewrites only partitions overlapping source keys") {
+    val root = tempDir("part")
+    val cat = new graft.catalog.TableCatalog(spark, root)
+    val t = "d.s.pmerge"
+    cat.overwritePartitioned(t,
+      Seq(("p1", 1, "old"), ("p2", 2, "old"), ("p3", 3, "old"))
+        .toDF("practice", "id", "v"),
+      Seq("practice"))
+    // source touches id=2 (practice=p2) and introduces p9
+    cat.merge(t, Seq(("p2", 2, "new"), ("p9", 9, "new")).toDF("practice", "id", "v"),
+      Seq("id"))
+    val v1 = new java.io.File(s"$root/d/s/pmerge/v_000001")
+    assert(new java.io.File(v1, "_MANIFEST").exists)
+    val manifest = scala.io.Source.fromFile(new java.io.File(v1, "_MANIFEST"))
+      .getLines().mkString("\n")
+    assert(manifest.contains("v_000000/practice=p1"))
+    assert(manifest.contains("v_000000/practice=p3"))
+    assert(!manifest.contains("practice=p2"))
+    // new partition value lands in the new version dir
+    assert(new java.io.File(v1, "practice=p9").isDirectory)
+    val rows = cat.read(t).select("id", "v").as[(Int, String)].collect().toMap
+    assert(rows == Map(1 -> "old", 2 -> "new", 3 -> "old", 9 -> "new"))
+    // zero-overlap merge appends without rewriting any partition
+    cat.merge(t, Seq(("p1", 100, "new")).toDF("practice", "id", "v"), Seq("id"))
+    val rows2 = cat.read(t).select("id", "v").as[(Int, String)].collect().toMap
+    assert(rows2.size == 5 && rows2(100) == "new" && rows2(1) == "old")
+  }
 }
