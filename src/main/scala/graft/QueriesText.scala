@@ -116,8 +116,11 @@ object QueriesText {
     // ---- embedding cosine near-dup (exact quantized arithmetic) ----
     "q33_cosine_neardup" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
+      // planes/bands pinned so the DuckDB oracle replicates the exact
+      // single-band 4-plane blocking; production default (planes = 0)
+      // auto-scales band width to the corpus size
       Similarity.cosineNearDupesExact(e, "vec_id", "embedding",
-        threshold = 0.4, planes = 4)
+        threshold = 0.4, planes = 4, bands = 1)
     }),
 
     // ---- multimodal: binary payload + partition-batched stub decode ----

@@ -45,10 +45,15 @@ object Dedup {
       shingleN: Int = 2, bands: Int = 8): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(df.sparkSession)
     // a small-document table often arrives as one row group → one task;
-    // spread the md5-heavy signature work across the cluster first
-    // (shuffling the raw docs is cheap relative to hashing them)
-    val spread = df.select(col(idCol), col(textCol))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // spread the md5-heavy signature work across the cluster first.
+    // Gated on the input's partition count: a well-partitioned 100 TB
+    // corpus must NOT be shuffled just to hash it — only under-split
+    // inputs (fewer partitions than half the cluster) pay the spread.
+    val base = df.select(col(idCol), col(textCol))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (base.rdd.getNumPartitions < par / 2) base.repartition(par)
+      else base
     spread.select(col(idCol),
         posexplode(graft.functions.expressions.GraftFunctions.minhashSignature(
           array_distinct(shingles(tokens(col(textCol)), shingleN)), bands))

@@ -118,24 +118,66 @@ object Similarity {
         descaleDot(col("dot")).as("dot"))
   }
 
+  /** Band width (bits per LSH band) scaled to the corpus size: bucket
+    * count per band is 2^width, so width grows with log2(n) and the
+    * expected bucket occupancy — the Σ bucket² pair cost — stays
+    * bounded as the corpus grows. Floor 8 (tiny corpora), cap 16
+    * (4 bands × 16 fit the 64-plane signature). */
+  def autoBandWidth(n: Long): Int = {
+    val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L))
+    math.min(16, math.max(8, bitlen - 4))
+  }
+
+  /** planes per call: explicit `planes` wins (must divide into bands);
+    * `planes = 0` scales band width to the corpus via [[autoBandWidth]]
+    * (one count job — cheap, parquet row-count metadata). */
+  private def resolvePlanes(df: DataFrame, planes: Int, bands: Int): Int = {
+    require(bands >= 1 && bands <= 64, s"bands must be in [1,64], got $bands")
+    val p = if (planes > 0) planes
+      else bands * math.min(autoBandWidth(df.count()), 64 / bands)
+    require(p % bands == 0, s"planes ($p) must be a multiple of bands ($bands)")
+    require(p <= 64, s"planes must fit the 64-plane signature, got $p")
+    p
+  }
+
+  /** Banded LSH candidate pairs: the `planes`-bit sign signature splits
+    * into `bands` sub-signatures; a pair is a candidate when it shares
+    * ANY band's bucket (the MinHash-LSH composition). Only ids ride the
+    * ×bands explode — vectors join back per-candidate, so the shuffle
+    * carries the corpus once per side, not once per band. */
+  private def bandedCandidates(withSig: DataFrame, idCol: String,
+      width: Int, bands: Int): DataFrame = {
+    val keyed = withSig.select(col(idCol), posexplode(array(
+        (0 until bands).map(b => substring(col("sig"), b * width + 1, width)): _*))
+      .as(Seq("band", "bucket")))
+    val a = keyed.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = keyed.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * LSH-blocked by sign-signature over `planes` pseudo-random
     * hyperplanes (deterministic: plane p component i derives from
-    * md5-free integer mixing so both engines can reproduce it). Only
-    * vectors sharing a signature bucket are compared. */
+    * md5-free integer mixing so both engines can reproduce it), split
+    * into `bands` sub-signatures — candidates share any band bucket.
+    * `planes = 0` (default) sizes the band width to the corpus so
+    * bucket count grows with n instead of capping at 2^8. */
   def cosineNearDupes(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 8): DataFrame = {
-    val sig = signSignature(col(vecCol), planes)
+      threshold: Double, planes: Int = 0, bands: Int = 4): DataFrame = {
+    val nPlanes = resolvePlanes(df, planes, bands)
     // precompute each vector's norm once (N evaluations) so the pair
     // stage runs a single dot product per candidate instead of three
-    val withSig = df.select(col(idCol), col(vecCol), sig.as("bucket"),
+    val withSig = df.select(col(idCol), col(vecCol),
+      signSignature(col(vecCol), nPlanes).as("sig"),
       sqrt(GraftFunctions.arrayDot(col(vecCol), col(vecCol))).as("norm"))
-    val a = withSig.select(col("bucket"), col(idCol).as("id_a"),
-      col(vecCol).as("va"), col("norm").as("norm_a"))
-    val b = withSig.select(col("bucket"), col(idCol).as("id_b"),
-      col(vecCol).as("vb"), col("norm").as("norm_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+    val cand = bandedCandidates(withSig, idCol, nPlanes / bands, bands)
+    cand
+      .join(withSig.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+        col("norm").as("norm_a")), "id_a")
+      .join(withSig.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+        col("norm").as("norm_b")), "id_b")
       .withColumn("sim",
         GraftFunctions.arrayDot(col("va"), col("vb")) /
           (col("norm_a") * col("norm_b")))
@@ -149,18 +191,20 @@ object Similarity {
     * dotq / (√n2aq · √n2bq) applies only correctly-rounded IEEE ops
     * (÷, ×, √) to those exact integers — so the doubles, and the
     * threshold comparison, are bit-identical in any engine. The 1e7
-    * quantization scale cancels in the ratio. */
+    * quantization scale cancels in the ratio. Same banded blocking as
+    * [[cosineNearDupes]]. */
   def cosineNearDupesExact(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 8): DataFrame = {
-    val sig = signSignature(col(vecCol), planes)
-    val withSig = df.select(col(idCol), col(vecCol), sig.as("bucket"),
+      threshold: Double, planes: Int = 0, bands: Int = 4): DataFrame = {
+    val nPlanes = resolvePlanes(df, planes, bands)
+    val withSig = df.select(col(idCol), col(vecCol),
+      signSignature(col(vecCol), nPlanes).as("sig"),
       dotExact(col(vecCol), col(vecCol)).as("n2q"))
-    val a = withSig.select(col("bucket"), col(idCol).as("id_a"),
-      col(vecCol).as("va"), col("n2q").as("n2_a"))
-    val b = withSig.select(col("bucket"), col(idCol).as("id_b"),
-      col(vecCol).as("vb"), col("n2q").as("n2_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+    val cand = bandedCandidates(withSig, idCol, nPlanes / bands, bands)
+    cand
+      .join(withSig.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+        col("n2q").as("n2_a")), "id_a")
+      .join(withSig.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+        col("n2q").as("n2_b")), "id_b")
       .withColumn("sim",
         dotExact(col("va"), col("vb")).cast("double") /
           (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))))

@@ -87,6 +87,45 @@ class TextDedupSpec extends SparkTestBase {
     assert(fast.getAs[Long]("neighbor_id") == bf.getAs[Long]("neighbor_id"))
   }
 
+  test("banded cosine near-dup: auto width scales with corpus; collisions dedupe") {
+    // bucket count per band = 2^width grows with the corpus size
+    assert(Similarity.autoBandWidth(100) == 8)
+    assert(Similarity.autoBandWidth(1L << 14) == 11)
+    assert(Similarity.autoBandWidth(1L << 20) == 16)
+    assert(Similarity.autoBandWidth(1L << 40) == 16) // signature cap
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.2f, 0.1f, 0.9f)),
+      (1L, Array(1.0f, 0.2f, 0.1f, 0.9f)), // dup of 0
+      (2L, Array(-1.0f, 0.5f, -0.3f, 0.2f)),
+      (3L, Array(-1.0f, 0.5f, -0.3f, 0.2f)), // dup of 2
+      (4L, Array(0.0f, -1.0f, 0.8f, -0.5f))).toDF("vec_id", "embedding")
+    // identical vectors collide in EVERY band — output must still be
+    // one row per pair (candidate dedup across bands)
+    val nd = Similarity.cosineNearDupes(vecs, "vec_id", "embedding",
+      threshold = 0.999, planes = 32, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nd.toSet == Set((0L, 1L), (2L, 3L)) && nd.length == 2)
+    // auto-sized path (planes = 0) agrees, exact-arithmetic variant
+    val auto = Similarity.cosineNearDupesExact(vecs, "vec_id", "embedding",
+      threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == Set((0L, 1L), (2L, 3L)))
+  }
+
+  test("minhashBands spreads only under-partitioned inputs") {
+    val par = spark.sparkContext.defaultParallelism
+    // well-partitioned input keeps its layout (no blanket shuffle)
+    val wide = Dedup.minhashBands(docs.repartition(par), "doc_id", "text", 2, 4)
+    assert(wide.rdd.getNumPartitions == par)
+    // single-row-group input is spread across the cluster
+    val narrow = Dedup.minhashBands(docs.coalesce(1), "doc_id", "text", 2, 4)
+    assert(narrow.rdd.getNumPartitions == par)
+    // identical signatures either way
+    val a = wide.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val b = narrow.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("multimodal: binary roundtrip + partition-batched decode") {
     val d = Seq((7L, "hello world")).toDF("doc_id", "text")
     val meta = Multimodal.decodeMeta(Multimodal.attachBinary(d, "doc_id", "text"))
