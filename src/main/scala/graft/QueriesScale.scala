@@ -65,12 +65,57 @@ object QueriesScale {
         coalesce(col(t), lit(0L)).as(t)): _*)
     }),
 
-    // ---- HLL sketch: approx distinct (rows-only; sketch values are
-    //      engine-specific by nature) + exact for reference ----
+    // ---- HLL sketch: approx distinct, hard-gated. The sketch value
+    //      itself is engine-specific, so the oracle-compared columns
+    //      are the exact distinct plus a boolean asserting the HLL
+    //      estimate (rsd=0.02) landed within ±5% of it — integer-exact
+    //      arithmetic, deterministic (HLL++ is hash-based, seedless) ----
     "q45_approx_distinct" -> ((s, dir) =>
       table(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))),
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")) * 100 <=
+            col("exact_parts") * 5).as("within_5pct"))),
+
+    // ---- fact-fact sort-merge join: both sides too big to broadcast
+    //      at warehouse scale, so the plan SHUFFLE_MERGEs on the join
+    //      key (hinted — at test SF Catalyst would broadcast; at 100 TB
+    //      SMJ is the only viable strategy and AQE splits any skewed
+    //      partition at runtime). Hash-matched against the oracle; the
+    //      plan audit asserts smj >= 1. ----
+    "q83_smj_fact_join" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      li.hint("merge").join(o.hint("merge"), "l_orderkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(14, 2))).cast("double")
+            .as("sum_qty"))
+    }),
+
+    // ---- streaming RAW→REFINED parity: the checkpointed file-source
+    //      stream (the flag-machine replacement, §2.9) applies the
+    //      refined transform chain exactly as batch does — oracle-
+    //      hash-matched against plain SQL over the same input ----
+    "q84_stream_refined" -> ((s, dir) => {
+      import graft.config.{RegexReplaceSpec, RegexRule, StripSpec, TargetSpec}
+      val out = java.nio.file.Files.createTempDirectory("graft_q84_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q84_ckpt").toString
+      val schema = s.read.parquet(s"$dir/customer.parquet").schema
+      val target = TargetSpec(None, "append", None,
+        regexReplace = Seq(RegexReplaceSpec("c_mktsegment",
+          Seq(RegexRule(None, "BUILDING", "CONSTRUCTION")))),
+        reformat = Nil,
+        columnStrip = Seq(StripSpec("c_name", "#")),
+        curatedTable = None, curatedMapping = Nil, curatedLookup = None,
+        sourceFilter = Nil, sync = None)
+      graft.streaming.IncrementalRefined.drainOnce(s, dir, out, ckpt, target,
+        schema, "stream_run", pathGlobFilter = Some("customer.parquet"))
+      s.read.parquet(out)
+    }),
 
     // ---- CUBE multi-dimensional aggregation ----
     "q49_cube" -> ((s, dir) =>
@@ -127,6 +172,33 @@ object QueriesScale {
 
 object OraclesScale {
   val all: Map[String, String] = Map(
+    // the HLL estimate is engine-specific; the gate asserts the exact
+    // distinct AND that Spark's estimate stayed within the documented
+    // ±5% band (rsd=0.02 → 2σ ≈ 4%) — a drifting sketch flips the
+    // boolean and fails the hash match
+    "q45_approx_distinct" ->
+      """SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_5pct
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q83_smj_fact_join" ->
+      """SELECT o.o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         GROUP BY 1""",
+
+    "q84_stream_refined" ->
+      """SELECT c_custkey AS C_CUSTKEY,
+           regexp_replace(c_name, '[#]', '', 'g') AS C_NAME,
+           c_nationkey AS C_NATIONKEY,
+           c_acctbal AS C_ACCTBAL,
+           regexp_replace(c_mktsegment, 'BUILDING', 'CONSTRUCTION', 'g')
+             AS C_MKTSEGMENT,
+           CAST(1 AS INTEGER) AS IS_VALID,
+           'stream_run' AS REFINED_PARENT_RUN_ID
+         FROM customer""",
+
     "q40_salted_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority
          FROM (SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity >= 40) l

@@ -526,6 +526,15 @@ class TableCatalog(spark: SparkSession, root: String) {
       clustered.write.mode(SaveMode.Overwrite).parquet(dir.toString))
   }
 
+  /** Glob over every version directory of an UNPARTITIONED append-only
+    * table — the streamable view of its data files. O(delta) appends
+    * mean each version dir holds only its own new files, so a
+    * file-source stream over `v_*` sees every row exactly once (the
+    * checkpoint dedupes across restarts). Only valid while the table is
+    * maintained append-only: an update/merge rewrite would re-emit
+    * rewritten rows into the stream. */
+  def versionGlob(fq: String): String = new Path(tableDir(fq), "v_*").toString
+
   /** Append a single metadata/log row (log-table writer W7). */
   def appendRow(fq: String, row: DataFrame): Unit = append(fq, row)
 

@@ -59,9 +59,13 @@ final class RawStage(spark: SparkSession, catalog: TableCatalog,
       markNew = spec.target.refinedTable.isDefined,
       fileName = element_at(split(input_file_name(), "/"), -1))
 
-    if (spec.target.loadMode == "overwrite") catalog.overwrite(rawTable, withMeta)
-    else catalog.append(rawTable, withMeta)
-    val n = catalog.read(rawTable).filter(col("PARENT_RUN_ID") === ctx.parentRunId).count()
+    // write-side observed metric replaces the read-back verification
+    // count: same number, zero extra jobs (the write action reports it)
+    val obs = org.apache.spark.sql.Observation()
+    if (spec.target.loadMode == "overwrite")
+      catalog.overwrite(rawTable, withMeta.observe(obs, count(lit(1)).as("n")))
+    else catalog.append(rawTable, withMeta.observe(obs, count(lit(1)).as("n")))
+    val n = obs.get("n").asInstanceOf[Long]
     log.foreach(_.log(ctx, practice, spec.fileType, "RAW_LOAD", "SUCCESS", n))
     StageResult("SUCCESS", n, s"${files.length} files")
   }
@@ -81,9 +85,11 @@ final class RawStage(spark: SparkSession, catalog: TableCatalog,
     }
     val withMeta = RefinedOps.withRawMetadata(df, ctx.parentRunId,
       markNew = spec.target.refinedTable.isDefined, fileName = lit("query_source"))
-    if (spec.target.loadMode == "overwrite") catalog.overwrite(rawTable, withMeta)
-    else catalog.append(rawTable, withMeta)
-    val n = catalog.read(rawTable).filter(col("PARENT_RUN_ID") === ctx.parentRunId).count()
+    val obs = org.apache.spark.sql.Observation()
+    if (spec.target.loadMode == "overwrite")
+      catalog.overwrite(rawTable, withMeta.observe(obs, count(lit(1)).as("n")))
+    else catalog.append(rawTable, withMeta.observe(obs, count(lit(1)).as("n")))
+    val n = obs.get("n").asInstanceOf[Long]
     log.foreach(_.log(ctx, practice, spec.fileType, "RAW_QUERY", "SUCCESS", n))
     StageResult("SUCCESS", n)
   }
@@ -123,6 +129,33 @@ final class RefinedStage(spark: SparkSession, catalog: TableCatalog,
     catalog.updateWhere(rawTable, Map("IS_NEW" -> lit(0)),
       col("IS_NEW") === 1 && col("PARENT_RUN_ID").isin(runIds: _*))
     log.foreach(_.log(ctx, practice, spec.fileType, "REFINED_LOAD", "SUCCESS", n))
+    StageResult("SUCCESS", n)
+  }
+}
+
+/** Streaming-native REFINED stage (opt-in alternative to the
+  * flag-machine [[RefinedStage]]): a checkpointed file-source stream
+  * over the RAW catalog table's append-only version dirs, so each RAW
+  * file is consumed exactly once with ZERO table rewrites — at 100 TB
+  * the IS_NEW clear (a copy-on-write rewrite per run) disappears
+  * entirely; the stream checkpoint tracks progress instead. Requires
+  * the RAW table to stay append-only (which this mode guarantees, as
+  * it never clears flags). Output accumulates in `refinedDir` as an
+  * append-only refined store. */
+final class StreamingRefinedStage(spark: SparkSession, catalog: TableCatalog,
+    log: Option[IngestLog] = None) {
+
+  def run(ctx: RunContext, practice: String, spec: IngestSpec,
+      refinedDir: String, checkpointDir: String): StageResult = {
+    val rawTable = spec.target.rawTable.getOrElse(
+      throw new IllegalArgumentException("no raw table configured"))
+    val schema = catalog.read(rawTable).schema
+    graft.streaming.IncrementalRefined.drainOnce(spark,
+      catalog.versionGlob(rawTable), refinedDir, checkpointDir,
+      spec.target, schema, ctx.parentRunId)
+    val n = spark.read.parquet(refinedDir)
+      .filter(col("REFINED_PARENT_RUN_ID") === ctx.parentRunId).count()
+    log.foreach(_.log(ctx, practice, spec.fileType, "REFINED_STREAM", "SUCCESS", n))
     StageResult("SUCCESS", n)
   }
 }
@@ -230,14 +263,44 @@ final class PrecheckStage(spark: SparkSession, log: Option[IngestLog] = None) {
   import graft.precheck.{CheckResult, Precheck}
   import graft.sources.ArchiveMover
 
+  /** First `n` lines straight from the store (decompressing by codec,
+    * so .gz drops behave like the text scan) — a 7-line read does not
+    * warrant a Spark job per file. */
+  private def readHead(file: String, n: Int): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    val raw = fs.open(p)
+    try {
+      val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+        .getCodec(p)
+      val in: java.io.InputStream =
+        if (codec != null) codec.createInputStream(raw) else raw
+      val br = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+      Iterator.continually(br.readLine()).takeWhile(_ != null).take(n).toList
+    } finally raw.close()
+  }
+
   def run(ctx: RunContext, practice: String, spec: IngestSpec, stageDir: String,
       errorDir: Option[String]): (Boolean, Map[String, Seq[CheckResult]]) = {
     val pc = spec.precheck.getOrElse(return (true, Map.empty))
     val delimiter = spec.source.delimiter.headOption.getOrElse(',')
     val files = CsvStageReader.listFiles(spark, stageDir, spec.source.filePattern)
+    if (files.isEmpty) return (true, Map.empty)
+    // ONE Spark job for every file's line count (the old shape ran two
+    // sequential jobs PER FILE — 2 000 jobs for a thousand-file drop);
+    // the 7-line heads are direct store reads, no job at all
+    val totals = spark.read.textFile(files.map(_.path): _*)
+      .groupBy(input_file_name().as("f")).count()
+      .collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath
+        -> r.getLong(1)).toMap
+    val heads = graft.util.Concurrent.forEach(files, 16)(
+      f => f.path -> readHead(f.path, 7)).toMap
     val results = files.map { f =>
-      val lines = spark.read.textFile(f.path).limit(7).collect().toSeq
-      val total = spark.read.textFile(f.path).count()
+      val lines = heads(f.path)
+      val total = totals.getOrElse(
+        new org.apache.hadoop.fs.Path(f.path).toUri.getPath, 0L)
       val checks = Precheck.checkFile(f.name, f.size, lines, total, delimiter, pc)
       checks.foreach { c =>
         log.foreach(_.log(ctx, practice, spec.fileType, s"PRECHECK:${c.checkName}",
@@ -255,12 +318,19 @@ final class PrecheckStage(spark: SparkSession, log: Option[IngestLog] = None) {
   }
 }
 
+/** Opt-in streaming-refined configuration for [[Pipeline]]: where the
+  * streamed refined rows and the stream checkpoint live. */
+final case class StreamingRefinedDirs(refinedDir: String, checkpointDir: String)
+
 /** Full medallion pipeline: precheck gate → RAW → REFINED → CURATED,
   * stage chaining as plain function calls (the reference's stored-proc
   * CALL chain, SURVEY §3.1). On success, staged files move to the
-  * archive dir (W9). */
+  * archive dir (W9). With `streamingRefined` set, the REFINED stage
+  * runs as a checkpointed stream ([[StreamingRefinedStage]]) instead of
+  * the flag machine — RAW stays append-only, no rewrite per run. */
 final class Pipeline(spark: SparkSession, catalog: TableCatalog,
-    log: Option[IngestLog] = None, crmSink: CrmSink = DryRunCrmSink) {
+    log: Option[IngestLog] = None, crmSink: CrmSink = DryRunCrmSink,
+    streamingRefined: Option[StreamingRefinedDirs] = None) {
 
   def run(ctx: RunContext, practice: String, spec: IngestSpec,
       stageDir: String, errorDir: Option[String] = None,
@@ -277,16 +347,27 @@ final class Pipeline(spark: SparkSession, catalog: TableCatalog,
     val raw = new RawStage(spark, catalog, log).run(ctx, practice, spec, stageDir)
     results += ("RAW" -> raw)
     if (raw.status == "SUCCESS") archiveDir.foreach { ad =>
-      CsvStageReader.listFiles(spark, stageDir, spec.source.filePattern)
-        .foreach(f => graft.sources.ArchiveMover.moveToArchive(spark, f.path, ad))
+      graft.sources.ArchiveMover.moveAllToArchive(spark,
+        CsvStageReader.listFiles(spark, stageDir, spec.source.filePattern)
+          .map(_.path), ad)
       ctx.notifier.notify("archived", Map("practice" -> practice))
     }
     if (raw.status == "SUCCESS" && spec.target.refinedTable.isDefined) {
-      val refined = new RefinedStage(spark, catalog, log).run(ctx, practice, spec)
-      results += ("REFINED" -> refined)
-      if (refined.status == "SUCCESS" && spec.target.curatedTable.isDefined) {
-        results += ("CURATED" ->
-          new CuratedStage(spark, catalog, log, crmSink).run(ctx, practice, spec))
+      streamingRefined match {
+        case Some(dirs) =>
+          // streaming mode replaces the flag machine; the refined store
+          // is the stream's append-only output dir (no curated chaining
+          // here — downstream consumes the stream output)
+          results += ("REFINED_STREAM" -> new StreamingRefinedStage(spark,
+            catalog, log).run(ctx, practice, spec,
+            dirs.refinedDir, dirs.checkpointDir))
+        case None =>
+          val refined = new RefinedStage(spark, catalog, log).run(ctx, practice, spec)
+          results += ("REFINED" -> refined)
+          if (refined.status == "SUCCESS" && spec.target.curatedTable.isDefined) {
+            results += ("CURATED" ->
+              new CuratedStage(spark, catalog, log, crmSink).run(ctx, practice, spec))
+          }
       }
     }
     results.toSeq

@@ -36,6 +36,47 @@ object DryRunCrmSink extends CrmSink {
   def deliver(batch: Seq[CrmOp]): Seq[Int] = batch.map(_ => 204)
 }
 
+/** Paged read of an existing CRM entity set — the `$select` +
+  * `odata.maxpagesize` + `@odata.nextLink` loop the reference drives
+  * before syncing, to decide update-vs-create per row
+  * (REFINED_SNOWFLAKE_TO_CURATED_SNOWFLAKE.py:1709-1754). Pluggable
+  * boundary like [[CrmSink]]: the engine never talks HTTP itself. */
+trait CrmFetcher {
+  /** One page of `select`-projected rows plus the continuation link
+    * (None = last page). `link` is None on the first call. */
+  def fetchPage(entity: String, select: Seq[String],
+      link: Option[String]): (Seq[Map[String, String]], Option[String])
+}
+
+object CrmFetch {
+  /** Drain the paged entity set into a DataFrame with columns
+    * `select` (all strings, missing fields null). Pages accumulate on
+    * the driver — the same shape as the reference's pandas frame; the
+    * result immediately becomes a relational snapshot for the probe
+    * join, so a large existing set is handled by Spark from here on. */
+  def fetchExisting(spark: org.apache.spark.sql.SparkSession, fetcher: CrmFetcher,
+      entity: String, select: Seq[String], maxPages: Int = 100000): DataFrame = {
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
+    var link: Option[String] = None
+    var pages = 0
+    var more = true
+    while (more && pages < maxPages) {
+      val (page, next) = fetcher.fetchPage(entity, select, link)
+      rows ++= page
+      link = next
+      pages += 1
+      more = next.isDefined
+    }
+    val schema = org.apache.spark.sql.types.StructType(select.map(c =>
+      org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.StringType)))
+    val data = rows.toSeq.map(m =>
+      org.apache.spark.sql.Row(select.map(c => m.getOrElse(c, null)): _*))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, math.max(1, data.size / 5000)), schema)
+  }
+}
+
 object CrmBatch {
   /** Render a Dataverse-style multipart $batch request body (pure
     * function — unit-testable without any network).
@@ -84,6 +125,41 @@ object CrmBatch {
     case '\t' => "\\t"
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
+  }
+
+  /** Delivery with an existing-entity probe: left-join the payload
+    * against the fetched snapshot on `keyColumn`; rows whose key
+    * pre-exists PATCH by the snapshot GUID, the rest POST — the
+    * reference's per-row `if key in existing` decision
+    * (REFINED_SNOWFLAKE_TO_CURATED_SNOWFLAKE.py:917-977) re-expressed
+    * as one relational join (broadcast for a small snapshot, shuffle
+    * join at scale — Catalyst picks). Returns (delivered, failed). */
+  def deliverWithProbe(payload: DataFrame, entity: String, keyColumn: String,
+      existing: DataFrame, idColumn: String, batchSize: Int,
+      sink: CrmSink): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val snapshot = existing.select(
+      col(keyColumn), col(idColumn).as("__crm_id")).distinct()
+    val probed = payload.join(snapshot, Seq(keyColumn), "left")
+    val fieldCols = payload.columns
+    val idIdx = probed.columns.indexOf("__crm_id")
+    val counts = probed.rdd.mapPartitions { rows =>
+      var ok = 0L; var bad = 0L
+      rows.grouped(batchSize).foreach { group =>
+        val ops = group.map { r =>
+          val fields = fieldCols.map(c =>
+            c -> (if (r.isNullAt(r.fieldIndex(c))) null
+                  else r.get(r.fieldIndex(c)).toString)).toMap
+          val guid = if (r.isNullAt(idIdx)) None else Some(r.get(idIdx).toString)
+          CrmOp(if (guid.isDefined) "PATCH" else "POST", entity, guid, fields)
+        }
+        val statuses = sink.deliver(ops.toSeq)
+        ok += statuses.count(s => s >= 200 && s < 300)
+        bad += statuses.count(s => s < 200 || s >= 300)
+      }
+      Iterator((ok, bad))
+    }.collect()
+    (counts.map(_._1).sum, counts.map(_._2).sum)
   }
 
   /** Partition-parallel batched delivery: rows never collect to the

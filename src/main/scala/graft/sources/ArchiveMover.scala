@@ -21,6 +21,16 @@ object ArchiveMover {
   def moveToArchive(spark: SparkSession, file: String, archiveDir: String): String =
     move(spark, file, archiveDir, identity)
 
+  /** Concurrent batch move — ADF's `batchCount: 10` copy fan-out
+    * (ADF/pipeline/archive_inbound_files.json:15-16). Sequential moves
+    * are fine for a handful of files; a thousands-of-files drop wants
+    * bounded parallelism. Hadoop FileSystem instances are cached and
+    * thread-safe for these metadata ops. */
+  def moveAllToArchive(spark: SparkSession, files: Seq[String],
+      archiveDir: String, batchCount: Int = 10): Seq[String] =
+    graft.util.Concurrent.forEach(files, batchCount)(
+      moveToArchive(spark, _, archiveDir))
+
   def moveToError(spark: SparkSession, file: String, errorDir: String,
       runId: String): String =
     move(spark, file, errorDir, errorName(_, runId))

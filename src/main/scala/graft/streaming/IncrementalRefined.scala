@@ -19,12 +19,17 @@ import graft.operators.RefinedOps
 object IncrementalRefined {
 
   /** Start the continuous RAW→REFINED stream. RAW is an append-only
-    * directory of parquet files; REFINED accumulates transformed
-    * appends. Exactly-once is the checkpoint's responsibility. */
+    * directory of parquet files (`rawDir` may be a glob, e.g. a
+    * catalog table's `v_*` version dirs); REFINED accumulates
+    * transformed appends. Exactly-once is the checkpoint's
+    * responsibility. `pathGlobFilter` restricts to matching file names
+    * within the dir. */
   def start(spark: SparkSession, rawDir: String, refinedDir: String,
       checkpointDir: String, target: TargetSpec, rawSchema: StructType,
-      runId: String): StreamingQuery = {
-    val raw = spark.readStream.schema(rawSchema).parquet(rawDir)
+      runId: String, pathGlobFilter: Option[String] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(rawSchema)
+    val withGlob = pathGlobFilter.fold(reader)(g => reader.option("pathGlobFilter", g))
+    val raw = withGlob.parquet(rawDir)
     val refined = RefinedOps.withRefinedMetadata(
       RefinedOps.refinedTransform(raw, target), runId)
     refined.writeStream
@@ -40,8 +45,9 @@ object IncrementalRefined {
     * processes only files not yet recorded in the checkpoint. */
   def drainOnce(spark: SparkSession, rawDir: String, refinedDir: String,
       checkpointDir: String, target: TargetSpec, rawSchema: StructType,
-      runId: String): Unit = {
-    val q = start(spark, rawDir, refinedDir, checkpointDir, target, rawSchema, runId)
+      runId: String, pathGlobFilter: Option[String] = None): Unit = {
+    val q = start(spark, rawDir, refinedDir, checkpointDir, target, rawSchema,
+      runId, pathGlobFilter)
     try q.awaitTermination() finally if (q.isActive) q.stop()
   }
 }

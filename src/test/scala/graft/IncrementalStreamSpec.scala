@@ -45,4 +45,45 @@ class IncrementalStreamSpec extends SparkTestBase {
     IncrementalRefined.drainOnce(spark, rawDir, refinedDir, ckpt, target, schema, "r3")
     assert(spark.read.parquet(refinedDir).count() == 3)
   }
+
+  test("pipeline streaming-refined stage replaces the flag machine") {
+    import graft.catalog.TableCatalog
+    import graft.plans.{Pipeline, RunContext, StreamingRefinedDirs}
+    val cat = new TableCatalog(spark, tempDir("wh"))
+    val stage = tempDir("stage")
+    val dirs = StreamingRefinedDirs(tempDir("sref"), tempDir("sckpt"))
+    def drop(name: String, rows: String): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(stage, name),
+        s"id,status\n$rows".getBytes("UTF-8"))
+    val cfg =
+      """{"Practices": [{"practice_name": "p", "ingest": [{
+           "file_type": "T", "source_type": "file",
+           "source": {"file_pattern": ".*\\.csv$", "delimiter": ","},
+           "snowflake": {"database": "R", "schema": "S", "table": "T",
+             "load_mode": "append",
+             "refined_database": "RF", "refined_schema": "S", "refined_table": "T",
+             "column_regex_replace": [{"column": "status", "rules": [
+               {"search": "ok", "replace": "GOOD"}]}]}}]}]}"""
+    val spec = IngestConfig.parse(cfg).practices.head.ingest.head
+
+    val arc = tempDir("arc")
+    drop("a.csv", "1,ok\n2,bad\n")
+    val p = new Pipeline(spark, cat, streamingRefined = Some(dirs))
+    val r1 = p.run(RunContext(), "p", spec, stage, None, Some(arc))
+    assert(r1.map(_._1) == Seq("RAW", "REFINED_STREAM"))
+    assert(r1.forall(_._2.status == "SUCCESS"))
+    val refined1 = spark.read.parquet(dirs.refinedDir)
+    assert(refined1.count() == 2)
+    assert(refined1.filter(col("STATUS") === "GOOD").count() == 1)
+    // no flag rewrite happened: RAW rows keep IS_NEW=1, version stays 0
+    assert(cat.read("R.S.T").filter(col("IS_NEW") === 1).count() == 2)
+    assert(cat.version("R.S.T").contains(0))
+
+    // second drop streams only the delta (checkpointed exactly-once)
+    drop("b.csv", "3,ok\n")
+    val r2 = p.run(RunContext(), "p", spec, stage, None, Some(arc))
+    assert(r2.map(_._1) == Seq("RAW", "REFINED_STREAM"))
+    assert(r2.last._2.rowCount == 1)
+    assert(spark.read.parquet(dirs.refinedDir).count() == 3)
+  }
 }

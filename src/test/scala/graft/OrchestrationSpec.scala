@@ -128,6 +128,55 @@ class OrchestrationSpec extends SparkTestBase {
     assert(!Files.exists(Paths.get(stage, "good.csv")))
   }
 
+  test("parallel archive mover relocates a many-file drop") {
+    val stage = tempDir("stage")
+    val arcDir = tempDir("arc")
+    val files = (0 until 25).map { i =>
+      val name = f"drop_$i%02d.csv"
+      writeFile(stage, name, s"id\n$i\n")
+      s"$stage/$name"
+    }
+    val moved = graft.sources.ArchiveMover.moveAllToArchive(
+      spark, files, arcDir, batchCount = 10)
+    assert(moved.length == 25)
+    val landed = new java.io.File(arcDir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet
+    assert(landed == (0 until 25).map(i => f"drop_$i%02d.csv").toSet)
+    assert(new java.io.File(stage).listFiles()
+      .filterNot(_.getName.startsWith(".")).isEmpty)
+  }
+
+  test("crm probe: paged existing fetch drives PATCH-by-guid vs POST") {
+    // two-page nextLink chain, reference's $select/paging shape
+    val fetcher = new CrmFetcher {
+      def fetchPage(entity: String, select: Seq[String], link: Option[String])
+          : (Seq[Map[String, String]], Option[String]) = link match {
+        case None =>
+          (Seq(Map("appt_key" -> "K1", "crmid" -> "guid-1")), Some("page2"))
+        case Some("page2") =>
+          (Seq(Map("appt_key" -> "K2", "crmid" -> "guid-2")), None)
+        case other => fail(s"unexpected link $other")
+      }
+    }
+    val existing = CrmFetch.fetchExisting(spark, fetcher, "appointments",
+      Seq("appt_key", "crmid"))
+    assert(existing.count() == 2)
+
+    val payload = Seq(("K1", "rowA"), ("K3", "rowB"), ("K2", "rowC"))
+      .toDF("appt_key", "field1")
+    val sink = new RecordingCrmSinkForTest
+    val (ok, bad) = CrmBatch.deliverWithProbe(payload, "appointments",
+      "appt_key", existing, "crmid", batchSize = 10, sink)
+    assert(ok == 3 && bad == 0)
+    val ops = sink.batches.flatten
+    val byKey = ops.map(o => o.fields("appt_key") -> o).toMap
+    assert(byKey("K1").method == "PATCH" && byKey("K1").key.contains("guid-1"))
+    assert(byKey("K2").method == "PATCH" && byKey("K2").key.contains("guid-2"))
+    assert(byKey("K3").method == "POST" && byKey("K3").key.isEmpty)
+    // payload fields ride along unchanged; the probe id never leaks in
+    assert(ops.forall(o => o.fields.keySet == Set("appt_key", "field1")))
+  }
+
   test("query-source ingest branch materializes SQL over views") {
     val cat = new TableCatalog(spark, tempDir("wh"))
     Seq((1, "e1"), (1, "e1"), (2, "e2")).toDF("pid", "encounterid")
