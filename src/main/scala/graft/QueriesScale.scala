@@ -117,6 +117,17 @@ object QueriesScale {
       s.read.parquet(out)
     }),
 
+    // ---- deterministic train/val/test split (multiplicative hash) ----
+    "q85_hash_split" -> ((s, dir) =>
+      graft.operators.Corpus.hashSplit(
+        table(s, dir, "documents").select("doc_id"), "doc_id")),
+
+    // ---- concat-and-chunk sequence packing into 512-token bins ----
+    "q86_pack_sequences" -> ((s, dir) =>
+      graft.operators.Corpus.packSequences(
+        table(s, dir, "documents"), Seq("lang"), "doc_id", "text",
+        budget = 512)),
+
     // ---- CUBE multi-dimensional aggregation ----
     "q49_cube" -> ((s, dir) =>
       table(s, dir, "lineitem")
@@ -198,6 +209,28 @@ object OraclesScale {
            CAST(1 AS INTEGER) AS IS_VALID,
            'stream_run' AS REFINED_PARENT_RUN_ID
          FROM customer""",
+
+    "q85_hash_split" ->
+      """SELECT doc_id,
+           CAST((doc_id * 2654435761) % 4294967296 % 100 AS INTEGER) AS bucket,
+           CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+                WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents""",
+
+    "q86_pack_sequences" ->
+      """WITH t AS (SELECT lang, doc_id,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT lang, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tokens_before
+           FROM t)
+         SELECT lang, doc_id, n_tokens, tokens_before,
+           CAST(FLOOR(tokens_before / 512) AS BIGINT) AS bin
+         FROM c""",
 
     "q40_salted_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority

@@ -173,6 +173,43 @@ object Corpus {
         .cast("long").as("n_num"))
   }
 
+  /** Deterministic train/val/test split by a Knuth multiplicative hash
+    * of the id: bucket = (id · 2654435761) mod 2³² mod 100 against
+    * cumulative percentage thresholds. No RNG, reproducible across
+    * engines and runs, and stable under corpus growth (a doc's split
+    * never changes when other docs arrive — unlike randomSplit, whose
+    * assignment depends on partitioning). Scan-local: zero shuffles. */
+  def hashSplit(df: DataFrame, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"invalid split percentages: $trainPct/$valPct")
+    val bucket = (col(idCol).cast("long") * lit(2654435761L)) % lit(4294967296L) % 100
+    df.withColumn("bucket", bucket.cast("int"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+  }
+
+  /** Concat-and-chunk sequence packing: documents concatenate in
+    * deterministic `idCol` order within each group, and a doc's bin is
+    * floor(tokens-before-it / budget) — the standard pretraining
+    * packing layout (documents stream into fixed-size context windows;
+    * a doc may straddle two bins). One window shuffle per group key;
+    * only token COUNTS flow through the window, never the text. */
+  def packSequences(df: DataFrame, groupCols: Seq[String], idCol: String,
+      textCol: String, budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(idCol))
+    df.select(groupCols.map(col) :+ col(idCol) :+
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"): _*)
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", floor(col("tokens_before") / budget).cast("long"))
+  }
+
   /** Corpus vocabulary: top `k` lowercase tokens by frequency with a
     * deterministic (count desc, token asc) order. groupBy gets
     * map-side partial aggregation for free, so the shuffle carries the

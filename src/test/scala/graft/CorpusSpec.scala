@@ -88,6 +88,36 @@ class CorpusSpec extends SparkTestBase {
     assert(top.sortBy(_._3).sameElements(Array(("a", 3L, 1), ("b", 3L, 2))))
   }
 
+  test("hash split: deterministic, growth-stable, roughly proportioned") {
+    val full = Corpus.hashSplit((1L to 1000L).toDF("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // stable under corpus growth: a doc's split is a pure function of id
+    val subset = Corpus.hashSplit((1L to 100L).toDF("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(subset.forall { case (id, sp) => full(id) == sp })
+    // proportions near 80/10/10 (hash is uniform-ish)
+    val train = full.values.count(_ == "train")
+    val valN = full.values.count(_ == "val")
+    assert(train > 700 && train < 880, s"train=$train")
+    assert(valN > 50 && valN < 160, s"val=$valN")
+  }
+
+  test("packSequences: bins follow the running token budget per group") {
+    val docs = Seq(
+      ("en", 1L, Seq.fill(300)("w").mkString(" ")), // 300 tokens
+      ("en", 2L, Seq.fill(300)("w").mkString(" ")),
+      ("en", 3L, Seq.fill(100)("w").mkString(" ")),
+      ("fr", 9L, Seq.fill(600)("w").mkString(" "))
+    ).toDF("lang", "doc_id", "text")
+    val packed = Corpus.packSequences(docs, Seq("lang"), "doc_id", "text", 512)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(packed(("en", 1L)) == ((300L, 0L, 0L)))   // starts bin 0
+    assert(packed(("en", 2L)) == ((300L, 300L, 0L))) // straddles into bin 1
+    assert(packed(("en", 3L)) == ((100L, 600L, 1L))) // starts in bin 1
+    assert(packed(("fr", 9L)) == ((600L, 0L, 0L)))   // groups are independent
+  }
+
   test("interval join matches the naive theta join") {
     val iv = Seq(
       (10L, "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
