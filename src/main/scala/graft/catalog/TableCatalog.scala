@@ -245,11 +245,17 @@ class TableCatalog(spark: SparkSession, root: String) {
       (if (next > 0 && fs.exists(versionDir(fq, next - 1)))
         dataFiles(fq, next - 1) else Nil))
       .map(p => fs.makeQualified(p).toString).toSet
-    (0 until next - 1).foreach { v =>
-      val old = fs.makeQualified(versionDir(fq, v)).toString
-      val referenced = live.exists(lp => lp == old || lp.startsWith(old + "/"))
-      if (fs.exists(new Path(old)) && !referenced) fs.delete(new Path(old), true)
-    }
+    // one listing of the table dir (not an existence probe per historic
+    // version number — O(live dirs) however long the commit history)
+    fs.listStatus(tableDir(fq)).filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => p.getName.matches("v_\\d{6}") &&
+        p.getName.stripPrefix("v_").toInt < next - 1)
+      .foreach { p =>
+        val old = fs.makeQualified(p).toString
+        val referenced = live.exists(lp => lp == old || lp.startsWith(old + "/"))
+        if (!referenced) fs.delete(p, true)
+      }
   }
 
   /** Append (creating the table if absent — save_as_table semantics).
@@ -488,30 +494,47 @@ class TableCatalog(spark: SparkSession, root: String) {
     * interleaved) code of the columns, so each output file covers a
     * small hyper-rectangle of the key space — parquet footer min/max
     * then prune multi-dimensionally, the data-skipping layout Delta's
-    * OPTIMIZE ZORDER BY provides. Columns scale to 16-bit equal-width
-    * buckets from global min/max (one stats pass); rank-based
-    * bucketing can substitute when distributions are heavily skewed. */
+    * OPTIMIZE ZORDER BY provides. Default bucketing: 16-bit equal-width
+    * from global min/max (one stats pass). `rankBased = true` buckets
+    * by approximate quantiles instead (one approxQuantile pass, 256
+    * buckets per column) — the right mode for heavy-skew / outlier
+    * distributions, where equal-width would collapse most rows into
+    * one bucket and defeat both the range partitioning and the
+    * data skipping. */
   def compactZOrder(fq: String, zorderCols: Seq[String],
-      targetFileBytes: Long = 128L << 20): Unit = {
+      targetFileBytes: Long = 128L << 20, rankBased: Boolean = false): Unit = {
     require(zorderCols.nonEmpty, "zorder columns required")
     require(currentVersion(fq).forall(v => partitionColsOf(fq, v).isEmpty),
       "compactZOrder requires an unpartitioned table (z-cluster within " +
         "partitions by compacting each partition's table separately)")
     val df = read(fq)
-    val statsRow = df.agg(
-      lit(1).as("__one"),
-      zorderCols.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"__min_$c"),
-        max(col(c).cast("double")).as(s"__max_$c"))): _*).head()
-    val bits = 16
-    val maxVal = (1 << bits) - 1
-    val scaled = zorderCols.zipWithIndex.map { case (c, i) =>
-      val lo = statsRow.getDouble(1 + 2 * i)
-      val hi = statsRow.getDouble(2 + 2 * i)
-      if (hi == lo) lit(0L)
-      else least(lit(maxVal.toLong), greatest(lit(0L),
-        floor((col(c).cast("double") - lo) / (hi - lo) * maxVal).cast("long")))
-    }
+    val (bits, scaled): (Int, Seq[Column]) =
+      if (rankBased) {
+        val probs = (1 until 256).map(_ / 256.0).toArray
+        // one distributed pass for every column's 255 cut points
+        val bounds = df.stat.approxQuantile(zorderCols.toArray, probs, 0.001)
+        (8, zorderCols.zipWithIndex.map { case (c, i) =>
+          // bucket = #boundaries ≤ x: an O(256) codegen'd scan per row,
+          // monotone even with repeated cut points
+          val arr = array(bounds(i).map(lit): _*)
+          aggregate(arr, lit(0L), (acc, b) =>
+            acc + when(col(c).cast("double") >= b, lit(1L)).otherwise(lit(0L)))
+        })
+      } else {
+        val statsRow = df.agg(
+          lit(1).as("__one"),
+          zorderCols.flatMap(c => Seq(
+            min(col(c).cast("double")).as(s"__min_$c"),
+            max(col(c).cast("double")).as(s"__max_$c"))): _*).head()
+        val maxVal = (1 << 16) - 1
+        (16, zorderCols.zipWithIndex.map { case (c, i) =>
+          val lo = statsRow.getDouble(1 + 2 * i)
+          val hi = statsRow.getDouble(2 + 2 * i)
+          if (hi == lo) lit(0L)
+          else least(lit(maxVal.toLong), greatest(lit(0L),
+            floor((col(c).cast("double") - lo) / (hi - lo) * maxVal).cast("long")))
+        })
+      }
     val n = scaled.size
     val morton = (0 until bits).flatMap(b => scaled.zipWithIndex.map {
       case (s, i) => shiftleft(shiftright(s, b).bitwiseAND(lit(1L)), b * n + i)

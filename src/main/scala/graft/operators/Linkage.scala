@@ -28,12 +28,26 @@ object Linkage {
     * then rebuilds via two equi-joins on (block, value), which Catalyst
     * broadcasts/shuffles like any join. A length-band filter rejects
     * candidate value pairs before the kernel (|len a − len b| > k ⇒
-    * dist > k). */
+    * dist > k).
+    *
+    * `maxBlockDistinct` caps the per-block distinct-value count: blocks
+    * above the cap are excluded from matching entirely (quadratic cost
+    * bound — one runaway block, e.g. a catch-all "UNKNOWN" zip, would
+    * otherwise dominate the whole job). Documented recall trade; pick
+    * blocking keys so real blocks stay under it. */
   def fuzzySelfJoin(df: DataFrame, idCol: String, textCol: String,
-      blockCols: Seq[String], maxDist: Int): DataFrame = {
+      blockCols: Seq[String], maxDist: Int,
+      maxBlockDistinct: Int = Int.MaxValue): DataFrame = {
     val bc = blockCols.map(col)
-    val names = df.select(bc :+ col(textCol).as("t_a"): _*).distinct()
-    val namesB = df.select(bc :+ col(textCol).as("t_b"): _*).distinct()
+    val allNames = df.select(bc :+ col(textCol).as("t_a"): _*).distinct()
+    val names =
+      if (maxBlockDistinct == Int.MaxValue) allNames
+      else {
+        val small = allNames.groupBy(bc: _*).agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= maxBlockDistinct).drop("__bsz")
+        allNames.join(small, blockCols, "left_semi")
+      }
+    val namesB = names.withColumnRenamed("t_a", "t_b")
     val pairDist = names.join(namesB, blockCols)
       .filter(abs(length(col("t_a")) - length(col("t_b"))) <= maxDist)
       .withColumn("dist", levenshtein(col("t_a"), col("t_b")).cast("long"))

@@ -140,6 +140,28 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.fileStats(t)._1 == 1)
   }
 
+  test("rank-based z-order stays balanced under heavy skew") {
+    val cat = new TableCatalog(spark, tempDir("cat"))
+    val t = "d.s.zskew"
+    // 95% of x in [0,100), a few outliers at 1e9: equal-width would put
+    // every common row in bucket 0 (range partition then can't split)
+    val rows = (for { x <- 0 until 100; r <- 0 until 40 }
+      yield (x.toLong, (x * 40 + r) % 64, x)) ++
+      (0 until 10).map(i => (1000000000L + i, i % 64, i))
+    cat.append(t, rows.toDF("x", "y", "payload").repartition(4))
+    cat.compactZOrder(t, Seq("x", "y"), targetFileBytes = 4 * 1024,
+      rankBased = true)
+    assert(cat.read(t).count() == 4010)
+    assert(cat.read(t).agg(sum($"payload")).as[Long].head() ==
+      rows.map(_._3.toLong).sum)
+    val perFile = cat.read(t).groupBy(input_file_name()).count()
+      .as[(String, Long)].collect().map(_._2)
+    assert(perFile.length >= 3, s"expected >=3 files, got ${perFile.length}")
+    // no single file swallows the skewed mass
+    assert(perFile.max < 4010 * 6 / 10,
+      s"rank-based buckets should balance files: ${perFile.mkString(",")}")
+  }
+
   test("time travel reads a retained prior version") {
     val cat = new TableCatalog(spark, tempDir("cat"))
     val t = "d.s.tt"

@@ -36,6 +36,22 @@ class Round2OpsSpec extends SparkTestBase {
     assert(out == Set((1L, 2L, 1L), (1L, 5L, 0L), (2L, 5L, 1L)))
   }
 
+  test("fuzzySelfJoin block cap excludes runaway blocks entirely") {
+    val df = Seq(
+      (1L, "kitten", "b1"), (2L, "sitten", "b1"), (3L, "mitten", "b1"),
+      (4L, "alpha", "b2"), (5L, "alpa", "b2")
+    ).toDF("id", "name", "blk")
+    // b1 has 3 distinct values > cap 2 → dropped; b2 (2 distinct) kept
+    val out = Linkage.fuzzySelfJoin(df, "id", "name", Seq("blk"),
+        maxDist = 2, maxBlockDistinct = 2)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((4L, 5L, 1L)))
+    // default cap keeps everything
+    val full = Linkage.fuzzySelfJoin(df, "id", "name", Seq("blk"), maxDist = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(full.contains((1L, 2L)) && full.contains((4L, 5L)))
+  }
+
   test("cdc applyChanges: last writer wins, trailing delete removes key") {
     val changes = Seq(
       (1L, 1L, "I", "a"), (1L, 2L, "U", "b"),            // key 1 → b
