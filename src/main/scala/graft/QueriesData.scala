@@ -23,6 +23,13 @@ object QueriesData {
         .select(col("id").as("doc_id"), col("label").as("component"))
     }),
 
+    // ---- end-to-end near-dup pruning: the filtered corpus itself ----
+    "q87_neardup_prune" -> ((s, dir) => {
+      val d = table(s, dir, "documents").filter(col("doc_id") < 200)
+      Corpus.pruneNearDuplicates(d, "doc_id", "text", shingleN = 3, bands = 4)
+        .select("doc_id", "lang", "source")
+    }),
+
     // ---- benchmark decontamination (eval = doc_id % 50 == 0) ----
     "q53_decontaminate" -> ((s, dir) => {
       val d = table(s, dir, "documents")
@@ -124,6 +131,30 @@ object OraclesData {
            UNION
            SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON e.src = reach.id)
          SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id""",
+
+    "q87_neardup_prune" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+         t AS (SELECT doc_id, $toks AS tk FROM d),
+         idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM t),
+         sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle FROM idx),
+         b AS (
+           SELECT doc_id, 0 AS band, MIN(md5('0:' || shingle)) AS minhash FROM sh GROUP BY doc_id
+           UNION ALL SELECT doc_id, 1, MIN(md5('1:' || shingle)) FROM sh GROUP BY doc_id
+           UNION ALL SELECT doc_id, 2, MIN(md5('2:' || shingle)) FROM sh GROUP BY doc_id
+           UNION ALL SELECT doc_id, 3, MIN(md5('3:' || shingle)) FROM sh GROUP BY doc_id),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+                  FROM b a JOIN b c ON a.band = c.band AND a.minhash = c.minhash
+                  WHERE a.doc_id < c.doc_id),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+                   UNION ALL SELECT id_b, id_a FROM cand),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS r FROM d
+           UNION
+           SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON e.src = reach.id),
+         comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id)
+         SELECT c.doc_id, d2.lang, d2.source
+         FROM comp c JOIN documents d2 ON d2.doc_id = c.doc_id
+         WHERE c.component = c.doc_id""",
 
     "q53_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),

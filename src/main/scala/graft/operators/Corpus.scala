@@ -173,6 +173,20 @@ object Corpus {
         .cast("long").as("n_num"))
   }
 
+  /** End-to-end near-duplicate pruning — the corpus-dedup deliverable
+    * itself: cluster near-dups ([[dedupClusters]]) and keep exactly one
+    * canonical document per cluster (the min id, which IS the cluster
+    * label). Singleton docs are their own cluster, so they survive.
+    * One equi-join on the id against the keeper set; everything
+    * upstream is the bucketed LSH machinery (never all-pairs). */
+  def pruneNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 2, bands: Int = 8): DataFrame = {
+    val keepers = dedupClusters(df, idCol, textCol, shingleN, bands)
+      .filter(col("id") === col("label"))
+      .select(col("id").as(idCol))
+    df.join(keepers, idCol)
+  }
+
   /** Deterministic train/val/test split by a Knuth multiplicative hash
     * of the id: bucket = (id · 2654435761) mod 2³² mod 100 against
     * cumulative percentage thresholds. No RNG, reproducible across

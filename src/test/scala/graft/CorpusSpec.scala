@@ -88,6 +88,20 @@ class CorpusSpec extends SparkTestBase {
     assert(top.sortBy(_._3).sameElements(Array(("a", 3L, 1), ("b", 3L, 2))))
   }
 
+  test("pruneNearDuplicates keeps one canonical doc per cluster") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // dup of 1
+      (3L, "an entirely different document about spark engines"),
+      (4L, "the quick brown fox jumps over the lazy dog today") // near dup of 1
+    ).toDF("doc_id", "text")
+    val kept = Corpus.pruneNearDuplicates(docs, "doc_id", "text",
+        shingleN = 2, bands = 4)
+      .select("doc_id").as[Long].collect().toSet
+    // cluster {1,2,4} keeps min id 1; singleton 3 survives
+    assert(kept == Set(1L, 3L))
+  }
+
   test("hash split: deterministic, growth-stable, roughly proportioned") {
     val full = Corpus.hashSplit((1L to 1000L).toDF("doc_id"), "doc_id")
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
