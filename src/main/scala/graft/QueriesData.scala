@@ -67,6 +67,17 @@ object QueriesData {
     "q58_word_freq" -> ((s, dir) =>
       Corpus.wordFreq(table(s, dir, "documents"), "text", k = 20)),
 
+    // ---- inverted-index conjunctive search (AND of terms) ----
+    "q91_index_search" -> ((s, dir) =>
+      Corpus.searchAll(table(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "merge", "vector"))),
+
+    // ---- hourly gap fill + forward fill over the event stream ----
+    "q92_gap_fill" -> ((s, dir) =>
+      graft.operators.TimeSeries.gapFillHourly(
+        Queries.events(s, dir).filter(col("user_id") < 100),
+        "user_id", "ts", "event_type")),
+
     // ---- interval (range) join via bucketed equi-join ----
     "q59_range_join" -> ((s, dir) => {
       val iv = table(s, dir, "orders").filter(col("o_orderkey") < 400)
@@ -223,6 +234,30 @@ object OraclesData {
          r AS (SELECT token, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rk FROM c)
          SELECT token, CAST(cnt AS BIGINT) AS cnt, CAST(rk AS INTEGER) AS rk
          FROM r WHERE rk <= 20""",
+
+    "q91_index_search" ->
+      s"""WITH post AS (SELECT doc_id, unnest(list_distinct($toksLower)) AS term
+           FROM documents)
+         SELECT doc_id FROM post
+         WHERE term IN ('spark', 'merge', 'vector')
+         GROUP BY doc_id HAVING COUNT(*) = 3""",
+
+    "q92_gap_fill" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hour, event_type
+           FROM events WHERE user_id < 100),
+         h AS (SELECT user_id, hour, COUNT(*) AS n, MAX(event_type) AS htype
+           FROM e GROUP BY 1, 2),
+         b AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM h GROUP BY 1),
+         s AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+           FROM b),
+         j AS (SELECT s.user_id, s.hour, h.n, h.htype
+           FROM s LEFT JOIN h ON s.user_id = h.user_id AND s.hour = h.hour)
+         SELECT user_id, strftime(j.hour, '%Y-%m-%d %H:00') AS hour,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n,
+           LAST_VALUE(htype IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY j.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill_type
+         FROM j""",
 
     "q59_range_join" ->
       """SELECT o.o_orderkey, COUNT(*) AS n_items,

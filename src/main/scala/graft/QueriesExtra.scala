@@ -149,6 +149,51 @@ object QueriesExtra {
       cat.read(t).filter(col("op") =!= "D")
     }),
 
+    // ---- partitioned COW update: rewrite only the matched partition,
+    //      carry untouched partition dirs by manifest reference ----
+    "q95_partitioned_update" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_pupd").toString
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val o = table(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      val t = "D.S.PUPD"
+      cat.overwritePartitioned(t, o, Seq("o_orderstatus"))
+      cat.updateWhere(t, Map("o_orderpriority" -> lit("DONE")),
+        col("o_orderstatus") === "F")
+      cat.read(t)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(14, 2))).cast("double")
+            .as("sum_price"))
+    }),
+
+    // ---- change-data-feed between two catalog versions (time travel
+    //      read of v_before + full-outer diff → insert/update/delete) ----
+    "q90_version_diff" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_cdf").toString
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val cust = table(s, dir, "customer").select(
+        col("c_custkey").as("key"), col("c_name").as("name"),
+        col("c_acctbal").cast(DecimalType(14, 2)).cast("double").as("acctbal"))
+      val t = "D.S.CDF"
+      cat.overwrite(t, cust.filter(col("key") <= 200))
+      val vBefore = cat.version(t).get
+      // after-state: delete key%7==0, bump acctbal for key>=101, insert
+      // 201-250 — exercises all three change types in one diff
+      val updated = cat.read(t).filter(col("key") % 7 =!= 0)
+        .withColumn("acctbal",
+          when(col("key") >= 101,
+            (col("acctbal").cast(DecimalType(14, 2)) + 100).cast("double"))
+            .otherwise(col("acctbal")))
+      val inserts = table(s, dir, "customer")
+        .filter(col("c_custkey").between(201, 250) && col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey").as("key"), col("c_name").as("name"),
+          (col("c_acctbal").cast(DecimalType(14, 2)) + 100).cast("double")
+            .as("acctbal"))
+      cat.overwrite(t, updated.unionByName(inserts))
+      Cdc.versionDiff(cat.readVersion(t, vBefore), cat.read(t), Seq("key"))
+    }),
+
     // ---- ORC source/sink round-trip (format breadth beyond parquet) ----
     "q77_orc_roundtrip" -> ((s, dir) => {
       val work = java.nio.file.Files.createTempDirectory("graft_orc").toString
@@ -386,6 +431,34 @@ object OraclesExtra {
     "q77_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS nation
          FROM supplier WHERE s_suppkey % 2 = 0""",
+
+    "q95_partitioned_update" ->
+      """SELECT o_orderstatus,
+           CASE WHEN o_orderstatus = 'F' THEN 'DONE' ELSE o_orderpriority END
+             AS o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY 1, 2""",
+
+    "q90_version_diff" ->
+      """WITH before_v AS (
+           SELECT c_custkey AS key, c_name AS name,
+             CAST(CAST(c_acctbal AS DECIMAL(14,2)) AS DOUBLE) AS acctbal
+           FROM customer WHERE c_custkey <= 200),
+         after_v AS (
+           SELECT c_custkey AS key, c_name AS name,
+             CAST(CAST(c_acctbal AS DECIMAL(14,2)) +
+               CASE WHEN c_custkey >= 101 THEN 100 ELSE 0 END AS DOUBLE) AS acctbal
+           FROM customer WHERE c_custkey <= 250 AND c_custkey % 7 <> 0)
+         SELECT COALESCE(a.key, b.key) AS key,
+           COALESCE(a.name, b.name) AS name,
+           COALESCE(a.acctbal, b.acctbal) AS acctbal,
+           CASE WHEN b.key IS NULL THEN 'insert'
+                WHEN a.key IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type
+         FROM before_v b FULL JOIN after_v a ON b.key = a.key
+         WHERE b.key IS NULL OR a.key IS NULL
+            OR a.acctbal <> b.acctbal OR a.name <> b.name""",
 
     "q78_zorder" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

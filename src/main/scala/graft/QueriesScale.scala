@@ -128,6 +128,39 @@ object QueriesScale {
         table(s, dir, "documents"), Seq("lang"), "doc_id", "text",
         budget = 512)),
 
+    // ---- bloom-pruned semi join: fact rows drop at the scan, exact
+    //      semi-join removes bloom false positives (result == plain IN) ----
+    "q88_bloom_semi_join" -> ((s, dir) => {
+      val dim = table(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 150000)
+      val fact = table(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+      graft.operators.BloomJoin
+        .semiJoin(fact, "l_orderkey", dim, "o_orderkey",
+          expectedItems = 1L << 16, fpp = 0.01)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(14, 2))).cast("double")
+            .as("sum_qty"))
+    }),
+
+    // ---- unpivot/melt: wide per-flag metrics to (flag, metric, value) ----
+    "q89_unpivot" -> ((s, dir) => {
+      val wide = table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(14, 2))).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(14, 2))).cast("double")
+            .as("sum_price"),
+          count(lit(1)).cast("double").as("n_rows"))
+      wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+        "metric", "value")
+    }),
+
     // ---- CUBE multi-dimensional aggregation ----
     "q49_cube" -> ((s, dir) =>
       table(s, dir, "lineitem")
@@ -231,6 +264,27 @@ object OraclesScale {
          SELECT lang, doc_id, n_tokens, tokens_before,
            CAST(FLOOR(tokens_before / 512) AS BIGINT) AS bin
          FROM c""",
+
+    "q88_bloom_semi_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE l_orderkey IN (
+           SELECT o_orderkey FROM orders
+           WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
+         GROUP BY l_returnflag""",
+
+    "q89_unpivot" ->
+      """WITH w AS (SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+           CAST(COUNT(*) AS DOUBLE) AS n_rows
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+         UNION ALL
+         SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM w
+         UNION ALL
+         SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM w""",
 
     "q40_salted_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority

@@ -101,6 +101,14 @@ object QueriesText {
         "vec_id", "embedding", k = 3)
     }),
 
+    // ---- int8-quantized ANN: coarse integer scan + exact rerank ----
+    "q94_int8_ann" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.int8TopK(
+        e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3, oversample = 4)
+    }),
+
     // ---- IVF ANN: centroid assignment + probe-1 search ----
     "q32_ivf_ann" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
@@ -132,7 +140,11 @@ object QueriesText {
 
     // ---- streaming parity: hourly agg computed by Structured Streaming ----
     "q35_stream_hourly" -> ((s, dir) =>
-      EventStream.runHourlyToCompletion(s, dir)))
+      EventStream.runHourlyToCompletion(s, dir)),
+
+    // ---- streaming gap sessionization (native session_window) ----
+    "q93_stream_sessions" -> ((s, dir) =>
+      EventStream.runSessionsToCompletion(s, dir)))
 }
 
 object OraclesText {
@@ -289,6 +301,44 @@ object OraclesText {
                 CAST(dot AS DOUBLE) / 100000000000000.0 AS dot
          FROM ranked WHERE rank <= 3""",
 
+    "q94_int8_ann" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+         q8 AS (SELECT query_id, qv,
+                  list_transform(qv, x -> CAST(round(CAST(x AS DOUBLE) *
+                    (CASE WHEN list_max(list_transform(qv, y -> abs(CAST(y AS DOUBLE)))) > 0
+                          THEN 127.0 / list_max(list_transform(qv, y -> abs(CAST(y AS DOUBLE))))
+                          ELSE 0.0 END)) AS BIGINT)) AS qq
+                FROM q),
+         c8 AS (SELECT neighbor_id, cv,
+                  list_transform(cv, x -> CAST(round(CAST(x AS DOUBLE) *
+                    (CASE WHEN list_max(list_transform(cv, y -> abs(CAST(y AS DOUBLE)))) > 0
+                          THEN 127.0 / list_max(list_transform(cv, y -> abs(CAST(y AS DOUBLE))))
+                          ELSE 0.0 END)) AS BIGINT)) AS cq
+                FROM c),
+         z AS (SELECT query_id, neighbor_id, qv, cv, unnest(qq) AS x, unnest(cq) AS y
+               FROM q8, c8 WHERE query_id <> neighbor_id),
+         coarse AS (SELECT query_id, neighbor_id, any_value(qv) AS qv, any_value(cv) AS cv,
+                      SUM(x * y) AS cdot
+                    FROM z GROUP BY query_id, neighbor_id),
+         cand AS (SELECT query_id, neighbor_id, qv, cv,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cdot DESC, neighbor_id) AS crank
+                  FROM coarse),
+         kept AS (SELECT query_id, neighbor_id, qv, cv FROM cand WHERE crank <= 12),
+         zr AS (SELECT query_id, neighbor_id, unnest(qv) AS x, unnest(cv) AS y FROM kept),
+         dots AS (SELECT query_id, neighbor_id,
+                    SUM(CAST(round(CAST(x AS DOUBLE)*10000000) AS BIGINT) *
+                        CAST(round(CAST(y AS DOUBLE)*10000000) AS BIGINT)) AS dot
+                  FROM zr GROUP BY query_id, neighbor_id),
+         ranked AS (SELECT query_id, neighbor_id, dot,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY dot DESC, neighbor_id) AS rank
+                    FROM dots)
+         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+                CAST(dot AS DOUBLE) / 100000000000000.0 AS dot
+         FROM ranked WHERE rank <= 3""",
+
     "q32_ivf_ann" ->
       """WITH cent AS (SELECT vec_id AS centroid_id, embedding AS ctv FROM embeddings WHERE vec_id < 8),
          corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
@@ -368,5 +418,27 @@ object OraclesText {
     "q35_stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
          COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1, 2""")
+         FROM events GROUP BY 1, 2""",
+
+    // session_window semantics: an event at exactly prev+gap is OUTSIDE
+    // [start, maxTs+gap), hence `>=` on the boundary (q38's batch window
+    // pass uses `>`; the two differ only on exact-microsecond gap hits)
+    "q93_stream_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         g AS (SELECT user_id, ts_us,
+                 LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+               FROM e),
+         m AS (SELECT user_id, ts_us,
+                 CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 30 * 60 * 1000000
+                      THEN 1 ELSE 0 END AS new_session
+               FROM g),
+         s AS (SELECT user_id, ts_us,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                   ROWS UNBOUNDED PRECEDING) AS sid
+               FROM m)
+         SELECT user_id,
+           CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
+           CAST(MAX(ts_us) AS BIGINT) AS session_end_us,
+           COUNT(*) AS n_events
+         FROM s GROUP BY user_id, sid""")
 }

@@ -27,7 +27,8 @@ object GraftFunctions {
     "graft_dot" -> (exprs => ArrayDot(exprs(0), exprs(1))),
     "graft_quant_dot" -> (exprs => ArrayQuantDot(exprs(0), exprs(1))),
     "graft_sign_sig" -> (exprs => SignSignature(exprs(0),
-      exprs(1).eval().asInstanceOf[Int])))
+      exprs(1).eval().asInstanceOf[Int])),
+    "graft_bloom_contains" -> (exprs => BloomContains(exprs(0), exprs(1))))
 
   /** Idempotent per-session registration (temp functions). */
   def register(spark: SparkSession): Unit = {
@@ -92,6 +93,13 @@ object GraftFunctions {
     ensureActive()
     call_function("graft_sign_sig", vec.cast("array<double>"),
       org.apache.spark.sql.functions.lit(planes))
+  }
+
+  /** Probe a serialized bloom filter (BINARY literal) with a long key. */
+  def bloomContains(key: Column, serializedFilter: Array[Byte]): Column = {
+    ensureActive()
+    call_function("graft_bloom_contains", key.cast("long"),
+      org.apache.spark.sql.functions.lit(serializedFilter))
   }
 }
 

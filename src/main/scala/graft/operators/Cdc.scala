@@ -32,4 +32,43 @@ object Cdc {
       .filter(col(opCol) =!= "D")
       .drop("rn")
   }
+
+  /** Change-data-feed between two keyed snapshots (e.g. two catalog
+    * versions via `TableCatalog.readVersion`): emits one row per
+    * changed key with `change_type` ∈ {insert, delete, update} and the
+    * NEW payload for insert/update, OLD payload for delete.
+    *
+    * One full-outer shuffle join on the key; payload comparison is a
+    * null-safe conjunction over the non-key columns, evaluated inside
+    * codegen. At 100 TB both snapshots come out of the same catalog and
+    * share partition layout, so AQE plans a co-partitioned SMJ without
+    * an extra exchange. Inverse of [[applyChanges]]: applying the feed
+    * to `before` reproduces `after`. */
+  def versionDiff(before: DataFrame, after: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val payload = after.columns.filterNot(keyCols.contains).toSeq
+    require(payload == before.columns.filterNot(keyCols.contains).toSeq,
+      "versionDiff requires identical schemas")
+    val b = before.select(
+      keyCols.map(col) ++ payload.map(c => col(c).as(s"__b_$c")): _*)
+    val a = after.select(
+      keyCols.map(col) ++ payload.map(c => col(c).as(s"__a_$c")): _*)
+    // key presence: payload non-null is not a reliable marker (payload
+    // may be legitimately null) — carry explicit marker columns
+    val withB = b.withColumn("__in_b", lit(1))
+    val withA = a.withColumn("__in_a", lit(1))
+    val j = withB.join(withA, keyCols, "full_outer")
+    val changed = payload
+      .map(c => !(col(s"__b_$c") <=> col(s"__a_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val typ = when(col("__in_b").isNull, "insert")
+      .when(col("__in_a").isNull, "delete")
+      .when(changed, "update")
+    val out = payload.map(c =>
+      when(col("__in_a").isNull, col(s"__b_$c"))
+        .otherwise(col(s"__a_$c")).as(c))
+    j.withColumn("change_type", typ)
+      .filter(col("change_type").isNotNull)
+      .select(keyCols.map(col) ++ out :+ col("change_type"): _*)
+  }
 }

@@ -230,6 +230,30 @@ object Corpus {
     * vocabulary, not the corpus; sort+limit plans as a distributed
     * TakeOrdered (per-partition top-k, merged), and only the k
     * survivors see the single-partition ranking window. */
+  /** Inverted index: one posting row per (term, doc_id) over the
+    * distinct lowercase whitespace tokens of each document. Scan-local
+    * (explode, no shuffle); at 100 TB materialize it through
+    * [[graft.catalog.TableCatalog]] hash-partitioned on `term` so a
+    * search touches only the partitions its terms hash into. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      explode(array_distinct(
+        graft.functions.TextFunctions.tokens(lower(col(textCol))))).as("term"))
+
+  /** Conjunctive (AND) keyword search: intersect posting lists by
+    * counting matched distinct terms per doc. The `term IN (...)`
+    * predicate is applied in the same stage as the explode, so only
+    * postings for queried terms reach the single count shuffle —
+    * equivalent to an index-bucket read when the index is materialized
+    * term-partitioned. */
+  def searchAll(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame =
+    invertedIndex(df, idCol, textCol)
+      .filter(col("term").isin(terms.map(_.toLowerCase): _*))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === terms.size)
+      .select(col(idCol))
+
   def wordFreq(df: DataFrame, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df

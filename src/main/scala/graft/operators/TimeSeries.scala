@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: project an irregular event stream onto a
+  * fixed hourly grid per key (gap fill), forward-filling the last
+  * observed attribute across empty hours.
+  *
+  * Shape at scale: one aggregation shuffle on (key, hour), a per-key
+  * spine explode whose width is the key's own active span (never the
+  * global min/max — a key active for a day generates 24 rows even in a
+  * year-long table), and one window shuffle on the key. No driver
+  * state, no iteration; the same grid feeds
+  * [[graft.streaming.EventStream]]'s windowed aggregations in the
+  * streaming path.
+  */
+object TimeSeries {
+
+  /** Hourly spine per key from its first to last event hour; `n` = 0 on
+    * gap hours; `fill_type` = last non-null hourly MAX(`typeCol`)
+    * carried forward (MAX, not arg-last, keeps the fill deterministic
+    * under same-hour ties). `hour` is formatted `yyyy-MM-dd HH:00` so
+    * it crosses engine boundaries exactly. */
+  def gapFillHourly(df: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String): DataFrame = {
+    val hourly = df
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n"), max(col(typeCol)).as("htype"))
+    val spine = hourly.groupBy(col(keyCol))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col(keyCol),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+          .as("hour"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq(keyCol, "hour"), "left")
+      .withColumn("fill_type", last(col("htype"), ignoreNulls = true).over(w))
+      .select(col(keyCol),
+        date_format(col("hour"), "yyyy-MM-dd HH:00").as("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("fill_type"))
+  }
+}

@@ -41,6 +41,44 @@ object EventStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Gap-based (30 min) session windows via Spark's native
+    * `session_window` streaming aggregation — the streaming twin of the
+    * batch window-pass sessionization (q38). Session boundary follows
+    * session_window semantics: an event at exactly `prevTs + gap`
+    * starts a NEW session (the window interval is [start, maxTs+gap)).
+    * Emits (user, session_start_us = min event, session_end_us = max
+    * event, n_events); state is per (user, open session) and evicted by
+    * the watermark in production (complete mode here retains it for the
+    * batch-equality check). */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("session_start_us"),
+        max(unix_micros(col("ts"))).as("session_end_us"))
+      .select(col("user_id"), col("session_start_us"),
+        col("session_end_us"), col("n_events"))
+
+  /** Drain the streaming sessionization over the static parquet —
+    * same harness shape as [[runHourlyToCompletion]]. */
+  def runSessionsToCompletion(spark: SparkSession, dir: String,
+      queryName: String = "graft_stream_sessions",
+      statePartitions: Int = 8): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = sessionAgg(readStream(spark, dir))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(queryName)
+  }
+
   /** Run the streaming hourly aggregation to completion over the static
     * parquet (memory sink, processAllAvailable) and return the result —
     * proves the streaming plan computes exactly what the batch plan

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{BloomJoin, Cdc, Corpus, TimeSeries}
+
+/** Round-3 operators: bloom-pruned semi join, version diff (CDF),
+  * inverted-index search, hourly gap fill. */
+class Round3OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bloom semiJoin == exact semi join; prefilter reduces pre-shuffle rows") {
+    val fact = (1L to 2000L).map(i => (i % 500, i)).toDF("k", "v")
+    val dim = (0L until 500L by 50L).toDF("k") // 10 of 500 keys
+    val exact = fact.join(dim, Seq("k"), "left_semi")
+      .orderBy("k", "v").collect().toSeq
+    val got = BloomJoin.semiJoin(fact, "k", dim, "k",
+        expectedItems = 64, fpp = 0.01)
+      .orderBy("k", "v").collect().toSeq
+    assert(got == exact)
+    // the bloom prefilter alone (false positives allowed) must still
+    // drop the vast majority of non-matching fact rows pre-shuffle
+    val pre = BloomJoin.prefilter(fact, "k", dim, "k",
+      expectedItems = 64, fpp = 0.01).count()
+    val trueMatches = exact.size.toLong
+    assert(pre >= trueMatches)
+    assert(pre <= trueMatches + (fact.count() * 0.05).toLong,
+      s"prefilter kept $pre rows for $trueMatches true matches")
+  }
+
+  test("versionDiff emits insert/update/delete and applying it reproduces `after`") {
+    val before = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, null.asInstanceOf[String], 40.0)).toDF("k", "s", "x")
+    val after = Seq((1L, "a", 10.0), // unchanged — absent from feed
+      (2L, "B", 20.0), // update (payload change)
+      (4L, null.asInstanceOf[String], 41.0), // update with null col
+      (5L, "e", 50.0)) // insert;  3 deleted
+      .toDF("k", "s", "x")
+    val feed = Cdc.versionDiff(before, after, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3))).toSet
+    assert(feed == Set(
+      (2L, "B", 20.0, "update"),
+      (4L, null, 41.0, "update"),
+      (5L, "e", 50.0, "insert"),
+      (3L, "c", 30.0, "delete")))
+    // round trip: before minus deleted/updated keys, plus feed upserts
+    val upserts = feed.filter(_._4 != "delete").map(t => (t._1, t._2, t._3)).toSeq
+    val deadKeys = feed.map(_._1)
+    val rebuilt = before.as[(Long, String, Double)].collect()
+      .filterNot(r => deadKeys.contains(r._1)) ++ upserts
+    assert(rebuilt.toSet == after.as[(Long, String, Double)].collect().toSet)
+  }
+
+  test("inverted-index conjunctive search matches per-doc contains-all") {
+    val docs = Seq(
+      (1L, "spark merge vector fast"),
+      (2L, "spark merge slow"),
+      (3L, "vector spark merge merge spark"),
+      (4L, "nothing relevant here"),
+      (5L, "Spark MERGE Vector mixed case")).toDF("doc_id", "text")
+    val got = Corpus.searchAll(docs, "doc_id", "text",
+      Seq("spark", "merge", "vector")).as[Long].collect().toSet
+    assert(got == Set(1L, 3L, 5L))
+  }
+
+  test("gapFillHourly fills missing hours with n=0 and carries last type forward") {
+    val e = Seq(
+      (7L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), "a"),
+      (7L, java.sql.Timestamp.valueOf("2024-01-01 00:40:00"), "b"),
+      // gap: hours 01,02
+      (7L, java.sql.Timestamp.valueOf("2024-01-01 03:05:00"), "c"),
+      (8L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), "z"))
+      .toDF("user_id", "ts", "event_type")
+    val rows = TimeSeries.gapFillHourly(e, "user_id", "ts", "event_type")
+      .orderBy("user_id", "hour")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(rows.toSeq == Seq(
+      (7L, "2024-01-01 00:00", 2L, "b"), // max(a,b) in hour 0
+      (7L, "2024-01-01 01:00", 0L, "b"), // forward fill
+      (7L, "2024-01-01 02:00", 0L, "b"),
+      (7L, "2024-01-01 03:00", 1L, "c"),
+      (8L, "2024-01-02 10:00", 1L, "z")))
+  }
+}

@@ -26,4 +26,32 @@ class StreamingDedupSpec extends SparkTestBase {
     // key 1 kept its first payload, not the replay
     assert(out2.filter(col("key") === 1L).select("payload").as[String].head() == "a")
   }
+
+  test("streaming session_window == batch gap sessionization (sf0.001)") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.EventStream
+      .runSessionsToCompletion(spark, dir, "sd_sessions")
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect().toSet
+    // batch twin with session_window boundary semantics (>= gap splits)
+    val e = Queries.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val batch = e
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") >= 30L * 60 * 1000000, 1L).otherwise(0L))
+      .withColumn("sid",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect().toSet
+    assert(streamed == batch)
+  }
 }
