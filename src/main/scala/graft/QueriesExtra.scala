@@ -80,6 +80,11 @@ object QueriesExtra {
     "q70_bigram_next" -> ((s, dir) =>
       TextStats.bigramNext(table(s, dir, "documents"), "text", minCount = 10L)),
 
+    // ---- PMI collocation mining (integer-scaled, top-50) ----
+    "q98_collocations" -> ((s, dir) =>
+      TextStats.collocations(table(s, dir, "documents"), "text",
+        minCount = 20L, k = 50)),
+
     // ---- k-means over embeddings (2 Lloyd iterations, fixed-point) ----
     "q71_kmeans" -> ((s, dir) =>
       Clustering.kmeans(table(s, dir, "embeddings"), "vec_id", "embedding",
@@ -147,6 +152,31 @@ object QueriesExtra {
       cat.overwrite(t, collapse(changes.filter(col("seq") <= mid)))
       cat.merge(t, collapse(changes.filter(col("seq") > mid)), Seq("key"))
       cat.read(t).filter(col("op") =!= "D")
+    }),
+
+    // ---- sliding RANGE-frame window: per event, trailing-1h stats ----
+    "q96_sliding_window" -> ((s, dir) => {
+      val e = Queries.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, 0)
+      e.select(col("event_id"), col("user_id"), col("ts_us"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast(DecimalType(14, 2))).over(w).cast("double")
+          .as("sum_1h"))
+    }),
+
+    // ---- winsorized robust aggregation (clamp to p05/p95 band) ----
+    "q97_winsorize" -> ((s, dir) => {
+      val e = Queries.events(s, dir)
+        .select(col("event_type"), col("value").cast(DecimalType(14, 2)).as("v"))
+      Quantiles.winsorize(e, "event_type", "v", (1, 20), (19, 20))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v_w")).cast("double").as("sum_w"),
+          min(col("v_w")).cast("double").as("min_w"),
+          max(col("v_w")).cast("double").as("max_w"))
     }),
 
     // ---- partitioned COW update: rewrite only the matched partition,
@@ -365,6 +395,27 @@ object OraclesExtra {
            FROM c)
          SELECT w, next_tok, n FROM r WHERE rk = 1 AND n >= 10""",
 
+    "q98_collocations" ->
+      s"""WITH t AS (SELECT $toksLower AS tk FROM documents),
+         cu AS (SELECT w, COUNT(*) AS cw FROM (SELECT unnest(tk) AS w FROM t) GROUP BY w),
+         n AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_tokens FROM cu),
+         idx AS (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM t),
+         cb AS (SELECT w1, w2, COUNT(*) AS cxy
+                FROM (SELECT tk[i] AS w1, tk[i+1] AS w2 FROM idx)
+                GROUP BY w1, w2 HAVING COUNT(*) >= 20),
+         sc AS (SELECT cb.w1, cb.w2, cb.cxy,
+                  CAST((cb.cxy * n.n_tokens * 1000000) // (c1.cw * c2.cw) AS BIGINT)
+                    AS pmi_scaled
+                FROM cb CROSS JOIN n
+                JOIN cu c1 ON cb.w1 = c1.w
+                JOIN cu c2 ON cb.w2 = c2.w),
+         r AS (SELECT w1, w2, cxy, pmi_scaled,
+                 ROW_NUMBER() OVER (ORDER BY pmi_scaled DESC, w1, w2) AS rk
+               FROM sc)
+         SELECT w1, w2, CAST(cxy AS BIGINT) AS cxy, pmi_scaled,
+                CAST(rk AS INTEGER) AS rk
+         FROM r WHERE rk <= 50""",
+
     "q71_kmeans" ->
       """WITH q AS (SELECT vec_id AS vid,
              list_transform(embedding,
@@ -431,6 +482,29 @@ object OraclesExtra {
     "q77_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS nation
          FROM supplier WHERE s_suppkey % 2 = 0""",
+
+    "q96_sliding_window" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE) AS sum_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+
+    "q97_winsorize" ->
+      """WITH e AS (SELECT event_type, CAST(value AS DECIMAL(14,2)) AS v FROM events),
+         b AS (SELECT event_type,
+             percentile_disc(0.05) WITHIN GROUP (ORDER BY v) AS lo,
+             percentile_disc(0.95) WITHIN GROUP (ORDER BY v) AS hi
+           FROM e GROUP BY event_type),
+         c AS (SELECT e.event_type,
+             CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END AS vw
+           FROM e JOIN b ON e.event_type = b.event_type)
+         SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(vw) AS DOUBLE) AS sum_w,
+           CAST(MIN(vw) AS DOUBLE) AS min_w,
+           CAST(MAX(vw) AS DOUBLE) AS max_w
+         FROM c GROUP BY event_type""",
 
     "q95_partitioned_update" ->
       """SELECT o_orderstatus,

@@ -144,7 +144,11 @@ object QueriesText {
 
     // ---- streaming gap sessionization (native session_window) ----
     "q93_stream_sessions" -> ((s, dir) =>
-      EventStream.runSessionsToCompletion(s, dir)))
+      EventStream.runSessionsToCompletion(s, dir)),
+
+    // ---- stream-stream interval join (watermark-bounded state) ----
+    "q99_stream_join" -> ((s, dir) =>
+      EventStream.runPurchaseClickJoin(s, dir)))
 }
 
 object OraclesText {
@@ -440,5 +444,15 @@ object OraclesText {
            CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
            CAST(MAX(ts_us) AS BIGINT) AS session_end_us,
            COUNT(*) AS n_events
-         FROM s GROUP BY user_id, sid""")
+         FROM s GROUP BY user_id, sid""",
+
+    "q99_stream_join" ->
+      """SELECT a.event_id AS purchase_id, b.event_id AS click_id,
+           a.user_id,
+           epoch_us(a.ts) AS purchase_us, epoch_us(b.ts) AS click_us
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id
+          AND a.event_type = 'purchase' AND b.event_type = 'click'
+          AND b.ts > a.ts
+          AND b.ts <= a.ts + INTERVAL 30 MINUTE""")
 }

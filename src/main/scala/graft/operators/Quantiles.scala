@@ -81,4 +81,22 @@ object Quantiles {
     }
     g.select(col(groupCol) +: outs: _*)
   }
+
+  /** Winsorization: clamp `valueCol` into the [lo, hi] PERCENTILE_DISC
+    * band of its group, emitted as `<valueCol>_w`. Bounds are one extra
+    * column-pruned pass ([[percentilesDisc]] — one shuffle) producing
+    * |groups| rows, broadcast back onto the data — the data itself is
+    * never re-shuffled. lo/hi are exact integer fractions (num, den),
+    * so the clamp bounds are engine-portable. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      lo: (Int, Int), hi: (Int, Int)): DataFrame = {
+    val bounds = percentilesDisc(df, groupCol, valueCol,
+      Seq(("__lo", lo._1, lo._2), ("__hi", hi._1, hi._2)))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(s"${valueCol}_w",
+        when(col(valueCol) < col("__lo"), col("__lo"))
+          .when(col(valueCol) > col("__hi"), col("__hi"))
+          .otherwise(col(valueCol)))
+      .drop("__lo", "__hi")
+  }
 }

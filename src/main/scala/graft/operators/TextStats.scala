@@ -101,4 +101,40 @@ object TextStats {
       .filter(col("rk") === 1 && col("n") >= minCount)
       .select(col("w"), col("next_tok"), col("n"))
   }
+
+  /** Collocation mining: top-k adjacent bigrams by integer-scaled PMI,
+    * score = (c_xy · N · 10^6) div (c_w1 · c_w2) — a monotone transform
+    * of pointwise mutual information computed entirely in 64-bit
+    * integer arithmetic (engine-portable; fits while c_xy·N·10^6 <
+    * 2^63, i.e. corpora to ~10^5 tokens per count unit — shard counts
+    * or drop the 10^6 scale beyond that). Unigram/bigram count passes
+    * are map-side-combining groupBys; the count joins shuffle on the
+    * word (AQE broadcasts the vocabulary side when it fits); top-k is
+    * TakeOrdered, never a global sort. */
+  def collocations(df: DataFrame, textCol: String, minCount: Long,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(
+      TextFunctions.tokens(lower(col(textCol))).as("tk"))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val total = uni.agg(sum(col("cw")).as("n_tokens"))
+    val bg = toks
+      .select(explode(TextFunctions.shingles(col("tk"), 2)).as("big"))
+      .select(split(col("big"), " ").getItem(0).as("w1"),
+        split(col("big"), " ").getItem(1).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+    val scored = bg
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("pmi_scaled",
+        expr("(cxy * n_tokens * 1000000) div (c1 * c2)"))
+    val top = scored
+      .orderBy(col("pmi_scaled").desc, col("w1"), col("w2")).limit(k)
+    top.withColumn("rk", row_number().over(
+        Window.orderBy(col("pmi_scaled").desc, col("w1"), col("w2"))))
+      .select(col("w1"), col("w2"), col("cxy"), col("pmi_scaled"), col("rk"))
+  }
 }

@@ -60,6 +60,53 @@ object EventStream {
       .select(col("user_id"), col("session_start_us"),
         col("session_end_us"), col("n_events"))
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks in the following 30 minutes. Two independent
+    * checkpointed streams; the event-time range condition bounds the
+    * join state (watermark + interval let Spark evict rows that can no
+    * longer match), so state is O(events in the watermark horizon),
+    * not O(stream) — the scale-correct shape for stream-stream joins.
+    * Inner joins emit eagerly, so an AvailableNow drain yields exactly
+    * the batch join's rows. */
+  def purchaseClickJoin(spark: SparkSession, dir: String): DataFrame = {
+    val a = readStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", "1 hour")
+    val b = readStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("b_user"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", "1 hour")
+    a.join(b,
+        col("user_id") === col("b_user") &&
+          col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        unix_micros(col("a_ts")).as("purchase_us"),
+        unix_micros(col("b_ts")).as("click_us"))
+  }
+
+  /** Drain the stream-stream join (append mode — inner joins emit as
+    * matches arrive). */
+  def runPurchaseClickJoin(spark: SparkSession, dir: String,
+      queryName: String = "graft_stream_join",
+      statePartitions: Int = 8): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = purchaseClickJoin(spark, dir)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(queryName)
+  }
+
   /** Drain the streaming sessionization over the static parquet —
     * same harness shape as [[runHourlyToCompletion]]. */
   def runSessionsToCompletion(spark: SparkSession, dir: String,
