@@ -154,6 +154,21 @@ object QueriesExtra {
       cat.read(t).filter(col("op") =!= "D")
     }),
 
+    // ---- schema evolution: append a wider batch, merged-schema read
+    //      resolves the union (old rows surface NULL for new cols) ----
+    "q100_schema_evolution" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_evo").toString
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val sup = table(s, dir, "supplier")
+      val t = "D.S.EVO"
+      cat.append(t, sup.filter(col("s_suppkey") % 2 === 0)
+        .select("s_suppkey", "s_name"))
+      cat.appendEvolving(t, sup.filter(col("s_suppkey") % 2 === 1)
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_nationkey").cast("long").as("nation")))
+      cat.readMergedSchema(t)
+    }),
+
     // ---- sliding RANGE-frame window: per event, trailing-1h stats ----
     "q96_sliding_window" -> ((s, dir) => {
       val e = Queries.events(s, dir)
@@ -482,6 +497,12 @@ object OraclesExtra {
     "q77_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS nation
          FROM supplier WHERE s_suppkey % 2 = 0""",
+
+    "q100_schema_evolution" ->
+      """SELECT s_suppkey, s_name,
+           CASE WHEN s_suppkey % 2 = 1 THEN CAST(s_nationkey AS BIGINT)
+                ELSE NULL END AS nation
+         FROM supplier""",
 
     "q96_sliding_window" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,

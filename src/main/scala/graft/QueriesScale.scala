@@ -96,6 +96,23 @@ object QueriesScale {
             .as("sum_qty"))
     }),
 
+    // ---- shuffled-hash fact join: the third join strategy (vs the
+    //      default broadcast and q83's SMJ) — at scale, right when the
+    //      build side exceeds the broadcast threshold but its per-
+    //      partition slice fits executor memory (no sort of either
+    //      side, unlike SMJ) ----
+    "q101_shuffle_hash_join" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      li.join(o.hint("shuffle_hash"), "l_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(14, 2))).cast("double")
+            .as("sum_qty"))
+    }),
+
     // ---- streaming RAW→REFINED parity: the checkpointed file-source
     //      stream (the flag-machine replacement, §2.9) applies the
     //      refined transform chain exactly as batch does — oracle-
@@ -228,6 +245,12 @@ object OraclesScale {
 
     "q83_smj_fact_join" ->
       """SELECT o.o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         GROUP BY 1""",
+
+    "q101_shuffle_hash_join" ->
+      """SELECT o.o_orderpriority, COUNT(*) AS n,
            CAST(SUM(CAST(l.l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          GROUP BY 1""",
