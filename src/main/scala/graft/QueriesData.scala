@@ -72,6 +72,12 @@ object QueriesData {
       Corpus.searchAll(table(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "merge", "vector"))),
 
+    // ---- rate-based stratified sampling (cap over-represented langs) ----
+    "q102_hash_sample" -> ((s, dir) =>
+      Corpus.hashStratifiedSample(table(s, dir, "documents"),
+          "doc_id", "lang", Map("en" -> 30, "zh" -> 80), defaultPct = 100)
+        .select("doc_id", "lang", "source")),
+
     // ---- hourly gap fill + forward fill over the event stream ----
     "q92_gap_fill" -> ((s, dir) =>
       graft.operators.TimeSeries.gapFillHourly(
@@ -241,6 +247,11 @@ object OraclesData {
          SELECT doc_id FROM post
          WHERE term IN ('spark', 'merge', 'vector')
          GROUP BY doc_id HAVING COUNT(*) = 3""",
+
+    "q102_hash_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE (doc_id * 2654435761) % 4294967296 % 100 <
+           CASE WHEN lang = 'en' THEN 30 WHEN lang = 'zh' THEN 80 ELSE 100 END""",
 
     "q92_gap_fill" ->
       """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hour, event_type

@@ -205,6 +205,26 @@ object Corpus {
           .otherwise(lit("test")))
   }
 
+  /** Deterministic rate-based stratified sampling: keep a row when its
+    * Knuth-hash bucket (same arithmetic as [[hashSplit]]) falls under
+    * its stratum's percentage — `sampleBy` semantics but reproducible
+    * on any engine and any run (no RNG state). Scan-local: no shuffle,
+    * no per-stratum pass; rates ride a broadcast map literal. Use for
+    * downsampling over-represented strata (e.g. capping English at the
+    * corpus-mix target) where [[quotaSample]]'s exact per-stratum count
+    * (one window shuffle) isn't needed. */
+  def hashStratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      ratesPct: Map[String, Int], defaultPct: Int): DataFrame = {
+    require((ratesPct.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      "rates must be percentages in [0,100]")
+    val bucket = (col(idCol).cast("long") * lit(2654435761L)) %
+      lit(4294967296L) % 100
+    val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
+      when(col(strataCol) === k, lit(p)).otherwise(acc)
+    }
+    df.filter(bucket < rate)
+  }
+
   /** Concat-and-chunk sequence packing: documents concatenate in
     * deterministic `idCol` order within each group, and a doc's bin is
     * floor(tokens-before-it / budget) — the standard pretraining

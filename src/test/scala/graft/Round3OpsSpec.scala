@@ -63,6 +63,51 @@ class Round3OpsSpec extends SparkTestBase {
     assert(got == Set(1L, 3L, 5L))
   }
 
+  test("quantizeInt8: codes bounded by ±127, max component hits ±127, zero vector → zeros") {
+    import graft.operators.Similarity
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f)),
+      (3L, Seq(3.0f))).toDF("id", "v")
+    val got = df.select(col("id"), Similarity.quantizeInt8(col("v")).as("q"))
+      .orderBy("id").as[(Long, Seq[Long])].collect()
+    assert(got(0)._2 == Seq(64L, -127L, 32L)) // scale 127/1.0; round(.5*127)=64 HALF_UP
+    assert(got(1)._2 == Seq(0L, 0L, 0L))
+    assert(got(2)._2 == Seq(127L))
+    got.foreach { case (_, q) => q.foreach(c => assert(math.abs(c) <= 127)) }
+  }
+
+  test("winsorize clamps into the exact percentile_disc band") {
+    import graft.operators.Quantiles
+    val df = (1 to 100).map(i => ("g", i.toLong)).toDF("grp", "v")
+    val w = Quantiles.winsorize(df, "grp", "v", (1, 20), (19, 20))
+      .select("v", "v_w").as[(Long, Long)].collect().toMap
+    // p05 of 1..100 (disc, ceil(0.05*100)=rank 5) = 5; p95 = rank 95 = 95
+    assert(w(1L) == 5L && w(4L) == 5L && w(5L) == 5L)
+    assert(w(50L) == 50L)
+    assert(w(95L) == 95L && w(96L) == 95L && w(100L) == 95L)
+  }
+
+  test("hashStratifiedSample is deterministic and rate-monotone") {
+    import graft.operators.Corpus
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("id", "lang")
+    val s30 = Corpus.hashStratifiedSample(df, "id", "lang",
+      Map("en" -> 30), defaultPct = 100)
+    val s60 = Corpus.hashStratifiedSample(df, "id", "lang",
+      Map("en" -> 60), defaultPct = 100)
+    val en30 = s30.filter($"lang" === "en").as[(Long, String)].collect().map(_._1).toSet
+    val en60 = s60.filter($"lang" === "en").as[(Long, String)].collect().map(_._1).toSet
+    assert(en30.subsetOf(en60), "raising the rate must only add rows")
+    // fr untouched at 100%
+    assert(s30.filter($"lang" === "fr").count() == 500)
+    // repeat run identical (no RNG state)
+    val again = Corpus.hashStratifiedSample(df, "id", "lang",
+      Map("en" -> 30), defaultPct = 100)
+      .filter($"lang" === "en").as[(Long, String)].collect().map(_._1).toSet
+    assert(again == en30)
+  }
+
   test("gapFillHourly fills missing hours with n=0 and carries last type forward") {
     val e = Seq(
       (7L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), "a"),
