@@ -239,6 +239,19 @@ object QueriesExtra {
       Cdc.versionDiff(cat.readVersion(t, vBefore), cat.read(t), Seq("key"))
     }),
 
+    // ---- JSON-lines sink/source round-trip (format breadth) ----
+    "q103_jsonl_roundtrip" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      table(s, dir, "documents").select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").json(s"$work/docs")
+      s.read
+        .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
+        .json(s"$work/docs")
+        .filter(col("n_chars") > 100)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // ---- ORC source/sink round-trip (format breadth beyond parquet) ----
     "q77_orc_roundtrip" -> ((s, dir) => {
       val work = java.nio.file.Files.createTempDirectory("graft_orc").toString
@@ -497,6 +510,11 @@ object OraclesExtra {
     "q77_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS nation
          FROM supplier WHERE s_suppkey % 2 = 0""",
+
+    "q103_jsonl_roundtrip" ->
+      """SELECT lang, source, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE n_chars > 100 GROUP BY 1, 2""",
 
     "q100_schema_evolution" ->
       """SELECT s_suppkey, s_name,
