@@ -80,6 +80,11 @@ object QueriesExtra {
     "q70_bigram_next" -> ((s, dir) =>
       TextStats.bigramNext(table(s, dir, "documents"), "text", minCount = 10L)),
 
+    // ---- per-doc OOV rate vs corpus top-30 vocab (quality proxy) ----
+    "q104_oov_rate" -> ((s, dir) =>
+      TextStats.oovRate(table(s, dir, "documents"), "doc_id", "text",
+        vocabK = 30)),
+
     // ---- PMI collocation mining (integer-scaled, top-50) ----
     "q98_collocations" -> ((s, dir) =>
       TextStats.collocations(table(s, dir, "documents"), "text",
@@ -422,6 +427,17 @@ object OraclesExtra {
              ROW_NUMBER() OVER (PARTITION BY w ORDER BY n DESC, next_tok) AS rk
            FROM c)
          SELECT w, next_tok, n FROM r WHERE rk = 1 AND n >= 10""",
+
+    "q104_oov_rate" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksLower) AS w FROM documents),
+         cu AS (SELECT w, COUNT(*) AS cw FROM toks GROUP BY w),
+         v AS (SELECT w FROM cu ORDER BY cw DESC, w LIMIT 30),
+         j AS (SELECT t.doc_id, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+               FROM toks t LEFT JOIN v ON t.w = v.w)
+         SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST((SUM(oov) * 1000000) // COUNT(*) AS BIGINT) AS oov_ppm
+         FROM j GROUP BY doc_id""",
 
     "q98_collocations" ->
       s"""WITH t AS (SELECT $toksLower AS tk FROM documents),

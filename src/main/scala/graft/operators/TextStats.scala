@@ -102,6 +102,28 @@ object TextStats {
       .select(col("w"), col("next_tok"), col("n"))
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus top-K
+    * vocabulary — a cheap perplexity proxy for quality filtering (high
+    * OOV ⇒ boilerplate/garbled/foreign text). `oov_ppm` is integer
+    * parts-per-million (n_oov·10^6 div n_tokens), engine-exact. The
+    * vocabulary is a TakeOrdered top-K (deterministic count-desc/word
+    * tie-break) broadcast back onto the token stream: one groupBy
+    * shuffle for counts, one for the per-doc rollup — the vocabulary
+    * itself never shuffles the corpus. */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+      vocabK: Int): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      .orderBy(col("cw").desc, col("w")).limit(vocabK)
+      .select(col("w"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+  }
+
   /** Collocation mining: top-k adjacent bigrams by integer-scaled PMI,
     * score = (c_xy · N · 10^6) div (c_w1 · c_w2) — a monotone transform
     * of pointwise mutual information computed entirely in 64-bit
