@@ -56,6 +56,29 @@ object QueriesMore {
           max(col("ts_us")).as("session_end_us"))
     }),
 
+    // ---- funnel conversion: signup → purchase within 7 days,
+    //      cohorted by signup date (left join preserves non-converters;
+    //      the time-band join is the bounded-state interval shape) ----
+    "q105_funnel" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      val signup = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("signup_us"))
+      val purchase = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("p_us"))
+      val sevenDaysUs = 7L * 86400L * 1000000L
+      signup.join(purchase,
+          signup("user_id") === purchase("user_id") &&
+            col("p_us") >= col("signup_us") &&
+            col("p_us") <= col("signup_us") + sevenDaysUs,
+          "left")
+        .groupBy(signup("user_id").as("uid"), col("signup_us"))
+        .agg(max(when(col("p_us").isNotNull, 1L).otherwise(0L)).as("converted"))
+        .groupBy(date_format(timestamp_micros(col("signup_us")), "yyyy-MM-dd")
+          .as("cohort_date"))
+        .agg(count(lit(1)).as("n_signups"),
+          sum(col("converted")).as("n_converted"))
+    }),
+
     // ---- ROLLUP multi-level aggregation ----
     "q39_rollup" -> ((s, dir) =>
       table(s, dir, "orders")
@@ -141,5 +164,22 @@ object OraclesMore {
     "q39_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
-         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""")
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+
+    "q105_funnel" ->
+      """WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS signup_us
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         p AS (SELECT user_id, epoch_us(ts) AS p_us
+           FROM events WHERE event_type = 'purchase'),
+         u AS (SELECT s.user_id, s.signup_us,
+             MAX(CASE WHEN p.p_us IS NOT NULL THEN 1 ELSE 0 END) AS converted
+           FROM s LEFT JOIN p
+             ON s.user_id = p.user_id
+            AND p.p_us >= s.signup_us
+            AND p.p_us <= s.signup_us + 604800000000
+           GROUP BY s.user_id, s.signup_us)
+         SELECT strftime(make_timestamp(signup_us), '%Y-%m-%d') AS cohort_date,
+           COUNT(*) AS n_signups,
+           CAST(SUM(converted) AS BIGINT) AS n_converted
+         FROM u GROUP BY 1""")
 }
