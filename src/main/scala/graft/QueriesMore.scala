@@ -56,6 +56,23 @@ object QueriesMore {
           max(col("ts_us")).as("session_end_us"))
     }),
 
+    // ---- item-item co-occurrence (CF matrix build): per-user distinct
+    //      items, within-user pair expansion (bounded by per-user item
+    //      count, never corpus-quadratic), pair-count shuffle, top-100 ----
+    "q106_cooccurrence" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .filter(col("item").isNotNull).distinct()
+      val a = e.select(col("user_id"), col("item").as("i"))
+      val b = e.select(col("user_id"), col("item").as("j"))
+      val pairs = a.join(b, Seq("user_id")).filter(col("i") < col("j"))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n_users"))
+      val ord = Seq(col("n_users").desc, col("i"), col("j"))
+      pairs.orderBy(ord: _*).limit(100)
+        .withColumn("rk", row_number().over(Window.orderBy(ord: _*)))
+    }),
+
     // ---- funnel conversion: signup → purchase within 7 days,
     //      cohorted by signup date (left join preserves non-converters;
     //      the time-band join is the bounded-state interval shape) ----
@@ -165,6 +182,21 @@ object OraclesMore {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
          FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+
+    "q106_cooccurrence" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+           FROM events
+           WHERE json_extract_string(props, '$.k') IS NOT NULL),
+         p AS (SELECT a.item AS i, b.item AS j FROM e a
+               JOIN e b ON a.user_id = b.user_id AND a.item < b.item),
+         c AS (SELECT i, j, COUNT(*) AS n_users FROM p GROUP BY i, j),
+         r AS (SELECT i, j, n_users,
+                 ROW_NUMBER() OVER (ORDER BY n_users DESC, i, j) AS rk
+               FROM c)
+         SELECT i, j, CAST(n_users AS BIGINT) AS n_users,
+                CAST(rk AS INTEGER) AS rk
+         FROM r WHERE rk <= 100""",
 
     "q105_funnel" ->
       """WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS signup_us
