@@ -51,6 +51,49 @@ class Round3OpsSpec extends SparkTestBase {
     assert(rebuilt.toSet == after.as[(Long, String, Double)].collect().toSet)
   }
 
+  test("versionDiff round-trips on random snapshots: before + feed == after") {
+    val rnd = new scala.util.Random(11)
+    for (round <- 1 to 3) {
+      val before = (0L until 60L).filter(_ => rnd.nextBoolean())
+        .map(k => (k, s"s${rnd.nextInt(3)}", rnd.nextInt(5).toDouble))
+      val after = (0L until 60L).filter(_ => rnd.nextBoolean())
+        .map(k => (k, s"s${rnd.nextInt(3)}", rnd.nextInt(5).toDouble))
+      val feed = Cdc.versionDiff(before.toDF("k", "s", "x"),
+          after.toDF("k", "s", "x"), Seq("k"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+          r.getString(3)))
+      // rebuild after from before + feed
+      val touched = feed.map(_._1).toSet
+      val rebuilt = before.filterNot(r => touched.contains(r._1)) ++
+        feed.filter(_._4 != "delete").map(t => (t._1, t._2, t._3))
+      assert(rebuilt.toSet == after.toSet, s"round $round")
+      // feed types are consistent with key presence
+      val bk = before.map(_._1).toSet
+      val ak = after.map(_._1).toSet
+      feed.foreach { case (k, _, _, t) =>
+        val expected =
+          if (!bk.contains(k)) "insert" else if (!ak.contains(k)) "delete"
+          else "update"
+        assert(t == expected, s"key $k: $t != $expected")
+      }
+    }
+  }
+
+  test("bloom semiJoin equals plain semi join on random key sets") {
+    val rnd = new scala.util.Random(23)
+    for (round <- 1 to 3) {
+      val fact = Seq.fill(800)((rnd.nextInt(300).toLong, rnd.nextInt(1000).toLong))
+        .toDF("k", "v")
+      val dim = Seq.fill(40)(rnd.nextInt(300).toLong).distinct.toDF("k")
+      val want = fact.join(dim, Seq("k"), "left_semi")
+        .as[(Long, Long)].collect().sorted.toSeq
+      val got = BloomJoin.semiJoin(fact, "k", dim, "k",
+          expectedItems = 64, fpp = 0.05)
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(got == want, s"round $round")
+    }
+  }
+
   test("inverted-index conjunctive search matches per-doc contains-all") {
     val docs = Seq(
       (1L, "spark merge vector fast"),
