@@ -72,6 +72,15 @@ object QueriesData {
       Corpus.searchAll(table(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "merge", "vector"))),
 
+    // ---- triangle enumeration over the LSH candidate graph ----
+    "q107_triangles" -> ((s, dir) => {
+      val d = table(s, dir, "documents").filter(col("doc_id") < 200)
+      val pairs = graft.operators.Dedup.lshCandidates(
+        graft.operators.Dedup.minhashBands(d, "doc_id", "text",
+          shingleN = 2, bands = 4), "doc_id")
+      Corpus.triangles(pairs)
+    }),
+
     // ---- rate-based stratified sampling (cap over-represented langs) ----
     "q102_hash_sample" -> ((s, dir) =>
       Corpus.hashStratifiedSample(table(s, dir, "documents"),
@@ -247,6 +256,24 @@ object OraclesData {
          SELECT doc_id FROM post
          WHERE term IN ('spark', 'merge', 'vector')
          GROUP BY doc_id HAVING COUNT(*) = 3""",
+
+    "q107_triangles" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+         t AS (SELECT doc_id, $toks AS tk FROM d),
+         idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM t),
+         sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] AS shingle FROM idx),
+         b AS (
+           SELECT doc_id, 0 AS band, MIN(md5('0:' || shingle)) AS minhash FROM sh GROUP BY doc_id
+           UNION ALL SELECT doc_id, 1, MIN(md5('1:' || shingle)) FROM sh GROUP BY doc_id
+           UNION ALL SELECT doc_id, 2, MIN(md5('2:' || shingle)) FROM sh GROUP BY doc_id
+           UNION ALL SELECT doc_id, 3, MIN(md5('3:' || shingle)) FROM sh GROUP BY doc_id),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+                  FROM b a JOIN b c ON a.band = c.band AND a.minhash = c.minhash
+                  WHERE a.doc_id < c.doc_id)
+         SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+         FROM cand e1
+         JOIN cand e2 ON e2.id_a = e1.id_b
+         JOIN cand e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b""",
 
     "q102_hash_sample" ->
       """SELECT doc_id, lang, source FROM documents

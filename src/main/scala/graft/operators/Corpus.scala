@@ -250,6 +250,21 @@ object Corpus {
     * vocabulary, not the corpus; sort+limit plans as a distributed
     * TakeOrdered (per-partition top-k, merged), and only the k
     * survivors see the single-partition ranking window. */
+  /** Triangle enumeration over an undirected edge list (id_a < id_b
+    * canonical form): the standard two-join expansion — wedges (a<b<c
+    * via b) closed against the edge set. Both joins shuffle on a single
+    * vertex key, so cost is Σ deg² (wedge count), never |V|³; on skewed
+    * degree distributions pre-salt the wedge join with [[Salting]].
+    * Triangle density over the near-dup candidate graph separates
+    * template families (dense cliques) from chance LSH collisions
+    * (isolated edges). */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e1 = edges.select(col("id_a").as("a"), col("id_b").as("b"))
+    val e2 = edges.select(col("id_a").as("b"), col("id_b").as("c"))
+    val e3 = edges.select(col("id_a").as("a"), col("id_b").as("c"))
+    e1.join(e2, "b").join(e3, Seq("a", "c")).select(col("a"), col("b"), col("c"))
+  }
+
   /** Inverted index: one posting row per (term, doc_id) over the
     * distinct lowercase whitespace tokens of each document. Scan-local
     * (explode, no shuffle); at 100 TB materialize it through
