@@ -80,6 +80,27 @@ object QueriesExtra {
     "q70_bigram_next" -> ((s, dir) =>
       TextStats.bigramNext(table(s, dir, "documents"), "text", minCount = 10L)),
 
+    // ---- ratio-to-report: supplier share of flag total, integer ppm ----
+    "q108_ratio_report" -> ((s, dir) => {
+      val g = table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_suppkey"),
+          col("l_quantity").cast("long").as("q"))
+        .groupBy(col("l_returnflag"), col("l_suppkey"))
+        .agg(sum(col("q")).as("sq"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+      g.withColumn("flag_total", sum(col("sq")).over(w))
+        .withColumn("share_ppm", expr("sq * 1000000 div flag_total"))
+    }),
+
+    // ---- median absolute deviation (robust dispersion) ----
+    "q109_mad" -> ((s, dir) =>
+      Quantiles.medianAbsoluteDeviation(
+        table(s, dir, "lineitem")
+          .select(col("l_returnflag").as("grp"),
+            col("l_quantity").cast("long").as("v")),
+        "grp", "v")),
+
     // ---- per-doc OOV rate vs corpus top-30 vocab (quality proxy) ----
     "q104_oov_rate" -> ((s, dir) =>
       TextStats.oovRate(table(s, dir, "documents"), "doc_id", "text",
@@ -427,6 +448,26 @@ object OraclesExtra {
              ROW_NUMBER() OVER (PARTITION BY w ORDER BY n DESC, next_tok) AS rk
            FROM c)
          SELECT w, next_tok, n FROM r WHERE rk = 1 AND n >= 10""",
+
+    "q108_ratio_report" ->
+      """WITH g AS (SELECT l_returnflag, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+           FROM lineitem GROUP BY 1, 2)
+         SELECT l_returnflag, l_suppkey, sq,
+           CAST(SUM(sq) OVER (PARTITION BY l_returnflag) AS BIGINT) AS flag_total,
+           CAST((sq * 1000000) //
+             SUM(sq) OVER (PARTITION BY l_returnflag) AS BIGINT) AS share_ppm
+         FROM g""",
+
+    "q109_mad" ->
+      """WITH li AS (SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS v
+           FROM lineitem),
+         m AS (SELECT grp, percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS med
+           FROM li GROUP BY grp),
+         d AS (SELECT li.grp, ABS(v - med) AS dd FROM li JOIN m ON li.grp = m.grp)
+         SELECT grp,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dd) AS BIGINT) AS mad
+         FROM d GROUP BY grp""",
 
     "q104_oov_rate" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksLower) AS w FROM documents),

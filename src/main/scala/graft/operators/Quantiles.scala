@@ -82,6 +82,19 @@ object Quantiles {
     g.select(col(groupCol) +: outs: _*)
   }
 
+  /** Median absolute deviation (robust dispersion): MAD =
+    * median(|x − median(x)|), both medians PERCENTILE_DISC-exact on
+    * integral values. Two grouped-percentile passes; the per-group
+    * medians broadcast back so the data shuffles only on the group key
+    * (same cost class as one grouped sort, twice). */
+  def medianAbsoluteDeviation(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val med = percentilesDisc(df, groupCol, valueCol, Seq(("__med", 1, 2)))
+    val dev = df.join(broadcast(med), Seq(groupCol))
+      .select(col(groupCol), abs(col(valueCol) - col("__med")).as("__dev"))
+    percentilesDisc(dev, groupCol, "__dev", Seq(("mad", 1, 2)))
+  }
+
   /** Winsorization: clamp `valueCol` into the [lo, hi] PERCENTILE_DISC
     * band of its group, emitted as `<valueCol>_w`. Bounds are one extra
     * column-pruned pass ([[percentilesDisc]] — one shuffle) producing
