@@ -96,6 +96,23 @@ object QueriesScale {
             .as("sum_qty"))
     }),
 
+    // ---- distribution-rank window suite: ntile/percent_rank/cume_dist
+    //      + first/last/nth_value over an explicit full frame ----
+    "q110_rank_suite" -> ((s, dir) => {
+      val o = table(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      o.select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        first_value(col("o_orderkey")).over(wf).as("top_key"),
+        last_value(col("o_orderkey")).over(wf).as("bottom_key"),
+        nth_value(col("o_orderkey"), 2).over(wf).as("second_key"))
+    }),
+
     // ---- shuffled-hash fact join: the third join strategy (vs the
     //      default broadcast and q83's SMJ) — at scale, right when the
     //      build side exceeds the broadcast threshold but its per-
@@ -248,6 +265,22 @@ object OraclesScale {
            CAST(SUM(CAST(l.l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          GROUP BY 1""",
+
+    "q110_rank_suite" ->
+      """SELECT o_orderkey, o_orderstatus,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd,
+           FIRST_VALUE(o_orderkey) OVER wf AS top_key,
+           LAST_VALUE(o_orderkey) OVER wf AS bottom_key,
+           NTH_VALUE(o_orderkey, 2) OVER wf AS second_key
+         FROM orders WHERE o_orderkey < 2000
+         WINDOW w AS (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice DESC, o_orderkey),
+                wf AS (PARTITION BY o_orderstatus
+                       ORDER BY o_totalprice DESC, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)""",
 
     "q101_shuffle_hash_join" ->
       """SELECT o.o_orderpriority, COUNT(*) AS n,
