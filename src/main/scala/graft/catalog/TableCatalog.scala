@@ -225,10 +225,17 @@ class TableCatalog(spark: SparkSession, root: String) {
   def count(fq: String): Long =
     readIfExists(fq).map(_.count()).getOrElse(0L)
 
-  /** Write a brand-new version then atomically swap the pointer. */
+  /** Write a brand-new version then atomically swap the pointer.
+    * Single-writer per table (the reference's pipeline model); readers
+    * are isolated by the pointer swap at any concurrency. */
   private def commitVersion(fq: String, write: Path => Unit): Unit = {
     val next = currentVersion(fq).getOrElse(-1) + 1
     val dir = versionDir(fq, next)
+    // crash recovery: a commit that died after writing data but before
+    // the pointer swap leaves a partial v_next dir the pointer never
+    // referenced — clear it, or this commit would fail on the existing
+    // path (or silently absorb the orphan's files into its manifest)
+    if (fs.exists(dir)) fs.delete(dir, true)
     write(dir)
     val tmp = new Path(tableDir(fq), s"_CURRENT.tmp$next")
     val out = fs.create(tmp, true)

@@ -17,6 +17,24 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.read(t).as[(Int, String)].collect().toSet == Set((9, "z")))
   }
 
+  test("commit recovers from an orphaned version dir left by a crashed writer") {
+    val work = tempDir("cat")
+    val cat = new TableCatalog(spark, work)
+    val t = "db.sch.crash"
+    cat.append(t, Seq((1, "a")).toDF("id", "v")) // v0 live
+    // simulate a writer that died after writing data but before the
+    // pointer swap: a v_000001 dir exists, never referenced by _CURRENT
+    val orphan = new java.io.File(s"$work/db/sch/crash/v_000001")
+    assert(orphan.mkdirs())
+    Seq((99, "garbage")).toDF("id", "v")
+      .write.mode("overwrite").parquet(orphan.toString)
+    // next commit targets the same version number — must clear the
+    // orphan rather than fail or absorb its files
+    cat.append(t, Seq((2, "b")).toDF("id", "v"))
+    assert(cat.read(t).as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b")))
+  }
+
   test("truncate keeps schema, zero rows") {
     val cat = new TableCatalog(spark, tempDir("cat"))
     cat.append("d.s.t", Seq((1, "a")).toDF("id", "v"))
