@@ -265,6 +265,21 @@ object QueriesExtra {
       Cdc.versionDiff(cat.readVersion(t, vBefore), cat.read(t), Seq("key"))
     }),
 
+    // ---- fixed-width file round-trip (healthcare feed layout) ----
+    "q111_fixed_width" -> ((s, dir) => {
+      import graft.sources.FixedWidthReader
+      import graft.sources.FixedWidthReader.FieldSpec
+      val layout = Seq(FieldSpec("s_suppkey", 1, 10, "bigint"),
+        FieldSpec("s_name", 11, 30), FieldSpec("nation", 41, 5, "bigint"))
+      val work = java.nio.file.Files.createTempDirectory("graft_fw").toString
+      FixedWidthReader.render(
+          table(s, dir, "supplier").select(col("s_suppkey"), col("s_name"),
+            col("s_nationkey").cast("long").as("nation")),
+          layout)
+        .write.mode("overwrite").text(s"$work/sup")
+      FixedWidthReader.parse(s.read.text(s"$work/sup"), "value", layout)
+    }),
+
     // ---- JSON-lines sink/source round-trip (format breadth) ----
     "q103_jsonl_roundtrip" -> ((s, dir) => {
       val work = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
@@ -567,6 +582,10 @@ object OraclesExtra {
     "q77_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS nation
          FROM supplier WHERE s_suppkey % 2 = 0""",
+
+    "q111_fixed_width" ->
+      """SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS nation
+         FROM supplier""",
 
     "q103_jsonl_roundtrip" ->
       """SELECT lang, source, COUNT(*) AS n,

@@ -151,6 +151,24 @@ class Round3OpsSpec extends SparkTestBase {
     assert(again == en30)
   }
 
+  test("fixed-width render/parse round-trips and rejects field overflow") {
+    import graft.sources.FixedWidthReader
+    import graft.sources.FixedWidthReader.FieldSpec
+    val layout = Seq(FieldSpec("id", 1, 6, "bigint"), FieldSpec("name", 7, 10))
+    val df = Seq((42L, "alpha"), (7L, "beta")).toDF("id", "name")
+    val lines = FixedWidthReader.render(df, layout)
+    assert(lines.as[String].collect().forall(_.length == 16))
+    val back = FixedWidthReader.parse(lines, "value", layout)
+      .as[(Long, String)].collect().toSet
+    assert(back == Set((42L, "alpha"), (7L, "beta")))
+    val overflow = Seq((1L, "this-name-is-way-too-long")).toDF("id", "name")
+    val ex = intercept[Exception] {
+      FixedWidthReader.render(overflow, layout).collect()
+    }
+    assert(ex.getMessage.contains("fixed-width overflow") ||
+      Option(ex.getCause).exists(_.getMessage.contains("fixed-width overflow")))
+  }
+
   test("gapFillHourly fills missing hours with n=0 and carries last type forward") {
     val e = Seq(
       (7L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), "a"),
