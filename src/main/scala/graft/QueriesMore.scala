@@ -56,6 +56,22 @@ object QueriesMore {
           max(col("ts_us")).as("session_end_us"))
     }),
 
+    // ---- cumulative distinct users per day: the window-COUNT(DISTINCT)
+    //      workaround — count first-seen dates, then a running sum
+    //      (two narrow shuffles instead of an unsupported/quadratic
+    //      distinct-within-frame) ----
+    "q112_cumulative_users" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val firstSeen = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(date_format(col("ts"), "yyyy-MM-dd")).as("first_day"))
+        .groupBy(col("first_day")).agg(count(lit(1)).as("new_users"))
+      firstSeen.withColumn("cumulative_users",
+        sum(col("new_users")).over(
+          Window.orderBy(col("first_day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }),
+
     // ---- item-item co-occurrence (CF matrix build): per-user distinct
     //      items, within-user pair expansion (bounded by per-user item
     //      count, never corpus-quadratic), pair-count shuffle, top-100 ----
@@ -182,6 +198,16 @@ object OraclesMore {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
          FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+
+    "q112_cumulative_users" ->
+      """WITH f AS (SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS first_day
+           FROM events GROUP BY user_id),
+         d AS (SELECT first_day, COUNT(*) AS new_users FROM f GROUP BY first_day)
+         SELECT first_day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY first_day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+         FROM d""",
 
     "q106_cooccurrence" ->
       """WITH e AS (SELECT DISTINCT user_id,
