@@ -12,6 +12,14 @@ object QueriesScale {
 
   import Queries.{table, events}
 
+  /** TPC-H revenue: Σ extprice·(1−discount) in exact decimal (scale-4
+    * products, decimal sum), cast to double only at the boundary. */
+  private[graft] def revenue: org.apache.spark.sql.Column =
+    sum(col("l_extendedprice").cast(DecimalType(14, 2)) *
+        (lit(java.math.BigDecimal.ONE).cast(DecimalType(14, 2)) -
+          col("l_discount").cast(DecimalType(14, 2))))
+      .cast("double")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- salted join == plain join (skew mitigation correctness) ----
     "q40_salted_join" -> ((s, dir) => {
@@ -94,6 +102,69 @@ object QueriesScale {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast(DecimalType(14, 2))).cast("double")
             .as("sum_qty"))
+    }),
+
+    // ---- TPC-H Q3 shape: 3-table join, filtered fact, top-10 revenue ----
+    "q113_tpch_q3" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1996-03-15").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_orderpriority"))
+      val l = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1996-03-15").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_date"), col("o_orderpriority"))
+        .agg(QueriesScale.revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- TPC-H Q5 shape: 6-table star join, regional revenue ----
+    "q114_tpch_q5" -> ((s, dir) => {
+      val r = table(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = table(s, dir, "nation")
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val sup = table(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val c = table(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val l = table(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(n, sup("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(QueriesScale.revenue.as("revenue"))
+    }),
+
+    // ---- TPC-H Q10 shape: returned-item customer report, top-20 ----
+    "q115_tpch_q10" -> ((s, dir) => {
+      val n = table(s, dir, "nation").select("n_nationkey", "n_name")
+      val c = table(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val l = table(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(QueriesScale.revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
     }),
 
     // ---- distribution-rank window suite: ntile/percent_rank/cume_dist
@@ -265,6 +336,53 @@ object OraclesScale {
            CAST(SUM(CAST(l.l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          GROUP BY 1""",
+
+    "q113_tpch_q3" ->
+      """SELECT l.l_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,
+           o.o_orderpriority,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2)) *
+             (1 - CAST(l.l_discount AS DECIMAL(14,2)))) AS DOUBLE) AS revenue
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE c.c_mktsegment = 'BUILDING'
+           AND o.o_orderdate < TIMESTAMP '1996-03-15'
+           AND l.l_shipdate > TIMESTAMP '1996-03-15'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, l.l_orderkey
+         LIMIT 10""",
+
+    "q114_tpch_q5" ->
+      """SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2)) *
+             (1 - CAST(l.l_discount AS DECIMAL(14,2)))) AS DOUBLE) AS revenue
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                        AND c.c_nationkey = s.s_nationkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name = 'ASIA'
+           AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n.n_name""",
+
+    "q115_tpch_q10" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2)) *
+             (1 - CAST(l.l_discount AS DECIMAL(14,2)))) AS DOUBLE) AS revenue
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE l.l_returnflag = 'R'
+           AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+           AND o.o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1, 2, 3, 4
+         ORDER BY revenue DESC, c.c_custkey
+         LIMIT 20""",
 
     "q110_rank_suite" ->
       """SELECT o_orderkey, o_orderstatus,
