@@ -148,7 +148,12 @@ object QueriesText {
 
     // ---- stream-stream interval join (watermark-bounded state) ----
     "q99_stream_join" -> ((s, dir) =>
-      EventStream.runPurchaseClickJoin(s, dir)))
+      EventStream.runPurchaseClickJoin(s, dir)),
+
+    // ---- foreachBatch → catalog: idempotent latest-wins upsert ----
+    "q116_stream_materialize" -> ((s, dir) =>
+      graft.streaming.StreamMaterialize.runLatestToCatalog(s, dir,
+        java.nio.file.Files.createTempDirectory("graft_smat").toString)))
 }
 
 object OraclesText {
@@ -445,6 +450,15 @@ object OraclesText {
            CAST(MAX(ts_us) AS BIGINT) AS session_end_us,
            COUNT(*) AS n_events
          FROM s GROUP BY user_id, sid""",
+
+    "q116_stream_materialize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+           FROM events),
+         r AS (SELECT user_id, event_id, ts_us, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts_us DESC, event_id DESC) AS rn
+               FROM e)
+         SELECT user_id, event_id, ts_us, event_type FROM r WHERE rn = 1""",
 
     "q99_stream_join" ->
       """SELECT a.event_id AS purchase_id, b.event_id AS click_id,

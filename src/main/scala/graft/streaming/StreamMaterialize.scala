@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.catalog.TableCatalog
+
+/** Streaming materialization into the transactional catalog via
+  * `foreachBatch`: each micro-batch collapses to its per-key winner and
+  * conditionally upserts — a row replaces the stored state only when it
+  * is strictly newer by the sequence ordering. The upsert is therefore
+  * IDEMPOTENT (replays are no-ops) and BATCH-ORDER-TOLERANT (a late
+  * batch cannot regress state), which is what makes foreachBatch's
+  * at-least-once delivery exactly-once in effect — the standard
+  * streaming-upsert discipline on any lakehouse.
+  *
+  * Scale shape per batch: one window pass over the batch (small), one
+  * key-join against current state (pruned by the catalog's
+  * file-granular merge), one O(delta) COW merge commit.
+  */
+object StreamMaterialize {
+
+  /** Collapse `batch` to one row per key (max by `seqCols` lexicographic,
+    * descending) and merge rows strictly newer than stored state. */
+  def upsertLatest(cat: TableCatalog, fq: String, batch: DataFrame,
+      keyCol: String, seqCols: Seq[String]): Unit = {
+    val ord = seqCols.map(c => col(c).desc)
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val winners = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val fresh = cat.readIfExists(fq) match {
+      case None => winners
+      case Some(cur) =>
+        val curSeq = cur.select(col(keyCol),
+          struct(seqCols.map(col): _*).as("__cur_seq"))
+        winners.join(curSeq, Seq(keyCol), "left")
+          .filter(col("__cur_seq").isNull ||
+            struct(seqCols.map(col): _*) > col("__cur_seq"))
+          .drop("__cur_seq")
+    }
+    cat.merge(fq, fresh, Seq(keyCol))
+  }
+
+  /** Drain the event stream into a catalog table holding the latest
+    * event per user; returns the materialized table. */
+  def runLatestToCatalog(spark: SparkSession, dir: String,
+      workDir: String, fq: String = "D.S.USER_LATEST"): DataFrame = {
+    val cat = new TableCatalog(spark, workDir)
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft_smat_ckpt").toString
+    val events = EventStream.readStream(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val q = events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        upsertLatest(cat, fq, batch.toDF(), "user_id",
+          Seq("ts_us", "event_id"))
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    cat.read(fq)
+  }
+}

@@ -27,6 +27,27 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(out2.filter(col("key") === 1L).select("payload").as[String].head() == "a")
   }
 
+  test("upsertLatest is idempotent and tolerates out-of-order batches") {
+    import graft.catalog.TableCatalog
+    import graft.streaming.StreamMaterialize.upsertLatest
+    val cat = new TableCatalog(spark, tempDir("smat"))
+    val t = "d.s.latest"
+    val b1 = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "x"))
+      .toDF("k", "seq", "v")
+    upsertLatest(cat, t, b1, "k", Seq("seq"))
+    def state() = cat.read(t).select("k", "seq", "v")
+      .as[(Long, Long, String)].collect().toSet
+    val s1 = state()
+    assert(s1 == Set((1L, 20L, "b"), (2L, 5L, "x")))
+    // replay the same batch — state unchanged (idempotent)
+    upsertLatest(cat, t, b1, "k", Seq("seq"))
+    assert(state() == s1)
+    // late batch with older rows — cannot regress state
+    upsertLatest(cat, t, Seq((1L, 15L, "late"), (3L, 1L, "new"))
+      .toDF("k", "seq", "v"), "k", Seq("seq"))
+    assert(state() == s1 + ((3L, 1L, "new")))
+  }
+
   test("streaming session_window == batch gap sessionization (sf0.001)") {
     import org.apache.spark.sql.expressions.Window
     val dir = "/root/testdata/sf0.001"
