@@ -316,6 +316,21 @@ object QueriesScale {
           // o_orderdate arrives as TIMESTAMP_NTZ; session TZ is UTC so
           // the cast is epoch-preserving
           unix_micros(col("o_orderdate").cast("timestamp")).as("order_date_us"))
+    }),
+
+    // ---- forward as-of: each event's NEXT order on/after its day ----
+    "q117_asof_forward" -> ((s, dir) => {
+      val l = events(s, dir).filter(col("user_id") < 50)
+        .select("event_id", "user_id", "ts")
+      val r = table(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      graft.operators.AsOfJoin.asOf(l, r, Seq("user_id"),
+          leftId = "event_id", leftTime = "ts", rightTime = "o_orderdate",
+          direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("order_date_us"))
     }))
 }
 
@@ -537,6 +552,21 @@ object OraclesScale {
                FROM l LEFT JOIN r USING (user_id)),
          p AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
                  ORDER BY ok DESC, o_orderdate DESC NULLS LAST) AS rn FROM j)
+         SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CASE WHEN ok THEN o_orderkey END AS o_orderkey,
+           CASE WHEN ok THEN epoch_us(o_orderdate) END AS order_date_us
+         FROM p WHERE rn = 1""",
+
+    "q117_asof_forward" ->
+      """WITH r AS (SELECT o_custkey AS user_id, o_orderdate,
+                      MAX(o_orderkey) AS o_orderkey
+                    FROM orders GROUP BY 1, 2),
+         l AS (SELECT event_id, user_id, ts FROM events WHERE user_id < 50),
+         j AS (SELECT l.event_id, l.user_id, l.ts, r.o_orderdate, r.o_orderkey,
+                 COALESCE(r.o_orderdate >= l.ts, FALSE) AS ok
+               FROM l LEFT JOIN r USING (user_id)),
+         p AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                 ORDER BY ok DESC, o_orderdate ASC NULLS LAST) AS rn FROM j)
          SELECT event_id, user_id, epoch_us(ts) AS ts_us,
            CASE WHEN ok THEN o_orderkey END AS o_orderkey,
            CASE WHEN ok THEN epoch_us(o_orderdate) END AS order_date_us

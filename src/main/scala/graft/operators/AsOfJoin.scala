@@ -23,10 +23,17 @@ object AsOfJoin {
 
   /** @param leftId a UNIQUE left row id (required for exact windowing —
     *               never a generated nondeterministic id, so retries
-    *               and oracle comparisons stay stable) */
+    *               and oracle comparisons stay stable)
+    * @param direction "backward" (greatest right-time ≤ left-time, the
+    *               default) or "forward" (smallest right-time ≥
+    *               left-time — next-event lookup) */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftId: String, leftTime: String, rightTime: String,
-      tolerance: Option[Column] = None): DataFrame = {
+      tolerance: Option[Column] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val fwd = direction == "forward"
     // avoid name collisions: suffix non-key right columns present on the left
     val renamedRight = right.columns.foldLeft(right) { (d, c) =>
       if (!keys.contains(c) && left.columns.contains(c))
@@ -36,14 +43,19 @@ object AsOfJoin {
     val rt = if (left.columns.contains(rightTime)) rightTime + "_r" else rightTime
     val rightCols = renamedRight.columns.filterNot(keys.contains)
 
-    val matchable = col(rt) <= col(leftTime) &&
-      tolerance.map(t => col(leftTime) - col(rt) <= t).getOrElse(lit(true))
+    val inWindow =
+      if (fwd) col(rt) >= col(leftTime) else col(rt) <= col(leftTime)
+    val gap = if (fwd) col(rt) - col(leftTime) else col(leftTime) - col(rt)
+    val matchable =
+      inWindow && tolerance.map(t => gap <= t).getOrElse(lit(true))
     val joined = left.join(renamedRight, keys, "left")
       .withColumn("__ok", coalesce(matchable, lit(false)))
     // best candidate first: qualifying matches before non-qualifying,
-    // then latest right time; exactly one row per left row survives
+    // then nearest right time on the chosen side; exactly one row per
+    // left row survives
     val w = Window.partitionBy(col(leftId))
-      .orderBy(col("__ok").desc, col(rt).desc_nulls_last)
+      .orderBy(col("__ok").desc,
+        if (fwd) col(rt).asc_nulls_last else col(rt).desc_nulls_last)
     val picked = joined.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
     // null out right columns when the survivor isn't a qualifying match
