@@ -150,6 +150,21 @@ object QueriesText {
     "q99_stream_join" -> ((s, dir) =>
       EventStream.runPurchaseClickJoin(s, dir)),
 
+    // ---- higher-order array functions over embeddings (codegen'd
+    //      HOFs: transform/filter/exists/forall/slice, exact outputs) ----
+    "q118_hof_suite" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val head3 = transform(slice(col("embedding"), 1, 3),
+        x => round(x.cast("double") * lit(10000000L)).cast("long"))
+      e.select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        size(filter(col("embedding"), x => x > 0f)).as("n_pos"),
+        exists(col("embedding"), x => x > 0.99f).as("any_hi"),
+        forall(col("embedding"), x => abs(x) <= 1f).as("all_unit"),
+        head3.getItem(0).as("h1"), head3.getItem(1).as("h2"),
+        head3.getItem(2).as("h3"))
+    }),
+
     // ---- foreachBatch → catalog: idempotent latest-wins upsert ----
     "q116_stream_materialize" -> ((s, dir) =>
       graft.streaming.StreamMaterialize.runLatestToCatalog(s, dir,
@@ -450,6 +465,17 @@ object OraclesText {
            CAST(MAX(ts_us) AS BIGINT) AS session_end_us,
            COUNT(*) AS n_events
          FROM s GROUP BY user_id, sid""",
+
+    "q118_hof_suite" ->
+      """SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+           len(list_filter(embedding, x -> x > CAST(0.99 AS FLOAT))) > 0 AS any_hi,
+           len(list_filter(embedding, x -> abs(x) > CAST(1 AS FLOAT))) = 0 AS all_unit,
+           CAST(round(CAST(embedding[1] AS DOUBLE) * 10000000) AS BIGINT) AS h1,
+           CAST(round(CAST(embedding[2] AS DOUBLE) * 10000000) AS BIGINT) AS h2,
+           CAST(round(CAST(embedding[3] AS DOUBLE) * 10000000) AS BIGINT) AS h3
+         FROM embeddings""",
 
     "q116_stream_materialize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
