@@ -104,6 +104,19 @@ object QueriesScale {
             .as("sum_qty"))
     }),
 
+    // ---- multiset set ops: EXCEPT ALL / INTERSECT ALL preserve
+    //      duplicate multiplicity (vs q43's distinct-set forms) ----
+    "q119_setops_all" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val hi = li.filter(col("l_quantity") >= 45).select("l_suppkey")
+      val lo = li.filter(col("l_quantity") <= 3).select("l_suppkey")
+      val ex = hi.exceptAll(lo).groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      val in = hi.intersectAll(lo).groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      ex.unionByName(in)
+    }),
+
     // ---- TPC-H Q3 shape: 3-table join, filtered fact, top-10 revenue ----
     "q113_tpch_q3" -> ((s, dir) => {
       val c = table(s, dir, "customer")
@@ -351,6 +364,17 @@ object OraclesScale {
            CAST(SUM(CAST(l.l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          GROUP BY 1""",
+
+    "q119_setops_all" ->
+      """WITH hi AS (SELECT l_suppkey FROM lineitem WHERE l_quantity >= 45),
+         lo AS (SELECT l_suppkey FROM lineitem WHERE l_quantity <= 3),
+         ex AS (SELECT l_suppkey, COUNT(*) AS n, 'except_all' AS op
+                FROM (SELECT * FROM hi EXCEPT ALL SELECT * FROM lo)
+                GROUP BY l_suppkey),
+         ins AS (SELECT l_suppkey, COUNT(*) AS n, 'intersect_all' AS op
+                 FROM (SELECT * FROM hi INTERSECT ALL SELECT * FROM lo)
+                 GROUP BY l_suppkey)
+         SELECT * FROM ex UNION ALL SELECT * FROM ins""",
 
     "q113_tpch_q3" ->
       """SELECT l.l_orderkey,
