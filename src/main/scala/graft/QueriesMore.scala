@@ -56,6 +56,23 @@ object QueriesMore {
           max(col("ts_us")).as("session_end_us"))
     }),
 
+    // ---- map-typed columns: per-user event_type→count map built with
+    //      map_from_entries, probed with element_at (order-independent
+    //      by construction — lookups by key, never by position) ----
+    "q120_map_functions" -> ((s, dir) => {
+      val perType = events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val m = perType.groupBy(col("user_id"))
+        .agg(map_from_entries(
+          collect_list(struct(col("event_type"), col("c")))).as("m"))
+      m.select(col("user_id"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("clicks"),
+        coalesce(element_at(col("m"), "purchase"), lit(0L)).as("purchases"),
+        coalesce(element_at(col("m"), "signup"), lit(0L)).as("signups"),
+        size(col("m")).as("n_types"))
+    }),
+
     // ---- cumulative distinct users per day: the window-COUNT(DISTINCT)
     //      workaround — count first-seen dates, then a running sum
     //      (two narrow shuffles instead of an unsupported/quadratic
@@ -198,6 +215,14 @@ object OraclesMore {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
          FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+
+    "q120_map_functions" ->
+      """SELECT user_id,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS clicks,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchases,
+           CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signups,
+           CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n_types
+         FROM events GROUP BY user_id""",
 
     "q112_cumulative_users" ->
       """WITH f AS (SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS first_day
