@@ -1,0 +1,313 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.operators.{Corpus, Graph, Intervals, Quantiles, Skyline, Stats, TopK}
+
+/** Round-3 additions: shuffle-bounded top-k, exact grouped model fits,
+  * sketch gates, interval islands, retention cohorts. Same exactness
+  * discipline as [[Queries]] — every computed numeric crossing the
+  * oracle boundary is integer/decimal-exact.
+  */
+object QueriesMining {
+
+  import Queries.{table, events}
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- bounded-buffer top-k per group: partial top-k on the map
+    //      side, shuffle carries ≤ k rows per group per partition ----
+    "q121_bounded_topk" -> ((s, dir) => {
+      val o = table(s, dir, "orders").select(col("o_orderstatus"),
+        (col("o_totalprice").cast(DecimalType(14, 2)) * 100).cast("long")
+          .as("price_cents"),
+        col("o_orderkey"))
+      TopK.topKPerGroup(s, o, "o_orderstatus", "price_cents", "o_orderkey",
+        k = 5)
+    }),
+
+    // ---- grouped least-squares fit (extendedprice vs quantity),
+    //      moment sums in DECIMAL(38,0), ppm outputs ----
+    "q122_linear_fit" -> ((s, dir) =>
+      Stats.linearFit(
+        table(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("x"),
+          (col("l_extendedprice").cast(DecimalType(14, 2)) * 100)
+            .cast("long").as("y")),
+        "l_returnflag", "x", "y")),
+
+    // ---- approx percentile beside the exact one, error asserted
+    //      in-query (hard gate like q45's HLL bound) ----
+    "q123_approx_percentile" -> ((s, dir) => {
+      val exact = Quantiles.percentilesDisc(table(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity", Seq(("p50_exact", 1, 2)))
+      val approx = table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+          .as("__p50_approx"))
+      // rank error ≤ n/accuracy ≪ per-value multiplicity here, so the
+      // approximate median must land within one quantity unit
+      exact.join(approx, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("p50_exact"),
+          (abs(col("__p50_approx") - col("p50_exact")) <= 1.0)
+            .as("approx_within_bound"))
+    }),
+
+    // ---- gaps-and-islands: merge per-customer 7-day order spans ----
+    "q124_interval_islands" -> ((s, dir) => {
+      val iv = table(s, dir, "orders").select(
+        col("o_custkey"),
+        to_date(col("o_orderdate")).as("s"),
+        date_add(to_date(col("o_orderdate")), 7).as("e"))
+      Intervals.mergeIntervals(iv, "o_custkey", "s", "e")
+        .select(col("o_custkey"), col("island"),
+          date_format(col("island_start"), "yyyy-MM-dd").as("island_start"),
+          date_format(col("island_end"), "yyyy-MM-dd").as("island_end"),
+          col("n_rows").as("n_orders"))
+    }),
+
+    // ---- weekly retention cohorts over the event stream ----
+    "q125_retention_cohorts" -> ((s, dir) => {
+      val e = events(s, dir)
+      val cohort = e.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("__fts"))
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("__fts"))).as("__cw"))
+      val activity = e.select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("__aw")).distinct()
+      activity.join(cohort, Seq("user_id"))
+        .select(col("__cw"), col("user_id"),
+          expr("datediff(__aw, __cw) div 7").cast("long").as("week_no"))
+        .groupBy(col("__cw"), col("week_no"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(date_format(col("__cw"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_no"), col("n_users"))
+    }),
+
+    // ---- exact integer 3-sigma outliers (no floating point) ----
+    "q126_sigma_outliers" -> ((s, dir) =>
+      Stats.sigmaOutliers(
+        events(s, dir).select(col("event_type"), col("event_id"),
+          (col("value").cast(DecimalType(14, 2)) * 100).cast("long")
+            .as("value_cents")),
+        "event_type", "value_cents", "event_id", k = 3)),
+
+    // ---- fixed-point PageRank on the part→supplier supply graph ----
+    "q127_pagerank" -> ((s, dir) => {
+      val edges = table(s, dir, "lineitem")
+        .select((col("l_partkey") + 100000L).as("src"),
+          col("l_suppkey").as("dst")).distinct()
+      Graph.pageRank(edges, iters = 2)
+    }),
+
+    // ---- C4-style repeated-span removal (4-token blocks, ≥2 occ) ----
+    "q128_span_dedup" -> ((s, dir) =>
+      Corpus.dedupBlocks(table(s, dir, "documents"), "doc_id", "text",
+        block = 4, maxOccurrences = 2L)),
+
+    // ---- 3-day weighted moving average of daily order revenue ----
+    "q129_weighted_ma" -> ((s, dir) => {
+      val daily = table(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum((col("o_totalprice").cast(DecimalType(14, 2)) * 100)
+          .cast("long")).as("total_cents"))
+      daily
+        .withColumn("wma3_cents", expr(
+          """(3 * total_cents + 2 * coalesce(lag(total_cents, 1) over (order by d), 0)
+              + coalesce(lag(total_cents, 2) over (order by d), 0)) div 6"""))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("d"),
+          col("total_cents"), col("wma3_cents"))
+    }),
+
+    // ---- hashing-trick sparse features (256 md5 buckets) ----
+    "q130_hash_features" -> ((s, dir) => {
+      val toks = table(s, dir, "documents").select(col("doc_id"),
+        explode(expr(
+          "filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')")).as("w"))
+      toks
+        .withColumn("__h", md5(col("w")))
+        .withColumn("bucket", (
+          (expr("instr('0123456789abcdef', substring(__h, 1, 1))") - 1) * 16 +
+            expr("instr('0123456789abcdef', substring(__h, 2, 1))") - 1)
+          .cast("long"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- 2-D skyline: max p_size, min retail price ----
+    "q131_skyline" -> ((s, dir) =>
+      Skyline.pareto2d(
+        table(s, dir, "part").select(col("p_partkey"),
+          col("p_size").cast("long").as("p_size"),
+          (col("p_retailprice").cast(DecimalType(14, 2)) * 100).cast("long")
+            .as("price_cents")),
+        "p_size", "price_cents")))
+}
+
+object OraclesMining {
+
+  val all: Map[String, String] = Map(
+    "q121_bounded_topk" ->
+      """SELECT o_orderstatus, CAST(rk AS BIGINT) AS rank, o_orderkey,
+           price_cents FROM (
+           SELECT o_orderstatus, o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS price_cents,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+               ORDER BY CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) DESC,
+                 o_orderkey) AS rk
+           FROM orders) WHERE rk <= 5""",
+
+    "q122_linear_fit" ->
+      """WITH t AS (SELECT l_returnflag,
+             CAST(l_quantity AS HUGEINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS HUGEINT) AS y
+           FROM lineitem),
+         g AS (SELECT l_returnflag, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+           FROM t GROUP BY l_returnflag),
+         s AS (SELECT *,
+             CASE WHEN (n * sxy - sx * sy) < 0 AND (n * sxx - sx * sx) > 0
+                    OR (n * sxy - sx * sy) > 0 AND (n * sxx - sx * sx) < 0
+               THEN -(abs((n * sxy - sx * sy) * 1000000) // abs(n * sxx - sx * sx))
+               ELSE abs((n * sxy - sx * sy) * 1000000) // abs(n * sxx - sx * sx)
+             END AS slope_ppm
+           FROM g)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+           CAST(slope_ppm AS BIGINT) AS slope_ppm,
+           CAST(CASE WHEN (sy * 1000000 - slope_ppm * sx) < 0
+             THEN -(abs(sy * 1000000 - slope_ppm * sx) // n)
+             ELSE abs(sy * 1000000 - slope_ppm * sx) // n
+           END AS BIGINT) AS intercept_ppm
+         FROM s""",
+
+    "q123_approx_percentile" ->
+      """SELECT l_returnflag,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_exact,
+           TRUE AS approx_within_bound
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q124_interval_islands" ->
+      """WITH iv AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + 7 AS e FROM orders),
+         m AS (SELECT o_custkey, s, e,
+             MAX(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+           FROM iv),
+         f AS (SELECT o_custkey, s, e,
+             CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ni
+           FROM m),
+         g AS (SELECT o_custkey, s, e,
+             SUM(ni) OVER (PARTITION BY o_custkey ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM f)
+         SELECT o_custkey, CAST(island AS BIGINT) AS island,
+           strftime(MIN(s), '%Y-%m-%d') AS island_start,
+           strftime(MAX(e), '%Y-%m-%d') AS island_end,
+           COUNT(*) AS n_orders
+         FROM g GROUP BY o_custkey, island""",
+
+    "q125_retention_cohorts" ->
+      """WITH f AS (SELECT user_id, MIN(ts) AS fts FROM events GROUP BY user_id),
+         c AS (SELECT user_id, CAST(date_trunc('week', fts) AS DATE) AS cw FROM f),
+         a AS (SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS aw FROM events)
+         SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cw, aw) // 7 AS BIGINT) AS week_no,
+           COUNT(DISTINCT a.user_id) AS n_users
+         FROM a JOIN c ON a.user_id = c.user_id
+         GROUP BY cw, date_diff('day', cw, aw) // 7""",
+
+    "q126_sigma_outliers" ->
+      """WITH t AS (SELECT event_type, event_id,
+             CAST(CAST(value AS DECIMAL(14,2)) * 100 AS HUGEINT) AS v
+           FROM events),
+         g AS (SELECT event_type, COUNT(*) AS n, SUM(v) AS sv,
+             SUM(v * v) AS svv
+           FROM t GROUP BY event_type)
+         SELECT t.event_type, t.event_id, CAST(t.v AS BIGINT) AS value_cents,
+           CAST(g.n AS BIGINT) AS n_group
+         FROM t JOIN g ON t.event_type = g.event_type
+         WHERE (g.n * t.v - g.sv) * (g.n * t.v - g.sv)
+             > 9 * (g.n * g.svv - g.sv * g.sv)""",
+
+    "q127_pagerank" ->
+      """WITH e AS (SELECT DISTINCT l_partkey + 100000 AS src, l_suppkey AS dst
+           FROM lineitem),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         nv AS (SELECT COUNT(*) AS n FROM nodes),
+         od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+         r0 AS (SELECT node, 1000000000 // n AS r FROM nodes, nv),
+         c1 AS (SELECT e.dst AS node, SUM(r0.r // od.outdeg) AS s
+                FROM e JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src
+                GROUP BY e.dst),
+         r1 AS (SELECT nodes.node,
+                  15000000000 // (100 * nv.n)
+                    + (85 * COALESCE(c1.s, 0)) // 100 AS r
+                FROM nodes CROSS JOIN nv LEFT JOIN c1 ON nodes.node = c1.node),
+         c2 AS (SELECT e.dst AS node, SUM(r1.r // od.outdeg) AS s
+                FROM e JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src
+                GROUP BY e.dst),
+         r2 AS (SELECT nodes.node,
+                  15000000000 // (100 * nv.n)
+                    + (85 * COALESCE(c2.s, 0)) // 100 AS r
+                FROM nodes CROSS JOIN nv LEFT JOIN c2 ON nodes.node = c2.node)
+         SELECT node, CAST(r AS BIGINT) AS rank_nano FROM r2""",
+
+    "q128_span_dedup" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         idx AS (SELECT doc_id, tk,
+             unnest(generate_series(1, (len(tk) + 3) // 4)) AS b FROM t),
+         bl AS (SELECT doc_id, b,
+             array_to_string(tk[(b-1)*4+1 : least(b*4, len(tk))], ' ') AS blk
+           FROM idx),
+         hot AS (SELECT blk FROM bl GROUP BY blk HAVING COUNT(*) >= 2),
+         kept AS (SELECT bl.doc_id, bl.b, bl.blk FROM bl
+                  ANTI JOIN hot USING (blk)),
+         agg AS (SELECT doc_id, string_agg(blk, ' ' ORDER BY b) AS kept_text,
+                  COUNT(*) AS n_kept FROM kept GROUP BY doc_id),
+         tot AS (SELECT doc_id, COUNT(*) AS n_total FROM bl GROUP BY doc_id)
+         SELECT tot.doc_id, COALESCE(agg.kept_text, '') AS kept_text,
+           CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(tot.n_total - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed
+         FROM tot LEFT JOIN agg USING (doc_id)""",
+
+    "q129_weighted_ma" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+               AS BIGINT) AS total_cents
+           FROM orders GROUP BY 1)
+         SELECT strftime(d, '%Y-%m-%d') AS d, total_cents,
+           CAST((3 * total_cents
+             + 2 * COALESCE(LAG(total_cents, 1) OVER (ORDER BY d), 0)
+             + COALESCE(LAG(total_cents, 2) OVER (ORDER BY d), 0)) // 6
+             AS BIGINT) AS wma3_cents
+         FROM daily""",
+
+    "q130_hash_features" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '')) AS w
+           FROM documents),
+         h AS (SELECT doc_id,
+             CAST((instr('0123456789abcdef', substring(md5(w), 1, 1)) - 1) * 16
+               + instr('0123456789abcdef', substring(md5(w), 2, 1)) - 1
+               AS BIGINT) AS bucket
+           FROM toks)
+         SELECT doc_id, bucket, COUNT(*) AS n FROM h GROUP BY doc_id, bucket""",
+
+    "q131_skyline" ->
+      """WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+             CAST(CAST(p_retailprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS price_cents
+           FROM part)
+         SELECT p_size, price_cents, p_partkey FROM p a
+         WHERE NOT EXISTS (SELECT 1 FROM p b
+           WHERE b.p_size >= a.p_size AND b.price_cents <= a.price_cents
+             AND (b.p_size > a.p_size OR b.price_cents < a.price_cents))""")
+}

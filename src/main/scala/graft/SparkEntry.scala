@@ -11,11 +11,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all ++ QueriesText.all ++ QueriesMore.all ++ QueriesScale.all ++
-      QueriesPipeline.all ++ QueriesData.all ++ QueriesExtra.all
+      QueriesPipeline.all ++ QueriesData.all ++ QueriesExtra.all ++
+      QueriesMining.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     Oracles.all ++ OraclesText.all ++ OraclesMore.all ++ OraclesScale.all ++
-      QueriesPipeline.oracles ++ OraclesData.all ++ OraclesExtra.all
+      QueriesPipeline.oracles ++ OraclesData.all ++ OraclesExtra.all ++
+      OraclesMining.all
 }

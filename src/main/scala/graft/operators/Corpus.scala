@@ -289,6 +289,49 @@ object Corpus {
       .filter(col("n_terms") === terms.size)
       .select(col(idCol))
 
+  /** C4/RefinedWeb-style repeated-span removal: split each document
+    * into consecutive non-overlapping `block`-token blocks, drop every
+    * block whose normalized text occurs ≥ `maxOccurrences` times
+    * corpus-wide, and rebuild the document from the kept blocks.
+    *
+    * Plan shape: one explode (scan-local), one map-side-combining
+    * count over block keys, an anti join (the hot-block set is tiny —
+    * Spark broadcasts it when stats allow), and one per-doc rebuild
+    * groupBy. Nothing is quadratic; block keys — not documents — cross
+    * the counting shuffle, so at 100 TB the shuffle carries the
+    * distinct-span vocabulary. Output: (idCol, kept_text, n_kept,
+    * n_removed). Docs whose every block is hot survive with empty text
+    * (caller decides whether to drop them). */
+  def dedupBlocks(df: DataFrame, idCol: String, textCol: String,
+      block: Int, maxOccurrences: Long): DataFrame = {
+    val base = df.select(col(idCol),
+      expr(s"filter(split(trim(lower($textCol)), '\\\\s+'), x -> x != '')")
+        .as("__tk"))
+    // sequence(1, 0) counts DOWN in Spark — guard the empty-doc case
+    val blocks = base.select(col(idCol), posexplode(expr(
+        s"""CASE WHEN size(__tk) = 0 THEN array()
+            ELSE transform(sequence(1, (size(__tk) + ${block - 1}) div $block),
+              b -> array_join(slice(__tk, (b - 1) * $block + 1, $block), ' '))
+            END""")).as(Seq("__b", "blk")))
+    val hot = blocks.groupBy(col("blk"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= maxOccurrences)
+      .select("blk")
+    val kept = blocks.join(hot, Seq("blk"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(__b, blk))), s -> s.blk)"))
+          .as("kept_text"),
+        count(lit(1)).as("n_kept"))
+    val totals = blocks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_total"))
+    totals.join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("kept_text"), lit("")).as("kept_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   def wordFreq(df: DataFrame, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank in fixed-point integer arithmetic.
+  *
+  * Ranks are held as long "nano-ranks" (×10⁹) and every per-iteration
+  * step — contribution split `rank div outdeg`, damping
+  * `85·sum div 100` — is truncating integer division, so the result is
+  * bit-identical at any parallelism and reproducible in any engine
+  * (the oracle unrolls the same iterations in SQL).
+  *
+  * Plan shape per iteration: one join of ranks onto edges (ranks are
+  * |V| rows — broadcast when small, hash-join on src otherwise) and one
+  * groupBy(dst) sum with map-side combine. Edge set is never
+  * materialized to the driver; total cost is O(iters · |E|) shuffle
+  * bytes, the textbook Pregel-style cost. Dangling-node mass decays
+  * (standard simplification; consistent on both sides of the oracle).
+  */
+object Graph {
+
+  val Scale = 1000000000L // 1e9 fixed-point
+
+  /** @param edges (src: long, dst: long) directed edges, duplicates
+    *              allowed (parallel edges add contribution)
+    * @return (node, rank_nano) after `iters` damped iterations from a
+    *         uniform start. d = 85/100. */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // |V| is one scalar — computed once, folded into the base term
+    val n = nodes.count()
+    val base = (15L * Scale) / (100L * n)
+    var ranks = nodes.withColumn("rank_nano", lit(Scale / n))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"),
+          expr("rank_nano div outdeg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(in_sum, 0L)) div 100"))
+            .cast("long").as("rank_nano"))
+      // cut lineage growth across iterations (same discipline as
+      // connectedComponents — swap for DFS checkpoint on a cluster)
+      ranks = ranks.localCheckpoint(eager = false)
+    }
+    ranks
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{Intervals, Stats, TopK}
+
+/** Round-3 mining operators: bounded top-k aggregator, exact linear
+  * fit, integer sigma outliers, interval islands. */
+class MiningOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("BoundedTopK == window row_number formulation (seeded random)") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(5000)((rnd.nextInt(7).toString, rnd.nextInt(1000).toLong,
+      rnd.nextLong().abs % 100000))
+      .zipWithIndex.map { case ((g, ord, _), i) => (g, ord, i.toLong) }
+    val df = rows.toDF("g", "ord", "id")
+    val got = TopK.topKPerGroup(spark, df, "g", "ord", "id", k = 4)
+      .orderBy("g", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val w = Window.partitionBy($"g").orderBy($"ord".desc, $"id")
+    val want = df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 4).select("g", "rank", "id", "ord")
+      .orderBy("g", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+  }
+
+  test("BoundedTopK handles groups smaller than k and duplicate ord ties") {
+    val df = Seq(("a", 5L, 1L), ("a", 5L, 2L), ("b", 1L, 3L)).toDF("g", "ord", "id")
+    val got = TopK.topKPerGroup(spark, df, "g", "ord", "id", k = 10)
+      .orderBy("g", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // ties broken by ascending id; small groups emit all rows
+    assert(got == Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 1L, 3L)))
+  }
+
+  test("linearFit recovers an exact affine relation") {
+    // y = 3x + 5 exactly → slope_ppm 3_000_000, intercept_ppm 5_000_000
+    val df = (1L to 100L).map(x => ("g", x, 3 * x + 5)).toDF("grp", "x", "y")
+    val r = Stats.linearFit(df, "grp", "x", "y").collect().head
+    assert(r.getAs[Long]("slope_ppm") == 3000000L)
+    assert(r.getAs[Long]("intercept_ppm") == 5000000L)
+    assert(r.getAs[Long]("n") == 100L)
+  }
+
+  test("linearFit negative slope is sign-stable") {
+    val df = (1L to 50L).map(x => ("g", x, 1000 - 2 * x)).toDF("grp", "x", "y")
+    val r = Stats.linearFit(df, "grp", "x", "y").collect().head
+    assert(r.getAs[Long]("slope_ppm") == -2000000L)
+    assert(r.getAs[Long]("intercept_ppm") == 1000000000L)
+  }
+
+  test("sigmaOutliers flags exactly the planted spike") {
+    // 99 values at 100, one at 10_000: only the spike exceeds 3σ
+    val vals = Seq.fill(99)(100L) :+ 10000L
+    val df = vals.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+      .toDF("grp", "id", "v")
+    val got = Stats.sigmaOutliers(df, "grp", "v", "id", k = 3)
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(99L))
+  }
+
+  test("mergeIntervals merges overlapping and touching, splits gapped") {
+    val df = Seq(
+      ("k", 1L, 5L), ("k", 4L, 8L),   // overlap → island 1
+      ("k", 8L, 10L),                 // touching (start == prev end) → merges
+      ("k", 15L, 20L),                // gap → island 2
+      ("z", 0L, 1L))                  // separate key
+      .toDF("key", "s", "e")
+    val got = Intervals.mergeIntervals(df, "key", "s", "e")
+      .orderBy("key", "island")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("k", 1L, 1L, 10L, 3L),
+      ("k", 2L, 15L, 20L, 1L),
+      ("z", 1L, 0L, 1L, 1L)))
+  }
+}

@@ -6,12 +6,13 @@ then executes each oracle SQL in DuckDB over the same parquet tables and
 compares results (schema, row count, values) with rows sorted and
 columns sorted by name.
 
-Usage: python3 tools/selfcheck.py [sfdir] [outdir]
+Usage: python3 tools/selfcheck.py [sfdir] [outdir] [namePrefixCsv]
 """
 import json, math, sys, subprocess, glob, os
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+FILTER = sys.argv[3] if len(sys.argv) > 3 else None
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -19,7 +20,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def run_verify():
     r = subprocess.run(
-        ["sbt", f'runMain graft.Verify {SF} {OUT}'],
+        ["sbt", f'runMain graft.Verify {SF} {OUT}' + (f" {FILTER}" if FILTER else "")],
         capture_output=True, text=True, cwd="/root/repo")
     if r.returncode != 0:
         print(r.stdout[-4000:]); print(r.stderr[-4000:])
