@@ -141,7 +141,52 @@ object QueriesMining {
           col("p_size").cast("long").as("p_size"),
           (col("p_retailprice").cast(DecimalType(14, 2)) * 100).cast("long")
             .as("price_cents")),
-        "p_size", "price_cents")))
+        "p_size", "price_cents")),
+
+    // ---- exact mode per group (deterministic tie-break) ----
+    "q132_mode" -> ((s, dir) =>
+      Stats.modePerGroup(table(s, dir, "orders"),
+        "o_orderstatus", "o_orderpriority")),
+
+    // ---- naive-Bayes class-conditional token likelihood table ----
+    "q133_class_likelihood" -> ((s, dir) =>
+      graft.operators.TextStats.classTokenLikelihood(
+        table(s, dir, "documents"), "lang", "text", minCount = 50L)),
+
+    // ---- hierarchical percent-of-parent rollup (nation in region) ----
+    "q134_parent_share" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val n = table(s, dir, "nation")
+      val r = table(s, dir, "region")
+      val g = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum((col("o_totalprice").cast(DecimalType(14, 2)) * 100)
+          .cast("long")).as("rev_cents"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("r_name"))
+      g.withColumn("region_cents", sum(col("rev_cents")).over(w))
+        .withColumn("share_ppm", expr("rev_cents * 1000000 div region_cents"))
+    }),
+
+    // ---- declarative DQ constraint report (one scan, one agg) ----
+    "q135_dq_report" -> ((s, dir) => {
+      import graft.operators.DataQuality._
+      report(table(s, dir, "orders"), Seq(
+        NotNull("o_custkey"),
+        Unique("o_orderkey"),
+        Bounds("o_totalprice", 0.0, 400000.0),
+        RefIntegrity("o_custkey", table(s, dir, "customer"), "c_custkey")))
+    }),
+
+    // ---- distributed sequence-gap finder (no global sort); holes
+    //      punched deterministically since testdata keys are dense ----
+    "q136_sequence_gaps" -> ((s, dir) =>
+      Intervals.sequenceGaps(
+        table(s, dir, "orders").filter(col("o_orderkey") % 7 =!= 0),
+        "o_orderkey", bucketSize = 4096L)))
 }
 
 object OraclesMining {
@@ -309,5 +354,71 @@ object OraclesMining {
          SELECT p_size, price_cents, p_partkey FROM p a
          WHERE NOT EXISTS (SELECT 1 FROM p b
            WHERE b.p_size >= a.p_size AND b.price_cents <= a.price_cents
-             AND (b.p_size > a.p_size OR b.price_cents < a.price_cents))""")
+             AND (b.p_size > a.p_size OR b.price_cents < a.price_cents))""",
+
+    "q132_mode" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_value,
+           CAST(n AS BIGINT) AS n_mode FROM (
+           SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+               ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rk
+           FROM orders GROUP BY o_orderstatus, o_orderpriority)
+         WHERE rk = 1""",
+
+    "q133_class_likelihood" ->
+      """WITH toks AS (SELECT lang,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '')) AS w
+           FROM documents),
+         wc AS (SELECT lang, w, COUNT(*) AS n_wc FROM toks GROUP BY lang, w),
+         ct AS (SELECT lang, COUNT(*) AS n_c FROM toks GROUP BY lang),
+         v AS (SELECT COUNT(DISTINCT w) AS vs FROM wc)
+         SELECT wc.lang, wc.w, wc.n_wc,
+           CAST((wc.n_wc + 1) * 1000000 // (ct.n_c + v.vs) AS BIGINT) AS p_ppm
+         FROM wc JOIN ct USING (lang) CROSS JOIN v
+         WHERE wc.n_wc >= 50""",
+
+    "q134_parent_share" ->
+      """WITH g AS (SELECT r_name, n_name,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+               AS BIGINT) AS rev_cents
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY r_name, n_name)
+         SELECT r_name, n_name, rev_cents,
+           CAST(SUM(rev_cents) OVER (PARTITION BY r_name) AS BIGINT)
+             AS region_cents,
+           CAST(rev_cents * 1000000 //
+             SUM(rev_cents) OVER (PARTITION BY r_name) AS BIGINT) AS share_ppm
+         FROM g""",
+
+    "q135_dq_report" ->
+      """SELECT *, n_violations = 0 AS passed FROM (
+           SELECT 'not_null' AS "check", 'o_custkey' AS "column",
+             CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_violations
+           FROM orders
+           UNION ALL
+           SELECT 'unique', 'o_orderkey',
+             CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'bounds', 'o_totalprice',
+             CAST(COALESCE(SUM(CASE WHEN o_totalprice < 0
+               OR o_totalprice > 400000 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'ref_integrity', 'o_custkey', CAST(COUNT(*) AS BIGINT)
+           FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+           WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)""",
+
+    "q136_sequence_gaps" ->
+      """WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders
+           WHERE o_orderkey % 7 <> 0),
+         l AS (SELECT k, LAG(k) OVER (ORDER BY k) AS pk FROM k)
+         SELECT pk + 1 AS gap_start, k - 1 AS gap_end,
+           k - pk - 1 AS gap_len
+         FROM l WHERE k - pk > 1""")
 }

@@ -22,6 +22,40 @@ object Intervals {
     * Ties on (start, end) are interchangeable: whichever sorts first
     * opens the island and the rest fall in — min/max/count over the
     * island are order-independent, so output is deterministic. */
+  /** Missing ranges in an integer key sequence, without a global sort.
+    *
+    * A single `lag` over all keys needs one totally-ordered partition —
+    * fine at test scale, a straggler at 10¹⁰ keys. Instead: bucket keys
+    * by `key div bucketSize` so the lag window partitions (in-bucket
+    * gaps parallelize perfectly), then close the seams with a second
+    * window over the per-bucket (min, max) summary — |buckets| rows, a
+    * driver-trivial table. Exactly the local-work + tiny-boundary-fix
+    * decomposition used for merge-sort joins.
+    *
+    * @return (gap_start, gap_end, gap_len) for every maximal missing
+    *         run strictly inside [min(key), max(key)] */
+  def sequenceGaps(df: DataFrame, keyCol: String,
+      bucketSize: Long = 1L << 20): DataFrame = {
+    val keys = df.select(col(keyCol).cast("long").as("__k")).distinct()
+      .withColumn("__b", expr(s"__k div $bucketSize"))
+    val inBucket = Window.partitionBy(col("__b")).orderBy(col("__k"))
+    val local = keys
+      .withColumn("__prev", lag(col("__k"), 1).over(inBucket))
+      .filter(col("__k") - col("__prev") > 1L)
+      .select((col("__prev") + 1L).as("gap_start"),
+        (col("__k") - 1L).as("gap_end"))
+    val summary = keys.groupBy(col("__b"))
+      .agg(min(col("__k")).as("__lo"), max(col("__k")).as("__hi"))
+    val seam = Window.orderBy(col("__b")) // |buckets| rows only
+    val boundary = summary
+      .withColumn("__prevHi", lag(col("__hi"), 1).over(seam))
+      .filter(col("__lo") - col("__prevHi") > 1L)
+      .select((col("__prevHi") + 1L).as("gap_start"),
+        (col("__lo") - 1L).as("gap_end"))
+    local.unionByName(boundary)
+      .withColumn("gap_len", col("gap_end") - col("gap_start") + 1L)
+  }
+
   def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
       endCol: String): DataFrame = {
     val byKey = Window.partitionBy(col(keyCol))

@@ -48,6 +48,23 @@ object Stats {
         col("slope_ppm"), col("intercept_ppm"))
   }
 
+  /** Exact mode (most frequent value) per group with a deterministic
+    * tie-break (smallest value wins). Two map-side-combining shuffles:
+    * (group, value) counts, then a per-group top-1 window over the
+    * already-collapsed count table — the data itself crosses the wire
+    * once; the window input is |distinct pairs|, not |rows|. */
+  def modePerGroup(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("n_mode"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("n_mode").desc, col(valueCol).asc)
+    counts.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(groupCol), col(valueCol).as("mode_value"), col("n_mode"))
+  }
+
   /** Exact 3-sigma-style outlier flags without any floating point:
     * flags rows where n²·(x − μ)² > k²·n·Σ(x−μ)², i.e. |x−μ| > k·σ,
     * cross-multiplied into pure integer arithmetic:

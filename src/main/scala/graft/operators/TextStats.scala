@@ -124,6 +124,28 @@ object TextStats {
       .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
   }
 
+  /** Class-conditional token likelihoods with Laplace smoothing — the
+    * naive-Bayes training table, in exact integer ppm:
+    * P(w|c) ≈ (count(w,c)+1)·10⁶ div (tokens(c)+|V|). One explode, two
+    * map-side-combining count passes (per-class token counts carry the
+    * vocabulary across the shuffle, not the corpus), class totals and
+    * |V| broadcast back. `minCount` bounds the emitted table. */
+  def classTokenLikelihood(df: DataFrame, classCol: String,
+      textCol: String, minCount: Long): DataFrame = {
+    val toks = df.select(col(classCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+    val wc = toks.groupBy(col(classCol), col("w"))
+      .agg(count(lit(1)).as("n_wc"))
+    val classTotal = toks.groupBy(col(classCol))
+      .agg(count(lit(1)).as("__n_c"))
+    val vocabSize = wc.select(col("w")).distinct().count()
+    wc.filter(col("n_wc") >= minCount)
+      .join(broadcast(classTotal), Seq(classCol))
+      .withColumn("p_ppm",
+        expr(s"(n_wc + 1) * 1000000 div (__n_c + $vocabSize)"))
+      .select(col(classCol), col("w"), col("n_wc"), col("p_ppm"))
+  }
+
   /** Collocation mining: top-k adjacent bigrams by integer-scaled PMI,
     * score = (c_xy · N · 10^6) div (c_w1 · c_w2) — a monotone transform
     * of pointwise mutual information computed entirely in 64-bit

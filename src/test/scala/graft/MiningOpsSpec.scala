@@ -61,6 +61,48 @@ class MiningOpsSpec extends SparkTestBase {
     assert(got == Seq(99L))
   }
 
+  test("modePerGroup picks the most frequent value, smallest on ties") {
+    val df = Seq(("a", "x"), ("a", "y"), ("a", "y"), ("b", "q"), ("b", "p"))
+      .toDF("g", "v")
+    val got = Stats.modePerGroup(df, "g", "v").orderBy("g").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // b ties 1-1 → lexicographically smallest ("p") wins
+    assert(got == Seq(("a", "y", 2L), ("b", "p", 1L)))
+  }
+
+  test("DataQuality.report counts violations per declared check") {
+    import graft.operators.DataQuality._
+    val child = Seq((1L, java.lang.Double.valueOf(5.0)),
+      (2L, java.lang.Double.valueOf(50.0)),
+      (2L, null.asInstanceOf[java.lang.Double]),
+      (9L, java.lang.Double.valueOf(-1.0))).toDF("k", "x")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val got = report(child, Seq(
+        NotNull("x"), Unique("k"), Bounds("x", 0.0, 10.0),
+        RefIntegrity("k", parent, "pk")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    assert(got == Set(
+      ("not_null", "x", 1L, false),      // one null x
+      ("unique", "k", 1L, false),        // k=2 twice
+      ("bounds", "x", 2L, false),        // 50.0 and -1.0 out of band
+      ("ref_integrity", "k", 1L, false)  // k=9 has no parent
+    ))
+  }
+
+  test("sequenceGaps bucketed == global-lag reference, incl. seam gaps") {
+    // keys chosen so gaps fall inside buckets AND across bucket seams
+    val keys = Seq(1L, 2L, 5L, 9L, 10L, 35L, 36L, 40L, 90L)
+    val df = keys.toDF("k")
+    val got = Intervals.sequenceGaps(df, "k", bucketSize = 10L)
+      .orderBy("gap_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val sorted = keys.sorted
+    val want = sorted.zip(sorted.tail).collect {
+      case (a, b) if b - a > 1 => (a + 1, b - 1, b - a - 1) }
+    assert(got == want)
+  }
+
   test("mergeIntervals merges overlapping and touching, splits gapped") {
     val df = Seq(
       ("k", 1L, 5L), ("k", 4L, 8L),   // overlap → island 1
