@@ -186,7 +186,42 @@ object QueriesMining {
     "q136_sequence_gaps" -> ((s, dir) =>
       Intervals.sequenceGaps(
         table(s, dir, "orders").filter(col("o_orderkey") % 7 =!= 0),
-        "o_orderkey", bucketSize = 4096L)))
+        "o_orderkey", bucketSize = 4096L)),
+
+    // ---- incremental near-dup: new batch probes a MATERIALIZED
+    //      signature index; corpus work ∝ collisions, not size ----
+    "q137_incremental_dedup" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val docs = table(s, dir, "documents")
+      val work = java.nio.file.Files.createTempDirectory("graft_inc").toString
+      Dedup.minhashBands(docs.filter(col("doc_id") < 400), "doc_id", "text",
+          shingleN = 2, bands = 4)
+        .withColumnRenamed("doc_id", "id")
+        .write.mode("overwrite").parquet(s"$work/idx")
+      Dedup.shingleTerms(docs.filter(col("doc_id") < 400), "doc_id", "text", 2)
+        .write.mode("overwrite").parquet(s"$work/terms")
+      Dedup.incrementalNearDupes(docs.filter(col("doc_id") >= 400),
+        "doc_id", "text",
+        s.read.parquet(s"$work/idx"), s.read.parquet(s"$work/terms"),
+        shingleN = 2, bands = 4, thresholdNum = 2, thresholdDen = 100)
+    }),
+
+    // ---- deterministic quality-weighted downsampling (no RNG) ----
+    "q138_importance_sample" -> ((s, dir) =>
+      Corpus.importanceSample(
+        table(s, dir, "documents")
+          .withColumn("w_ppm", least(lit(1000000L), col("n_chars") * 2000L)),
+        "doc_id", "w_ppm")
+        .select("doc_id", "lang", "n_chars", "w_ppm")),
+
+    // ---- debounce: collapse same-type event bursts per user ----
+    "q139_debounce" -> ((s, dir) => {
+      import graft.operators.TimeSeries
+      TimeSeries.debounce(events(s, dir), "user_id", "ts", "event_id",
+          "event_type", gapSeconds = 600L)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+    }))
 }
 
 object OraclesMining {
@@ -420,5 +455,57 @@ object OraclesMining {
          l AS (SELECT k, LAG(k) OVER (ORDER BY k) AS pk FROM k)
          SELECT pk + 1 AS gap_start, k - 1 AS gap_end,
            k - pk - 1 AS gap_len
-         FROM l WHERE k - pk > 1""")
+         FROM l WHERE k - pk > 1""",
+
+    "q137_incremental_dedup" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM t),
+         sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] AS shingle FROM idx),
+         b AS (
+           SELECT doc_id, 0 AS band, MIN(md5('0:' || shingle)) AS minhash FROM sh GROUP BY doc_id
+           UNION ALL SELECT doc_id, 1, MIN(md5('1:' || shingle)) FROM sh GROUP BY doc_id
+           UNION ALL SELECT doc_id, 2, MIN(md5('2:' || shingle)) FROM sh GROUP BY doc_id
+           UNION ALL SELECT doc_id, 3, MIN(md5('3:' || shingle)) FROM sh GROUP BY doc_id),
+         cand AS (SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+                  FROM b n JOIN b o ON n.band = o.band AND n.minhash = o.minhash
+                  WHERE n.doc_id >= 400 AND o.doc_id < 400),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (SELECT cand.id_new, cand.id_old, COUNT(*) AS inter
+                   FROM cand
+                   JOIN sh sa ON sa.doc_id = cand.id_new
+                   JOIN sh sb ON sb.doc_id = cand.id_old AND sb.shingle = sa.shingle
+                   GROUP BY cand.id_new, cand.id_old)
+         SELECT i.id_new, i.id_old, i.inter,
+           za.sz AS size_a, zb.sz AS size_b
+         FROM inter i
+         JOIN sizes za ON za.doc_id = i.id_new
+         JOIN sizes zb ON zb.doc_id = i.id_old
+         WHERE i.inter * 100 >= (za.sz + zb.sz - i.inter) * 2""",
+
+    "q138_importance_sample" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+             LEAST(1000000, n_chars * 2000) AS w_ppm,
+             substring(md5('is:' || CAST(doc_id AS VARCHAR)), 1, 5) AS h5
+           FROM documents),
+         v AS (SELECT *,
+             CAST((instr('0123456789abcdef', substring(h5, 1, 1)) - 1) AS BIGINT) * 65536
+               + (instr('0123456789abcdef', substring(h5, 2, 1)) - 1) * 4096
+               + (instr('0123456789abcdef', substring(h5, 3, 1)) - 1) * 256
+               + (instr('0123456789abcdef', substring(h5, 4, 1)) - 1) * 16
+               + (instr('0123456789abcdef', substring(h5, 5, 1)) - 1) AS draw
+           FROM d)
+         SELECT doc_id, lang, n_chars, CAST(w_ppm AS BIGINT) AS w_ppm
+         FROM v WHERE draw * 1000000 < w_ppm * 1048576""",
+
+    "q139_debounce" ->
+      """SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+         FROM (SELECT *,
+             LAG(event_type) OVER w AS pt, LAG(ts) OVER w AS pts
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+         WHERE pt IS NULL OR pt <> event_type
+            OR epoch_us(ts) - epoch_us(pts) > 600000000""")
 }

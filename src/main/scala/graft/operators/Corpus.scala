@@ -332,6 +332,20 @@ object Corpus {
         (col("__n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Deterministic importance (quality-weighted) downsampling: keep a
+    * row with probability `weightPpmCol`/10⁶, decided by hash — no RNG
+    * state, bit-reproducible across runs/retries/engines, and
+    * growth-stable (a doc's fate never changes when the corpus grows).
+    * The coin is the first 5 hex digits of md5(salt:id) — a uniform
+    * draw in [0, 16⁵); keep iff draw·10⁶ < w·16⁵, exact in integers.
+    * Scan-local: zero shuffles, composes with any downstream op. */
+  def importanceSample(df: DataFrame, idCol: String,
+      weightPpmCol: String, salt: String = "is"): DataFrame =
+    df.filter(
+      expr(s"conv(substring(md5(concat('$salt:', cast($idCol as string))), 1, 5), 16, 10)")
+        .cast("long") * 1000000L <
+        col(weightPpmCol).cast("long") * 1048576L)
+
   def wordFreq(df: DataFrame, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df

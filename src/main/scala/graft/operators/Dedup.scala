@@ -113,6 +113,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("size_a"), col("size_b"))
   }
 
+  /** Incremental near-duplicate detection: probe a MATERIALIZED
+    * signature index with a new batch, instead of re-signing the
+    * corpus. This is the steady-state shape of a 100 TB ingest: the
+    * (id, band, minhash) index and the (id, term) shingle relation are
+    * written once (e.g. by [[minhashBands]]/[[shingleTerms]] into the
+    * catalog, partitioned by band); each day's batch — typically 10⁻³
+    * of the corpus — is signed locally, bucket-joined against the
+    * index, and only colliding candidates fetch corpus shingles for
+    * exact verification. Corpus-side work is proportional to
+    * collisions, not corpus size.
+    *
+    * @param corpusIndex (id, band, minhash) — existing signatures
+    * @param corpusTerms (id, term) — existing distinct shingles
+    * @return (id_new, id_old, inter, size_a, size_b) pairs with
+    *         jaccard ≥ num/den (id_a = new, id_b = old in the sizes) */
+  def incrementalNearDupes(newDocs: DataFrame, idCol: String, textCol: String,
+      corpusIndex: DataFrame, corpusTerms: DataFrame,
+      shingleN: Int, bands: Int,
+      thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    val newBands = minhashBands(newDocs, idCol, textCol, shingleN, bands)
+    val cand = newBands
+      .select(col("band"), col("minhash"), col(idCol).as("id_a"))
+      .join(corpusIndex.select(col("band"), col("minhash"),
+        col("id").as("id_b")), Seq("band", "minhash"))
+      .select("id_a", "id_b").distinct()
+    // fetch corpus shingles ONLY for colliding ids — the semi join is
+    // what keeps corpus-side cost ∝ collisions at 100 TB
+    val oldTerms = corpusTerms.join(
+      cand.select(col("id_b").as("id")).distinct(), Seq("id"), "left_semi")
+    val terms = shingleTerms(newDocs, idCol, textCol, shingleN)
+      .unionByName(oldTerms)
+    pairJaccardTerms(terms, cand)
+      .filter(col("inter") * thresholdDen >=
+        (col("size_a") + col("size_b") - col("inter")) * thresholdNum)
+      .select(col("id_a").as("id_new"), col("id_b").as("id_old"),
+        col("inter"), col("size_a"), col("size_b"))
+  }
+
   /** 64-bit SimHash signature as a 64-char '0'/'1' string: bit j is the
     * sign of the sum over distinct tokens of (bit j of md5(token))·2−1.
     * Engine-portable: the bit source is hex-digit arithmetic on md5, the

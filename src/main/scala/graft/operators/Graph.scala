@@ -27,18 +27,27 @@ object Graph {
     * @return (node, rank_nano) after `iters` damped iterations from a
     *         uniform start. d = 85/100. */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    // edges are read `iters` times and the node/outdeg tables once per
+    // iteration — materialize them ONCE up front (localCheckpoint, the
+    // same discipline as connectedComponents; swap for DFS checkpoint
+    // on a cluster). Without this every iteration re-runs the distinct
+    // over the raw input.
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    // pre-join out-degree onto the edge list once: the per-iteration
+    // work drops to one join (ranks onto edges) + one combine shuffle
+    val eDeg = e.join(
+        e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src"))
+      .localCheckpoint()
     // |V| is one scalar — computed once, folded into the base term
     val n = nodes.count()
     val base = (15L * Scale) / (100L * n)
     var ranks = nodes.withColumn("rank_nano", lit(Scale / n))
     for (_ <- 1 to iters) {
-      val contrib = e
+      val contrib = eDeg
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
         .select(col("dst").as("node"),
           expr("rank_nano div outdeg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
@@ -46,8 +55,7 @@ object Graph {
         .select(col("node"),
           (lit(base) + expr("(85 * coalesce(in_sum, 0L)) div 100"))
             .cast("long").as("rank_nano"))
-      // cut lineage growth across iterations (same discipline as
-      // connectedComponents — swap for DFS checkpoint on a cluster)
+      // cut lineage growth across iterations
       ranks = ranks.localCheckpoint(eager = false)
     }
     ranks

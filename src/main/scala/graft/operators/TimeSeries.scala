@@ -18,6 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** Debounce: collapse bursts of same-type events per key to their
+    * first event. An event survives iff it starts a burst — no
+    * predecessor, a type change, or a silence gap > `gapSeconds` from
+    * the IMMEDIATELY preceding event (timer resets on every event,
+    * true debounce semantics — a long burst of sub-gap events emits
+    * once, however long it lasts). One window shuffle on the key;
+    * deterministic under ts ties via the id tie-break. */
+  def debounce(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      typeCol: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    df.withColumn("__pt", lag(col(typeCol), 1).over(w))
+      .withColumn("__pts", lag(col(tsCol), 1).over(w))
+      .filter(col("__pt").isNull || col("__pt") =!= col(typeCol) ||
+        unix_micros(col(tsCol)) - unix_micros(col("__pts")) >
+          gapSeconds * 1000000L)
+      .drop("__pt", "__pts")
+  }
+
   /** Hourly spine per key from its first to last event hour; `n` = 0 on
     * gap hours; `fill_type` = last non-null hourly MAX(`typeCol`)
     * carried forward (MAX, not arg-last, keeps the fill deterministic

@@ -57,6 +57,55 @@ class GraphOpsSpec extends SparkTestBase {
     // doc 4 has zero blocks → zero rows from the explode → absent
   }
 
+  test("incrementalNearDupes == batch nearDuplicates restricted to new×old") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val old = docs.filter($"doc_id" < 80)
+    val fresh = docs.filter($"doc_id" >= 80)
+    val idx = Dedup.minhashBands(old, "doc_id", "text", 2, 4)
+      .withColumnRenamed("doc_id", "id")
+    val terms = Dedup.shingleTerms(old, "doc_id", "text", 2)
+    val got = Dedup.incrementalNearDupes(fresh, "doc_id", "text", idx, terms,
+        2, 4, 2, 100)
+      .select("id_new", "id_old").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: batch near-dups over the whole corpus, keep only
+    // pairs that straddle the old/new split
+    val all = Dedup.nearDuplicates(docs, "doc_id", "text", 2, 4, 2, 100)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = all.collect {
+      case (a, b) if a < 80 && b >= 80 => (b, a)
+      case (a, b) if a >= 80 && b < 80 => (a, b)
+    }
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("debounce keeps burst heads; timer resets within a burst") {
+    import graft.operators.TimeSeries
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000L)
+    val df = Seq(
+      (1L, 1L, "a", ts(0)), (2L, 1L, "a", ts(100)), (3L, 1L, "a", ts(200)),
+      (4L, 1L, "a", ts(900)),  // 700s gap from #3 → new burst
+      (5L, 1L, "b", ts(905)),  // type change → kept
+      (6L, 2L, "a", ts(0)))    // other key
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val kept = TimeSeries.debounce(df, "user_id", "ts", "event_id",
+        "event_type", gapSeconds = 600L)
+      .select("event_id").as[Long].collect().toSet
+    // #2,#3 are within 600s of their immediate predecessor → dropped
+    assert(kept == Set(1L, 4L, 5L, 6L))
+  }
+
+  test("importanceSample keeps weight-0 never, weight-1e6 always") {
+    import graft.operators.Corpus
+    val df = (1L to 500L).toDF("id")
+      .withColumn("w", when($"id" <= 250, 0L).otherwise(1000000L))
+    val kept = Corpus.importanceSample(df, "id", "w")
+      .select("id").as[Long].collect().toSet
+    assert(kept == (251L to 500L).toSet)
+  }
+
   test("pareto2d == quadratic NOT EXISTS reference") {
     val rnd = new scala.util.Random(11)
     val pts = Seq.tabulate(400)(i => (i.toLong, rnd.nextInt(30).toLong,
