@@ -221,7 +221,33 @@ object QueriesMining {
           "event_type", gapSeconds = 600L)
         .select(col("event_id"), col("user_id"), col("event_type"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
-    }))
+    }),
+
+    // ---- exact rolling 7-day distinct active users per day ----
+    "q140_rolling_distinct" -> ((s, dir) => {
+      import graft.operators.TimeSeries
+      TimeSeries.rollingDistinctDaily(events(s, dir), "user_id", "ts", 7)
+        .select(date_format(col("d"), "yyyy-MM-dd").as("d"), col("n_7d"))
+    }),
+
+    // ---- hive-partitioned write + partition-pruned read-back ----
+    "q141_hive_partitions" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_hive").toString
+      table(s, dir, "orders")
+        .write.mode("overwrite").partitionBy("o_orderstatus")
+        .parquet(s"$work/orders_p")
+      s.read.parquet(s"$work/orders_p")
+        .filter(col("o_orderstatus") === "F") // prunes to one partition dir
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("o_totalprice").cast(DecimalType(14, 2)) * 100)
+            .cast("long")).as("rev_cents"))
+    }),
+
+    // ---- bottom-k (KMV) distinct sketch per lang + monoid merge ----
+    "q142_bottomk_sketch" -> ((s, dir) =>
+      graft.operators.Sketches.bottomKSketch(s,
+        table(s, dir, "documents"), "lang", "doc_id", k = 8)))
 }
 
 object OraclesMining {
@@ -507,5 +533,53 @@ object OraclesMining {
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
          WHERE pt IS NULL OR pt <> event_type
-            OR epoch_us(ts) - epoch_us(pts) > 600000000""")
+            OR epoch_us(ts) - epoch_us(pts) > 600000000""",
+
+    "q140_rolling_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS DATE) AS d0 FROM events),
+         active AS (SELECT DISTINCT d0 AS d FROM ud),
+         fan AS (SELECT DISTINCT user_id, d0 + CAST(i AS INTEGER) AS d
+                 FROM ud, generate_series(0, 6) AS t(i))
+         SELECT strftime(fan.d, '%Y-%m-%d') AS d,
+           COUNT(DISTINCT user_id) AS n_7d
+         FROM fan JOIN active ON fan.d = active.d
+         GROUP BY fan.d""",
+
+    "q141_hive_partitions" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+             AS BIGINT) AS rev_cents
+         FROM orders WHERE o_orderstatus = 'F'
+         GROUP BY o_orderpriority""",
+
+    "q142_bottomk_sketch" ->
+      """WITH h AS (SELECT DISTINCT lang,
+             CAST((SELECT SUM((instr('0123456789abcdef',
+                  substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                * (CAST(1 AS BIGINT) << (4 * (15 - i))))
+              FROM generate_series(1, 15) AS t(i)) AS BIGINT) AS hv
+           FROM documents),
+         r AS (SELECT lang, hv,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS nd
+           FROM h),
+         grp AS (SELECT lang AS g, hv, rk, nd FROM r WHERE rk <= 8),
+         ga AS (SELECT g,
+             MAX(CASE WHEN rk = LEAST(8, nd) THEN hv END) AS kth_hash,
+             CAST(COUNT(*) AS BIGINT) AS n_sketch
+           FROM grp GROUP BY g),
+         allh AS (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rk,
+             COUNT(*) OVER () AS nd
+           FROM (SELECT DISTINCT hv FROM grp)),
+         am AS (SELECT '__all' AS g,
+             MAX(CASE WHEN rk = LEAST(8, nd) THEN hv END) AS kth_hash,
+             CAST(COUNT(*) AS BIGINT) AS n_sketch
+           FROM allh WHERE rk <= 8),
+         u AS (SELECT * FROM ga UNION ALL SELECT * FROM am)
+         SELECT g AS lang, kth_hash, n_sketch,
+           CAST(CASE WHEN n_sketch < 8 THEN n_sketch
+             ELSE (CAST(7 AS BIGINT) * 1073741824) // ((kth_hash // 1073741824) + 1)
+             END AS BIGINT) AS est_distinct
+         FROM u""")
 }

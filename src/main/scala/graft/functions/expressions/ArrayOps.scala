@@ -254,3 +254,46 @@ object SignSignature {
     UTF8String.fromString(new String(bits))
   }
 }
+
+/** Integer dot product over two array<long> columns (e.g. int8-quantized
+  * signatures). Value-identical to
+  * `aggregate(zip_with(a, b, (x, y) -> x*y), 0L, (acc, z) -> acc + z)`
+  * — the HOF tree this replaces on the ANN coarse-scan hot path. */
+case class LongArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    LongArrayDot.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cls = LongArrayDot.getClass.getName.stripSuffix("$") + "$"
+      val r = ctx.freshName("ldotRes") // see ArrayDot
+      s"""Object $r = $cls.MODULE$$.compute($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Long) $r).longValue(); }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object LongArrayDot {
+  def compute(a: ArrayData, b: ArrayData): Any = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+}

@@ -28,7 +28,8 @@ object GraftFunctions {
     "graft_quant_dot" -> (exprs => ArrayQuantDot(exprs(0), exprs(1))),
     "graft_sign_sig" -> (exprs => SignSignature(exprs(0),
       exprs(1).eval().asInstanceOf[Int])),
-    "graft_bloom_contains" -> (exprs => BloomContains(exprs(0), exprs(1))))
+    "graft_bloom_contains" -> (exprs => BloomContains(exprs(0), exprs(1))),
+    "graft_long_dot" -> (exprs => LongArrayDot(exprs(0), exprs(1))))
 
   /** Idempotent per-session registration (temp functions). */
   def register(spark: SparkSession): Unit = {
@@ -86,6 +87,12 @@ object GraftFunctions {
     ensureActive()
     call_function("graft_quant_dot",
       a.cast("array<double>"), b.cast("array<double>"))
+  }
+
+  /** Integer dot over two array<long> columns (int8 ANN coarse scan). */
+  def longArrayDot(a: Column, b: Column): Column = {
+    ensureActive()
+    call_function("graft_long_dot", a, b)
   }
 
   /** Hyperplane sign-signature LSH bucket key. */

@@ -107,10 +107,11 @@ object Similarity {
       col(vecCol).as("qv"), quantizeInt8(col(vecCol)).as("q8")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"), quantizeInt8(col(vecCol)).as("c8"))
+    // native codegen'd kernel — the interpreted HOF formulation
+    // (aggregate∘zip_with) costs ~µs/row on this all-pairs hot path
     val coarse = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cdot", aggregate(
-        zip_with(col("q8"), col("c8"), (x, y) => x * y),
-        lit(0L), (acc, z) => acc + z))
+      .withColumn("cdot", graft.functions.expressions.GraftFunctions
+        .longArrayDot(col("q8"), col("c8")))
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("cdot").desc, col("neighbor_id"))
     val cand = coarse.withColumn("crank", row_number().over(wc))

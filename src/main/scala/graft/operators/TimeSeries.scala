@@ -18,6 +18,26 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** Exact rolling-N-day distinct keys per day — the classic "7-day
+    * active users" metric, which window frames cannot express (no
+    * COUNT(DISTINCT) over RANGE). Decomposition: collapse to distinct
+    * (key, day) — the explode then fans each out to the ≤ N report
+    * days it contributes to — a BOUNDED ×N expansion of the already
+    * collapsed pairs, not of raw events — and one count-distinct per
+    * report day finishes. Report days are restricted to days with ≥ 1
+    * event (the spine of real dashboards). Three combine shuffles, no
+    * quadratic step, exact at any scale. */
+  def rollingDistinctDaily(df: DataFrame, keyCol: String, tsCol: String,
+      days: Int): DataFrame = {
+    val ud = df.select(col(keyCol), to_date(col(tsCol)).as("__d")).distinct()
+    val active = ud.select(col("__d").as("d")).distinct()
+    ud.select(col(keyCol),
+        explode(sequence(col("__d"), date_add(col("__d"), days - 1))).as("d"))
+      .join(active, Seq("d"), "left_semi")
+      .groupBy(col("d"))
+      .agg(countDistinct(col(keyCol)).as(s"n_${days}d"))
+  }
+
   /** Debounce: collapse bursts of same-type events per key to their
     * first event. An event survives iff it starts a burst — no
     * predecessor, a type change, or a silence gap > `gapSeconds` from

@@ -95,6 +95,21 @@ class ExpressionSpec extends SparkTestBase {
     assert(r.getLong(3) == 5000000L * 5000000L)
   }
 
+  test("long array dot: native kernel == HOF formulation, null/mismatch paths") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_long_dot(array(3L, -2L, 5L), array(7L, 9L, 1L)) AS d,
+                graft_long_dot(array(1L), array(1L, 2L)) AS mismatch,
+                graft_long_dot(array(1L, NULL), array(1L, 2L)) AS withnull,
+                graft_long_dot(array(3L, -2L, 5L), array(7L, 9L, 1L)) =
+                  aggregate(zip_with(array(3L, -2L, 5L), array(7L, 9L, 1L),
+                    (x, y) -> x * y), 0L, (acc, z) -> acc + z) AS same"""
+    ).head()
+    assert(r.getLong(0) == 3L * 7 - 2 * 9 + 5 * 1)
+    assert(r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getBoolean(3))
+  }
+
   test("quant dot rounds HALF_UP like Spark's round()") {
     import graft.functions.expressions.ArrayQuantDot
     import org.apache.spark.sql.catalyst.util.GenericArrayData

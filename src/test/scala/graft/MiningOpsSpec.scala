@@ -103,6 +103,53 @@ class MiningOpsSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("bottomKSketch: per-group sketches + merged row match a driver fold") {
+    import graft.operators.Sketches
+    val df = (1L to 300L).map(i => (if (i % 3 == 0) "a" else "b", i))
+      .toDF("g", "v")
+    val got = Sketches.bottomKSketch(spark, df, "g", "v", k = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // driver reference: same hash, same bottom-k, same estimate
+    def h60(v: Long): Long =
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(v.toString)
+          .substring(0, 15), 16)
+    def sketch(vs: Seq[Long]): Seq[Long] =
+      vs.map(h60).distinct.sorted.take(8)
+    def est(sk: Seq[Long]): Long =
+      if (sk.size < 8) sk.size
+      else (7L * 1073741824L) / ((sk.last / 1073741824L) + 1L)
+    val aVs = (1L to 300L).filter(_ % 3 == 0)
+    val bVs = (1L to 300L).filterNot(_ % 3 == 0)
+    val aSk = sketch(aVs); val bSk = sketch(bVs)
+    val allSk = (aSk ++ bSk).distinct.sorted.take(8)
+    assert(got("a") == ((aSk.last, 8L, est(aSk))))
+    assert(got("b") == ((bSk.last, 8L, est(bSk))))
+    assert(got("__all") == ((allSk.last, 8L, est(allSk))))
+    // merged sketch of the union == sketch of merged data (monoid law)
+    assert(allSk == sketch(aVs ++ bVs))
+  }
+
+  test("rollingDistinctDaily == brute-force window count") {
+    import graft.operators.TimeSeries
+    val ts = (d: Int) => new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf(f"2024-01-${d}%02d 10:00:00").getTime)
+    val rows = Seq((1L, 1), (1L, 2), (2L, 2), (3L, 9), (1L, 9), (1L, 15))
+      .map { case (u, d) => (u, ts(d)) }
+    val got = TimeSeries.rollingDistinctDaily(
+        rows.toDF("user_id", "ts"), "user_id", "ts", 7)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    // brute force per active day: distinct users with activity in [d-6, d]
+    val byDay = rows.map { case (u, t) => (u, t.toLocalDateTime.toLocalDate) }
+    val activeDays = byDay.map(_._2).distinct
+    val want = activeDays.map { d =>
+      d.toString -> byDay.filter { case (_, ad) =>
+        !ad.isAfter(d) && ad.isAfter(d.minusDays(7)) }.map(_._1).distinct.size.toLong
+    }.toMap
+    assert(got == want)
+  }
+
   test("mergeIntervals merges overlapping and touching, splits gapped") {
     val df = Seq(
       ("k", 1L, 5L), ("k", 4L, 8L),   // overlap → island 1
