@@ -247,7 +247,17 @@ object QueriesMining {
     // ---- bottom-k (KMV) distinct sketch per lang + monoid merge ----
     "q142_bottomk_sketch" -> ((s, dir) =>
       graft.operators.Sketches.bottomKSketch(s,
-        table(s, dir, "documents"), "lang", "doc_id", k = 8)))
+        table(s, dir, "documents"), "lang", "doc_id", k = 8)),
+
+    // ---- corpus rebalancing: equalize language strata by hash ----
+    "q143_rebalance" -> ((s, dir) =>
+      Corpus.rebalanceStrata(table(s, dir, "documents"), "doc_id", "lang")
+        .select("doc_id", "lang", "n_chars")),
+
+    // ---- per-dimension embedding calibration (min/max, 1e-7 exact) ----
+    "q144_dim_calibration" -> ((s, dir) =>
+      graft.operators.Similarity.dimCalibration(
+        table(s, dir, "embeddings"), "embedding")))
 }
 
 object OraclesMining {
@@ -581,5 +591,31 @@ object OraclesMining {
            CAST(CASE WHEN n_sketch < 8 THEN n_sketch
              ELSE (CAST(7 AS BIGINT) * 1073741824) // ((kth_hash // 1073741824) + 1)
              END AS BIGINT) AS est_distinct
-         FROM u""")
+         FROM u""",
+
+    "q143_rebalance" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+         m AS (SELECT MIN(n) AS mn FROM c),
+         w AS (SELECT d.doc_id, d.lang, d.n_chars,
+             (m.mn * 1000000) // c.n AS w_ppm,
+             substring(md5('rb:' || CAST(d.doc_id AS VARCHAR)), 1, 5) AS h5
+           FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m),
+         v AS (SELECT *,
+             CAST((instr('0123456789abcdef', substring(h5, 1, 1)) - 1) AS BIGINT) * 65536
+               + (instr('0123456789abcdef', substring(h5, 2, 1)) - 1) * 4096
+               + (instr('0123456789abcdef', substring(h5, 3, 1)) - 1) * 256
+               + (instr('0123456789abcdef', substring(h5, 4, 1)) - 1) * 16
+               + (instr('0123456789abcdef', substring(h5, 5, 1)) - 1) AS draw
+           FROM w)
+         SELECT doc_id, lang, n_chars FROM v
+         WHERE draw * 1000000 < w_ppm * 1048576""",
+
+    "q144_dim_calibration" ->
+      """WITH e AS (SELECT embedding AS v FROM embeddings),
+         x AS (SELECT unnest(generate_series(1, len(v))) AS i, v FROM e),
+         q AS (SELECT CAST(i - 1 AS BIGINT) AS dim,
+             CAST(round(CAST(v[i] AS DOUBLE) * 10000000) AS BIGINT) AS qv
+           FROM x)
+         SELECT dim, MIN(qv) AS lo_q, MAX(qv) AS hi_q, COUNT(*) AS n
+         FROM q GROUP BY dim""")
 }

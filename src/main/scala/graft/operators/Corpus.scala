@@ -346,6 +346,22 @@ object Corpus {
         .cast("long") * 1000000L <
         col(weightPpmCol).cast("long") * 1048576L)
 
+  /** Corpus rebalancing: downsample every stratum to (approximately)
+    * the size of the smallest one, deterministically. The per-stratum
+    * keep rate min_n·10⁶ div n becomes the [[importanceSample]] weight,
+    * so the whole rebalance is one tiny aggregate (|strata| rows,
+    * broadcast back) plus a scan-local hash filter — no shuffle of the
+    * data itself, reproducible under retries and growth. */
+  def rebalanceStrata(df: DataFrame, idCol: String,
+      strataCol: String): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min(col("__n"))).head().getLong(0)
+    val weighted = df.join(broadcast(counts), Seq(strataCol))
+      .withColumn("__w_ppm", expr(s"${minN}L * 1000000L div __n"))
+    importanceSample(weighted, idCol, "__w_ppm", salt = "rb")
+      .drop("__n", "__w_ppm")
+  }
+
   def wordFreq(df: DataFrame, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df

@@ -82,6 +82,22 @@ object Similarity {
         descaleDot(col("dot")).as("dot"))
   }
 
+  /** Per-dimension calibration table for asymmetric quantization /
+    * feature scaling: (dim, lo_q, hi_q, n) where lo/hi are the corpus
+    * min/max of each embedding dimension, 1e-7-quantized to longs
+    * (HALF_UP — engine-portable). One explode (scan-local, fan-out =
+    * dim count) and one map-side-combining groupBy over `dims` keys:
+    * the shuffle carries |dims|·|partitions| rows, not the corpus.
+    * The resulting |dims|-row table broadcasts back for quantization. */
+  def dimCalibration(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("dim", "__x")))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("__x") * 1e7).cast("long").as("__q"))
+      .groupBy(col("dim"))
+      .agg(min(col("__q")).as("lo_q"), max(col("__q")).as("hi_q"),
+        count(lit(1)).as("n"))
+
   /** Int8 scalar quantization with per-vector scale 127/max|x|: the
     * memory-bandwidth scale path for ANN — 4× smaller vectors (8× vs
     * double), integer dot products. Rounding is HALF_UP away from zero
