@@ -257,7 +257,23 @@ object QueriesMining {
     // ---- per-dimension embedding calibration (min/max, 1e-7 exact) ----
     "q144_dim_calibration" -> ((s, dir) =>
       graft.operators.Similarity.dimCalibration(
-        table(s, dir, "embeddings"), "embedding")))
+        table(s, dir, "embeddings"), "embedding")),
+
+    // ---- PPJoin-style set-similarity self-join (prefix filter) ----
+    "q145_set_similarity" -> ((s, dir) =>
+      graft.operators.Linkage.setSimilarityJoin(
+        table(s, dir, "documents").filter(col("doc_id") < 300),
+        "doc_id", "text", thresholdNum = 95, thresholdDen = 100)),
+
+    // ---- grouped median imputation of injected nulls ----
+    "q146_impute_median" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("event_type"),
+        when(col("event_id") % 11 === 0, lit(null))
+          .otherwise((col("value").cast(DecimalType(14, 2)) * 100)
+            .cast("long")).as("v_cents"))
+      Stats.imputeMedian(e, "event_type", "v_cents")
+        .select("event_id", "event_type", "v_cents_filled", "was_null")
+    }))
 }
 
 object OraclesMining {
@@ -617,5 +633,39 @@ object OraclesMining {
              CAST(round(CAST(v[i] AS DOUBLE) * 10000000) AS BIGINT) AS qv
            FROM x)
          SELECT dim, MIN(qv) AS lo_q, MAX(qv) AS hi_q, COUNT(*) AS n
-         FROM q GROUP BY dim""")
+         FROM q GROUP BY dim""",
+
+    // plain all-pairs reference — doubles as the proof that the prefix
+    // filter is lossless (zero false negatives)
+    "q145_set_similarity" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+         tm AS (SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '')) AS term
+           FROM d),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tm GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*) AS inter
+           FROM tm a JOIN tm b ON a.term = b.term AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, inter, za.sz AS size_a, zb.sz AS size_b
+         FROM inter
+         JOIN sizes za ON za.doc_id = id_a
+         JOIN sizes zb ON zb.doc_id = id_b
+         WHERE inter * 100 >= (za.sz + zb.sz - inter) * 95""",
+
+    "q146_impute_median" ->
+      """WITH e AS (SELECT event_id, event_type,
+             CASE WHEN event_id % 11 = 0 THEN NULL
+               ELSE CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)
+             END AS v
+           FROM events),
+         m AS (SELECT event_type,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT)
+               AS med
+           FROM e WHERE v IS NOT NULL GROUP BY event_type)
+         SELECT event_id, e.event_type,
+           COALESCE(v, med) AS v_cents_filled,
+           v IS NULL AS was_null
+         FROM e JOIN m ON e.event_type = m.event_type""")
 }

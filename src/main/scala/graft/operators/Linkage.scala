@@ -61,4 +61,48 @@ object Linkage {
       .filter(col("id_a") < col("id_b"))
       .select(bc :+ col("id_a") :+ col("id_b") :+ col("dist"): _*)
   }
+
+  /** Token-set similarity self-join at Jaccard ≥ num/den via the
+    * PREFIX-FILTER principle (PPJoin family): two sets with Jaccard ≥ t
+    * must share a token within the first |A| − ⌈t·|A|⌉ + 1 of their
+    * tokens when both are ordered rare-first — so candidates are pairs
+    * sharing any PREFIX token, not any token. Against plain
+    * token-blocking this shrinks candidate generation by the frequency
+    * of the common tokens (the "the"-block never forms); against
+    * LSH ([[Dedup.lshCandidates]]) it is exact — zero false negatives —
+    * at the cost of frequency-ordered prefixes (one extra broadcast of
+    * the token-frequency table).
+    *
+    * Plan: token explode → global freq count (combine shuffle) →
+    * rare-first rank broadcast back → prefix filter scan-locally →
+    * candidate equi-join on prefix token → exact Jaccard verify on
+    * candidates ([[Dedup.pairJaccardTerms]]). Output: id_a, id_b,
+    * inter, size_a, size_b (id_a < id_b). */
+  def setSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
+      thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    val terms = df.select(col(idCol).as("id"),
+      explode(array_distinct(graft.functions.TextFunctions.tokens(
+        lower(col(textCol))))).as("term"))
+    val freq = terms.groupBy(col("term")).agg(count(lit(1)).as("__f"))
+    // rare-first total order (freq, then term) — identical everywhere
+    val ranked = terms.join(broadcast(freq), Seq("term"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("__f").asc, col("term").asc)
+    val withPos = ranked
+      .withColumn("__pos", row_number().over(w))
+      .withColumn("__n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+    // prefix length = n − ⌈t·n⌉ + 1 = n − ((n·num + den − 1) div den) + 1
+    val prefix = withPos.filter(
+      col("__pos") <=
+        col("__n") - expr(s"(__n * $thresholdNum + ${thresholdDen - 1}) div $thresholdDen") + 1)
+      .select(col("id"), col("term"))
+    val cand = prefix.select(col("term"), col("id").as("id_a"))
+      .join(prefix.select(col("term"), col("id").as("id_b")), Seq("term"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    Dedup.pairJaccardTerms(terms, cand)
+      .filter(col("inter") * thresholdDen >=
+        (col("size_a") + col("size_b") - col("inter")) * thresholdNum)
+  }
 }

@@ -48,6 +48,22 @@ object Stats {
         col("slope_ppm"), col("intercept_ppm"))
   }
 
+  /** Median imputation: fill NULL `valueCol` with the group's exact
+    * PERCENTILE_DISC median (computed over non-nulls). The medians
+    * table is |groups| rows broadcast back — the data shuffles zero
+    * times beyond the one grouped-percentile pass. Emits the original
+    * columns with `<valueCol>_filled` plus a was_null flag. */
+  def imputeMedian(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val med = Quantiles.percentilesDisc(df, groupCol, valueCol,
+      Seq(("__med", 1, 2)))
+    df.join(broadcast(med), Seq(groupCol))
+      .withColumn(s"${valueCol}_filled",
+        coalesce(col(valueCol), col("__med")))
+      .withColumn("was_null", col(valueCol).isNull)
+      .drop("__med")
+  }
+
   /** Exact mode (most frequent value) per group with a deterministic
     * tie-break (smallest value wins). Two map-side-combining shuffles:
     * (group, value) counts, then a per-group top-1 window over the

@@ -150,6 +150,52 @@ class MiningOpsSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("setSimilarityJoin prefix filter is lossless vs naive all-pairs") {
+    import graft.operators.{Dedup, Linkage}
+    val rnd = new scala.util.Random(23)
+    val vocab = ('a' to 'p').map(_.toString)
+    val docs = Seq.tabulate(60) { i =>
+      (i.toLong, Seq.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }.toDF("id", "text")
+    val got = Linkage.setSimilarityJoin(docs, "id", "text", 60, 100)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // naive: exact Jaccard on every sharing pair (non-sharing pairs
+    // have jaccard 0 and can never pass)
+    val terms = Dedup.shingleTerms(docs, "id", "text", 1)
+      .withColumnRenamed("term", "t").select($"id", $"t").distinct()
+    val allPairs = terms.select($"id".as("id_a"), $"t")
+      .join(terms.select($"id".as("id_b"), $"t"), Seq("t"))
+      .filter($"id_a" < $"id_b").select("id_a", "id_b").distinct()
+    val want = Dedup.pairJaccardTerms(
+        docs.select($"id",
+          org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.array_distinct(
+              graft.functions.TextFunctions.tokens(
+                org.apache.spark.sql.functions.lower($"text")))).as("term")),
+        allPairs)
+      .filter($"inter" * 100 >= ($"size_a" + $"size_b" - $"inter") * 60)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("imputeMedian fills nulls with the group's exact median") {
+    val df = Seq(("g", Some(1L)), ("g", Some(5L)), ("g", Some(9L)),
+      ("g", None), ("h", Some(4L)), ("h", None)).map {
+        case (g, v) => (g, v.map(Long.box).orNull) }
+      .toDF("grp", "v")
+    val got = Stats.imputeMedian(df, "grp", "v")
+      .select("grp", "v_filled", "was_null").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (t._2, t._3)).toSeq).toMap
+    // g: median of {1,5,9} = 5 → null filled with 5
+    assert(got("g") == Seq(("g", 1L, false), ("g", 5L, false),
+      ("g", 5L, true), ("g", 9L, false)))
+    assert(got("h") == Seq(("h", 4L, false), ("h", 4L, true)))
+  }
+
   test("mergeIntervals merges overlapping and touching, splits gapped") {
     val df = Seq(
       ("k", 1L, 5L), ("k", 4L, 8L),   // overlap → island 1
