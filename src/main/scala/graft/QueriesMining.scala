@@ -273,6 +273,48 @@ object QueriesMining {
             .cast("long")).as("v_cents"))
       Stats.imputeMedian(e, "event_type", "v_cents")
         .select("event_id", "event_type", "v_cents_filled", "was_null")
+    }),
+
+    // ---- time-weighted average value per user (irregular samples) ----
+    "q147_time_weighted_avg" -> ((s, dir) => {
+      import graft.operators.TimeSeries
+      TimeSeries.timeWeightedAvg(
+        events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+          (col("value").cast(DecimalType(14, 2)) * 100).cast("long")
+            .as("v_cents")),
+        "user_id", "ts", "event_id", "v_cents")
+    }),
+
+    // ---- session path mining: top 3-step event-type sequences ----
+    "q148_session_paths" -> ((s, dir) => {
+      val e = events(s, dir)
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      val sess = e
+        .withColumn("__gap",
+          unix_micros(col("ts")) -
+            lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("__new",
+          when(col("__gap").isNull || col("__gap") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session", sum(col("__new")).over(
+          byUser.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      val bySess = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("session"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      val paths = sess
+        .withColumn("__t2", lead(col("event_type"), 1).over(bySess))
+        .withColumn("__t3", lead(col("event_type"), 2).over(bySess))
+        .filter(col("__t3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("__t2"), col("__t3"))
+          .as("path"))
+      val counted = paths.groupBy(col("path")).agg(count(lit(1)).as("n"))
+      val rk = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("path"))
+      counted.withColumn("rk", row_number().over(rk).cast("long"))
+        .filter(col("rk") <= 20)
     }))
 }
 
@@ -667,5 +709,47 @@ object OraclesMining {
          SELECT event_id, e.event_type,
            COALESCE(v, med) AS v_cents_filled,
            v IS NULL AS was_null
-         FROM e JOIN m ON e.event_type = m.event_type""")
+         FROM e JOIN m ON e.event_type = m.event_type""",
+
+    "q147_time_weighted_avg" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+             CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS v
+           FROM events),
+         d AS (SELECT user_id, v,
+             LEAD(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+               - tus AS dt
+           FROM e)
+         SELECT user_id, COUNT(*) AS n_intervals,
+           CAST(CASE WHEN SUM(CAST(v AS HUGEINT) * dt) < 0
+             THEN -(abs(SUM(CAST(v AS HUGEINT) * dt)) // SUM(CAST(dt AS HUGEINT)))
+             ELSE SUM(CAST(v AS HUGEINT) * dt) // SUM(CAST(dt AS HUGEINT))
+             END AS BIGINT) AS twa
+         FROM d WHERE dt IS NOT NULL GROUP BY user_id""",
+
+    "q148_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+           FROM events),
+         g AS (SELECT *,
+             tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+               AS gap
+           FROM e),
+         f AS (SELECT *,
+             CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS ni
+           FROM g),
+         s AS (SELECT *,
+             SUM(ni) OVER (PARTITION BY user_id ORDER BY tus, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+           FROM f),
+         p AS (SELECT event_type || '>' ||
+             LEAD(event_type, 1) OVER w || '>' ||
+             LEAD(event_type, 2) OVER w AS path,
+             LEAD(event_type, 2) OVER w AS t3
+           FROM s
+           WINDOW w AS (PARTITION BY user_id, session
+             ORDER BY tus, event_id)),
+         c AS (SELECT path, COUNT(*) AS n FROM p WHERE t3 IS NOT NULL
+           GROUP BY path)
+         SELECT path, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS BIGINT) AS rk
+         FROM c QUALIFY rk <= 20""")
 }

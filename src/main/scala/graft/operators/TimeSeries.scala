@@ -38,6 +38,32 @@ object TimeSeries {
       .agg(countDistinct(col(keyCol)).as(s"n_${days}d"))
   }
 
+  /** Time-weighted average per key over irregularly sampled values:
+    * each sample holds until the next one, so its weight is the
+    * inter-sample duration — TWA = Σ(v·Δt) div Σ(Δt), computed in
+    * DECIMAL(38,0) products and truncating division (engine-exact).
+    * One window shuffle on the key (the lead) feeding one combine
+    * aggregation; keys with a single sample have no interval and drop
+    * out. */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    df.withColumn("__dt",
+        unix_micros(lead(col(tsCol), 1).over(w)) - unix_micros(col(tsCol)))
+      .filter(col("__dt").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(expr(s"CAST($valueCol AS DECIMAL(38,0)) * CAST(__dt AS DECIMAL(38,0))"))
+          .as("__wsum"),
+        sum(expr("CAST(__dt AS DECIMAL(38,0))")).as("__tsum"))
+      // sign-stable truncation: Δt > 0 always, but Σ(v·Δt) can be
+      // negative and engines disagree on negative integer division
+      .withColumn("twa", expr(
+        """CASE WHEN __wsum < 0 THEN -(abs(__wsum) div __tsum)
+           ELSE __wsum div __tsum END""").cast("long"))
+      .drop("__wsum", "__tsum")
+  }
+
   /** Debounce: collapse bursts of same-type events per key to their
     * first event. An event survives iff it starts a burst — no
     * predecessor, a type change, or a silence gap > `gapSeconds` from
