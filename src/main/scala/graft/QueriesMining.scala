@@ -315,7 +315,31 @@ object QueriesMining {
         .orderBy(col("n").desc, col("path"))
       counted.withColumn("rk", row_number().over(rk).cast("long"))
         .filter(col("rk") <= 20)
-    }))
+    }),
+
+    // ---- lang × source contingency table with integer obs/exp ratio ----
+    "q149_contingency" -> ((s, dir) => {
+      val cells = table(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+      val W = org.apache.spark.sql.expressions.Window
+      cells
+        .withColumn("row_n", sum(col("n")).over(W.partitionBy(col("lang"))))
+        .withColumn("col_n", sum(col("n")).over(W.partitionBy(col("source"))))
+        .withColumn("total", sum(col("n")).over(
+          W.partitionBy(lit(1))))
+        .withColumn("ratio_ppm",
+          expr("n * total * 1000000L div (row_n * col_n)"))
+        .select("lang", "source", "n", "row_n", "col_n", "ratio_ppm")
+    }),
+
+    // ---- distributed zipWithIndex: dense ids, no global sort ----
+    "q150_dense_ids" -> ((s, dir) =>
+      Intervals.denseIds(
+        table(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+        "o_custkey", "o_orderkey", bucketSize = 64L)
+        .select(col("o_orderkey"), col("o_custkey"), col("seq_id"))))
 }
 
 object OraclesMining {
@@ -751,5 +775,22 @@ object OraclesMining {
            GROUP BY path)
          SELECT path, n,
            CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS BIGINT) AS rk
-         FROM c QUALIFY rk <= 20""")
+         FROM c QUALIFY rk <= 20""",
+
+    "q149_contingency" ->
+      """WITH cells AS (SELECT lang, source, COUNT(*) AS n
+           FROM documents GROUP BY lang, source)
+         SELECT lang, source, n,
+           CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS row_n,
+           CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS col_n,
+           CAST(n * SUM(n) OVER () * 1000000 //
+             (SUM(n) OVER (PARTITION BY lang)
+               * SUM(n) OVER (PARTITION BY source)) AS BIGINT) AS ratio_ppm
+         FROM cells""",
+
+    "q150_dense_ids" ->
+      """SELECT o_orderkey, o_custkey,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_custkey, o_orderkey) - 1
+             AS BIGINT) AS seq_id
+         FROM orders""")
 }

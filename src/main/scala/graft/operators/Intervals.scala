@@ -22,6 +22,32 @@ object Intervals {
     * Ties on (start, end) are interchangeable: whichever sorts first
     * opens the island and the rest fall in — min/max/count over the
     * island are order-independent, so output is deterministic. */
+  /** Dense sequential ids 0..n−1 in (keyCol, idCol) order, without a
+    * single-partition global sort — the relational zipWithIndex.
+    * Same bucketed decomposition as [[sequenceGaps]]: rows sort WITHIN
+    * their `keyCol div bucketSize` bucket (parallel windows), bucket
+    * offsets come from a cumulative sum over the |buckets|-row count
+    * summary, and seq_id = offset + local rank − 1. Deterministic under
+    * duplicate keys via the unique idCol tie-break. */
+  def denseIds(df: DataFrame, keyCol: String, idCol: String,
+      bucketSize: Long = 1L << 20): DataFrame = {
+    val bucketed = df.withColumn("__b", expr(s"$keyCol div ${bucketSize}L"))
+    val local = Window.partitionBy(col("__b"))
+      .orderBy(col(keyCol), col(idCol))
+    val counts = bucketed.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val offs = counts // |buckets| rows — the tiny seam table
+      .withColumn("__off", coalesce(sum(col("__n")).over(
+        Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    bucketed
+      .withColumn("__rk", row_number().over(local).cast("long"))
+      .join(broadcast(offs), Seq("__b"))
+      .withColumn("seq_id", col("__off") + col("__rk") - 1L)
+      .drop("__b", "__rk", "__off")
+  }
+
   /** Missing ranges in an integer key sequence, without a global sort.
     *
     * A single `lag` over all keys needs one totally-ordered partition —

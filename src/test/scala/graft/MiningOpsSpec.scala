@@ -196,6 +196,32 @@ class MiningOpsSpec extends SparkTestBase {
     assert(got("h") == Seq(("h", 4L, false), ("h", 4L, true)))
   }
 
+  test("denseIds bucketed == global ROW_NUMBER, duplicate keys across buckets") {
+    val rnd = new scala.util.Random(31)
+    val rows = Seq.tabulate(2000)(i => (rnd.nextInt(40).toLong, i.toLong))
+    val df = rows.toDF("k", "id")
+    val got = Intervals.denseIds(df, "k", "id", bucketSize = 8L)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("seq_id"))).toSeq
+    val want = rows.sortBy(t => (t._1, t._2)).zipWithIndex
+      .map { case ((k, id), i) => (k, id, i.toLong) }
+    assert(got == want)
+  }
+
+  test("timeWeightedAvg matches a driver-side integration") {
+    import graft.operators.TimeSeries
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000L)
+    val rows = Seq((1L, 0L, 100L), (2L, 10L, 200L), (3L, 40L, -50L),
+      (4L, 100L, 7L), (5L, 0L, 42L)) // id 5 = lone sample, other key
+      .map { case (id, t, v) => (if (id == 5L) "b" else "a", id, ts(t), v) }
+    val got = TimeSeries.timeWeightedAvg(
+        rows.toDF("k", "id", "ts", "v"), "k", "ts", "id", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // a: 100·10s + 200·30s + (−50)·60s over 100s = (1000+6000−3000)/100 = 40
+    assert(got("a") == ((3L, 40L)))
+    assert(!got.contains("b")) // single sample → no interval
+  }
+
   test("mergeIntervals merges overlapping and touching, splits gapped") {
     val df = Seq(
       ("k", 1L, 5L), ("k", 4L, 8L),   // overlap → island 1
