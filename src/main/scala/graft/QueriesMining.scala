@@ -339,7 +339,52 @@ object QueriesMining {
         table(s, dir, "orders")
           .select("o_orderkey", "o_custkey", "o_totalprice"),
         "o_custkey", "o_orderkey", bucketSize = 64L)
-        .select(col("o_orderkey"), col("o_custkey"), col("seq_id"))))
+        .select(col("o_orderkey"), col("o_custkey"), col("seq_id"))),
+
+    // ---- entity resolution end-to-end: fuzzy pairs → connected
+    //      components → survivorship (canonical record per cluster) ----
+    "q151_entity_clusters" -> ((s, dir) => {
+      val parts = table(s, dir, "part").filter(col("p_partkey") <= 800)
+        .select("p_partkey", "p_name", "p_brand")
+      val pairs = graft.operators.Linkage.fuzzySelfJoin(parts, "p_partkey",
+          "p_name", Seq("p_brand"), maxDist = 3)
+        .select(col("id_a"), col("id_b"))
+      val cc = Corpus.connectedComponents(
+          parts.select(col("p_partkey").as("id")), pairs)
+        .withColumnRenamed("label", "component")
+      val labeled = parts
+        .join(cc, parts("p_partkey") === cc("id")).drop("id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("component"))
+        .orderBy(length(col("p_name")).desc, col("p_partkey"))
+      val canon = labeled.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("component"), col("p_partkey").as("canonical_id"))
+      labeled.join(broadcast(canon), Seq("component"))
+        .select(col("p_partkey"), col("component"), col("canonical_id"))
+    }),
+
+    // ---- co-bucketed storage join (pre-shuffled layout) ----
+    "q152_bucketed_join" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+      s.sql("DROP TABLE IF EXISTS g_bucket_orders")
+      s.sql("DROP TABLE IF EXISTS g_bucket_cust")
+      table(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$work/o").mode("overwrite")
+        .saveAsTable("g_bucket_orders")
+      table(s, dir, "customer").select("c_custkey", "c_mktsegment")
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$work/c").mode("overwrite")
+        .saveAsTable("g_bucket_cust")
+      s.table("g_bucket_orders")
+        .join(s.table("g_bucket_cust"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("o_totalprice").cast(DecimalType(14, 2)) * 100)
+            .cast("long")).as("rev_cents"))
+    }))
 }
 
 object OraclesMining {
@@ -792,5 +837,37 @@ object OraclesMining {
       """SELECT o_orderkey, o_custkey,
            CAST(ROW_NUMBER() OVER (ORDER BY o_custkey, o_orderkey) - 1
              AS BIGINT) AS seq_id
-         FROM orders""")
+         FROM orders""",
+
+    "q151_entity_clusters" ->
+      """WITH RECURSIVE p AS (SELECT p_partkey, p_name, p_brand FROM part
+           WHERE p_partkey <= 800),
+         cand AS (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+           FROM p a JOIN p b
+             ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+           WHERE levenshtein(a.p_name, b.p_name) <= 3),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+                   UNION ALL SELECT id_b, id_a FROM cand),
+         reach AS (SELECT p_partkey AS id, p_partkey AS r FROM p
+           UNION
+           SELECT e.dst AS id, reach.r AS r
+           FROM reach JOIN edges e ON e.src = reach.id),
+         comp AS (SELECT id AS p_partkey, MIN(r) AS component
+           FROM reach GROUP BY id),
+         lab AS (SELECT p.p_partkey, p.p_name, comp.component
+           FROM p JOIN comp USING (p_partkey)),
+         canon AS (SELECT component, p_partkey AS canonical_id FROM (
+             SELECT component, p_partkey,
+               ROW_NUMBER() OVER (PARTITION BY component
+                 ORDER BY length(p_name) DESC, p_partkey) AS rk
+             FROM lab) WHERE rk = 1)
+         SELECT lab.p_partkey, lab.component, canon.canonical_id
+         FROM lab JOIN canon USING (component)""",
+
+    "q152_bucketed_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+             AS BIGINT) AS rev_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""")
 }
