@@ -35,6 +35,24 @@ class MiningOpsSpec extends SparkTestBase {
     assert(got == Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 1L, 3L)))
   }
 
+  test("BoundedTopK and BottomKDistinct plan with map-side partial aggregation") {
+    import graft.operators.Sketches
+    val df = (1L to 100L).map(i => (i % 5, i, i * 3)).toDF("g", "ord", "id")
+    val topkPlan = TopK.topKPerGroup(spark, df.selectExpr("cast(g as string) g",
+        "ord", "id"), "g", "ord", "id", 3)
+      .queryExecution.executedPlan.toString
+    // typed Aggregators run as ObjectHashAggregate with a partial_
+    // stage before the exchange — the bounded buffer IS the map-side
+    // combine; without it every row would cross the shuffle
+    assert(topkPlan.contains("ObjectHashAggregate"), topkPlan)
+    assert(topkPlan.contains("partial_"), topkPlan)
+    val skPlan = Sketches.bottomKSketch(spark,
+        df.selectExpr("cast(g as string) g", "id"), "g", "id", 4)
+      .queryExecution.executedPlan.toString
+    assert(skPlan.contains("ObjectHashAggregate"), skPlan)
+    assert(skPlan.contains("partial_"), skPlan)
+  }
+
   test("linearFit recovers an exact affine relation") {
     // y = 3x + 5 exactly → slope_ppm 3_000_000, intercept_ppm 5_000_000
     val df = (1L to 100L).map(x => ("g", x, 3 * x + 5)).toDF("grp", "x", "y")
