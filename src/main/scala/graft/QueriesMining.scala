@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.operators.{Corpus, Graph, Intervals, Quantiles, Skyline, Stats, TopK}
+import graft.operators.{Clustering, Corpus, Graph, Intervals, Quantiles, Skyline, Stats, TopK}
 
 /** Round-3 additions: shuffle-bounded top-k, exact grouped model fits,
   * sketch gates, interval islands, retention cohorts. Same exactness
@@ -384,6 +384,35 @@ object QueriesMining {
         .agg(count(lit(1)).as("n"),
           sum((col("o_totalprice").cast(DecimalType(14, 2)) * 100)
             .cast("long")).as("rev_cents"))
+    }),
+
+    // ---- association rules over order baskets (support ≥ 3) ----
+    "q153_association_rules" -> ((s, dir) =>
+      graft.operators.Rules.associationRules(
+        table(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey", "l_partkey", minSupport = 3L)),
+
+    // ---- k-means cluster purity vs ground-truth labels ----
+    "q154_cluster_purity" -> ((s, dir) => {
+      val assign = Clustering.kmeans(table(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, iters = 2)
+        .select(col("vid").as("vec_id"), col("cid").as("cluster"))
+      val lab = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+      val cells = assign.join(lab, Seq("vec_id"))
+        .groupBy(col("cluster"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      val W = org.apache.spark.sql.expressions.Window
+      val byCluster = W.partitionBy(col("cluster"))
+      cells
+        .withColumn("n_total", sum(col("n")).over(byCluster))
+        .withColumn("__rk", row_number().over(
+          byCluster.orderBy(col("n").desc, col("label"))))
+        .filter(col("__rk") === 1)
+        .select(col("cluster"), col("label").as("majority_label"),
+          col("n_total").cast("long").as("n_total"),
+          col("n").as("n_majority"),
+          expr("n * 1000000L div n_total").as("purity_ppm"))
     }))
 }
 
@@ -869,5 +898,50 @@ object OraclesMining {
            CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
              AS BIGINT) AS rev_cents
          FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY c_mktsegment""")
+         GROUP BY c_mktsegment""",
+
+    "q153_association_rules" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+           FROM lineitem),
+         nb AS (SELECT COUNT(DISTINCT b) AS n FROM bi),
+         isupp AS (SELECT i, COUNT(*) AS supp FROM bi GROUP BY i),
+         pairs AS (SELECT x.i AS pa, y.i AS pb, COUNT(*) AS supp_pair
+           FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         d AS (SELECT pa AS antecedent, pb AS consequent, supp_pair FROM pairs
+               UNION ALL
+               SELECT pb, pa, supp_pair FROM pairs)
+         SELECT d.antecedent, d.consequent, d.supp_pair,
+           sa.supp AS supp_ante, sc.supp AS supp_cons,
+           CAST(d.supp_pair * 1000000 // sa.supp AS BIGINT)
+             AS confidence_ppm,
+           CAST(d.supp_pair * nb.n * 1000000 // (sa.supp * sc.supp)
+             AS BIGINT) AS lift_ppm
+         FROM d
+         JOIN isupp sa ON sa.i = d.antecedent
+         JOIN isupp sc ON sc.i = d.consequent
+         CROSS JOIN nb""",
+
+    "q154_cluster_purity" -> {
+      val kmeansSql = OraclesExtra.all("q71_kmeans")
+      s"""WITH assign AS (
+         $kmeansSql
+         ),
+         lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+           FROM embeddings),
+         cells AS (SELECT a.cluster, lab.label, COUNT(*) AS n
+           FROM assign a JOIN lab ON a.vec_id = lab.vec_id
+           GROUP BY a.cluster, lab.label),
+         t AS (SELECT cluster, CAST(SUM(n) AS BIGINT) AS n_total
+           FROM cells GROUP BY cluster),
+         m AS (SELECT cluster, label AS majority_label, n AS n_majority
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+               ORDER BY n DESC, label) AS rk FROM cells)
+           WHERE rk = 1)
+         SELECT t.cluster, m.majority_label, t.n_total,
+           CAST(m.n_majority AS BIGINT) AS n_majority,
+           CAST(m.n_majority * 1000000 // t.n_total AS BIGINT)
+             AS purity_ppm
+         FROM t JOIN m USING (cluster)"""
+    })
 }
