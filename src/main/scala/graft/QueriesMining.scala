@@ -392,6 +392,49 @@ object QueriesMining {
         table(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
         "l_orderkey", "l_partkey", minSupport = 3L)),
 
+    // ---- incremental SCD2 maintenance == full-history rebuild ----
+    "q155_scd2_merge" -> ((s, dir) => {
+      import graft.operators.Scd2
+      val work = java.nio.file.Files.createTempDirectory("graft_scd2").toString
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val o = table(s, dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+      val t = "D.S.SCD2DIM"
+      // three date-disjoint batches → per key, batches arrive in order
+      val cuts = Seq(("1900-01-01", "1995-01-01"),
+        ("1995-01-01", "1996-07-01"), ("1996-07-01", "2100-01-01"))
+      cuts.foreach { case (lo, hi) =>
+        val b = o.filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+          col("o_orderdate") < lit(hi).cast("timestamp"))
+        Scd2.mergeBatch(cat, t, b, "o_custkey", "o_orderdate",
+          "o_orderkey", Seq("o_orderpriority"))
+      }
+      cat.read(t)
+    }),
+
+    // ---- log-line render + regex parse round trip ----
+    "q156_log_parse" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_logs").toString
+      val status = when(col("o_orderstatus") === "F", 200)
+        .when(col("o_orderstatus") === "O", 404).otherwise(500)
+      table(s, dir, "orders")
+        .select(concat(
+          lit("10.0.0."), (col("o_custkey") % 256).cast("string"),
+          lit(" - - [1995-01-01] \"GET /order/"),
+          col("o_orderkey").cast("string"),
+          lit(" HTTP/1.1\" "), status.cast("string"), lit(" "),
+          (col("o_totalprice").cast(DecimalType(14, 2)) * 100).cast("long")
+            .cast("string")).as("value"))
+        .write.mode("overwrite").text(s"$work/logs")
+      val lines = s.read.text(s"$work/logs")
+      val pat = """^(\S+) - - \[([^\]]+)\] "GET /order/(\d+) HTTP/1\.1" (\d+) (\d+)$"""
+      lines
+        .select(regexp_extract(col("value"), pat, 4).cast("long").as("status"),
+          regexp_extract(col("value"), pat, 5).cast("long").as("bytes"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("bytes")).as("sum_bytes"))
+    }),
+
     // ---- k-means cluster purity vs ground-truth labels ----
     "q154_cluster_purity" -> ((s, dir) => {
       val assign = Clustering.kmeans(table(s, dir, "embeddings"),
@@ -921,6 +964,24 @@ object OraclesMining {
          JOIN isupp sa ON sa.i = d.antecedent
          JOIN isupp sc ON sc.i = d.consequent
          CROSS JOIN nb""",
+
+    "q155_scd2_merge" ->
+      """SELECT o_custkey, o_orderkey, o_orderpriority,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           COALESCE(strftime(LEAD(o_orderdate) OVER w, '%Y-%m-%d %H:%M:%S'),
+             '9999-01-01 00:00:00') AS valid_to,
+           CAST(CASE WHEN LEAD(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END
+             AS BIGINT) AS is_current
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+
+    "q156_log_parse" ->
+      """SELECT CASE WHEN o_orderstatus = 'F' THEN 200
+                     WHEN o_orderstatus = 'O' THEN 404 ELSE 500 END AS status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+             AS BIGINT) AS sum_bytes
+         FROM orders GROUP BY 1""",
 
     "q154_cluster_purity" -> {
       val kmeansSql = OraclesExtra.all("q71_kmeans")

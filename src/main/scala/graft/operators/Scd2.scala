@@ -27,4 +27,33 @@ object Scd2 {
         when(col("valid_to") === OpenEnd, 1L).otherwise(0L))
       .drop(tsCol)
   }
+
+  /** Incremental SCD2 maintenance: apply one time-ordered change batch
+    * to a catalog-resident dimension. The batch's own intervals come
+    * from [[build]]; existing OPEN rows of touched keys are closed to
+    * the key's first new timestamp via the catalog's key-pruned MERGE
+    * (only files containing touched keys rewrite), then the new
+    * intervals append O(batch). Equivalent to a full [[build]] over
+    * the concatenated history whenever batches partition time per key
+    * (each batch's events strictly after the previous batch's for that
+    * key) — the steady-state nightly-dimension-load contract. */
+  def mergeBatch(cat: graft.catalog.TableCatalog, table: String,
+      batch: DataFrame, keyCol: String, tsCol: String, tiebreakCol: String,
+      attrCols: Seq[String]): Unit = {
+    val iv = build(batch, keyCol, tsCol, tiebreakCol, attrCols)
+    if (cat.version(table).isDefined) {
+      val firstNew = iv.groupBy(col(keyCol))
+        .agg(min(col("valid_from")).as("__new_from"))
+      val closed = cat.read(table)
+        .filter(col("is_current") === 1L)
+        .join(firstNew, Seq(keyCol))
+        .withColumn("valid_to", col("__new_from"))
+        .withColumn("is_current", lit(0L))
+        .drop("__new_from")
+      // merge on (key, tiebreak): same-timestamp ties make valid_from
+      // non-unique, the tiebreak column identifies the exact row
+      cat.merge(table, closed, Seq(keyCol, tiebreakCol))
+    }
+    cat.append(table, iv)
+  }
 }
