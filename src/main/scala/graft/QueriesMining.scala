@@ -435,6 +435,41 @@ object QueriesMining {
         .agg(count(lit(1)).as("n"), sum(col("bytes")).as("sum_bytes"))
     }),
 
+    // ---- per-user event-type Markov transition matrix (ppm) ----
+    "q157_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      val trans = events(s, dir)
+        .withColumn("__next", lead(col("event_type"), 1).over(w))
+        .filter(col("__next").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("__next").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val byFrom = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("from_type"))
+      trans
+        .withColumn("from_total", sum(col("n")).over(byFrom))
+        .withColumn("p_ppm", expr("n * 1000000L div from_total"))
+    }),
+
+    // ---- month-over-month revenue deltas in basis points ----
+    "q158_mom_growth" -> ((s, dir) => {
+      val monthly = table(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(sum((col("o_totalprice").cast(DecimalType(14, 2)) * 100)
+          .cast("long")).as("rev_cents"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("month"))
+      monthly
+        .withColumn("__prev", lag(col("rev_cents"), 1).over(w))
+        .withColumn("mom_bps", when(col("__prev").isNull, lit(null))
+          .otherwise(expr(
+            """CASE WHEN rev_cents - __prev < 0
+               THEN -((abs(rev_cents - __prev) * 10000L) div __prev)
+               ELSE ((rev_cents - __prev) * 10000L) div __prev END""")))
+        .select(col("month"), col("rev_cents"), col("mom_bps"))
+    }),
+
     // ---- k-means cluster purity vs ground-truth labels ----
     "q154_cluster_purity" -> ((s, dir) => {
       val assign = Clustering.kmeans(table(s, dir, "embeddings"),
@@ -982,6 +1017,34 @@ object OraclesMining {
            CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
              AS BIGINT) AS sum_bytes
          FROM orders GROUP BY 1""",
+
+    "q157_transitions" ->
+      """WITH t AS (SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS nxt
+           FROM events),
+         c AS (SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS n
+           FROM t WHERE nxt IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
+           CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type)
+             AS BIGINT) AS p_ppm
+         FROM c""",
+
+    "q158_mom_growth" ->
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+               AS BIGINT)) AS BIGINT) AS rev_cents
+           FROM orders GROUP BY 1),
+         l AS (SELECT month, rev_cents,
+             LAG(rev_cents) OVER (ORDER BY month) AS prev
+           FROM m)
+         SELECT month, rev_cents,
+           CASE WHEN prev IS NULL THEN NULL
+                WHEN rev_cents - prev < 0
+                  THEN -((abs(rev_cents - prev) * 10000) // prev)
+                ELSE ((rev_cents - prev) * 10000) // prev END AS mom_bps
+         FROM l""",
 
     "q154_cluster_purity" -> {
       val kmeansSql = OraclesExtra.all("q71_kmeans")
