@@ -470,6 +470,23 @@ object QueriesMining {
         .select(col("month"), col("rev_cents"), col("mom_bps"))
     }),
 
+    // ---- calendar dimension spanning the fact table's date range ----
+    "q159_date_dim" -> ((s, dir) => {
+      val mm = table(s, dir, "orders")
+        .agg(min(to_date(col("o_orderdate"))).as("lo"),
+          max(to_date(col("o_orderdate"))).as("hi"))
+      mm.select(explode(sequence(col("lo"), col("hi"))).as("d"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("d"),
+          year(col("d")).cast("long").as("y"),
+          quarter(col("d")).cast("long").as("q"),
+          month(col("d")).cast("long").as("m"),
+          dayofmonth(col("d")).cast("long").as("dom"),
+          date_format(col("d"), "EEEE").as("dow_name"),
+          date_format(col("d"), "EEEE").isin("Saturday", "Sunday")
+            .as("is_weekend"),
+          (col("d") === last_day(col("d"))).as("is_month_end"))
+    }),
+
     // ---- k-means cluster purity vs ground-truth labels ----
     "q154_cluster_purity" -> ((s, dir) => {
       val assign = Clustering.kmeans(table(s, dir, "embeddings"),
@@ -1045,6 +1062,22 @@ object OraclesMining {
                   THEN -((abs(rev_cents - prev) * 10000) // prev)
                 ELSE ((rev_cents - prev) * 10000) // prev END AS mom_bps
          FROM l""",
+
+    "q159_date_dim" ->
+      """WITH mm AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+             CAST(MAX(o_orderdate) AS DATE) AS hi FROM orders),
+         spine AS (SELECT CAST(unnest(generate_series(
+             CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+             INTERVAL 1 DAY)) AS DATE) AS d FROM mm)
+         SELECT strftime(d, '%Y-%m-%d') AS d,
+           CAST(year(d) AS BIGINT) AS y,
+           CAST(quarter(d) AS BIGINT) AS q,
+           CAST(month(d) AS BIGINT) AS m,
+           CAST(day(d) AS BIGINT) AS dom,
+           strftime(d, '%A') AS dow_name,
+           strftime(d, '%A') IN ('Saturday', 'Sunday') AS is_weekend,
+           d = last_day(d) AS is_month_end
+         FROM spine""",
 
     "q154_cluster_purity" -> {
       val kmeansSql = OraclesExtra.all("q71_kmeans")
