@@ -470,8 +470,8 @@ object OraclesScale {
                x -> x <> '')) AS BIGINT) AS n_tokens
            FROM documents),
          c AS (SELECT lang, doc_id, n_tokens,
-             COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
                AS tokens_before
            FROM t)
          SELECT lang, doc_id, n_tokens, tokens_before,

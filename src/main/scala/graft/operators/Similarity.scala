@@ -1,9 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -52,34 +50,38 @@ object Similarity {
   def descaleDot(scaled: Column): Column =
     (scaled.cast("double") / 1e14)
 
-  /** Brute-force top-k by cosine: broadcast the query set, rank per
-    * query with deterministic (sim desc, id) tie-break. */
+  private def noVec: Column = lit(null).cast("array<float>")
+
+  /** Brute-force top-k by cosine: broadcast the query set, then a
+    * bounded top-k aggregator ([[TopK.BoundedTopKVec]]) ranks per query
+    * with deterministic (sim desc, id) tie-break. The aggregator's
+    * partial/final split means each map task ships at most k rows per
+    * query into the shuffle — the `row_number` window formulation would
+    * shuffle the entire scored corpus to one reducer per query. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim")
+    TopK.topKPerQuery(scored, lit(0L), col("sim"), col("neighbor_id"),
+        noVec, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("ordD").as("sim"))
   }
 
-  /** Exact-arithmetic top-k by dot product (oracle-parity variant). */
+  /** Exact-arithmetic top-k by dot product (oracle-parity variant);
+    * same bounded-top-k shuffle shape as [[bruteForceTopK]]. */
   def bruteForceTopKExact(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("dot", dotExact(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dot").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    TopK.topKPerQuery(scored, col("dot"), lit(0.0), col("neighbor_id"),
+        noVec, k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        descaleDot(col("dot")).as("dot"))
+        descaleDot(col("ordL")).as("dot"))
   }
 
   /** Per-dimension calibration table for asymmetric quantization /
@@ -128,17 +130,19 @@ object Similarity {
     val coarse = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cdot", graft.functions.expressions.GraftFunctions
         .longArrayDot(col("q8"), col("c8")))
-    val wc = Window.partitionBy(col("query_id"))
-      .orderBy(col("cdot").desc, col("neighbor_id"))
-    val cand = coarse.withColumn("crank", row_number().over(wc))
-      .filter(col("crank") <= k * oversample)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dot").desc, col("neighbor_id"))
-    cand.withColumn("dot", dotExact(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // bounded top-(k·oversample) with the candidate vector as payload:
+    // the shuffle after the all-pairs scan carries k·oversample rows per
+    // query, and the rerank needs no second corpus scan
+    val cand = TopK.topKPerQuery(coarse, col("cdot"), lit(0.0),
+      col("neighbor_id"), col("cv"), k * oversample)
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")))
+    val rerank = cand.join(qv, "query_id")
+      .withColumn("dot", dotExact(col("qv"), col("vec")))
+    TopK.topKPerQuery(rerank, col("dot"), lit(0.0), col("neighbor_id"),
+        noVec, k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        descaleDot(col("dot")).as("dot"))
+        descaleDot(col("ordL")).as("dot"))
   }
 
   /** Assign each vector to its nearest centroid by exact dot (IVF cell
@@ -150,10 +154,18 @@ object Similarity {
     val scored = corpus.select(col(idCol), col(vecCol))
       .crossJoin(cts)
       .withColumn("dot", dotExact(col(vecCol), col("ctv")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("dot").desc, col(centroidIdCol))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col(centroidIdCol))
+    // argmax via max(struct): (dot desc, centroid asc) — negating the
+    // centroid id makes the struct max pick the smallest id on dot
+    // ties, matching a (dot DESC, centroid_id ASC) rank. All K centroid
+    // rows for a corpus row are map-local (broadcast cross join), so
+    // partial aggregation collapses to one row per vector pre-shuffle —
+    // the window formulation would shuffle all |corpus|·K scored rows.
+    scored
+      .groupBy(col(idCol))
+      .agg(max(struct(col("dot"), (-col(centroidIdCol)).as("negc"),
+        col(vecCol).as("v"))).as("best"))
+      .select(col(idCol), col("best.v").as(vecCol),
+        (-col("best.negc")).as(centroidIdCol))
   }
 
   /** IVF search, probe=1: rank only within the query's own cell. At
@@ -169,12 +181,10 @@ object Similarity {
     val scored = q.join(c, Seq(centroidIdCol))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("dot", dotExact(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dot").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    TopK.topKPerQuery(scored, col("dot"), lit(0.0), col("neighbor_id"),
+        noVec, k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        descaleDot(col("dot")).as("dot"))
+        descaleDot(col("ordL")).as("dot"))
   }
 
   /** Band width (bits per LSH band) scaled to the corpus size: bucket

@@ -87,6 +87,26 @@ class TextDedupSpec extends SparkTestBase {
     assert(fast.getAs[Long]("neighbor_id") == bf.getAs[Long]("neighbor_id"))
   }
 
+  test("ANN top-k runs as partial (map-side) aggregation, not a rank window") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (10L, Array(0.95f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val corpus = vecs.filter(col("vec_id") < 10)
+    val queries = vecs.filter(col("vec_id") === 10)
+    for (df <- Seq(
+        Similarity.bruteForceTopKExact(corpus, queries, "vec_id", "embedding", 2),
+        Similarity.int8TopK(corpus, queries, "vec_id", "embedding", 2, 2),
+        Similarity.ivfTopK(
+          Similarity.assignCentroids(corpus, queries, "vec_id", "embedding"),
+          Similarity.assignCentroids(queries, queries, "vec_id", "embedding"),
+          "vec_id", "embedding", 2))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("partial_"), plan)
+      assert(!plan.contains("Window"), plan)
+    }
+  }
+
   test("banded cosine near-dup: auto width scales with corpus; collisions dedupe") {
     // bucket count per band = 2^width grows with the corpus size
     assert(Similarity.autoBandWidth(100) == 8)

@@ -52,6 +52,28 @@ def frame_key(df):
     return cols, rows
 
 
+def dtype_class(dt):
+    s = str(dt)
+    if "float" in s:
+        return "float"
+    if "int" in s.lower():
+        return "int"
+    return "other"
+
+
+def dtype_mismatch(got, want):
+    """The driver hashes exact values, so a float64 oracle column vs a
+    BIGINT Spark column hash-mismatches even when values agree. norm_cell
+    coerces both to float for the value compare, which HID the q86 oracle
+    type bug — so fail loudly on numeric-class drift instead."""
+    bad = []
+    for c in sorted(set(got.columns) & set(want.columns)):
+        g, w = dtype_class(got[c].dtype), dtype_class(want[c].dtype)
+        if {g, w} == {"float", "int"}:
+            bad.append(f"{c}: spark={got[c].dtype} oracle={want[c].dtype}")
+    return bad
+
+
 def main():
     import duckdb
     run_verify()
@@ -72,6 +94,9 @@ def main():
             want = con.sql(oracle[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); failed += 1; continue
+        dt_bad = dtype_mismatch(got, want)
+        if dt_bad:
+            print(f"FAIL {name}: numeric dtype mismatch {dt_bad}"); failed += 1; continue
         gc, gr = frame_key(got)
         wc, wr = frame_key(want)
         if gc != wc:
