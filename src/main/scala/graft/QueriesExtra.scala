@@ -141,7 +141,7 @@ object QueriesExtra {
 
     // ---- append chain + OPTIMIZE compaction preserves content ----
     "q75_compaction" -> ((s, dir) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_compact").toString
+      val work = graft.Scratch.dir("graft_compact")
       val cat = new graft.catalog.TableCatalog(s, work)
       val c = table(s, dir, "customer").filter(col("c_custkey") <= 300)
         .select("c_custkey", "c_name", "c_acctbal")
@@ -156,7 +156,7 @@ object QueriesExtra {
 
     // ---- incremental CDC snapshot (pruned MERGE) == full recompute ----
     "q76_incremental_snapshot" -> ((s, dir) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_snap").toString
+      val work = graft.Scratch.dir("graft_snap")
       val cat = new graft.catalog.TableCatalog(s, work)
       val changes = table(s, dir, "orders").select(
         col("o_custkey").as("key"),
@@ -183,7 +183,7 @@ object QueriesExtra {
     // ---- schema evolution: append a wider batch, merged-schema read
     //      resolves the union (old rows surface NULL for new cols) ----
     "q100_schema_evolution" -> ((s, dir) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_evo").toString
+      val work = graft.Scratch.dir("graft_evo")
       val cat = new graft.catalog.TableCatalog(s, work)
       val sup = table(s, dir, "supplier")
       val t = "D.S.EVO"
@@ -223,7 +223,7 @@ object QueriesExtra {
     // ---- partitioned COW update: rewrite only the matched partition,
     //      carry untouched partition dirs by manifest reference ----
     "q95_partitioned_update" -> ((s, dir) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_pupd").toString
+      val work = graft.Scratch.dir("graft_pupd")
       val cat = new graft.catalog.TableCatalog(s, work)
       val o = table(s, dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
@@ -241,7 +241,7 @@ object QueriesExtra {
     // ---- change-data-feed between two catalog versions (time travel
     //      read of v_before + full-outer diff → insert/update/delete) ----
     "q90_version_diff" -> ((s, dir) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_cdf").toString
+      val work = graft.Scratch.dir("graft_cdf")
       val cat = new graft.catalog.TableCatalog(s, work)
       val cust = table(s, dir, "customer").select(
         col("c_custkey").as("key"), col("c_name").as("name"),
@@ -271,7 +271,7 @@ object QueriesExtra {
       import graft.sources.FixedWidthReader.FieldSpec
       val layout = Seq(FieldSpec("s_suppkey", 1, 10, "bigint"),
         FieldSpec("s_name", 11, 30), FieldSpec("nation", 41, 5, "bigint"))
-      val work = java.nio.file.Files.createTempDirectory("graft_fw").toString
+      val work = graft.Scratch.dir("graft_fw")
       FixedWidthReader.render(
           table(s, dir, "supplier").select(col("s_suppkey"), col("s_name"),
             col("s_nationkey").cast("long").as("nation")),
@@ -282,7 +282,7 @@ object QueriesExtra {
 
     // ---- JSON-lines sink/source round-trip (format breadth) ----
     "q103_jsonl_roundtrip" -> ((s, dir) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      val work = graft.Scratch.dir("graft_jsonl")
       table(s, dir, "documents").select("doc_id", "lang", "source", "n_chars")
         .write.mode("overwrite").json(s"$work/docs")
       s.read
@@ -295,7 +295,7 @@ object QueriesExtra {
 
     // ---- ORC source/sink round-trip (format breadth beyond parquet) ----
     "q77_orc_roundtrip" -> ((s, dir) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      val work = graft.Scratch.dir("graft_orc")
       table(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
         .write.mode("overwrite").orc(s"$work/sup")
       s.read.orc(s"$work/sup")
@@ -306,7 +306,7 @@ object QueriesExtra {
 
     // ---- Z-ORDER compaction preserves content exactly ----
     "q78_zorder" -> ((s, dir) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+      val work = graft.Scratch.dir("graft_zorder")
       val cat = new graft.catalog.TableCatalog(s, work)
       val o = table(s, dir, "orders").filter(col("o_orderkey") <= 20000)
         .select("o_orderkey", "o_custkey", "o_totalprice")

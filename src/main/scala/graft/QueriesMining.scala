@@ -193,7 +193,7 @@ object QueriesMining {
     "q137_incremental_dedup" -> ((s, dir) => {
       import graft.operators.Dedup
       val docs = table(s, dir, "documents")
-      val work = java.nio.file.Files.createTempDirectory("graft_inc").toString
+      val work = graft.Scratch.dir("graft_inc")
       Dedup.minhashBands(docs.filter(col("doc_id") < 400), "doc_id", "text",
           shingleN = 2, bands = 4)
         .withColumnRenamed("doc_id", "id")
@@ -232,7 +232,7 @@ object QueriesMining {
 
     // ---- hive-partitioned write + partition-pruned read-back ----
     "q141_hive_partitions" -> ((s, dir) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_hive").toString
+      val work = graft.Scratch.dir("graft_hive")
       table(s, dir, "orders")
         .write.mode("overwrite").partitionBy("o_orderstatus")
         .parquet(s"$work/orders_p")
@@ -366,7 +366,7 @@ object QueriesMining {
 
     // ---- co-bucketed storage join (pre-shuffled layout) ----
     "q152_bucketed_join" -> ((s, dir) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+      val work = graft.Scratch.dir("graft_bkt")
       s.sql("DROP TABLE IF EXISTS g_bucket_orders")
       s.sql("DROP TABLE IF EXISTS g_bucket_cust")
       table(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
@@ -395,7 +395,7 @@ object QueriesMining {
     // ---- incremental SCD2 maintenance == full-history rebuild ----
     "q155_scd2_merge" -> ((s, dir) => {
       import graft.operators.Scd2
-      val work = java.nio.file.Files.createTempDirectory("graft_scd2").toString
+      val work = graft.Scratch.dir("graft_scd2")
       val cat = new graft.catalog.TableCatalog(s, work)
       val o = table(s, dir, "orders")
         .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
@@ -414,7 +414,7 @@ object QueriesMining {
 
     // ---- log-line render + regex parse round trip ----
     "q156_log_parse" -> ((s, dir) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_logs").toString
+      val work = graft.Scratch.dir("graft_logs")
       val status = when(col("o_orderstatus") === "F", 200)
         .when(col("o_orderstatus") === "O", 404).otherwise(500)
       table(s, dir, "orders")
@@ -535,7 +535,8 @@ object OraclesMining {
              SUM(x * x) AS sxx, SUM(x * y) AS sxy
            FROM t GROUP BY l_returnflag),
          s AS (SELECT *,
-             CASE WHEN (n * sxy - sx * sy) < 0 AND (n * sxx - sx * sx) > 0
+             CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL
+               WHEN (n * sxy - sx * sy) < 0 AND (n * sxx - sx * sx) > 0
                     OR (n * sxy - sx * sy) > 0 AND (n * sxx - sx * sx) < 0
                THEN -(abs((n * sxy - sx * sy) * 1000000) // abs(n * sxx - sx * sx))
                ELSE abs((n * sxy - sx * sy) * 1000000) // abs(n * sxx - sx * sx)
@@ -544,7 +545,8 @@ object OraclesMining {
          SELECT l_returnflag, CAST(n AS BIGINT) AS n,
            CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
            CAST(slope_ppm AS BIGINT) AS slope_ppm,
-           CAST(CASE WHEN (sy * 1000000 - slope_ppm * sx) < 0
+           CAST(CASE WHEN slope_ppm IS NULL THEN NULL
+             WHEN (sy * 1000000 - slope_ppm * sx) < 0
              THEN -(abs(sy * 1000000 - slope_ppm * sx) // n)
              ELSE abs(sy * 1000000 - slope_ppm * sx) // n
            END AS BIGINT) AS intercept_ppm

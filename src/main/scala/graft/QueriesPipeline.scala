@@ -62,7 +62,7 @@ object QueriesPipeline {
     "q47_pipeline_medallion" -> ((s, dir) => {
       // stage: customer → CSV drop (strings survive the round-trip:
       // integer keys render identically in both engines)
-      val work = Files.createTempDirectory("graft_pipeline").toString
+      val work = graft.Scratch.dir("graft_pipeline")
       val stage = s"$work/stage"
       val c = Queries.table(s, dir, "customer").filter(col("c_custkey") < 500)
       c.select(
@@ -93,7 +93,7 @@ object QueriesPipeline {
     // payload) per key — declaratively expressible in SQL
     "q48_stream_dedup" -> ((s, dir) => {
       import s.implicits._
-      val work = Files.createTempDirectory("graft_sdedup").toString
+      val work = graft.Scratch.dir("graft_sdedup")
       Queries.events(s, dir)
         .filter(col("user_id") < 40)
         .select(col("user_id").as("key"), col("event_type").as("payload"),

@@ -220,8 +220,8 @@ object QueriesScale {
     //      hash-matched against plain SQL over the same input ----
     "q84_stream_refined" -> ((s, dir) => {
       import graft.config.{RegexReplaceSpec, RegexRule, StripSpec, TargetSpec}
-      val out = java.nio.file.Files.createTempDirectory("graft_q84_out").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_q84_ckpt").toString
+      val out = graft.Scratch.dir("graft_q84_out")
+      val ckpt = graft.Scratch.dir("graft_q84_ckpt")
       val schema = s.read.parquet(s"$dir/customer.parquet").schema
       val target = TargetSpec(None, "append", None,
         regexReplace = Seq(RegexReplaceSpec("c_mktsegment",

@@ -168,7 +168,7 @@ object QueriesText {
     // ---- foreachBatch → catalog: idempotent latest-wins upsert ----
     "q116_stream_materialize" -> ((s, dir) =>
       graft.streaming.StreamMaterialize.runLatestToCatalog(s, dir,
-        java.nio.file.Files.createTempDirectory("graft_smat").toString)))
+        graft.Scratch.dir("graft_smat"))))
 }
 
 object OraclesText {

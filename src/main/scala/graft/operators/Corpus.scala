@@ -307,9 +307,11 @@ object Corpus {
     val base = df.select(col(idCol),
       expr(s"filter(split(trim(lower($textCol)), '\\\\s+'), x -> x != '')")
         .as("__tk"))
-    // sequence(1, 0) counts DOWN in Spark — guard the empty-doc case
+    // sequence(1, 0) counts DOWN in Spark — guard the empty-doc case;
+    // size(NULL) is -1, so `<= 0` makes null text behave like empty
+    // text (DuckDB's generate_series(1, NULL) yields no rows either)
     val blocks = base.select(col(idCol), posexplode(expr(
-        s"""CASE WHEN size(__tk) = 0 THEN array()
+        s"""CASE WHEN size(__tk) <= 0 THEN array()
             ELSE transform(sequence(1, (size(__tk) + ${block - 1}) div $block),
               b -> array_join(slice(__tk, (b - 1) * $block + 1, $block), ' '))
             END""")).as(Seq("__b", "blk")))

@@ -44,11 +44,20 @@ object DataQuality {
           .as(s"__m$i")
       case (c, _) => throw new IllegalArgumentException(c.toString)
     }
-    val stackExpr = aggChecks.zipWithIndex.map { case (c, i) =>
-      s"'${c.name}', '${c.column}', __m$i" }
-      .mkString(s"stack(${aggChecks.size}, ", ", ", ")")
-    val aggReport = df.agg(aggCols.head, aggCols.tail: _*)
-      .select(expr(s"$stackExpr as (check, column, n_violations)"))
+    // a RefIntegrity-only (or empty) check list has no agg columns —
+    // stack(0, ) is malformed, so start the union from an empty frame
+    val aggReport = if (aggChecks.isEmpty) {
+      df.sparkSession.emptyDataFrame
+        .select(lit("").as("check"), lit("").as("column"),
+          lit(0L).as("n_violations"))
+        .limit(0)
+    } else {
+      val stackExpr = aggChecks.zipWithIndex.map { case (c, i) =>
+        s"'${c.name}', '${c.column}', __m$i" }
+        .mkString(s"stack(${aggChecks.size}, ", ", ", ")")
+      df.agg(aggCols.head, aggCols.tail: _*)
+        .select(expr(s"$stackExpr as (check, column, n_violations)"))
+    }
     val riReports = checks.collect { case RefIntegrity(c, parent, pc) =>
       df.select(col(c)).filter(col(c).isNotNull)
         .join(parent.select(col(pc).as(c)), Seq(c), "left_anti")

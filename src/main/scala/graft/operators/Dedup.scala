@@ -133,17 +133,25 @@ object Dedup {
       shingleN: Int, bands: Int,
       thresholdNum: Int, thresholdDen: Int): DataFrame = {
     val newBands = minhashBands(newDocs, idCol, textCol, shingleN, bands)
+    // cand and terms are each consumed by 2-3 downstream joins; without
+    // a cache every consumer re-derives them from the parquet index /
+    // corpus-terms scans (9 scans observed). Both are collision-bounded
+    // (pairs, and shingles of the batch + colliding docs only), so
+    // caching them is cheap at any corpus size and cuts the probe to
+    // one scan per input. MEMORY_AND_DISK: spill, don't recompute.
     val cand = newBands
       .select(col("band"), col("minhash"), col(idCol).as("id_a"))
       .join(corpusIndex.select(col("band"), col("minhash"),
         col("id").as("id_b")), Seq("band", "minhash"))
       .select("id_a", "id_b").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // fetch corpus shingles ONLY for colliding ids — the semi join is
     // what keeps corpus-side cost ∝ collisions at 100 TB
     val oldTerms = corpusTerms.join(
       cand.select(col("id_b").as("id")).distinct(), Seq("id"), "left_semi")
     val terms = shingleTerms(newDocs, idCol, textCol, shingleN)
       .unionByName(oldTerms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairJaccardTerms(terms, cand)
       .filter(col("inter") * thresholdDen >=
         (col("size_a") + col("size_b") - col("inter")) * thresholdNum)

@@ -39,10 +39,17 @@ object Stats {
         sum(expr(s"CAST(__x AS $d38) * CAST(__x AS $d38)")).as("sxx"),
         sum(expr(s"CAST(__x AS $d38) * CAST(__y AS $d38)")).as("sxy"))
       .withColumn("slope_ppm",
-        expr(sdiv("(n * sxy - sx * sy) * 1000000", "n * sxx - sx * sx"))
+        // constant-x group: variance term is 0 — emit NULL explicitly
+        // (DuckDB's integer // would abort on the division, Spark's div
+        // would return NULL; make both engines take the same branch)
+        when(expr("n * sxx - sx * sx") === 0, lit(null))
+          .otherwise(expr(
+            sdiv("(n * sxy - sx * sy) * 1000000", "n * sxx - sx * sx")))
           .cast("long"))
       .withColumn("intercept_ppm",
-        expr(sdiv("sy * 1000000 - slope_ppm * sx", "n")).cast("long"))
+        when(col("slope_ppm").isNull, lit(null))
+          .otherwise(expr(sdiv("sy * 1000000 - slope_ppm * sx", "n")))
+          .cast("long"))
       .select(col(groupCol), col("n"),
         col("sx").cast("long").as("sum_x"), col("sy").cast("long").as("sum_y"),
         col("slope_ppm"), col("intercept_ppm"))

@@ -48,8 +48,7 @@ object StreamMaterialize {
   def runLatestToCatalog(spark: SparkSession, dir: String,
       workDir: String, fq: String = "D.S.USER_LATEST"): DataFrame = {
     val cat = new TableCatalog(spark, workDir)
-    val checkpoint = java.nio.file.Files
-      .createTempDirectory("graft_smat_ckpt").toString
+    val checkpoint = graft.Scratch.dir("graft_smat_ckpt")
     val events = EventStream.readStream(spark, dir)
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"), col("event_type"))

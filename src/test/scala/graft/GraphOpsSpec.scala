@@ -57,6 +57,18 @@ class GraphOpsSpec extends SparkTestBase {
     // doc 4 has zero blocks → zero rows from the explode → absent
   }
 
+  test("dedupBlocks treats null text like empty text (no phantom blocks)") {
+    // size(NULL) = -1: a `= 0` guard would send null text down the
+    // sequence(1, …) branch and fabricate blocks — null docs must be
+    // absent from the output exactly like empty docs
+    val df = Seq((1L, "aa bb"), (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("id", "text")
+    val got = Corpus.dedupBlocks(df, "id", "text", block = 2,
+        maxOccurrences = 99L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "aa bb")))
+  }
+
   test("incrementalNearDupes == batch nearDuplicates restricted to new×old") {
     import graft.operators.Dedup
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -108,6 +108,16 @@ class MiningOpsSpec extends SparkTestBase {
     ))
   }
 
+  test("DataQuality.report handles RefIntegrity-only and empty check lists") {
+    import graft.operators.DataQuality._
+    val child = Seq((1L, 1.0), (9L, 2.0)).toDF("k", "x")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val ri = report(child, Seq(RefIntegrity("k", parent, "pk")))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(3)))
+    assert(ri.toSeq == Seq(("ref_integrity", 1L, false)))
+    assert(report(child, Seq.empty).count() == 0L)
+  }
+
   test("sequenceGaps bucketed == global-lag reference, incl. seam gaps") {
     // keys chosen so gaps fall inside buckets AND across bucket seams
     val keys = Seq(1L, 2L, 5L, 9L, 10L, 35L, 36L, 40L, 90L)
