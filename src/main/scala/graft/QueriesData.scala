@@ -78,7 +78,9 @@ object QueriesData {
       val pairs = graft.operators.Dedup.lshCandidates(
         graft.operators.Dedup.minhashBands(d, "doc_id", "text",
           shingleN = 2, bands = 4), "doc_id")
-      Corpus.triangles(pairs)
+      // saltFactor 8 with a low hub threshold so the skew-split wedge
+      // path (hot/cold union) is the shape the oracle hash-checks
+      Corpus.triangles(pairs, saltFactor = 8, hubMinDegree = 16L)
     }),
 
     // ---- rate-based stratified sampling (cap over-represented langs) ----

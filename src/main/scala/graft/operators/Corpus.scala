@@ -30,16 +30,18 @@ object Corpus {
     * (undirected, any orientation). Returns (id, component) where
     * component = min id reachable. Each pass is one shuffle
     * (edge join + min-agg); iteration stops when no label changes.
-    * Lineage is cut per pass with localCheckpoint so the plan stays
-    * O(1) deep regardless of iteration count (on a cluster, swap for
-    * reliable checkpointing to the DFS).
+    * Lineage is cut per pass via `ckpt` so the plan stays O(1) deep
+    * regardless of iteration count ([[CheckpointStrategy.Local]] for
+    * local mode; [[CheckpointStrategy.Dfs]] on a cluster, where
+    * executor loss would otherwise kill the loop).
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+      maxIter: Int = 25,
+      ckpt: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val sym = ckpt.cut(
+      edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(edges.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = ckpt.cut(nodes.select(col("id"), col("id").as("label")))
     // labels only ever decrease, so Σ label is a strictly decreasing
     // convergence witness: one decimal agg per pass instead of a
     // labels⋈labels comparison join (decimal sum — no 64-bit wrap at
@@ -52,9 +54,8 @@ object Corpus {
     while (!converged && i < maxIter) {
       val viaEdges = labels.join(sym, labels("id") === sym("src"))
         .select(sym("dst").as("id"), col("label"))
-      val next = labels.union(viaEdges)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+      val next = ckpt.cut(labels.union(viaEdges)
+        .groupBy(col("id")).agg(min(col("label")).as("label")))
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
@@ -253,16 +254,43 @@ object Corpus {
   /** Triangle enumeration over an undirected edge list (id_a < id_b
     * canonical form): the standard two-join expansion — wedges (a<b<c
     * via b) closed against the edge set. Both joins shuffle on a single
-    * vertex key, so cost is Σ deg² (wedge count), never |V|³; on skewed
-    * degree distributions pre-salt the wedge join with [[Salting]].
+    * vertex key, so cost is Σ deg² (wedge count), never |V|³; with
+    * `saltFactor > 1` the wedge join is skew-split for hub middle
+    * vertices (degree ≥ `hubMinDegree`) via the [[Salting]] scheme.
     * Triangle density over the near-dup candidate graph separates
     * template families (dense cliques) from chance LSH collisions
     * (isolated edges). */
-  def triangles(edges: DataFrame): DataFrame = {
+  def triangles(edges: DataFrame, saltFactor: Int = 1,
+      hubMinDegree: Long = 1000L): DataFrame = {
     val e1 = edges.select(col("id_a").as("a"), col("id_b").as("b"))
     val e2 = edges.select(col("id_a").as("b"), col("id_b").as("c"))
     val e3 = edges.select(col("id_a").as("a"), col("id_b").as("c"))
-    e1.join(e2, "b").join(e3, Seq("a", "c")).select(col("a"), col("b"), col("c"))
+    val wedges =
+      if (saltFactor <= 1) e1.join(e2, "b")
+      else {
+        // a hub middle-vertex b concentrates deg(b)² wedges on one
+        // reducer. Split the wedge join: middle keys with total degree
+        // ≥ hubMinDegree (a tiny, broadcastable set) are spread
+        // saltFactor ways — left side salted by a stable hash of its
+        // other endpoint, right side replicated — the [[Salting]]
+        // scheme applied to the self-join. Cold keys join plain. The
+        // union is row-identical to the unsalted join.
+        val hot = broadcast(
+          e1.select(col("b")).unionAll(e2.select(col("b")))
+            .groupBy(col("b")).agg(count(lit(1)).as("__d"))
+            .filter(col("__d") >= hubMinDegree).select("b"))
+        val hotWedges = e1.join(hot, Seq("b"), "left_semi")
+          .withColumn("__salt", Salting.saltColumn(saltFactor, col("a")))
+          .join(e2.join(hot, Seq("b"), "left_semi")
+              .withColumn("__salt",
+                explode(sequence(lit(0), lit(saltFactor - 1)))),
+            Seq("b", "__salt"))
+          .select("a", "b", "c")
+        val coldWedges = e1.join(hot, Seq("b"), "left_anti").join(e2, "b")
+          .select("a", "b", "c")
+        hotWedges.unionByName(coldWedges)
+      }
+    wedges.join(e3, Seq("a", "c")).select(col("a"), col("b"), col("c"))
   }
 
   /** Inverted index: one posting row per (term, doc_id) over the

@@ -24,23 +24,24 @@ object Graph {
 
   /** @param edges (src: long, dst: long) directed edges, duplicates
     *              allowed (parallel edges add contribution)
+    * @param ckpt  lineage-cut policy — [[CheckpointStrategy.Local]]
+    *              for local mode, [[CheckpointStrategy.Dfs]] on a
+    *              cluster (survives executor loss)
     * @return (node, rank_nano) after `iters` damped iterations from a
     *         uniform start. d = 85/100. */
-  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int,
+      ckpt: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     // edges are read `iters` times and the node/outdeg tables once per
-    // iteration — materialize them ONCE up front (localCheckpoint, the
-    // same discipline as connectedComponents; swap for DFS checkpoint
-    // on a cluster). Without this every iteration re-runs the distinct
-    // over the raw input.
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    // iteration — materialize them ONCE up front. Without this every
+    // iteration re-runs the distinct over the raw input.
+    val e = ckpt.cut(
+      edges.select(col("src").cast("long"), col("dst").cast("long")))
+    val nodes = ckpt.cut(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     // pre-join out-degree onto the edge list once: the per-iteration
     // work drops to one join (ranks onto edges) + one combine shuffle
-    val eDeg = e.join(
-        e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src"))
-      .localCheckpoint()
+    val eDeg = ckpt.cut(e.join(
+      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src")))
     // |V| is one scalar — computed once, folded into the base term
     val n = nodes.count()
     val base = (15L * Scale) / (100L * n)
@@ -56,7 +57,7 @@ object Graph {
           (lit(base) + expr("(85 * coalesce(in_sum, 0L)) div 100"))
             .cast("long").as("rank_nano"))
       // cut lineage growth across iterations
-      ranks = ranks.localCheckpoint(eager = false)
+      ranks = ckpt.cut(ranks, eager = false)
     }
     ranks
   }

@@ -25,15 +25,47 @@ final class RecordingNotifier extends Notifier {
 final case class CrmOp(method: String, entity: String, key: Option[String],
     fields: Map[String, String])
 
+/** One CRM operation with the wire body pre-rendered as a flat JSON
+  * object — what the executor delivery path emits via a single
+  * codegen'd `to_json(struct(...))` projection, so no per-row field
+  * Map is boxed on the Spark hot path. */
+final case class CrmJsonOp(method: String, entity: String,
+    key: Option[String], body: String) {
+  /** Map form, parsed at the sink boundary only. */
+  def toFieldsOp: CrmOp = CrmOp(method, entity, key, CrmJson.parseFlat(body))
+}
+
+object CrmJson {
+  private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  /** Parse a flat one-level JSON object into (field -> string-or-null). */
+  def parseFlat(body: String): Map[String, String] = {
+    val node = mapper.readTree(body)
+    val b = Map.newBuilder[String, String]
+    node.fields().forEachRemaining { e =>
+      b += (e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText()))
+    }
+    b.result()
+  }
+}
+
 trait CrmSink extends Serializable {
   /** Deliver one batch of ops; returns per-op status codes. */
   def deliver(batch: Seq[CrmOp]): Seq[Int]
+  /** JSON-body delivery. Default bridges to [[deliver]] by parsing at
+    * the sink boundary (delivery cost is HTTP-dominated there); a
+    * wire-native sink overrides this and splices `body` straight into
+    * the $batch envelope ([[CrmBatch.renderJson]]) without ever
+    * building a Map. */
+  def deliverJson(batch: Seq[CrmJsonOp]): Seq[Int] =
+    deliver(batch.map(_.toFieldsOp))
 }
 
 /** Dry-run sink: succeeds everything (DATAVERSE_DRY_RUN analog,
   * reference: REFINED_SNOWFLAKE_TO_CURATED_SNOWFLAKE.py:511-520). */
 object DryRunCrmSink extends CrmSink {
   def deliver(batch: Seq[CrmOp]): Seq[Int] = batch.map(_ => 204)
+  override def deliverJson(batch: Seq[CrmJsonOp]): Seq[Int] =
+    batch.map(_ => 204)
 }
 
 /** Paged read of an existing CRM entity set — the `$select` +
@@ -81,25 +113,36 @@ object CrmBatch {
   /** Render a Dataverse-style multipart $batch request body (pure
     * function — unit-testable without any network).
     * reference: REFINED_SNOWFLAKE_TO_CURATED_SNOWFLAKE.py:528-648 */
-  def render(batchId: String, ops: Seq[CrmOp]): String = {
+  def render(batchId: String, ops: Seq[CrmOp]): String =
+    renderParts(batchId,
+      ops.map(op => (op.method, op.entity, op.key, jsonObject(op.fields))))
+
+  /** Envelope for pre-rendered JSON bodies ([[CrmJsonOp]]): the body
+    * produced by the executor's `to_json` projection goes onto the wire
+    * verbatim — no Map is ever materialized. */
+  def renderJson(batchId: String, ops: Seq[CrmJsonOp]): String =
+    renderParts(batchId, ops.map(op => (op.method, op.entity, op.key, op.body)))
+
+  private def renderParts(batchId: String,
+      parts: Seq[(String, String, Option[String], String)]): String = {
     val sb = new StringBuilder
     val changeset = s"changeset_$batchId"
     sb.append(s"--batch_$batchId\r\n")
     sb.append(s"Content-Type: multipart/mixed; boundary=$changeset\r\n\r\n")
-    ops.zipWithIndex.foreach { case (op, i) =>
+    parts.zipWithIndex.foreach { case ((method, entity, key, body), i) =>
       sb.append(s"--$changeset\r\n")
       sb.append("Content-Type: application/http\r\n")
       sb.append(s"Content-ID: ${i + 1}\r\n\r\n")
-      val target = op.key match {
-        case Some(k) => s"${op.entity}($k)"
-        case None => op.entity
+      val target = key match {
+        case Some(k) => s"$entity($k)"
+        case None => entity
       }
-      sb.append(s"${op.method} $target HTTP/1.1\r\n")
+      sb.append(s"$method $target HTTP/1.1\r\n")
       sb.append("Content-Type: application/json; type=entry\r\n")
-      if (op.method == "PATCH" && op.key.exists(!_.contains("=")))
+      if (method == "PATCH" && key.exists(!_.contains("=")))
         sb.append("If-Match: *\r\n")
       sb.append("\r\n")
-      sb.append(jsonObject(op.fields)).append("\r\n")
+      sb.append(body).append("\r\n")
     }
     sb.append(s"--$changeset--\r\n")
     sb.append(s"--batch_$batchId--\r\n")
@@ -141,44 +184,44 @@ object CrmBatch {
     val snapshot = existing.select(
       col(keyColumn), col(idColumn).as("__crm_id")).distinct()
     val probed = payload.join(snapshot, Seq(keyColumn), "left")
-    val fieldCols = payload.columns
-    val idIdx = probed.columns.indexOf("__crm_id")
-    val counts = probed.rdd.mapPartitions { rows =>
-      var ok = 0L; var bad = 0L
-      rows.grouped(batchSize).foreach { group =>
-        val ops = group.map { r =>
-          val fields = fieldCols.map(c =>
-            c -> (if (r.isNullAt(r.fieldIndex(c))) null
-                  else r.get(r.fieldIndex(c)).toString)).toMap
-          val guid = if (r.isNullAt(idIdx)) None else Some(r.get(idIdx).toString)
-          CrmOp(if (guid.isDefined) "PATCH" else "POST", entity, guid, fields)
-        }
-        val statuses = sink.deliver(ops.toSeq)
-        ok += statuses.count(s => s >= 200 && s < 300)
-        bad += statuses.count(s => s < 200 || s >= 300)
-      }
-      Iterator((ok, bad))
-    }.collect()
-    (counts.map(_._1).sum, counts.map(_._2).sum)
+    deliverRendered(renderBodies(probed, payload.columns, Some("__crm_id")),
+      entity, batchSize, sink)
   }
 
   /** Partition-parallel batched delivery: rows never collect to the
     * driver; each partition builds ≤batchSize batches and hands them to
     * the sink. Returns (delivered, failed) counts. */
   def deliverPartitioned(df: DataFrame, entity: String, keyColumn: Option[String],
+      batchSize: Int, sink: CrmSink): (Long, Long) =
+    deliverRendered(renderBodies(df, df.columns, keyColumn), entity,
+      batchSize, sink)
+
+  /** Project each payload row to (wire body, op key) in ONE codegen'd
+    * `to_json(struct(...))` pass — fields stay inside whole-stage
+    * codegen until the delivery boundary; the old formulation boxed
+    * every field of every row into a Scala Map inside the iterator. */
+  private def renderBodies(df: DataFrame, fieldCols: Seq[String],
+      keyColumn: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, struct, to_json}
+    val body = to_json(
+      struct(fieldCols.map(c => col(c).cast("string").as(c)): _*),
+      Map("ignoreNullFields" -> "false"))
+    val key = keyColumn.map(k => col(k).cast("string")).getOrElse(
+      lit(null).cast("string"))
+    df.select(body.as("__body"), key.as("__op_key"))
+  }
+
+  private def deliverRendered(rendered: DataFrame, entity: String,
       batchSize: Int, sink: CrmSink): (Long, Long) = {
-    val fieldCols = df.columns
-    val counts = df.rdd.mapPartitions { rows =>
+    val counts = rendered.rdd.mapPartitions { rows =>
       var ok = 0L; var bad = 0L
       rows.grouped(batchSize).foreach { group =>
         val ops = group.map { r =>
-          val fields = fieldCols.zipWithIndex.map { case (c, i) =>
-            c -> (if (r.isNullAt(i)) null else r.get(i).toString)
-          }.toMap
-          val key = keyColumn.flatMap(k => Option(fields.getOrElse(k, null)))
-          CrmOp(if (key.isDefined) "PATCH" else "POST", entity, key, fields)
+          val key = if (r.isNullAt(1)) None else Some(r.getString(1))
+          CrmJsonOp(if (key.isDefined) "PATCH" else "POST", entity, key,
+            r.getString(0))
         }
-        val statuses = sink.deliver(ops.toSeq)
+        val statuses = sink.deliverJson(ops.toSeq)
         ok += statuses.count(s => s >= 200 && s < 300)
         bad += statuses.count(s => s < 200 || s >= 300)
       }

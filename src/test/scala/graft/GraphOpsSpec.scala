@@ -32,6 +32,27 @@ class GraphOpsSpec extends SparkTestBase {
     assert(got.values.forall(_ > 0))
   }
 
+  test("Dfs checkpoint strategy matches Local on pageRank and components") {
+    import graft.operators.CheckpointStrategy
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (2L, 4L))
+      .toDF("src", "dst")
+    val dfs = CheckpointStrategy.Dfs(graft.Scratch.dir("graft_ckpt"))
+    val local = Graph.pageRank(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDfs = Graph.pageRank(edges, iters = 3, ckpt = dfs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDfs == local)
+    val und = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("id")
+    val ccLocal = Corpus.connectedComponents(nodes, und)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ccDfs = Corpus.connectedComponents(nodes, und, ckpt = dfs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccDfs == ccLocal)
+    assert(ccDfs == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
   test("dedupBlocks removes corpus-repeated spans and rebuilds text") {
     val df = Seq(
       (1L, "aa bb cc dd ee ff gg hh"),     // blocks: [aa bb cc dd] [ee ff gg hh]
@@ -55,6 +76,33 @@ class GraphOpsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == Seq((1L, "", 0L, 2L), (2L, "", 0L, 1L), (3L, "", 0L, 1L)))
     // doc 4 has zero blocks → zero rows from the explode → absent
+  }
+
+  test("salted triangle wedge join: identical result, hub keys skew-split") {
+    // planted hub 50 as MIDDLE vertex (canonical a < b < c): spokes
+    // (i, 50) and (50, i+50) plus closers (i, i+50) → 40 hub triangles;
+    // one cold off-hub triangle (middle vertex degree 2)
+    val hubEdges = (1 to 40).flatMap(i =>
+      Seq((i.toLong, 50L), (50L, i + 50L), (i.toLong, i + 50L))) ++
+      Seq((100L, 101L), (100L, 102L), (101L, 102L))
+    val edges = hubEdges.toDF("id_a", "id_b")
+    val plain = Corpus.triangles(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(plain.size == 41)
+    val salted = Corpus.triangles(edges, saltFactor = 4, hubMinDegree = 10L)
+    val got = salted.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == plain)
+    // the hot path is actually taken: the salted plan carries the salt key
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), plan)
+    // and the hub's wedge build no longer shares one shuffle key: the
+    // left side's 40 hub rows spread over > 1 (b, salt) sub-keys
+    val salts = edges.select(col("id_a").as("a"), col("id_b").as("b"))
+      .filter(col("b") === 50L)
+      .select(graft.operators.Salting.saltColumn(4, col("a")).as("s"))
+      .distinct().count()
+    assert(salts > 1, s"expected hub rows across >1 salt buckets, got $salts")
   }
 
   test("dedupBlocks treats null text like empty text (no phantom blocks)") {
