@@ -36,18 +36,40 @@ object Bench {
     // the target SF still pays one-off costs (row-group footer reads,
     // AQE stage re-plans, JIT tiering); the min is the steady-state
     // per-query execution time the cluster would see.
+    val loadBefore = loadavg()
     val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val loadAfter = loadavg()
+    val mins = results.map { case (k, ts) => k -> ts.min }
+    val qs = mins.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // per-query slowest run: lets a reader localize WHICH query's runs
+    // diverged when run_spread is abnormal
+    val qsMax = results.map { case (k, ts) => s"\"" + k + "\":" + ts.max }
+      .mkString("{", ",", "}")
+    val total = if (mins.nonEmpty) mins.map(_._2).sum else 0.0
+    // Contamination sentinels: this bench is only meaningful run ALONE
+    // on the box (local[cpus] assumes every core). A concurrent JVM
+    // shows up as (a) 1-min loadavg far above `cpus` and (b) a large
+    // spread between the two timed runs of the same query (min-of-2
+    // does not recover from sustained oversubscription). run_spread =
+    // Σ max / Σ min across queries; > ~1.5 on a quiet box is abnormal.
+    val sumMax = results.map(_._2.max).sum
+    val spread = if (total > 0) sumMax / total else 1.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":$cpus,"run_spread":${f"$spread%.3f"}}""")
     spark.stop()
   }
+
+  /** 1-minute load average from /proc/loadavg (-1.0 if unreadable). */
+  private def loadavg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Exception => -1.0 }
 }

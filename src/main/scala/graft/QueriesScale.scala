@@ -344,11 +344,96 @@ object QueriesScale {
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("ts_us"), col("o_orderkey"),
           unix_micros(col("o_orderdate").cast("timestamp")).as("order_date_us"))
+    }),
+
+    // ---- AQE skew-split under the oracle: a planted power-law key
+    //      (one user absorbs a third of all events, rows padded fat)
+    //      drives a non-broadcastable sort-merge join whose hot shuffle
+    //      partition AQE must split at runtime. Thresholds are scaled
+    //      to test-data size exactly like production tuning scales them
+    //      to executor memory; the in-query gate bakes plan evidence
+    //      ("skew=true" in the finalized adaptive plan) into the
+    //      hash-checked `skew_split` column — same hard-gate pattern as
+    //      q45's HLL bound. Values are integer/string-exact. ----
+    "q160_aqe_skew_join" -> ((s, dir) => {
+      val confs = Seq(
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        // the hot partition is tens of MB at sf0.1; 1 MB advisory keeps
+        // the split to dozens of sub-partitions (32KB made ~2400 tiny
+        // tasks — scheduling overhead dwarfed the join)
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1MB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val e = events(s, dir)
+        // hot key 1 (an existing customer): every 3rd event remaps to
+        // it, then replicates 8× — a planted power-law key. The
+        // 64-char md5-hex pad keeps shuffled rows fat AND
+        // incompressible (AQE decides on COMPRESSED shuffle bytes);
+        // max(pad) in the final agg forces it across the join shuffle.
+        val remapped = when(col("event_id") % 3 === 0, lit(1L))
+          .otherwise(col("user_id"))
+        // repartition(8) models a well-partitioned fact input: AQE
+        // splits a skewed REDUCE partition by regrouping MAP outputs,
+        // so a single-file scan (one mapper) is structurally
+        // unsplittable however skewed — at 100 TB the fact side always
+        // has thousands of mappers, and the split needs at least a few
+        val left = e.select(remapped.as("k"), col("event_id"),
+            concat(md5(col("event_id").cast("string")),
+              md5((col("event_id") + 1).cast("string"))).as("pad"))
+          .withColumn("rep", explode(sequence(lit(1L),
+            when(col("k") === 1L, lit(8L)).otherwise(lit(1L)))))
+          .repartition(8)
+        // dim side: natural unique key, merge-hinted + broadcast
+        // disabled — the non-broadcastable fact-dim SMJ shape. (An
+        // aggregated right side would sit INSIDE the join stage and
+        // defeat OptimizeSkewedJoin's Sort-over-shuffle pattern.)
+        val right = table(s, dir, "customer")
+          .select(col("c_custkey").as("k"), col("c_mktsegment"))
+        val agg = left.hint("merge").join(right.hint("merge"), "k")
+          .groupBy((col("k") % 16).as("bucket"))
+          .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+            sum(col("rep")).as("sum_rep"), max(col("pad")).as("max_pad"))
+        // finalize THIS adaptive plan under the skew confs; return the
+        // collected 16 rows as a LOCAL frame so downstream count()/
+        // write() doesn't re-execute the whole skewed join a second time
+        val rows = agg.collect()
+        val finalPlan = agg.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+          .withColumn("skew_split", lit(finalPlan.contains("skew=true")))
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
     }))
 }
 
 object OraclesScale {
   val all: Map[String, String] = Map(
+    // skew_split is the in-query plan gate: Spark bakes the literal
+    // after checking the finalized adaptive plan for "skew=true"
+    "q160_aqe_skew_join" ->
+      """WITH le AS (SELECT CASE WHEN event_id % 3 = 0 THEN 1
+                            ELSE user_id END AS k,
+                event_id,
+                md5(CAST(event_id AS VARCHAR)) ||
+                  md5(CAST(event_id + 1 AS VARCHAR)) AS pad
+              FROM events),
+         lr AS (SELECT k, event_id, pad,
+                  unnest(generate_series(1,
+                    CASE WHEN k = 1 THEN 8 ELSE 1 END)) AS rep
+                FROM le),
+         j AS (SELECT lr.* FROM lr JOIN customer c ON lr.k = c.c_custkey)
+         SELECT k % 16 AS bucket, COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id,
+           CAST(SUM(rep) AS BIGINT) AS sum_rep,
+           MAX(pad) AS max_pad, TRUE AS skew_split
+         FROM j GROUP BY 1""",
     // the HLL estimate is engine-specific; the gate asserts the exact
     // distinct AND that Spark's estimate stayed within the documented
     // ±5% band (rsd=0.02 → 2σ ≈ 4%) — a drifting sketch flips the

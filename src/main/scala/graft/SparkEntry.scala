@@ -12,12 +12,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all ++ QueriesText.all ++ QueriesMore.all ++ QueriesScale.all ++
       QueriesPipeline.all ++ QueriesData.all ++ QueriesExtra.all ++
-      QueriesMining.all
+      QueriesMining.all ++ QueriesRound4.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     Oracles.all ++ OraclesText.all ++ OraclesMore.all ++ OraclesScale.all ++
       QueriesPipeline.oracles ++ OraclesData.all ++ OraclesExtra.all ++
-      OraclesMining.all
+      OraclesMining.all ++ OraclesRound4.all
 }

@@ -22,6 +22,11 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Last incremental-probe cache generation — released on the next
+    * call so repeated invocations in one session pin at most one. */
+  private val incrementalCache =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
+
   /** Exact dedup: canonical keeper (min id) per normalized-text hash. */
   def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), exactFingerprint(col(textCol)).as("fingerprint"))
@@ -133,25 +138,28 @@ object Dedup {
       shingleN: Int, bands: Int,
       thresholdNum: Int, thresholdDen: Int): DataFrame = {
     val newBands = minhashBands(newDocs, idCol, textCol, shingleN, bands)
-    // cand and terms are each consumed by 2-3 downstream joins; without
-    // a cache every consumer re-derives them from the parquet index /
-    // corpus-terms scans (9 scans observed). Both are collision-bounded
-    // (pairs, and shingles of the batch + colliding docs only), so
-    // caching them is cheap at any corpus size and cuts the probe to
-    // one scan per input. MEMORY_AND_DISK: spill, don't recompute.
+    // cand is consumed by three downstream joins (old-terms semi join,
+    // pair probe, and its own distinct-id projection); without a cache
+    // every consumer re-derives the collision join from the parquet
+    // index scan (9 scans observed). The pair set is collision-bounded
+    // — tiny at any corpus size — so cache it, and release the PREVIOUS
+    // invocation's generation: a long-lived session (the bench runs the
+    // registry hundreds of times) must not accumulate pinned blocks.
     val cand = newBands
       .select(col("band"), col("minhash"), col(idCol).as("id_a"))
       .join(corpusIndex.select(col("band"), col("minhash"),
         col("id").as("id_b")), Seq("band", "minhash"))
       .select("id_a", "id_b").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    incrementalCache.getAndSet(Seq(cand)).foreach { prev =>
+      try prev.unpersist(false) catch { case _: Exception => () }
+    }
     // fetch corpus shingles ONLY for colliding ids — the semi join is
     // what keeps corpus-side cost ∝ collisions at 100 TB
     val oldTerms = corpusTerms.join(
       cand.select(col("id_b").as("id")).distinct(), Seq("id"), "left_semi")
     val terms = shingleTerms(newDocs, idCol, textCol, shingleN)
       .unionByName(oldTerms)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairJaccardTerms(terms, cand)
       .filter(col("inter") * thresholdDen >=
         (col("size_a") + col("size_b") - col("inter")) * thresholdNum)
