@@ -317,6 +317,38 @@ object Corpus {
       .filter(col("n_terms") === terms.size)
       .select(col(idCol))
 
+  /** Positional phrase search: occurrences of `phrase` as ADJACENT
+    * tokens, via a positional posting list — the capability
+    * [[searchAll]]'s bag-of-terms conjunction cannot express (it finds
+    * docs containing both "merge" and "vector" anywhere; this finds
+    * "merge vector" as a bigram, with its occurrence count).
+    *
+    * One posexplode carries (doc, pos) postings; the `tok IN (phrase)`
+    * predicate rides the same stage, so only the queried terms' rows
+    * reach any shuffle — term frequency, not corpus size, bounds the
+    * join input. Each subsequent phrase term joins on (doc, pos − i):
+    * k−1 sparse equi joins for a k-term phrase, all hash-partitioned
+    * on the same (doc, pos) key. Output: (idCol, n_phrase) for docs
+    * with ≥ 1 occurrence. */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "phrase needs at least two terms")
+    val terms = phrase.map(_.toLowerCase)
+    val toks = df.select(col(idCol),
+        posexplode(graft.functions.TextFunctions.tokens(
+          lower(col(textCol)))).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(terms.distinct: _*))
+    val anchor = toks.filter(col("tok") === terms.head)
+      .select(col(idCol), col("pos"))
+    val matched = terms.zipWithIndex.tail.foldLeft(anchor) {
+      case (acc, (t, i)) =>
+        acc.join(toks.filter(col("tok") === t)
+          .select(col(idCol), (col("pos") - i).as("pos")),
+          Seq(idCol, "pos"))
+    }
+    matched.groupBy(col(idCol)).agg(count(lit(1)).as("n_phrase"))
+  }
+
   /** C4/RefinedWeb-style repeated-span removal: split each document
     * into consecutive non-overlapping `block`-token blocks, drop every
     * block whose normalized text occurs ≥ `maxOccurrences` times
