@@ -141,7 +141,9 @@ object QueriesMining {
           col("p_size").cast("long").as("p_size"),
           (col("p_retailprice").cast(DecimalType(14, 2)) * 100).cast("long")
             .as("price_cents")),
-        "p_size", "price_cents")),
+        // bucketSize 8 over p_size 1..50 → the bucketed sweep's seam
+        // stitching is exercised under the hash gate, not just in specs
+        "p_size", "price_cents", bucketSize = 8L)),
 
     // ---- exact mode per group (deterministic tie-break) ----
     "q132_mode" -> ((s, dir) =>

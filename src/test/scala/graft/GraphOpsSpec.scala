@@ -171,12 +171,16 @@ class GraphOpsSpec extends SparkTestBase {
     val pts = Seq.tabulate(400)(i => (i.toLong, rnd.nextInt(30).toLong,
       rnd.nextInt(1000).toLong))
     val df = pts.toDF("id", "size", "price")
-    val got = Skyline.pareto2d(df, "size", "price")
-      .select("id").as[Long].collect().toSet
     val want = pts.filter { case (_, s, p) =>
       !pts.exists { case (_, s2, p2) =>
         s2 >= s && p2 <= p && (s2 > s || p2 < p) }
     }.map(_._1).toSet
-    assert(got == want && got.nonEmpty)
+    // one bucket (degenerate), many buckets (seam stitching), and a
+    // bucket size that isolates every distinct value on its own seam
+    for (bs <- Seq(1L << 20, 7L, 1L)) {
+      val got = Skyline.pareto2d(df, "size", "price", bucketSize = bs)
+        .select("id").as[Long].collect().toSet
+      assert(got == want && got.nonEmpty, s"bucketSize=$bs")
+    }
   }
 }

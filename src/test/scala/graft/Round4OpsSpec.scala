@@ -92,6 +92,36 @@ class Round4OpsSpec extends SparkTestBase {
     assert(got.toSet == want.toSet && got.length == want.length)
   }
 
+  test("session_window closes exactly at the gap boundary") {
+    // events at 0, 9:59, then 19:59 → one session (each silence < 10m);
+    // the next at 29:59 + 10:00 = 39:59 exactly AT the gap → new session
+    val ts = Seq(0L, 599L, 1199L, 1799L + 600L).map(_ * 1000000L)
+    val df = ts.map(t => (1L, t)).toDF("user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val sessions = df
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("s"),
+        unix_micros(col("w.end")).as("e"), col("n"))
+      .orderBy("s").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sessions.length == 2)
+    assert(sessions(0) == (0L, (1199L + 600L) * 1000000L, 3L))
+    assert(sessions(1) == (2399L * 1000000L, (2399L + 600L) * 1000000L, 1L))
+  }
+
+  test("variant typed extraction matches string JSON-path extraction") {
+    val got = SparkEntry.queries("q168_variant_shred")(spark, sf)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = Queries.events(spark, sf)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("event_id"))
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), 0L))
+    assert(got.nonEmpty && got.sameElements(want))
+  }
+
   test("q162 spike flag fires only above 1.5x the trailing-7-day mean") {
     val rows = SparkEntry.queries("q162_trailing_anomaly")(spark, sf)
       .collect()
