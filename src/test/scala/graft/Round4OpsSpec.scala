@@ -122,6 +122,20 @@ class Round4OpsSpec extends SparkTestBase {
     assert(got.nonEmpty && got.sameElements(want))
   }
 
+  test("bucketChecksumDiff flags exactly the corrupted buckets") {
+    val a = (0L until 1000L).map(i => (i, s"payload-$i", i * 3L))
+      .toDF("k", "s", "v")
+    // identical copy → no mismatches
+    assert(graft.operators.Cdc.bucketChecksumDiff(a, a, "k", 16)
+      .count() == 0)
+    // field flip on k=517 (bucket 5), row dropped at k=100 (bucket 4)
+    val b = a.filter(col("k") =!= 100L)
+      .withColumn("v", when(col("k") === 517L, lit(-1L)).otherwise(col("v")))
+    val got = graft.operators.Cdc.bucketChecksumDiff(a, b, "k", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((5L, 63L, 63L), (4L, 63L, 62L)))
+  }
+
   test("q162 spike flag fires only above 1.5x the trailing-7-day mean") {
     val rows = SparkEntry.queries("q162_trailing_anomaly")(spark, sf)
       .collect()
