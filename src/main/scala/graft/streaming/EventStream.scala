@@ -21,11 +21,12 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  def readStream(spark: SparkSession, dir: String): DataFrame =
+  def readStream(spark: SparkSession, dir: String,
+      glob: String = "events.parquet"): DataFrame =
     spark.readStream
       .schema(rawSchema)
       // file-stream source needs a directory; select just the events file
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", glob)
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
@@ -83,6 +84,39 @@ object EventStream {
         col("user_id") === col("b_user") &&
           col("b_ts") > col("a_ts") &&
           col("b_ts") <= col("a_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        unix_micros(col("a_ts")).as("purchase_us"),
+        unix_micros(col("b_ts")).as("click_us"))
+  }
+
+  /** Left-outer stream-stream interval join: purchases with no click
+    * in the following `interval` emit once the watermark proves no
+    * match can still arrive — null-padded, exactly once. Same bounded
+    * state as [[purchaseClickJoin]]; the semantic difference is the
+    * flush-on-watermark contract, which only fires when BOTH sides'
+    * watermarks pass the row's horizon (the global watermark is the
+    * min). Finite sources therefore never flush their final horizon —
+    * this operator is for live pipelines; the spec drives it in two
+    * phases with a watermark-advancing tail batch. */
+  def purchaseClickLeftOuter(spark: SparkSession, dir: String,
+      watermark: String = "10 minutes",
+      interval: String = "INTERVAL 30 MINUTES",
+      glob: String = "events.parquet"): DataFrame = {
+    val a = readStream(spark, dir, glob)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", watermark)
+    val b = readStream(spark, dir, glob)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("b_user"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", watermark)
+    a.join(b,
+        col("user_id") === col("b_user") &&
+          col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr(interval),
+        "left_outer")
       .select(col("purchase_id"), col("click_id"), col("user_id"),
         unix_micros(col("a_ts")).as("purchase_us"),
         unix_micros(col("b_ts")).as("click_us"))

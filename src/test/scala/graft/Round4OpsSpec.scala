@@ -136,6 +136,42 @@ class Round4OpsSpec extends SparkTestBase {
     assert(got == Set((5L, 63L, 63L), (4L, 63L, 62L)))
   }
 
+  test("left-outer stream-stream join flushes unmatched rows on watermark passage") {
+    val dir = tempDir("souter")
+    def write(rows: Seq[(Long, Long, Long, String)]): Unit =
+      rows.map { case (id, tsSec, uid, typ) =>
+        (id, tsSec * 1000000000L, uid, typ, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    val t0 = 1700000000L
+    // P1 matched by C2 within 30 min; P3 never matched
+    write(Seq((1L, t0, 1L, "purchase"), (2L, t0 + 300L, 1L, "click"),
+      (3L, t0, 2L, "purchase")))
+    val q = streaming.EventStream
+      .purchaseClickLeftOuter(spark, dir, glob = "*.parquet")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("souter_sink").start()
+    try {
+      q.processAllAvailable()
+      val phase1 = spark.table("souter_sink").collect()
+        .map(r => (r.getLong(0), r.get(1))).toSet
+      assert(phase1 == Set((1L, 2L)), s"inner match only, got $phase1")
+      // tail batch advances BOTH sides' watermarks far past P3's
+      // horizon; the sentinels cannot match each other (click first)
+      write(Seq((90L, t0 + 36000L, 99L, "click"),
+        (91L, t0 + 40000L, 99L, "purchase")))
+      q.processAllAvailable()
+      // one more batch so the advanced watermark is applied for eviction
+      write(Seq((92L, t0 + 40001L, 98L, "noop")))
+      q.processAllAvailable()
+      val rows = spark.table("souter_sink").collect()
+        .map(r => (r.getLong(0), Option(r.get(1))))
+      assert(rows.count(_._1 == 3L) == 1, s"P3 flushed exactly once: ${rows.toSeq}")
+      assert(rows.find(_._1 == 3L).get._2.isEmpty, "P3 is null-padded")
+      assert(rows.count(_._1 == 1L) == 1, "no duplicate inner rows")
+    } finally q.stop()
+  }
+
   test("q162 spike flag fires only above 1.5x the trailing-7-day mean") {
     val rows = SparkEntry.queries("q162_trailing_anomaly")(spark, sf)
       .collect()
