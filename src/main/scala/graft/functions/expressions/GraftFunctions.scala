@@ -29,7 +29,11 @@ object GraftFunctions {
     "graft_sign_sig" -> (exprs => SignSignature(exprs(0),
       exprs(1).eval().asInstanceOf[Int])),
     "graft_bloom_contains" -> (exprs => BloomContains(exprs(0), exprs(1))),
-    "graft_long_dot" -> (exprs => LongArrayDot(exprs(0), exprs(1))))
+    "graft_long_dot" -> (exprs => LongArrayDot(exprs(0), exprs(1))),
+    "graft_damerau" -> (exprs => DamerauLevenshtein(exprs(0), exprs(1))),
+    "graft_jaro_winkler" -> (exprs => JaroWinkler(exprs(0), exprs(1))),
+    "graft_nfc" -> (exprs => NfcNormalize(exprs.head)),
+    "graft_strip_accents" -> (exprs => StripAccents(exprs.head)))
 
   /** Idempotent per-session registration (temp functions). */
   def register(spark: SparkSession): Unit = {
@@ -107,6 +111,31 @@ object GraftFunctions {
     ensureActive()
     call_function("graft_bloom_contains", key.cast("long"),
       org.apache.spark.sql.functions.lit(serializedFilter))
+  }
+
+  /** Full Damerau–Levenshtein edit distance (int). */
+  def damerauLevenshtein(a: Column, b: Column): Column = {
+    ensureActive()
+    call_function("graft_damerau", a, b)
+  }
+
+  /** Jaro–Winkler similarity in [0, 1] (double). */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    ensureActive()
+    call_function("graft_jaro_winkler", a, b)
+  }
+
+  /** Unicode NFC canonical composition. */
+  def nfcNormalize(c: Column): Column = {
+    ensureActive()
+    call_function("graft_nfc", c)
+  }
+
+  /** NFD + combining-mark removal ("á" → "a") for accent-insensitive
+    * match keys. */
+  def stripAccents(c: Column): Column = {
+    ensureActive()
+    call_function("graft_strip_accents", c)
   }
 }
 

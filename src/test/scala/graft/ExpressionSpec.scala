@@ -157,4 +157,59 @@ class ExpressionSpec extends SparkTestBase {
       case None => spark.conf.unset("spark.sql.codegen.fallback")
     }
   }
+
+  test("damerau-levenshtein: full variant (transposed pair editable again)") {
+    import graft.functions.expressions.DamerauLevenshtein.compute
+    assert(compute("CA", "ABC") == 2) // OSA would say 3
+    assert(compute("ab", "ba") == 1)
+    assert(compute("kitten", "sitting") == 3)
+    assert(compute("", "abc") == 3 && compute("abc", "") == 3)
+    assert(compute("same", "same") == 0)
+    assert(compute("aXbYc", "abc") == 2)
+  }
+
+  test("jaro-winkler: standard parameterization") {
+    import graft.functions.expressions.JaroWinkler.compute
+    assert(math.abs(compute("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-15)
+    assert(compute("ab", "ba") == 0.0) // window excludes the swap
+    assert(compute("", "a") == 0.0 && compute("a", "") == 0.0)
+    assert(compute("abcdef", "abcdef") == 1.0)
+    // prefix bonus only above the 0.7 boost threshold
+    assert(math.abs(compute("a", "ab") - 0.85) < 1e-15)
+    assert(math.abs(compute("DUCK", "DUKC") - 0.9333333333333333) < 1e-15)
+  }
+
+  test("unicode: nfc composes, strip_accents folds, idempotent") {
+    import graft.functions.expressions.{NfcNormalize, StripAccents}
+    val decomposed = "cafe\u0301" // e + combining acute
+    val composed = "caf\u00e9"
+    assert(NfcNormalize.compute(decomposed) == composed)
+    assert(NfcNormalize.compute(composed) == composed) // fast path
+    assert(StripAccents.compute(decomposed) == "cafe")
+    assert(StripAccents.compute(composed) == "cafe")
+    assert(StripAccents.compute("plain ascii") == "plain ascii")
+    assert(NfcNormalize.compute("") == "" && StripAccents.compute("") == "")
+  }
+
+  test("string kernels run codegen'd inside a dataframe") {
+    GraftFunctions.register(spark)
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq(("CA", "ABC"), ("kitten", "sitting"), (null, "x"))
+        .toDF("a", "b")
+      val rows = df.select(
+        GraftFunctions.damerauLevenshtein(col("a"), col("b")).as("dl"),
+        GraftFunctions.jaroWinkler(col("a"), col("b")).as("jw"),
+        GraftFunctions.stripAccents(
+          GraftFunctions.nfcNormalize(lit("\u00e9ta"))).as("k"))
+        .collect()
+      assert(rows(0).getInt(0) == 2 && rows(1).getInt(0) == 3)
+      assert(rows(2).isNullAt(0) && rows(2).isNullAt(1)) // null propagates
+      assert(rows(0).getString(2) == "eta")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
 }
