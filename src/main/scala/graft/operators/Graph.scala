@@ -61,4 +61,41 @@ object Graph {
     }
     ranks
   }
+
+  /** Bounded-depth BFS: exact shortest-path hop count (≤ `maxHops`)
+    * from a seed set over the undirected view of `edges` — the
+    * "blast radius" primitive (k-hop neighborhoods, contamination
+    * spread, referral reach).
+    *
+    * Frontier-expansion formulation: each hop is one equi join of the
+    * current frontier onto the adjacency list plus an anti join
+    * against the visited set — O(Σ frontier-adjacent edges) shuffle
+    * per hop, never a |V|² closure. A node joins `visited` at the
+    * first hop that reaches it, so its recorded depth is minimal by
+    * construction. Lineage is cut per hop via `ckpt` (frontiers
+    * eagerly — each is read twice; the visited accumulator lazily).
+    *
+    * @param edges   (src, dst) edges, treated as undirected
+    * @param seeds   (node) start set, distance 0
+    * @param maxHops expansion bound
+    * @return (node, dist) — every node within `maxHops`, minimal hops */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      ckpt: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val fwd = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val ue = ckpt.cut(fwd.union(
+      fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    var visited = ckpt.cut(
+      seeds.select(col("node").cast("long"), lit(0L).as("dist")))
+    var frontier = visited
+    for (h <- 1 to maxHops) {
+      val next = ue
+        .join(frontier.select(col("node").as("src")), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(h.toLong))
+      frontier = ckpt.cut(next)
+      visited = ckpt.cut(visited.union(frontier), eager = false)
+    }
+    visited
+  }
 }

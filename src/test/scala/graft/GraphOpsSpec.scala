@@ -53,6 +53,26 @@ class GraphOpsSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 99L -> 99L))
   }
 
+  test("bfsHops: minimal depths, undirected, depth-bounded, multi-seed") {
+    import graft.operators.CheckpointStrategy
+    // path 1-2-3-4-5-6, shortcut 1-4, island 100-101
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (1L, 4L), (100L, 101L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.bfsHops(edges, seeds, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // shortcut beats the long path to 4 (dist 1, not 3); 5 at 2 via 4;
+    // 6 is 3 hops away → cut by the bound; the island is unreachable
+    assert(got == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
+
+    // two seeds: every node takes the nearer one; Dfs strategy agrees
+    val two = Graph.bfsHops(edges, Seq(1L, 6L).toDF("node"), maxHops = 2,
+        ckpt = CheckpointStrategy.Dfs(graft.Scratch.dir("graft_bfs")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == Map(1L -> 0L, 6L -> 0L, 2L -> 1L, 4L -> 1L, 5L -> 1L,
+      3L -> 2L))
+  }
+
   test("dedupBlocks removes corpus-repeated spans and rebuilds text") {
     val df = Seq(
       (1L, "aa bb cc dd ee ff gg hh"),     // blocks: [aa bb cc dd] [ee ff gg hh]
