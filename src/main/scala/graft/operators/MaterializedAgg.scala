@@ -36,4 +36,20 @@ object MaterializedAgg {
             sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
     }
   }
+
+  /** The delta rows of a two-table append-only equi-join view:
+    *
+    *   Δ(A ⋈ B) = ΔA ⋈ B ∪ A ⋈ ΔB ∪ ΔA ⋈ ΔB
+    *
+    * (A, B are the pre-batch states). Feed the result to [[refresh]]
+    * to maintain an aggregate over the join without ever re-running
+    * A ⋈ B: each refresh costs two delta-sized joins against the base
+    * tables plus one delta×delta join — at 100 TB the bases are only
+    * probed on the delta's keys (a broadcast or DPP-pruned probe when
+    * the delta is small), never re-joined wholesale. */
+  def joinDelta(baseA: DataFrame, deltaA: DataFrame,
+      baseB: DataFrame, deltaB: DataFrame, keys: Seq[String]): DataFrame =
+    deltaA.join(baseB, keys)
+      .unionByName(baseA.join(deltaB, keys))
+      .unionByName(deltaA.join(deltaB, keys))
 }

@@ -188,4 +188,26 @@ class Round4OpsSpec extends SparkTestBase {
     assert(rows.filter(_.getAs[Long]("n_prev") == 0)
       .forall(!_.getAs[Boolean]("spike")))
   }
+
+  test("joinDelta maintenance == full recompute, all three delta terms") {
+    import graft.operators.MaterializedAgg
+    // key 1: base×base only; key 2: ΔA⋈B; key 3: A⋈ΔB; key 4: ΔA⋈ΔB;
+    // key 5: in ΔA with no B match at all (must contribute nothing)
+    val baseA = Seq((1L, "g1"), (3L, "g1")).toDF("k", "grp")
+    val deltaA = Seq((2L, "g2"), (4L, "g2"), (5L, "g2")).toDF("k", "grp")
+    val baseB = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    val deltaB = Seq((3L, 30L), (4L, 40L)).toDF("k", "v")
+    val v0 = MaterializedAgg.refresh(None, baseA.join(baseB, Seq("k")),
+      Seq("grp"), Seq("v"))
+    val got = MaterializedAgg.refresh(Some(v0),
+        MaterializedAgg.joinDelta(baseA, deltaA, baseB, deltaB, Seq("k")),
+        Seq("grp"), Seq("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val full = MaterializedAgg.refresh(None,
+        baseA.unionByName(deltaA).join(baseB.unionByName(deltaB), Seq("k")),
+        Seq("grp"), Seq("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == full)
+    assert(got == Set(("g1", 2L, 40L), ("g2", 2L, 60L)))
+  }
 }
