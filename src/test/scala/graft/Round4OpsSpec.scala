@@ -210,4 +210,31 @@ class Round4OpsSpec extends SparkTestBase {
     assert(got == full)
     assert(got == Set(("g1", 2L, 40L), ("g2", 2L, 60L)))
   }
+
+  test("setOpSketch: below capacity everything is exact; formulas hold") {
+    import graft.operators.Sketches
+    val a = (1L to 40L).toDF("v")
+    val b = (21L to 60L).toDF("v") // overlap 21..40 → |∩|=20, |∪|=60
+    val r = Sketches.setOpSketch(spark, a, b, "v", k = 128).collect().head
+    assert(r.getAs[Long]("est_a") == 40 && r.getAs[Long]("est_b") == 40)
+    assert(r.getAs[Long]("est_union") == 60)
+    assert(r.getAs[Long]("n_union_sketch") == 60)
+    assert(r.getAs[Long]("inter_in_sketch") == 20)
+    assert(r.getAs[Long]("jacc_permille") == 20L * 1000 / 60)
+    assert(r.getAs[Long]("est_intersection") == 20)
+  }
+
+  test("setOpSketch: at capacity the estimate tracks truth, k bounds state") {
+    import graft.operators.Sketches
+    val a = (1L to 2000L).toDF("v")
+    val b = (1001L to 3000L).toDF("v") // truth: union 3000, jacc 1/3
+    val r = Sketches.setOpSketch(spark, a, b, "v", k = 256).collect().head
+    assert(r.getAs[Long]("n_union_sketch") == 256) // capped buffer
+    val estU = r.getAs[Long]("est_union")
+    assert(estU > 2000 && estU < 4500, s"est_union=$estU") // ±50% band
+    val jp = r.getAs[Long]("jacc_permille")
+    assert(jp > 166 && jp < 666, s"jacc_permille=$jp") // truth 333
+    // internal consistency regardless of estimation error
+    assert(jp == r.getAs[Long]("inter_in_sketch") * 1000 / 256)
+  }
 }
