@@ -237,4 +237,14 @@ class Round4OpsSpec extends SparkTestBase {
     // internal consistency regardless of estimation error
     assert(jp == r.getAs[Long]("inter_in_sketch") * 1000 / 256)
   }
+
+  test("q177 runtime-prunes the fact scan through the dim-side filter") {
+    val df = SparkEntry.queries("q177_dpp_join")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the year predicate reaches the month-partitioned fact scan only
+    // via the joined dimension → a dynamicpruning partition filter
+    assert(plan.contains("dynamicpruning"), s"no DPP in plan:\n$plan")
+  }
 }
