@@ -247,4 +247,15 @@ class Round4OpsSpec extends SparkTestBase {
     // via the joined dimension → a dynamicpruning partition filter
     assert(plan.contains("dynamicpruning"), s"no DPP in plan:\n$plan")
   }
+
+  test("q178 confusion counts are internally consistent and non-trivial") {
+    val r = SparkEntry.queries("q178_lsh_quality")(spark, sf).collect().head
+    val (nt, np, tp, fp, fn) = (r.getAs[Long]("n_true"),
+      r.getAs[Long]("n_pred"), r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("fn"))
+    assert(tp + fp == np && tp + fn == nt)
+    assert(nt > 0 && np > 0) // evaluation sample actually discriminates
+    assert(r.getAs[Long]("prec_permille") == tp * 1000 / np)
+    assert(r.getAs[Long]("rec_permille") == tp * 1000 / nt)
+  }
 }
