@@ -258,4 +258,34 @@ class Round4OpsSpec extends SparkTestBase {
     assert(r.getAs[Long]("prec_permille") == tp * 1000 / np)
     assert(r.getAs[Long]("rec_permille") == tp * 1000 / nt)
   }
+
+  test("runtime bloom filter injects might_contain on the probe side") {
+    // row-level sibling of q177's partition-level DPP: with both fact
+    // sides too big to broadcast, Spark builds a bloom filter from the
+    // selective dim side and injects a might_contain prefilter into
+    // the probe scan — rows drop before the shuffle, not after it.
+    val touched = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = touched.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set(touched.head, "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dir = "/root/testdata/sf0.001"
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("might_contain"), s"no runtime bloom:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
