@@ -84,4 +84,74 @@ object Multimodal {
         }
       }.toDF("doc_id", "frame_offset", "frame_checksum")
   }
+
+  /** Feature-extraction stand-in: a position-strided byte histogram —
+    * bucket `i` sums the payload bytes at offsets ≡ i (mod `dim`) —
+    * which is the output SHAPE of a real embedding model's
+    * preprocessing (fixed-width vector per media item) with fully
+    * deterministic integer values. Batched per partition like
+    * [[decodeMeta]] (one vectorized call per batch in production).
+    * Null/empty payloads emit no rows. */
+  def extractFeatures(binDf: DataFrame, dim: Int = 16,
+      batchSize: Int = 64): DataFrame = {
+    val spark = binDf.sparkSession
+    import spark.implicits._
+    binDf.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, bytes) =>
+            if (bytes == null || bytes.isEmpty) Iterator.empty
+            else {
+              val sums = new Array[Long](dim)
+              var i = 0
+              while (i < bytes.length) {
+                sums(i % dim) += bytes(i) & 0xff
+                i += 1
+              }
+              // bucket b has rows iff some offset ≡ b exists, i.e.
+              // b < min(dim, len) — shorter payloads emit fewer buckets
+              Iterator.range(0, math.min(dim, bytes.length))
+                .map(b => (id, b.toLong, sums(b)))
+            }
+          }
+        }
+      }.toDF("doc_id", "bucket", "feat_sum")
+  }
+
+  /** Resize stand-in: nearest-neighbor downsample of the decoded
+    * byte grid to `w`×`h`, emitting a per-item checksum of the sampled
+    * grid — deterministic, so the distributed shape (batching, one
+    * output row per input) is assertable without a codec. */
+  def resizeStub(binDf: DataFrame, w: Int, h: Int,
+      batchSize: Int = 64): DataFrame = {
+    val spark = binDf.sparkSession
+    import spark.implicits._
+    binDf.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val meta = FakeDecoder.decode(id, if (bytes == null) Array.emptyByteArray else bytes)
+            // sample a w×h grid over the (width × height) byte plane
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              val srcY = (y.toLong * meta.height) / h
+              while (x < w) {
+                val srcX = (x.toLong * meta.width) / w
+                val off = srcY * meta.width + srcX
+                if (bytes != null && bytes.length > 0)
+                  sum += bytes(((off % bytes.length).toInt + bytes.length)
+                    % bytes.length) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            (id, w, h, sum)
+          }
+        }
+      }.toDF("doc_id", "out_w", "out_h", "grid_checksum")
+  }
 }

@@ -288,4 +288,30 @@ class Round4OpsSpec extends SparkTestBase {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("multimodal feature-extract and resize stubs: shape and edges") {
+    import graft.operators.Multimodal
+    val df = Seq((1L, "abcdefghijklmnopqrst"), (2L, "xy"), (3L, ""))
+      .toDF("doc_id", "text")
+    val bin = Multimodal.attachBinary(df, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(bin, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc 1 (20 bytes): buckets 0..3 see two bytes, 4..15 one
+    assert(feats((1L, 0L)) == 'a'.toLong + 'q'.toLong)
+    assert(feats((1L, 4L)) == 'e'.toLong)
+    // doc 2 (2 bytes): only buckets 0 and 1 exist
+    assert(feats((2L, 0L)) == 'x'.toLong && feats((2L, 1L)) == 'y'.toLong)
+    assert(!feats.contains((2L, 2L)))
+    // empty payload: no rows at all
+    assert(!feats.keys.exists(_._1 == 3L))
+
+    val rs = Multimodal.resizeStub(bin, w = 4, h = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rs.keySet == Set(1L, 2L, 3L)) // one row per item, total op
+    assert(rs(3L) == 0L) // empty payload → zero checksum
+    // deterministic: same input, same checksum
+    val rs2 = Multimodal.resizeStub(bin, w = 4, h = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rs == rs2)
+  }
 }
