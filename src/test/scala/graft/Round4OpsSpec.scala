@@ -314,4 +314,30 @@ class Round4OpsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(rs == rs2)
   }
+
+  test("transformWithState running totals accumulate across batches") {
+    import graft.streaming.StatefulCounters
+    import graft.streaming.StatefulCounters.Tick
+    val dir = tempDir("twscnt")
+    Seq(Tick(1L, 10L, 1L), Tick(1L, 5L, 2L), Tick(2L, 7L, 3L))
+      .toDF().coalesce(1).write.mode("append").parquet(dir)
+    val out1 = StatefulCounters.runToCompletion(spark, dir, "tws_t1")
+    // update-mode memory sink: last row per key is the running total
+    val last1 = out1.groupBy(col("key"))
+      .agg(max(struct(col("n"), col("total"))).as("s"))
+      .select(col("key"), col("s.n"), col("s.total"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(last1 == Map(1L -> (2L, 15L), 2L -> (1L, 7L)))
+
+    // more files: a fresh run over all files folds everything, and a
+    // key untouched by later data keeps its totals
+    Seq(Tick(1L, 100L, 4L), Tick(3L, 1L, 5L))
+      .toDF().coalesce(1).write.mode("append").parquet(dir)
+    val out2 = StatefulCounters.runToCompletion(spark, dir, "tws_t2")
+    val last2 = out2.groupBy(col("key"))
+      .agg(max(struct(col("n"), col("total"))).as("s"))
+      .select(col("key"), col("s.n"), col("s.total"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(last2 == Map(1L -> (3L, 115L), 2L -> (1L, 7L), 3L -> (1L, 1L)))
+  }
 }
