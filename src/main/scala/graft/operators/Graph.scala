@@ -98,4 +98,43 @@ object Graph {
     }
     visited
   }
+
+  /** Earliest-arrival temporal reachability: over edges (src, dst, t)
+    * active at time t, a path is admissible only if edge times are
+    * non-decreasing along it (information/contamination can't ride an
+    * edge that fired before it arrived). Computes, for every node, the
+    * earliest time it can be reached from the seed set within
+    * `rounds` hops:
+    *
+    *   arr₀(seed) = t₀;  arrₖ(v) = min(arrₖ₋₁(v),
+    *     min { t : (u,v,t) ∈ E, t ≥ arrₖ₋₁(u) })
+    *
+    * Each round is one equi join of current arrivals onto the edge
+    * list (time condition rides the join) plus a min-combine — the
+    * same O(rounds·|E|) shuffle shape as [[pageRank]], monotone and
+    * deterministic, so the fixed unrolling is engine-portable.
+    *
+    * @param edges (src, dst, t: timestamp-comparable) directed edges
+    * @param seeds (node) start set, arrival `t0`
+    * @param t0    seed arrival, "yyyy-MM-dd[ HH:mm:ss]" (cast in the
+    *              session timezone — string form keeps it portable)
+    * @return (node, arrival) for every node reachable in ≤ rounds */
+  def temporalReachability(edges: DataFrame, seeds: DataFrame,
+      t0: String, rounds: Int,
+      ckpt: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val e = ckpt.cut(edges.select(col("src").cast("long"),
+      col("dst").cast("long"), col("t").cast("timestamp")))
+    var arr = ckpt.cut(
+      seeds.select(col("node").cast("long"),
+        lit(t0).cast("timestamp").as("arrival")))
+    for (_ <- 1 to rounds) {
+      val hop = e.join(arr.withColumnRenamed("node", "src")
+          .withColumnRenamed("arrival", "a_src"), Seq("src"))
+        .filter(col("t") >= col("a_src"))
+        .select(col("dst").as("node"), col("t").as("arrival"))
+      arr = ckpt.cut(arr.union(hop)
+        .groupBy(col("node")).agg(min(col("arrival")).as("arrival")))
+    }
+    arr
+  }
 }

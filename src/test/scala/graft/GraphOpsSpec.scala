@@ -73,6 +73,25 @@ class GraphOpsSpec extends SparkTestBase {
       3L -> 2L))
   }
 
+  test("temporalReachability: time-decreasing paths are inadmissible") {
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 00:00:00")
+    // 1→2 fires on day 5; 2→3 fired on day 3 (BEFORE arrival at 2 —
+    // statically reachable, temporally not); 2→4 fires day 7 (ok);
+    // 1→3 also directly on day 9 (later but admissible)
+    val edges = Seq(
+      (1L, 2L, ts("2020-01-05")), (2L, 3L, ts("2020-01-03")),
+      (2L, 4L, ts("2020-01-07")), (1L, 3L, ts("2020-01-09")))
+      .toDF("src", "dst", "t")
+    val got = Graph.temporalReachability(edges, Seq(1L).toDF("node"),
+        "2020-01-01", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1).toString).toMap
+    assert(got(1L).startsWith("2020-01-01"))
+    assert(got(2L).startsWith("2020-01-05"))
+    assert(got(4L).startsWith("2020-01-07"))
+    // 3 is reached ONLY via the late direct edge, never through 2
+    assert(got(3L).startsWith("2020-01-09"))
+  }
+
   test("dedupBlocks removes corpus-repeated spans and rebuilds text") {
     val df = Seq(
       (1L, "aa bb cc dd ee ff gg hh"),     // blocks: [aa bb cc dd] [ee ff gg hh]
