@@ -433,4 +433,42 @@ object Corpus {
     top.withColumn("rk",
       row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
   }
+
+  /** Content-defined chunking: cut after every position whose trailing
+    * `w`-char window hashes ≡ 0 (mod `mod`) — expected chunk length
+    * `mod`, boundaries anchored to CONTENT, so an edit shifts only the
+    * chunks it touches and boundary streams re-synchronize `w` chars
+    * later (fixed-size chunking shifts every later chunk — useless for
+    * sub-document dedup). Windows come from the native [[CharNgrams]]
+    * kernel in one scan-local pass; assembly is a doc-partitioned
+    * window (per-doc state, never a global sort). The md5 window hash
+    * keeps results engine-portable; production can swap the O(1)
+    * [[RollingHash]] kernel without changing boundaries' distribution.
+    *
+    * @return (id, chunk_idx ≥ 1, chunk_len) with Σ chunk_len = doc len */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, mod: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.expressions.GraftFunctions
+    val base = df.select(col(idCol).as("id"),
+      length(col(textCol)).cast("long").as("len"), col(textCol).as("__t"))
+    val cuts = base
+      .select(col("id"),
+        posexplode(GraftFunctions.charNgramsNative(col("__t"), w))
+          .as(Seq("pos", "gram")))
+      .filter(conv(substring(md5(col("gram")), 1, 8), 16, 10)
+        .cast("long") % mod === 0)
+      .select(col("id"), (col("pos") + w).cast("long").as("cut"))
+    val allCuts = cuts
+      .unionByName(base.filter(col("len") > 0)
+        .select(col("id"), col("len").as("cut")))
+      .distinct()
+    val win = Window.partitionBy(col("id")).orderBy(col("cut"))
+    allCuts
+      .withColumn("chunk_idx", row_number().over(win).cast("long"))
+      .withColumn("chunk_len",
+        (col("cut") - coalesce(lag(col("cut"), 1).over(win), lit(0L)))
+          .cast("long"))
+      .select(col("id").as(idCol), col("chunk_idx"), col("chunk_len"))
+  }
 }

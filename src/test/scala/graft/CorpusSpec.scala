@@ -149,4 +149,29 @@ class CorpusSpec extends SparkTestBase {
       .select("pt_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(banded == naive && naive.nonEmpty)
   }
+
+  test("cdcChunks: boundaries re-synchronize after a front insertion") {
+    import graft.operators.Corpus
+    // deterministic 4k-char text from an md5 chain
+    val base = (0 until 128).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cdc:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString).mkString
+    val edited = "XYZQ" + base
+    val df = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val chunks = Corpus.cdcChunks(df, "doc_id", "text", w = 8, mod = 64)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) =>
+        k -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toList }
+    // total length conserved
+    assert(chunks(1L).sum == base.length && chunks(2L).sum == edited.length)
+    assert(chunks(1L).length > 5) // the text actually chunked
+    // content-defined: boundaries at content offsets past the edit are
+    // unchanged — the two chunk streams share all but the head chunks
+    val common = chunks(1L).reverse.zip(chunks(2L).reverse)
+      .takeWhile { case (a, b) => a == b }.length
+    assert(common >= chunks(1L).length - 2,
+      s"suffix only $common of ${chunks(1L)} vs ${chunks(2L)}")
+  }
 }
