@@ -62,6 +62,52 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank: teleport mass returns ONLY to the seed
+    * set, so ranks measure proximity to the seeds rather than global
+    * importance — the standard relatedness/recommendation primitive
+    * ("parts supplied near these suppliers"). Same fixed-point integer
+    * arithmetic and per-iteration plan shape as [[pageRank]] (one
+    * ranks-onto-edges join + one combine shuffle); non-seed nodes
+    * start at 0 and receive no teleport term, so mass stays
+    * seed-centered and the result is bit-identical at any parallelism.
+    *
+    * @param seeds (node) teleport targets, uniform restart mass */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+      ckpt: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val e = ckpt.cut(
+      edges.select(col("src").cast("long"), col("dst").cast("long")))
+    val nodes = ckpt.cut(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    val eDeg = ckpt.cut(e.join(
+      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src")))
+    val sds = ckpt.cut(seeds.select(col("node").cast("long")).distinct())
+    val nS = sds.count()
+    val seedBase = (15L * Scale) / (100L * nS)
+    // nodes tagged with seed membership once; the flag rides every
+    // iteration's projection instead of re-joining the seed set
+    val tagged = ckpt.cut(nodes
+      .join(sds.withColumn("__seed", lit(1)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(0)).as("__seed")))
+    var ranks = tagged.select(col("node"), col("__seed"),
+      when(col("__seed") === 1, lit(Scale / nS)).otherwise(lit(0L))
+        .as("rank_nano"))
+    for (_ <- 1 to iters) {
+      val contrib = eDeg
+        .join(ranks.select(col("node").as("src"), col("rank_nano")),
+          Seq("src"))
+        .select(col("dst").as("node"),
+          expr("rank_nano div outdeg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
+      ranks = tagged.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("__seed"),
+          (when(col("__seed") === 1, lit(seedBase)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(in_sum, 0L)) div 100"))
+            .cast("long").as("rank_nano"))
+      ranks = ckpt.cut(ranks, eager = false)
+    }
+    ranks.select(col("node"), col("rank_nano"))
+  }
+
   /** Bounded-depth BFS: exact shortest-path hop count (≤ `maxHops`)
     * from a seed set over the undirected view of `edges` — the
     * "blast radius" primitive (k-hop neighborhoods, contamination

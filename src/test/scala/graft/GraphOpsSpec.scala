@@ -92,6 +92,32 @@ class GraphOpsSpec extends SparkTestBase {
     assert(got(3L).startsWith("2020-01-09"))
   }
 
+  test("personalizedPageRank: exact integer fold, island stays at zero") {
+    // chain 1-2-3-4 plus an island 10-11; seed at 1
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L),
+      (4L, 3L), (10L, 11L), (11L, 10L))
+    val r = Graph.personalizedPageRank(e.toDF("src", "dst"),
+        Seq(1L).toDF("node"), iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+
+    // driver-side reference: same integer arithmetic, naive fold
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val out = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val seedBase = (15L * Graph.Scale) / 100L // |S| = 1
+    var ref = nodes.map(v => v -> (if (v == 1L) Graph.Scale else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val in = e.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => ref(s) / out(s) }.sum).toMap
+      ref = nodes.map(v => v ->
+        ((if (v == 1L) seedBase else 0L) +
+          85L * in.getOrElse(v, 0L) / 100L)).toMap
+    }
+    assert(r == ref)
+    // the island never receives teleport or walk mass; near side > far
+    assert(r(10L) == 0L && r(11L) == 0L)
+    assert(r(1L) + r(2L) > r(3L) + r(4L))
+  }
+
   test("dedupBlocks removes corpus-repeated spans and rebuilds text") {
     val df = Seq(
       (1L, "aa bb cc dd ee ff gg hh"),     // blocks: [aa bb cc dd] [ee ff gg hh]
