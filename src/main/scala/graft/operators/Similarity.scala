@@ -168,6 +168,33 @@ object Similarity {
         (-col("best.negc")).as(centroidIdCol))
   }
 
+  /** Multi-probe centroid assignment for the QUERY side: each query
+    * emits its `probes` nearest centroids (one row per probe), so the
+    * downstream cell join searches that many cells. The q185 recall
+    * harness is the sizing loop: probe-1 recall too low → raise
+    * probes, paying probes/K of the corpus per query instead of 1/K.
+    * All K centroid scores for a query are map-local (broadcast cross
+    * join) and collapse to `probes` rows before any shuffle. */
+  def assignCentroidsProbes(queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, probes: Int,
+      centroidIdCol: String = "centroid_id"): DataFrame = {
+    val cts = broadcast(centroids.select(
+      col(idCol).as(centroidIdCol), col(vecCol).as("ctv")))
+    queries.select(col(idCol), col(vecCol))
+      .crossJoin(cts)
+      .withColumn("dot", dotExact(col(vecCol), col("ctv")))
+      .groupBy(col(idCol))
+      // (dot desc, centroid asc) order via struct sort on (dot, -cid)
+      .agg(slice(reverse(array_sort(collect_list(
+          struct(col("dot"), (-col(centroidIdCol)).as("negc"))))),
+          1, probes).as("top"),
+        first(col(vecCol)).as(vecCol))
+      .select(col(idCol), col(vecCol),
+        explode(col("top")).as("probe"))
+      .select(col(idCol), col(vecCol),
+        (-col("probe.negc")).as(centroidIdCol))
+  }
+
   /** IVF search, probe=1: rank only within the query's own cell. At
     * scale the corpus is written partitioned by centroid_id so a probe
     * reads 1/K of the data (partition pruning). */
