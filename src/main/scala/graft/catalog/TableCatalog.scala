@@ -394,6 +394,47 @@ class TableCatalog(spark: SparkSession, root: String) {
     })
   }
 
+  /** DELETE FROM fq WHERE — the GDPR/right-to-erasure shape. Same
+    * file- and partition-granular copy-on-write as [[updateWhere]]:
+    * parquet footer stats find the files holding matching rows, only
+    * those rewrite (minus the deleted rows), untouched files and
+    * partition dirs ride along by manifest — erasing one subject from
+    * a 100 TB table rewrites the handful of files that mention them.
+    * The old version remains readable via time travel until
+    * compaction/vacuum retires it (retention is the operator's GDPR
+    * clock, as in Delta/Iceberg). */
+  def deleteWhere(fq: String, where: Column): Unit = {
+    val v = currentVersion(fq).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $fq"))
+    val pcols = partitionColsOf(fq, v)
+    if (pcols.nonEmpty) {
+      val probe = readPartitionedDirs(chainDirs(fq, v), withFileCol = Some("__file"))
+      val hitFiles = probe.filter(where).select(col("__file")).distinct()
+        .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
+      if (hitFiles.isEmpty) return
+      val (hitDirs, carriedDirs) = touchedPartitionDirs(fq, v, hitFiles)
+      val kept = readPartitionedDirs(hitDirs).filter(!where)
+      commitVersion(fq, dir => {
+        kept.write.mode(SaveMode.Overwrite)
+          .partitionBy(pcols: _*).parquet(dir.toString)
+        writePartitions(dir, pcols)
+        if (carriedDirs.nonEmpty) writeManifest(dir, carriedDirs)
+      })
+      return
+    }
+    val files = dataFiles(fq, v)
+    if (files.isEmpty) return
+    val (hit, carried) =
+      if (files.size == 1) (files, Seq.empty[Path])
+      else touchedFiles(files, where)
+    if (hit.isEmpty) return
+    val kept = spark.read.parquet(hit.map(_.toString): _*).filter(!where)
+    commitVersion(fq, dir => {
+      kept.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+      if (carried.nonEmpty) writeManifest(dir, carried)
+    })
+  }
+
   /** MERGE INTO fq USING source ON keys — source wins on match. Same
     * file-granular copy-on-write as [[updateWhere]]: only files that
     * contain a key present in `source` are merged and rewritten;

@@ -123,6 +123,49 @@ class CatalogSpec extends SparkTestBase {
     assert(!new java.io.File(s"$root/d/s/pruned/v_000003").exists)
   }
 
+  test("deleteWhere erases rows with file pruning; old version retained") {
+    val root = tempDir("cat")
+    val cat = new TableCatalog(spark, root)
+    val t = "d.s.del"
+    cat.append(t, Seq.tabulate(100)(i => (i, s"u$i")).toDF("id", "subject")
+      .repartition(2))
+    cat.append(t, Seq((100, "erase-me"), (101, "keep")).toDF("id", "subject"))
+    def partNames(v: String): Set[String] =
+      Option(new java.io.File(s"$root/d/s/del/$v").listFiles)
+        .map(_.toSeq).getOrElse(Nil)
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .map(_.getName).toSet
+    val v0 = partNames("v_000000")
+    cat.deleteWhere(t, col("id") === 100)
+    // only the delta file rewrote; v0 files carried by manifest
+    val v2 = new java.io.File(s"$root/d/s/del/v_000002")
+    assert(v2.isDirectory && new java.io.File(v2, "_MANIFEST").exists)
+    val manifest = scala.io.Source.fromFile(new java.io.File(v2, "_MANIFEST"))
+      .getLines().mkString("\n")
+    assert(v0.forall(manifest.contains))
+    val ids = cat.read(t).select("id").as[Int].collect().toSet
+    assert(!ids.contains(100) && ids.contains(101) && ids.size == 101)
+    // erased subject still present in the RETAINED prior version (the
+    // retention window is the operator's erasure clock)
+    assert(cat.readVersion(t, 1).filter(col("id") === 100).count() == 1)
+    // no-match delete is a no-op: no new version
+    cat.deleteWhere(t, col("id") === -5)
+    assert(!new java.io.File(s"$root/d/s/del/v_000003").exists)
+  }
+
+  test("deleteWhere on a partitioned table prunes untouched partitions") {
+    val cat = new TableCatalog(spark, tempDir("cat"))
+    val t = "d.s.delp"
+    cat.overwritePartitioned(t,
+      Seq((1, "A", 10), (2, "A", 20), (3, "B", 30), (4, "B", 40))
+        .toDF("id", "grp", "v"), Seq("grp"))
+    cat.deleteWhere(t, col("id") === 3)
+    val left = cat.read(t).select("id").as[Int].collect().toSet
+    assert(left == Set(1, 2, 4))
+    // partition values survive the rewrite
+    assert(cat.read(t).filter(col("grp") === "A").count() == 2)
+  }
+
   test("merge rewrites only files overlapping the source keys") {
     val root = tempDir("cat")
     val cat = new TableCatalog(spark, root)
