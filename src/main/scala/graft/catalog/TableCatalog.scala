@@ -509,6 +509,31 @@ class TableCatalog(spark: SparkSession, root: String) {
     (files.size, files.map(p => fs.getFileStatus(p).getLen).sum)
   }
 
+  /** VACUUM: physically remove version directories older than the
+    * newest `keepVersions`, EXCEPT any still referenced through a
+    * retained version's manifest chain (O(delta) appends make old
+    * dirs' files part of newer versions — reachability, not age,
+    * decides). This is what completes [[deleteWhere]]'s erasure: a
+    * deleted subject's bytes persist in prior versions until vacuum
+    * retires them, so `keepVersions` is the compliance retention
+    * clock (Delta's VACUUM RETAIN semantics).
+    *
+    * @return names of the version dirs physically removed */
+  def vacuum(fq: String, keepVersions: Int = 2): Seq[String] = {
+    val cur = currentVersion(fq).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $fq"))
+    val cutoff = cur - keepVersions + 1 // retain [cutoff, cur]
+    if (cutoff <= 0) return Seq.empty
+    val retained = (cutoff to cur).filter(v => fs.exists(versionDir(fq, v)))
+    val reachable = retained.flatMap(v =>
+        dataFiles(fq, v).map(p => versionAncestor(p).getName)).toSet ++
+      retained.map(v => f"v_$v%06d")
+    val removed = (0 until cutoff).map(v => versionDir(fq, v))
+      .filter(d => fs.exists(d) && !reachable.contains(d.getName))
+    removed.foreach(d => fs.delete(d, true))
+    removed.map(_.getName)
+  }
+
   /** OPTIMIZE-style compaction: rewrite the manifest chain's many
     * small files into `ceil(bytes / targetFileBytes)` right-sized
     * files and start a fresh chain. O(delta) appends make ingest

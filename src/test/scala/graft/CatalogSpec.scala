@@ -153,6 +153,30 @@ class CatalogSpec extends SparkTestBase {
     assert(!new java.io.File(s"$root/d/s/del/v_000003").exists)
   }
 
+  test("vacuum respects manifest reachability, then erases for real") {
+    val root = tempDir("cat")
+    val cat = new TableCatalog(spark, root)
+    val t = "d.s.vac"
+    cat.overwrite(t, Seq.tabulate(50)(i => (i, s"u$i")).toDF("id", "subject")
+      .repartition(2))                                  // v0
+    cat.deleteWhere(t, col("id") === 7)                 // v1 (refs v0 files)
+    def dirExists(v: Int) =
+      new java.io.File(s"$root/d/s/vac/" + f"v_$v%06d").exists
+    // v1's manifest still references v0's untouched file → v0 is
+    // reachable and must survive a keep=1 vacuum
+    assert(cat.vacuum(t, keepVersions = 1).isEmpty && dirExists(0))
+    // compaction starts a fresh self-contained chain → v0 and v1 are
+    // now unreachable and a keep=1 vacuum removes them physically
+    cat.compact(t)                                      // v2
+    val removed = cat.vacuum(t, keepVersions = 1)
+    assert(removed.toSet == Set("v_000000", "v_000001"))
+    assert(!dirExists(0) && !dirExists(1) && dirExists(2))
+    // the erased subject is gone from what remains on disk
+    assert(cat.read(t).filter(col("id") === 7).count() == 0)
+    assert(cat.read(t).count() == 49)
+    intercept[IllegalArgumentException](cat.readVersion(t, 0))
+  }
+
   test("deleteWhere on a partitioned table prunes untouched partitions") {
     val cat = new TableCatalog(spark, tempDir("cat"))
     val t = "d.s.delp"
