@@ -63,6 +63,36 @@ object CsvStageReader {
   def readLines(spark: SparkSession, file: String): DataFrame =
     spark.read.text(file)
 
+  /** Typed PERMISSIVE read with row-level quarantine: rows that fail
+    * the schema (wrong arity, unparsable types) carry their original
+    * line in the corrupt-record column and route to an error relation
+    * instead of poisoning the load — the row-level complement of the
+    * file-level precheck gate (2.7): a file that PASSES precheck can
+    * still hold a few mangled lines, and at 100 TB a load that dies on
+    * row 10⁹ costs a full re-run, while quarantine costs one filter.
+    *
+    * The scan is cached before splitting: Spark disallows queries
+    * whose only reference is the internal corrupt-record column, and
+    * the cache also guarantees good/bad come from one pass.
+    *
+    * @return (good rows typed, quarantined raw lines) */
+  def readWithQuarantine(spark: SparkSession, files: Seq[String],
+      schema: StructType): (DataFrame, DataFrame) = {
+    val corrupt = "_corrupt_record"
+    val full = schema.add(StructField(corrupt, StringType))
+    val df = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .schema(full)
+      .csv(files: _*)
+      .cache()
+    val good = df.filter(col(corrupt).isNull).drop(corrupt)
+    val bad = df.filter(col(corrupt).isNotNull)
+      .select(col(corrupt).as("raw_line"))
+    (good, bad)
+  }
+
   /** Per-file basename column derived from the scan's provenance. */
   def withFileName(df: DataFrame): DataFrame =
     df.withColumn("file_name",

@@ -315,6 +315,27 @@ class Round4OpsSpec extends SparkTestBase {
     assert(rs == rs2)
   }
 
+  test("quarantine read: typed goods, raw bad lines, nothing dropped") {
+    import org.apache.spark.sql.types._
+    val dir = tempDir("quar")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.csv"),
+      ("id,name,score\n" +
+        "1,alice,2.50\n" +
+        "oops\n" +
+        "2,bob,notanumber\n" +
+        "3,carol,4.25\n").getBytes("UTF-8"))
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("score", DecimalType(6, 2))))
+    val (good, bad) = graft.sources.CsvStageReader.readWithQuarantine(
+      spark, Seq(dir), sch)
+    val g = good.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(g == Set((1L, "alice"), (3L, "carol")))
+    val b = bad.as[String].collect().toSet
+    // quarantined rows carry their ORIGINAL line for repair/replay
+    assert(b == Set("oops", "2,bob,notanumber"))
+  }
+
   test("transformWithState running totals accumulate across batches") {
     import graft.streaming.StatefulCounters
     import graft.streaming.StatefulCounters.Tick
