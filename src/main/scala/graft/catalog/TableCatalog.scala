@@ -37,7 +37,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * (SF_Notebooks/RAW_SNOWFLAKE_TO_REFINED_SNOWFLAKE.py:713-724), MERGE
   * (SF_Notebooks/Rater8_Reviews.ipynb run_merge).
   */
-class TableCatalog(spark: SparkSession, root: String) {
+class TableCatalog(spark: SparkSession, root: String,
+    staleClaimMs: Long = 15L * 60 * 1000) {
 
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -228,9 +229,37 @@ class TableCatalog(spark: SparkSession, root: String) {
   /** Write a brand-new version then atomically swap the pointer.
     * Single-writer per table (the reference's pipeline model); readers
     * are isolated by the pointer swap at any concurrency. */
+  private def claimPath(fq: String, v: Int) =
+    new Path(tableDir(fq), f"_COMMIT_$v%06d")
+
   private def commitVersion(fq: String, write: Path => Unit): Unit = {
     val next = currentVersion(fq).getOrElse(-1) + 1
     val dir = versionDir(fq, next)
+    // optimistic concurrency: version number `next` is claimed by an
+    // atomic create-exclusive marker — two writers that both read the
+    // same current version race for the claim, the loser gets a
+    // ConcurrentModificationException INSTEAD of silently overwriting
+    // the winner's pointer (lost update). The caller re-runs its whole
+    // operation: a retry must recompute against the winner's version,
+    // not replay stale reads. A claim left by a crashed writer goes
+    // stale after `staleClaimMs` and is swept here.
+    val claim = claimPath(fq, next)
+    fs.mkdirs(tableDir(fq))
+    if (fs.exists(claim) && System.currentTimeMillis() -
+        fs.getFileStatus(claim).getModificationTime > staleClaimMs)
+      fs.delete(claim, false)
+    val claimed =
+      try { fs.create(claim, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!claimed) throw new java.util.ConcurrentModificationException(
+      s"concurrent commit in flight for $fq v$next — rerun the operation")
+    try {
+      commitClaimed(fq, next, dir, write)
+    } finally fs.delete(claim, false)
+  }
+
+  private def commitClaimed(fq: String, next: Int, dir: Path,
+      write: Path => Unit): Unit = {
     // crash recovery: a commit that died after writing data but before
     // the pointer swap leaves a partial v_next dir the pointer never
     // referenced — clear it, or this commit would fail on the existing

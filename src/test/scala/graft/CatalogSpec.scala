@@ -153,6 +153,37 @@ class CatalogSpec extends SparkTestBase {
     assert(!new java.io.File(s"$root/d/s/del/v_000003").exists)
   }
 
+  test("concurrent commit: loser gets a conflict, never a lost update") {
+    val root = tempDir("cat")
+    val cat = new TableCatalog(spark, root)
+    val t = "d.s.occ"
+    cat.append(t, Seq((1, "a")).toDF("id", "v")) // v0
+    // simulate another writer mid-commit on v1: its claim is planted
+    val claim = new java.io.File(s"$root/d/s/occ/_COMMIT_000001")
+    assert(claim.createNewFile())
+    intercept[java.util.ConcurrentModificationException] {
+      cat.append(t, Seq((2, "b")).toDF("id", "v"))
+    }
+    // table state untouched by the failed attempt
+    assert(cat.read(t).count() == 1)
+    // the "winner" finishes (claim released) → rerunning the op works
+    assert(claim.delete())
+    cat.append(t, Seq((2, "b")).toDF("id", "v"))
+    assert(cat.read(t).count() == 2)
+  }
+
+  test("a stale claim from a crashed writer is swept, commit proceeds") {
+    val root = tempDir("cat")
+    val cat = new TableCatalog(spark, root, staleClaimMs = 50)
+    val t = "d.s.stale"
+    cat.append(t, Seq((1, "a")).toDF("id", "v")) // v0
+    val claim = new java.io.File(s"$root/d/s/stale/_COMMIT_000001")
+    assert(claim.createNewFile())
+    Thread.sleep(120) // age the claim past the 50 ms staleness window
+    cat.append(t, Seq((2, "b")).toDF("id", "v")) // sweeps + commits
+    assert(cat.read(t).count() == 2)
+  }
+
   test("vacuum respects manifest reachability, then erases for real") {
     val root = tempDir("cat")
     val cat = new TableCatalog(spark, root)
