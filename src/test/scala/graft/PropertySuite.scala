@@ -135,6 +135,53 @@ object GraftProperties extends Properties("graft") {
         dac <= dab + dbc
     }
 
+  // ---- string-distance kernels --------------------------------------------
+
+  private val shortWord: Gen[String] =
+    Gen.chooseNum(0, 10).flatMap(n => Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c')))
+
+  property("damerau-levenshtein is a metric-ish distance") =
+    forAll(shortWord, shortWord, shortWord) { (a, b, c) =>
+      import graft.functions.expressions.DamerauLevenshtein.compute
+      val dab = compute(a, b)
+      dab >= 0 &&
+        (dab == 0) == (a == b) &&
+        dab == compute(b, a) && // symmetric
+        dab <= math.max(a.length, b.length) && // bounded by lengths
+        compute(a, c) <= dab + compute(b, c) // triangle inequality
+    }
+
+  property("damerau-levenshtein: single edit costs exactly 1") =
+    forAll(shortWord.suchThat(_.nonEmpty), Gen.chooseNum(0, 9)) { (a, i0) =>
+      import graft.functions.expressions.DamerauLevenshtein.compute
+      val i = i0 % a.length
+      val deleted = a.substring(0, i) + a.substring(i + 1)
+      val substituted = a.updated(i, 'z')
+      compute(a, deleted) == 1 && compute(a, substituted) == 1
+    }
+
+  property("jaro-winkler is symmetric, bounded, and 1 iff equal") =
+    forAll(shortWord, shortWord) { (a, b) =>
+      import graft.functions.expressions.JaroWinkler.compute
+      val j = compute(a, b)
+      j >= 0.0 && j <= 1.0 &&
+        j == compute(b, a) &&
+        ((a == b && a.nonEmpty) == (j == 1.0) ||
+          (a.isEmpty && b.isEmpty && j == 1.0))
+    }
+
+  // ---- unicode normalization ----------------------------------------------
+
+  property("nfc/strip_accents are idempotent; strip removes marks") =
+    forAll(word) { w =>
+      import graft.functions.expressions.{NfcNormalize, StripAccents}
+      val decorated = w.flatMap(c => c.toString + "\u0301") // mark per char
+      NfcNormalize.compute(NfcNormalize.compute(decorated)) ==
+        NfcNormalize.compute(decorated) &&
+        StripAccents.compute(decorated) == w &&
+        StripAccents.compute(StripAccents.compute(decorated)) == w
+    }
+
   // ---- precheck row-count bounds ------------------------------------------
 
   property("row-count gate honors min/max bounds") =
