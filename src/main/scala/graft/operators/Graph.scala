@@ -145,6 +145,36 @@ object Graph {
     visited
   }
 
+  /** Bounded min-plus (Bellman–Ford) shortest-path cost: cheapest total
+    * edge weight from the seed set within `rounds` hops —
+    *
+    *   cost₀(seed) = 0;  costₖ(v) = min(costₖ₋₁(v),
+    *     min { costₖ₋₁(u) + w : (u,v,w) ∈ E })
+    *
+    * — completing the graph family's third axis (BFS = fewest hops,
+    * temporal reachability = earliest time, this = least cost).
+    * Integer weights, so the fixed unrolling is exact and
+    * engine-portable; per round one equi join + one min-combine,
+    * O(rounds·|E|) shuffle like the siblings.
+    *
+    * @param edges (src, dst, w: long cost ≥ 0)
+    * @return (node, cost) for every node reachable in ≤ rounds */
+  def minPlusPaths(edges: DataFrame, seeds: DataFrame, rounds: Int,
+      ckpt: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val e = ckpt.cut(edges.select(col("src").cast("long"),
+      col("dst").cast("long"), col("w").cast("long")))
+    var cost = ckpt.cut(
+      seeds.select(col("node").cast("long"), lit(0L).as("cost")))
+    for (_ <- 1 to rounds) {
+      val hop = e.join(cost.select(col("node").as("src"),
+          col("cost").as("c_src")), Seq("src"))
+        .select(col("dst").as("node"), (col("c_src") + col("w")).as("cost"))
+      cost = ckpt.cut(cost.union(hop)
+        .groupBy(col("node")).agg(min(col("cost")).as("cost")))
+    }
+    cost
+  }
+
   /** Earliest-arrival temporal reachability: over edges (src, dst, t)
     * active at time t, a path is admissible only if edge times are
     * non-decreasing along it (information/contamination can't ride an

@@ -92,6 +92,24 @@ class GraphOpsSpec extends SparkTestBase {
     assert(got(3L).startsWith("2020-01-09"))
   }
 
+  test("minPlusPaths: cheap long route beats expensive direct edge") {
+    // 1→3 direct costs 10; 1→2→3 costs 2+3=5; bound excludes 4 at 3 hops
+    val edges = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L),
+      (3L, 4L, 1L)).toDF("src", "dst", "w")
+    // rounds=2: 3 is cheaper via 1→2→3 (5); 4 only via the expensive
+    // direct-then-hop 1→3→4 (11) — the cheap 3-hop route needs round 3
+    val got = Graph.minPlusPaths(edges, Seq(1L).toDF("node"), rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 2L, 3L -> 5L, 4L -> 11L))
+    val three = Graph.minPlusPaths(edges, Seq(1L).toDF("node"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(three(4L) == 6L) // 1→2→3→4 now admissible
+    // tighter bound: within 1 hop the expensive direct edge is best
+    val one = Graph.minPlusPaths(edges, Seq(1L).toDF("node"), rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 0L, 2L -> 2L, 3L -> 10L))
+  }
+
   test("personalizedPageRank: exact integer fold, island stays at zero") {
     // chain 1-2-3-4 plus an island 10-11; seed at 1
     val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L),
