@@ -336,6 +336,16 @@ class Round4OpsSpec extends SparkTestBase {
     assert(b == Set("oops", "2,bob,notanumber"))
   }
 
+  test("leakage split: a near-dup cluster never straddles the boundary") {
+    val rows = SparkEntry.queries("q192_leakage_split")(spark, sf)
+    val straddling = rows.groupBy(col("component"))
+      .agg(countDistinct(col("split")).as("sides"))
+      .filter(col("sides") > 1).count()
+    assert(straddling == 0)
+    val splits = rows.select("split").distinct().as[String].collect().toSet
+    assert(splits.subsetOf(Set("train", "test")) && splits.nonEmpty)
+  }
+
   test("transformWithState running totals accumulate across batches") {
     import graft.streaming.StatefulCounters
     import graft.streaming.StatefulCounters.Tick
