@@ -21,15 +21,32 @@ object Queries {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark reads as
-    * nanos-since-epoch LongType (spark.sql.legacy.parquet.nanosAsLong).
-    * Convert to TimestampType by floor-dividing to micros — the same
-    * truncation DuckDB applies reading nanos into its micros timestamps. */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    val raw = table(s, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+  /** events.parquet has shipped `ts` under three physical types across
+    * testdata generations; normalize all of them to session-TZ
+    * TimestampType (micros) so every downstream query sees one type:
+    *  - TIMESTAMP(NANOS) → LongType nanos-since-epoch under
+    *    spark.sql.legacy.parquet.nanosAsLong: floor-divide to micros
+    *    (the same truncation DuckDB applies reading nanos).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TimestampNTZType:
+    *    cast to TimestampType. The session TZ is pinned to UTC, so the
+    *    wall-clock field values are preserved exactly.
+    *  - TimestampType: pass through. */
+  def events(s: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(table(s, dir, "events"))
+
+  /** See [[events]]; shared with the streaming read path so batch and
+    * stream agree on the normalization for every physical generation.
+    * Integer `div` (not `/`) for the nanos branch: nanos-since-epoch
+    * (~1.7e18) exceeds double's 2^53 exact range. */
+  def normalizeEventTs(df: DataFrame, colName: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, timestamp_micros(expr(s"`$colName` div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** sum over a double column, exact: cast to decimal, sum, back to double */

@@ -11,24 +11,36 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet physical schema (ts stored as TIMESTAMP(NANOS),
-    * surfaced as nanos-since-epoch long under nanosAsLong). */
-  val rawSchema: StructType = StructType(Seq(
+  /** events.parquet physical schema, parameterized on the on-disk type
+    * of `ts` — TIMESTAMP(NANOS) generations surface as LongType under
+    * nanosAsLong; TIMESTAMP(MICROS, isAdjustedToUTC=false) generations
+    * surface as TimestampNTZType. */
+  def rawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Streaming scan of the events files under `dir`, with `ts`
+    * normalized to session-TZ TimestampType regardless of which
+    * physical generation is on disk. The file-stream source requires a
+    * static schema, so the on-disk `ts` type is sniffed once at plan
+    * time via a driver-side batch footer read (cheap, metadata-only)
+    * and the matching normalization applied — the same branch the batch
+    * path takes in [[graft.Queries.normalizeEventTs]]. */
   def readStream(spark: SparkSession, dir: String,
-      glob: String = "events.parquet"): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
+      glob: String = "events.parquet"): DataFrame = {
+    val tsType = spark.read.option("pathGlobFilter", glob)
+      .parquet(dir).schema("ts").dataType
+    val raw = spark.readStream
+      .schema(rawSchema(tsType))
       // file-stream source needs a directory; select just the events file
       .option("pathGlobFilter", glob)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Queries.normalizeEventTs(raw)
+  }
 
   /** Tumbling 1-hour aggregation with a watermark; `complete` mode so
     * open windows are still emitted (needed for batch-equality checks). */
