@@ -62,7 +62,15 @@ object Bench {
     // Σ max / Σ min across queries; > ~1.5 on a quiet box is abnormal.
     val sumMax = results.map(_._2.max).sum
     val spread = if (total > 0) sumMax / total else 1.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":$cpus,"run_spread":${f"$spread%.3f"}}""")
+    // Self-label contaminated runs so the artifact carries its own
+    // health verdict: a loadavg already above cpus/4 before the first
+    // timed query, or a min-vs-max spread > 1.5 across runs, means some
+    // other workload shared the box and the numbers are not comparable
+    // round-over-round (r4's driver bench showed 4.61/1.43 and every
+    // apparent regression evaporated on a quiet re-run).
+    val contaminated =
+      (loadBefore >= 0 && loadBefore > cpus.toDouble / 4) || spread > 1.5
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":$cpus,"run_spread":${f"$spread%.3f"},"contaminated":$contaminated}""")
     spark.stop()
   }
 

@@ -31,11 +31,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach { case (name, fn) =>
+    // A query that throws must still leave a visible artifact: a marker
+    // parquet whose schema (`__error`) can never match an oracle, so the
+    // driver's compare shows a RED row instead of silently dropping the
+    // query from the registry (the r4 failure mode — 10 queries vanished
+    // from CORRECTNESS with nothing flagging the shrinkage).
+    val selected = SparkEntry.queries.filter(kv => nameFilter(kv._1))
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = (e.getClass.getName + ": " + String.valueOf(e.getMessage)).take(800)
+        System.err.println(s"[verify] $name failed: $msg")
+        failed += name -> msg
+        try {
+          import spark.implicits._
+          Seq(msg).toDF("__error").coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case inner: Throwable =>
+          System.err.println(s"[verify] $name marker write failed: ${inner.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -53,6 +69,17 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => nameFilter(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failure manifest (always written, empty object when clean) plus a
+    // registry-size selfcheck: one result dir per registered query.
+    Files.writeString(Paths.get(s"$outDir/_failed.json"),
+      failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    val resultDirs = new java.io.File(outDir).listFiles.count(_.isDirectory)
+    System.err.println(
+      s"[verify] completed ${selected.size - failed.size}/${selected.size} queries" +
+        (if (failed.nonEmpty) s"; FAILED: ${failed.keys.mkString(",")}" else ""))
+    if (resultDirs != selected.size)
+      System.err.println(s"[verify] SELFCHECK MISMATCH: $resultDirs result dirs " +
+        s"for ${selected.size} registered queries")
     spark.stop()
   }
 }

@@ -48,6 +48,35 @@ object Intervals {
       .drop("__b", "__rk", "__off")
   }
 
+  /** Dense sequential ids 0..n−1 in lexicographic `orderCols` order for
+    * ARBITRARY (non-numeric) sort keys, without a single-partition
+    * global sort: range-partition on the keys (disjoint, ordered
+    * ranges), rank locally within each partition, then add
+    * per-partition offsets from the |partitions|-row count summary
+    * (broadcast). `orderCols` must end in a unique tie-break column so
+    * the total order — and therefore every seq_id — is independent of
+    * where the sampled range boundaries happen to fall. */
+  def denseIdsOrdered(df: DataFrame, orderCols: Seq[String],
+      partitions: Int = 0): DataFrame = {
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(n, orderCols.map(col): _*)
+      .withColumn("__p", spark_partition_id())
+    val local = Window.partitionBy(col("__p"))
+      .orderBy(orderCols.map(col): _*)
+    val counts = parted.groupBy(col("__p")).agg(count(lit(1)).as("__n"))
+    val offs = counts // |partitions| rows — the tiny seam table
+      .withColumn("__off", coalesce(sum(col("__n")).over(
+        Window.orderBy(col("__p"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__p"), col("__off"))
+    parted
+      .withColumn("__rk", row_number().over(local).cast("long"))
+      .join(broadcast(offs), Seq("__p"))
+      .withColumn("seq_id", col("__off") + col("__rk") - 1L)
+      .drop("__p", "__rk", "__off")
+  }
+
   /** Missing ranges in an integer key sequence, without a global sort.
     *
     * A single `lag` over all keys needs one totally-ordered partition —

@@ -134,6 +134,57 @@ object EventStream {
         unix_micros(col("b_ts")).as("click_us"))
   }
 
+  /** Drive [[purchaseClickLeftOuter]] to a FLUSHED terminal state over
+    * a finite fixture (the contract a live pipeline gets from advancing
+    * watermarks, reproduced deterministically):
+    *   phase 1 — the real purchase/click traffic for a bounded user
+    *     subset, as the first micro-batch;
+    *   phase 2 — a sentinel tail 2 h past the last real event (one
+    *     click then one purchase for an out-of-range user, ordered so
+    *     they cannot match each other), advancing BOTH sides'
+    *     watermarks past every real purchase's no-match horizon
+    *     (ts + join interval + watermark delay);
+    *   phase 3 — one no-op row (filtered out pre-join) whose batch
+    *     applies the phase-2 watermark for state eviction.
+    * Every unmatched real purchase is then flushed null-padded exactly
+    * once, so the drained sink restricted to real users equals the
+    * BATCH left join over the same prefix — which is what the DuckDB
+    * oracle checks (q194). */
+  def runLeftOuterFlush(spark: SparkSession, dir: String,
+      queryName: String = "graft_stream_louter",
+      maxUser: Long = 50L, statePartitions: Int = 8): DataFrame = {
+    import spark.implicits._
+    val scratch = graft.Scratch.dir("graft_souter")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val e = graft.Queries.events(spark, dir)
+      .filter(col("user_id") < maxUser &&
+        col("event_type").isin("purchase", "click"))
+      .select(cols.map(col): _*)
+    e.write.mode("append").parquet(scratch)
+    val maxTs = e.agg(max(col("ts"))).head().getTimestamp(0)
+    def tail(rows: Seq[(Long, Long, Long, String)]): Unit =
+      rows.map { case (id, offsetSec, uid, typ) =>
+        (id, new java.sql.Timestamp(maxTs.getTime + offsetSec * 1000L),
+          uid, typ, 0.0, "{}")
+      }.toDF(cols: _*).coalesce(1).write.mode("append").parquet(scratch)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = purchaseClickLeftOuter(spark, scratch, glob = "*.parquet")
+        .writeStream.outputMode("append").format("memory")
+        .queryName(queryName).start()
+      try {
+        q.processAllAvailable()
+        tail(Seq((-1L, 7200L, 999999L, "click"),
+          (-2L, 7201L, 999999L, "purchase")))
+        q.processAllAvailable()
+        tail(Seq((-3L, 7202L, 999998L, "noop")))
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(queryName).filter(col("user_id") < maxUser)
+  }
+
   /** Drain the stream-stream join (append mode — inner joins emit as
     * matches arrive). */
   def runPurchaseClickJoin(spark: SparkSession, dir: String,

@@ -48,6 +48,47 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(state() == s1 + ((3L, 1L, "new")))
   }
 
+  test("streaming==batch parity holds on BOTH ts physical generations") {
+    // The driver has shipped events.parquet with ts as TIMESTAMP(NANOS)
+    // (→ LongType under nanosAsLong) and as TIMESTAMP(MICROS,
+    // isAdjustedToUTC=false) (→ TimestampNTZType). Regenerate the
+    // sf0.001 events in both physical generations and assert the
+    // streaming hourly agg equals the batch one on each — so a future
+    // testdata regeneration cannot silently break the streaming family
+    // again (the r4 failure mode).
+    import org.apache.spark.sql.types.TimestampNTZType
+    val base = Queries.events(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") < 30) // small slice keeps the stream fast
+    def writeSingleFile(df: org.apache.spark.sql.DataFrame, dir: String): Unit = {
+      val stage = dir + "/_stage"
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(dir, "events.parquet"))
+    }
+    val gens = Seq(
+      "ntz_micros" -> base.withColumn("ts", col("ts").cast(TimestampNTZType)),
+      "legacy_nanos" -> base.withColumn("ts", expr("unix_micros(ts) * 1000")))
+    val results = gens.map { case (gen, df) =>
+      val dir = tempDir(s"events_gen_$gen")
+      writeSingleFile(df, dir)
+      // read-back sanity: each generation surfaces as its own raw type
+      val rawType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      if (gen == "ntz_micros") assert(rawType == TimestampNTZType, gen)
+      else assert(rawType == org.apache.spark.sql.types.LongType, gen)
+      val streamed = graft.streaming.EventStream
+        .runHourlyToCompletion(spark, dir, queryName = s"gen_hourly_$gen")
+      val batch = graft.streaming.EventStream.hourlyAgg(Queries.events(spark, dir))
+      assert(streamed.count() == batch.count(), gen)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty, gen)
+      streamed.collect().map(_.toSeq).toSet
+    }
+    // cross-generation: nanos floor-div to micros reproduces the micros
+    // values exactly, so both generations yield identical results
+    assert(results(0) == results(1))
+  }
+
   test("streaming session_window == batch gap sessionization (sf0.001)") {
     import org.apache.spark.sql.expressions.Window
     val dir = "/root/testdata/sf0.001"

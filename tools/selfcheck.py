@@ -78,13 +78,23 @@ def main():
     import duckdb
     run_verify()
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    # Verify's failure manifest: a query that threw mid-run has a marker
+    # dir (schema `__error`) and an entry here — fail loudly even for
+    # queries with no oracle (which the compare loop below never visits).
+    fail_manifest = {}
+    if os.path.exists(f"{OUT}/_failed.json"):
+        fail_manifest = json.load(open(f"{OUT}/_failed.json"))
+    for name, msg in sorted(fail_manifest.items()):
+        print(f"FAIL {name}: query threw during Verify: {msg[:200]}")
     con = duckdb.connect()
     for t in TABLES:
         p = f"{SF}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-    passed = failed = 0
+    passed, failed = 0, len(fail_manifest)
     for name in sorted(oracle):
+        if name in fail_manifest:
+            continue  # already reported above
         qdir = f"{OUT}/{name}"
         files = glob.glob(f"{qdir}/*.parquet")
         if not files:
