@@ -1,12 +1,15 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Queries.{events, table}
 
-/** Round-5 queries. Same contract as [[Queries]]: every entry is
-  * oracle-gated in [[OraclesRound5]] unless noted.
+/** Round-5 queries: LLM-mixing and contrastive-training data prep,
+  * plus the runtime-bloom-filter join mechanism and two streaming
+  * additions. Same contract as [[Queries]]: every entry is oracle-gated
+  * in [[OraclesRound5]].
   */
 object QueriesRound5 {
 
@@ -19,11 +22,172 @@ object QueriesRound5 {
     //      past every real purchase, so the drained sink equals the
     //      batch left join — which is exactly what the oracle runs. ----
     "q194_stream_left_outer" -> ((s, dir) =>
-      graft.streaming.EventStream.runLeftOuterFlush(s, dir)))
+      graft.streaming.EventStream.runLeftOuterFlush(s, dir)),
+
+    // ---- temperature-weighted mixture sampling (α = 0.5): LLM data
+    //      mixing upsamples small sources relative to their size by
+    //      allocating quota ∝ tokens^α. isqrt keeps the weights exact
+    //      in both engines (IEEE sqrt is correctly rounded; inputs are
+    //      < 2^52 so the double cast is lossless), then the same
+    //      deterministic md5-priority greedy fill as q193 — include a
+    //      doc while its source's exclusive token prefix-sum is under
+    //      that source's quota. Scale shape: one small per-source agg,
+    //      broadcast quota join, one windowed pass per source
+    //      partition; no collect, no RNG. ----
+    "q195_temperature_mixture" -> ((s, dir) => {
+      val budget = 5000L
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("n_tokens"),
+          graft.operators.Sketches.hash60(
+            concat(lit("mix5:"), col("doc_id"))).as("h"))
+      val wts = d.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("tot"))
+        .withColumn("w", floor(sqrt(col("tot").cast("double"))).cast("long"))
+      val quotas = wts
+        .crossJoin(broadcast(wts.agg(sum(col("w")).as("sw"))))
+        .select(col("source"), expr(s"(${budget}L * w) div sw").as("quota"))
+      val win = Window.partitionBy(col("source"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.join(broadcast(quotas), Seq("source"))
+        .withColumn("before", coalesce(sum(col("n_tokens")).over(win), lit(0L)))
+        .filter(col("before") < col("quota"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("quota"))
+    }),
+
+    // ---- runtime bloom-filter join: the OPTIMIZER mechanism that
+    //      saves a selective fact-dim shuffle join at 100 TB — Spark
+    //      builds a bloom filter from the filtered creation side and
+    //      injects might_contain(l_orderkey) into the probe side's
+    //      scan, discarding non-joining fact rows BEFORE the shuffle.
+    //      Same hard-gate pattern as q160/q177: the query executes once
+    //      under the lowered thresholds, the finalized plan is checked
+    //      for the injected filter, and the evidence is baked into the
+    //      hash-checked `bloom_pruned` column (values themselves are
+    //      conf-independent). Broadcast is disabled so the join
+    //      actually shuffles (a broadcast join needs no bloom). ----
+    "q196_bloom_runtime_join" -> ((s, dir) => {
+      val confs = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        // app side must look "large" relative to the threshold at test
+        // scale — production keeps the 10 GB default
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        val ord = table(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        val agg = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(DecimalType(14, 2)))
+              .cast("double").as("sum_qty"))
+        agg.collect() // finalize the adaptive plan under the confs above
+        val plan = agg.queryExecution.executedPlan.toString.toLowerCase
+        agg.withColumn("bloom_pruned",
+          lit(plan.contains("might_contain") || plan.contains("bloomfilter")))
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
+    // ---- BPE merge-step pair counting: the inner loop of byte-pair
+    //      tokenizer training — count adjacent symbol pairs over the
+    //      vocabulary weighted by word frequency, emit the top merge
+    //      candidates. Two map-side-combined aggs (corpus→word freq,
+    //      word→pair counts) + a bounded TakeOrdered(20); the word
+    //      table is |vocab|, not |corpus|, so the pair stage cost is
+    //      independent of corpus size. ----
+    "q197_bpe_merge_count" -> ((s, dir) => {
+      val words = table(s, dir, "documents")
+        .select(explode(
+          graft.functions.TextFunctions.tokens(lower(col("text")))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .filter(length(col("w")) >= 2)
+      words
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(20)
+    }),
+
+    // ---- built-in streaming dedup with watermark-bounded state:
+    //      dropDuplicatesWithinWatermark keeps state only inside the
+    //      watermark horizon (vs q48's custom TTL state machine) — the
+    //      contract that makes infinite-stream dedup feasible: state
+    //      is O(keys per watermark window), not O(stream). Only the
+    //      key columns are emitted (which surviving row represents a
+    //      key is arrival-order-dependent; the key SET is exact). ----
+    "q198_stream_dedup_watermark" -> ((s, dir) =>
+      graft.streaming.EventStream.runDedupWithinWatermark(s, dir)),
+
+    // ---- in-batch-negatives assembly: contrastive training treats
+    //      every other doc in a batch as a negative, so a batch must
+    //      not contain two docs from the same source (false
+    //      negatives). Round-robin interleave: rank docs within each
+    //      source by a deterministic md5 draw, order globally by
+    //      (rank, source) — consecutive docs then cycle through
+    //      sources — and cut into batches of 8. The global order is
+    //      materialized by the range-partitioned denseIdsOrdered (no
+    //      single-partition sort), so assembly is 2 shuffles at any
+    //      corpus size. ----
+    "q199_inbatch_negatives" -> ((s, dir) => {
+      val batch = 8L
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.operators.Sketches.hash60(
+            concat(lit("nb:"), col("doc_id"))).as("h"))
+      val perSource = Window.partitionBy(col("source"))
+        .orderBy(col("h"), col("doc_id"))
+      val ranked = d.withColumn("r", row_number().over(perSource).cast("long"))
+      graft.operators.Intervals
+        .denseIdsOrdered(ranked, Seq("r", "source", "doc_id"))
+        .select(col("doc_id"), col("source"),
+          expr(s"seq_id div ${batch}L").as("batch_id"),
+          (col("seq_id") % batch).as("pos"))
+    }),
+
+    // ---- product-quantization ANN (ADC): corpus compressed to m = 8
+    //      codes per vector (8-dim subspaces, 4-codeword codebook —
+    //      the given-centroids protocol of q32); queries score corpus
+    //      rows by 8 integer table lookups, never touching corpus
+    //      floats. Exact quantized-integer arithmetic throughout, so
+    //      the oracle replays codebook build, encode, ADC and top-2
+    //      bit-identically. ----
+    "q200_pq_ann" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      graft.operators.Similarity.pqTopK(
+        corpus = e.filter(col("vec_id") >= 20),
+        queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 12),
+        codebook = e.filter(col("vec_id") < 4),
+        idCol = "vec_id", vecCol = "embedding",
+        m = 8, subDim = 8, numCodes = 4, k = 2)
+    }))
+
+  private def DecimalType(p: Int, s: Int) =
+    org.apache.spark.sql.types.DecimalType(p, s)
 }
 
 /** DuckDB oracles for [[QueriesRound5.all]]. */
 object OraclesRound5 {
+
+  // hash60: first 15 hex digits of md5 as a base-16 integer (see
+  // Sketches.hash60); DuckDB lacks conv(), so expand digit-by-digit
+  private def hash60(arg: String): String =
+    s"""CAST((SELECT SUM((instr('0123456789abcdef',
+           substring(md5($arg), i, 1)) - 1)
+         * (CAST(1 AS BIGINT) << (4 * (15 - i))))
+       FROM generate_series(1, 15) AS t(i)) AS BIGINT)"""
+
   val all: Map[String, String] = Map(
 
     // the flushed-prefix contract: stream result == batch left join
@@ -36,5 +200,117 @@ object OraclesRound5 {
           AND b.event_type = 'click'
           AND b.ts > a.ts
           AND b.ts <= a.ts + INTERVAL 30 MINUTE
-         WHERE a.event_type = 'purchase' AND a.user_id < 50""")
+         WHERE a.event_type = 'purchase' AND a.user_id < 50""",
+
+    "q195_temperature_mixture" ->
+      s"""WITH d AS (SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+               x -> x <> '')) AS BIGINT) AS n_tokens,
+             ${hash60("'mix5:' || CAST(doc_id AS VARCHAR)")} AS h
+           FROM documents),
+         t AS (SELECT source, SUM(n_tokens) AS tot FROM d GROUP BY source),
+         wts AS (SELECT source,
+             CAST(floor(sqrt(CAST(tot AS DOUBLE))) AS BIGINT) AS w FROM t),
+         q AS (SELECT source,
+             (5000 * w) // (SELECT SUM(w) FROM wts) AS quota FROM wts),
+         s AS (SELECT d.doc_id, d.source, d.n_tokens, q.quota,
+             COALESCE(SUM(d.n_tokens) OVER (PARTITION BY d.source
+               ORDER BY d.h, d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+           FROM d JOIN q USING (source))
+         SELECT doc_id, source, n_tokens, CAST(quota AS BIGINT) AS quota
+         FROM s WHERE before < quota""",
+
+    // bloom_pruned is the in-query plan gate (q160's pattern): Spark
+    // bakes the literal after checking the finalized plan for the
+    // injected runtime filter
+    "q196_bloom_runtime_join" ->
+      """SELECT l.l_returnflag, o.o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+             AS sum_qty,
+           TRUE AS bloom_pruned
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE o.o_orderpriority = '1-URGENT'
+         GROUP BY 1, 2""",
+
+    "q197_bpe_merge_count" ->
+      """WITH w AS (SELECT unnest(list_filter(
+             string_split_regex(trim(lower(text)), '\s+'),
+             x -> x <> '')) AS w
+           FROM documents),
+         v AS (SELECT w, COUNT(*) AS f FROM w
+               GROUP BY w HAVING length(w) >= 2),
+         p AS (SELECT w, f,
+               unnest(generate_series(1, length(w) - 1)) AS i FROM v),
+         c AS (SELECT substring(w, i, 2) AS pair,
+               CAST(SUM(f) AS BIGINT) AS cnt
+               FROM p GROUP BY 1)
+         SELECT pair, cnt FROM c
+         ORDER BY cnt DESC, pair LIMIT 20""",
+
+    // the surviving ROW per key is arrival-order-dependent; the key
+    // SET after a full drain is exactly the distinct keys
+    "q198_stream_dedup_watermark" ->
+      """SELECT DISTINCT user_id, event_type FROM events""",
+
+    "q199_inbatch_negatives" ->
+      s"""WITH d AS (SELECT doc_id, source,
+             ${hash60("'nb:' || CAST(doc_id AS VARCHAR)")} AS h
+           FROM documents),
+         r AS (SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY h, doc_id) AS r
+           FROM d),
+         sq AS (SELECT doc_id, source,
+             ROW_NUMBER() OVER (ORDER BY r, source, doc_id) - 1 AS seq
+           FROM r)
+         SELECT doc_id, source, seq // 8 AS batch_id, seq % 8 AS pos
+         FROM sq""",
+
+    // full PQ replay: codebook subvectors, quantized-integer encode
+    // (argmin d2 with code tie-break), per-query ADC tables, m-lookup
+    // scoring, top-2 by (adc_d2 asc, neighbor asc)
+    "q200_pq_ann" ->
+      """WITH cb AS (SELECT vec_id AS code_id, embedding
+             FROM embeddings WHERE vec_id < 4),
+         corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
+         qry AS (SELECT vec_id, embedding
+             FROM embeddings WHERE vec_id >= 8 AND vec_id < 12),
+         subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+         cbs AS (SELECT code_id, sub,
+             embedding[(sub*8+1):(sub*8+8)] AS cv FROM cb CROSS JOIN subs),
+         corps AS (SELECT vec_id, sub,
+             embedding[(sub*8+1):(sub*8+8)] AS v FROM corp CROSS JOIN subs),
+         qrys AS (SELECT vec_id, sub,
+             embedding[(sub*8+1):(sub*8+8)] AS v FROM qry CROSS JOIN subs),
+         enc_d AS (SELECT c.vec_id, c.sub, b.code_id,
+             (SELECT SUM((CAST(round(CAST(x AS DOUBLE)*10000000) AS BIGINT)
+                        - CAST(round(CAST(y AS DOUBLE)*10000000) AS BIGINT))
+                       * (CAST(round(CAST(x AS DOUBLE)*10000000) AS BIGINT)
+                        - CAST(round(CAST(y AS DOUBLE)*10000000) AS BIGINT)))
+              FROM (SELECT unnest(c.v) AS x, unnest(b.cv) AS y) zz) AS d2
+           FROM corps c JOIN cbs b ON b.sub = c.sub),
+         codes AS (SELECT vec_id, sub, code_id FROM (
+             SELECT vec_id, sub, code_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                 ORDER BY d2, code_id) AS rn
+             FROM enc_d) WHERE rn = 1),
+         adc AS (SELECT q.vec_id, q.sub, b.code_id,
+             (SELECT SUM((CAST(round(CAST(x AS DOUBLE)*10000000) AS BIGINT)
+                        - CAST(round(CAST(y AS DOUBLE)*10000000) AS BIGINT))
+                       * (CAST(round(CAST(x AS DOUBLE)*10000000) AS BIGINT)
+                        - CAST(round(CAST(y AS DOUBLE)*10000000) AS BIGINT)))
+              FROM (SELECT unnest(q.v) AS x, unnest(b.cv) AS y) zz) AS d2
+           FROM qrys q JOIN cbs b ON b.sub = q.sub),
+         pairs AS (SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(a.d2) AS BIGINT) AS adc_d2
+           FROM codes c JOIN adc a
+             ON a.sub = c.sub AND a.code_id = c.code_id
+           GROUP BY 1, 2),
+         r AS (SELECT query_id, neighbor_id, adc_d2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY adc_d2, neighbor_id) AS rk
+           FROM pairs)
+         SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank, adc_d2
+         FROM r WHERE rk <= 2""")
 }

@@ -214,6 +214,84 @@ object Similarity {
         descaleDot(col("ordL")).as("dot"))
   }
 
+  /** Exact quantized squared L2 distance between two float arrays:
+    * Σ (aq−bq)² over 1e-7-quantized integer components, expanded as
+    * qd(a,a) − 2·qd(a,b) + qd(b,b) so it reuses the [[dotExact]]
+    * kernel — exact 64-bit integers, engine-portable. */
+  def l2Exact(a: Column, b: Column): Column =
+    dotExact(a, a) - lit(2L) * dotExact(a, b) + dotExact(b, b)
+
+  /** Product-quantization ANN with asymmetric distance computation
+    * (ADC) — the memory-compression scale path: each corpus vector is
+    * stored as `m` small codes (one per contiguous subspace of
+    * `subDim` dims) instead of `m·subDim` floats, a ~32× shrink at
+    * byte codes. Search never touches corpus floats: per query a tiny
+    * m×numCodes distance table is precomputed against the codebook,
+    * and each corpus row is scored by `m` integer array lookups.
+    *
+    * Scale shape: encoding is one broadcast join over the corpus
+    * (O(n·m·numCodes) subspace distances, map-local); scoring is a
+    * broadcast of the per-query tables against the packed codes — one
+    * corpus pass, no shuffle of the corpus, and the bounded top-k
+    * aggregator ships k rows per query into the final shuffle. All
+    * arithmetic is exact quantized integers ([[l2Exact]]), so the
+    * result is oracle-checkable end to end.
+    *
+    * The codebook is supplied (same given-centroids protocol as
+    * [[assignCentroids]]); its `idCol` values must be the dense code
+    * ids 0..numCodes−1 — they index the ADC table. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, m: Int, subDim: Int, numCodes: Int,
+      k: Int): DataFrame = {
+    // codebook subvectors: (code_id, sub, cbsub) — m·numCodes rows
+    val cbs = codebook.select(col(idCol).cast("long").as("code_id"),
+        col(vecCol).as("cbv"))
+      .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("cbsub", slice(col("cbv"), col("sub") * subDim + 1,
+        lit(subDim)))
+      .select("code_id", "sub", "cbsub")
+    // encode: nearest codeword per (vector, subspace), min-(d2, code)
+    // argmin via struct min — map-local after the broadcast join, so
+    // partial aggregation collapses to one row per (vector, sub)
+    val enc = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("cv"))
+      .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("vsub", slice(col("cv"), col("sub") * subDim + 1,
+        lit(subDim)))
+      .join(broadcast(cbs), Seq("sub"))
+      .withColumn("d2", l2Exact(col("vsub"), col("cbsub")))
+      .groupBy(col("neighbor_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("code_id"))).as("best"))
+      .select(col("neighbor_id"), col("sub"), col("best.code_id").as("code"))
+    // pack the m codes into one array per vector (ordered by sub) —
+    // this IS the compressed index a production run would persist
+    val codesArr = enc.groupBy(col("neighbor_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        e => e.getField("code")).as("codes"))
+    // per-query ADC table, flattened ordered by (sub, code_id) so
+    // entry [sub·numCodes + code] is that subspace's distance
+    val dtab = queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).as("qv"))
+      .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("qsub", slice(col("qv"), col("sub") * subDim + 1,
+        lit(subDim)))
+      .join(broadcast(cbs), Seq("sub"))
+      .withColumn("d2", l2Exact(col("qsub"), col("cbsub")))
+      .groupBy(col("query_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code_id"), col("d2")))),
+        e => e.getField("d2")).as("dtab"))
+    // ADC scoring: m integer lookups per corpus row, zero float math
+    val scored = codesArr.crossJoin(broadcast(dtab))
+      .withColumn("adc_d2", expr(
+        s"aggregate(sequence(0, ${m - 1}), cast(0 as bigint), " +
+          s"(acc, sb) -> acc + dtab[cast(sb * $numCodes + codes[sb] as int)])"))
+    TopK.topKPerQuery(scored.withColumn("neg", -col("adc_d2")),
+        col("neg"), lit(0.0), col("neighbor_id"), noVec, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (-col("ordL")).as("adc_d2"))
+  }
+
   /** Band width (bits per LSH band) scaled to the corpus size: bucket
     * count per band is 2^width, so width grows with log2(n) and the
     * expected bucket occupancy — the Σ bucket² pair cost — stays

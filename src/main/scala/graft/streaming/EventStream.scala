@@ -185,6 +185,31 @@ object EventStream {
     spark.table(queryName).filter(col("user_id") < maxUser)
   }
 
+  /** Built-in watermark-bounded streaming dedup: one surviving row per
+    * (user_id, event_type) with state kept only inside the watermark
+    * horizon — the contract that makes infinite-stream dedup feasible
+    * (state is O(keys per window), not O(stream); q48's custom TTL
+    * state machine is the hand-rolled equivalent). Only the key
+    * columns are emitted: WHICH physical row survives is
+    * arrival-order-dependent, but the key set after a full drain is
+    * exactly the distinct keys. */
+  def runDedupWithinWatermark(spark: SparkSession, dir: String,
+      queryName: String = "graft_stream_ddw",
+      statePartitions: Int = 8): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = readStream(spark, dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(queryName).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(queryName)
+  }
+
   /** Drain the stream-stream join (append mode — inner joins emit as
     * matches arrive). */
   def runPurchaseClickJoin(spark: SparkSession, dir: String,

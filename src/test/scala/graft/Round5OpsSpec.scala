@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Intervals, Similarity}
+
+class Round5OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("denseIdsOrdered: dense 0..n-1 ids matching the global sort order") {
+    val df = Seq(("b", 2L), ("a", 1L), ("c", 3L), ("a", 4L), ("b", 5L))
+      .toDF("k", "id")
+    for (parts <- Seq(1, 2, 4)) {
+      val got = Intervals.denseIdsOrdered(df, Seq("k", "id"), parts)
+        .orderBy("seq_id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // expected order: (a,1) (a,4) (b,2) (b,5) (c,3) with ids 0..4
+      assert(got.toSeq == Seq(("a", 1L, 0L), ("a", 4L, 1L), ("b", 2L, 2L),
+        ("b", 5L, 3L), ("c", 3L, 4L)), s"parts=$parts")
+    }
+  }
+
+  test("pqTopK: ADC finds the planted nearest neighbor; exact plan shape") {
+    // codebook = the 4 axis-ish directions; corpus vectors sit exactly
+    // on codewords, so ADC distance to the matching query is 0
+    def vec(i: Int, d: Int = 8): Array[Float] =
+      Array.tabulate(d)(j => if (j == i) 1.0f else 0.0f)
+    val cb = Seq((0L, vec(0) ++ vec(0)), (1L, vec(1) ++ vec(1)),
+      (2L, vec(2) ++ vec(2)), (3L, vec(3) ++ vec(3)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq((10L, vec(0) ++ vec(0)), (11L, vec(1) ++ vec(1)),
+      (12L, vec(2) ++ vec(3))).toDF("vec_id", "embedding")
+    val queries = Seq((20L, vec(0) ++ vec(0))).toDF("vec_id", "embedding")
+    val top = Similarity.pqTopK(corpus, queries, cb,
+      "vec_id", "embedding", m = 2, subDim = 8, numCodes = 4, k = 2)
+    val rows = top.orderBy("rank").collect()
+    assert(rows(0).getAs[Long]("neighbor_id") == 10L)
+    assert(rows(0).getAs[Long]("adc_d2") == 0L) // sits on its codewords
+    assert(rows(1).getAs[Long]("adc_d2") > 0L)
+    // house ANN rule: bounded partial aggregation, never a rank window
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("pq codes compress: corpus floats never reach the scoring join") {
+    // the scored side's schema is (neighbor_id, codes) — m longs, not
+    // m*subDim floats: the compression contract of the PQ index
+    val e = Queries.table(spark, sf, "embeddings")
+    val top = Similarity.pqTopK(
+      e.filter(col("vec_id") >= 20), e.filter(col("vec_id") < 2),
+      e.filter(col("vec_id") < 4), "vec_id", "embedding",
+      m = 8, subDim = 8, numCodes = 4, k = 2)
+    assert(top.count() == 4) // 2 queries × k=2
+    val plan = top.queryExecution.executedPlan.toString
+    // exactly one corpus-side scan feeds encoding; scoring reuses codes
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("q196 bloom gate: runtime filter verifiably injected") {
+    val out = SparkEntry.queries("q196_bloom_runtime_join")(spark, sf)
+    assert(out.collect().forall(_.getAs[Boolean]("bloom_pruned")))
+  }
+
+  test("q198 dropDuplicatesWithinWatermark == batch distinct keys") {
+    val got = graft.streaming.EventStream
+      .runDedupWithinWatermark(spark, sf, queryName = "t_ddw")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = Queries.events(spark, sf)
+      .select("user_id", "event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("q199: every full batch draws its docs from 8 distinct sources") {
+    // with 20 sources and near-balanced ranks, the round-robin
+    // interleave guarantees no same-source pair inside a full batch
+    val out = SparkEntry.queries("q199_inbatch_negatives")(spark, sf)
+    val full = out.groupBy("batch_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("source")).as("ns"))
+      .filter(col("n") === 8)
+    assert(full.count() > 0)
+    val bad = full.filter(col("ns") < 8).count()
+    assert(bad == 0, s"$bad full batches contain a same-source pair")
+  }
+
+  test("q195 temperature quotas: small sources get relatively more") {
+    val out = SparkEntry.queries("q195_temperature_mixture")(spark, sf)
+    val d = Queries.table(spark, sf, "documents")
+      .select(col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("tot"))
+    val q = out.groupBy("source").agg(first("quota").as("quota"))
+      .join(d, "source")
+      .select(col("source"), col("quota"), col("tot")).collect()
+    // quota ∝ sqrt(tot): the quota/tot ratio must strictly favor the
+    // smallest source over the largest
+    val bySize = q.sortBy(_.getAs[Long]("tot"))
+    val small = bySize.head
+    val large = bySize.last
+    assert(small.getAs[Long]("quota") * large.getAs[Long]("tot") >
+      large.getAs[Long]("quota") * small.getAs[Long]("tot"))
+  }
+}
