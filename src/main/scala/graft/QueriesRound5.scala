@@ -171,7 +171,38 @@ object QueriesRound5 {
         codebook = e.filter(col("vec_id") < 4),
         idCol = "vec_id", vecCol = "embedding",
         m = 8, subDim = 8, numCodes = 4, k = 2)
-    }))
+    }),
+
+    // ---- IVF-PQ: coarse quantizer prunes candidates to the query's
+    //      cell (q32's assignment), PQ compresses scoring inside the
+    //      cell (q200's ADC) — the production vector-index
+    //      architecture, 1/K of the corpus probed AND no floats
+    //      touched while scoring. Same given-centroids/codebook
+    //      protocol as its two constituents. ----
+    "q201_ivfpq_ann" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val e = table(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+      Similarity.ivfPqTopK(
+        assignedCorpus = Similarity.assignCentroids(
+          e.filter(col("vec_id") >= 20), centroids, "vec_id", "embedding"),
+        assignedQueries = Similarity.assignCentroids(
+          e.filter(col("vec_id") >= 8 && col("vec_id") < 12), centroids,
+          "vec_id", "embedding"),
+        codebook = e.filter(col("vec_id") < 4),
+        idCol = "vec_id", vecCol = "embedding",
+        m = 8, subDim = 8, numCodes = 4, k = 2)
+    }),
+
+    // ---- cross-doc repeated spans WITH positions (ExactSubstr
+    //      flavor): per doc, the maximal token intervals covered by
+    //      any 8-token window occurring ≥2 times corpus-wide — q128
+    //      drops hot blocks; this reports surgically-cuttable
+    //      intervals. O(corpus tokens), no pairwise doc work. ----
+    "q202_repeated_spans" -> ((s, dir) =>
+      graft.operators.Corpus.repeatedSpans(
+        table(s, dir, "documents"), "doc_id", "text",
+        window = 8, minOcc = 2L)))
 
   private def DecimalType(p: Int, s: Int) =
     org.apache.spark.sql.types.DecimalType(p, s)
@@ -312,5 +343,108 @@ object OraclesRound5 {
                ORDER BY adc_d2, neighbor_id) AS rk
            FROM pairs)
          SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank, adc_d2
-         FROM r WHERE rk <= 2""")
+         FROM r WHERE rk <= 2""",
+
+    // q32's max-dot cell assignment CTEs + q200's encode/ADC CTEs,
+    // pairs restricted to matching cells
+    "q201_ivfpq_ann" ->
+      """WITH cent AS (SELECT vec_id AS centroid_id, embedding AS ctv
+             FROM embeddings WHERE vec_id < 8),
+         cb AS (SELECT vec_id AS code_id, embedding
+             FROM embeddings WHERE vec_id < 4),
+         corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
+         qry AS (SELECT vec_id, embedding
+             FROM embeddings WHERE vec_id >= 8 AND vec_id < 12),
+         corp_d AS (SELECT c.vec_id, cent.centroid_id,
+             (SELECT SUM(CAST(round(CAST(x AS DOUBLE)*10000000) AS BIGINT)
+                       * CAST(round(CAST(y AS DOUBLE)*10000000) AS BIGINT))
+              FROM (SELECT unnest(c.embedding) AS x, unnest(cent.ctv) AS y) zz)
+               AS dot
+           FROM corp c, cent),
+         corp_a AS (SELECT vec_id, centroid_id FROM (
+             SELECT vec_id, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY dot DESC, centroid_id) AS rn
+             FROM corp_d) WHERE rn = 1),
+         qry_d AS (SELECT q.vec_id, cent.centroid_id,
+             (SELECT SUM(CAST(round(CAST(x AS DOUBLE)*10000000) AS BIGINT)
+                       * CAST(round(CAST(y AS DOUBLE)*10000000) AS BIGINT))
+              FROM (SELECT unnest(q.embedding) AS x, unnest(cent.ctv) AS y) zz)
+               AS dot
+           FROM qry q, cent),
+         qry_a AS (SELECT vec_id, centroid_id FROM (
+             SELECT vec_id, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY dot DESC, centroid_id) AS rn
+             FROM qry_d) WHERE rn = 1),
+         subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+         cbs AS (SELECT code_id, sub,
+             embedding[(sub*8+1):(sub*8+8)] AS cv FROM cb CROSS JOIN subs),
+         corps AS (SELECT vec_id, sub,
+             embedding[(sub*8+1):(sub*8+8)] AS v FROM corp CROSS JOIN subs),
+         qrys AS (SELECT vec_id, sub,
+             embedding[(sub*8+1):(sub*8+8)] AS v FROM qry CROSS JOIN subs),
+         enc_d AS (SELECT c.vec_id, c.sub, b.code_id,
+             (SELECT SUM((CAST(round(CAST(x AS DOUBLE)*10000000) AS BIGINT)
+                        - CAST(round(CAST(y AS DOUBLE)*10000000) AS BIGINT))
+                       * (CAST(round(CAST(x AS DOUBLE)*10000000) AS BIGINT)
+                        - CAST(round(CAST(y AS DOUBLE)*10000000) AS BIGINT)))
+              FROM (SELECT unnest(c.v) AS x, unnest(b.cv) AS y) zz) AS d2
+           FROM corps c JOIN cbs b ON b.sub = c.sub),
+         codes AS (SELECT vec_id, sub, code_id FROM (
+             SELECT vec_id, sub, code_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                 ORDER BY d2, code_id) AS rn
+             FROM enc_d) WHERE rn = 1),
+         adc AS (SELECT q.vec_id, q.sub, b.code_id,
+             (SELECT SUM((CAST(round(CAST(x AS DOUBLE)*10000000) AS BIGINT)
+                        - CAST(round(CAST(y AS DOUBLE)*10000000) AS BIGINT))
+                       * (CAST(round(CAST(x AS DOUBLE)*10000000) AS BIGINT)
+                        - CAST(round(CAST(y AS DOUBLE)*10000000) AS BIGINT)))
+              FROM (SELECT unnest(q.v) AS x, unnest(b.cv) AS y) zz) AS d2
+           FROM qrys q JOIN cbs b ON b.sub = q.sub),
+         pairs AS (SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(a.d2) AS BIGINT) AS adc_d2
+           FROM codes c
+           JOIN corp_a ca ON ca.vec_id = c.vec_id
+           JOIN qry_a qa ON qa.centroid_id = ca.centroid_id
+           JOIN adc a ON a.sub = c.sub AND a.code_id = c.code_id
+             AND a.vec_id = qa.vec_id
+           GROUP BY 1, 2),
+         r AS (SELECT query_id, neighbor_id, adc_d2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY adc_d2, neighbor_id) AS rk
+           FROM pairs)
+         SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank, adc_d2
+         FROM r WHERE rk <= 2""",
+
+    // windowed shingles with positions, corpus-wide occurrence filter,
+    // gaps-and-islands merge (new island when start > running max end)
+    "q202_repeated_spans" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         g AS (SELECT doc_id, tk,
+             unnest(generate_series(0, len(tk) - 8)) AS i
+           FROM t WHERE len(tk) >= 8),
+         sh AS (SELECT doc_id, CAST(i AS BIGINT) AS start,
+             array_to_string(tk[(i+1):(i+8)], ' ') AS win FROM g),
+         hot AS (SELECT win FROM sh GROUP BY win HAVING COUNT(*) >= 2),
+         rep AS (SELECT sh.doc_id, sh.start, sh.start + 7 AS e
+                 FROM sh SEMI JOIN hot USING (win)),
+         m AS (SELECT doc_id, start, e,
+             CASE WHEN MAX(e) OVER w IS NULL OR start > MAX(e) OVER w
+                  THEN 1 ELSE 0 END AS nw
+           FROM rep
+           WINDOW w AS (PARTITION BY doc_id ORDER BY start, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         isl AS (SELECT doc_id, start, e,
+             SUM(nw) OVER (PARTITION BY doc_id ORDER BY start, e
+               ROWS UNBOUNDED PRECEDING) AS island
+           FROM m)
+         SELECT doc_id, CAST(island AS BIGINT) AS island,
+           MIN(start) AS island_start, MAX(e) AS island_end,
+           COUNT(*) AS n_windows
+         FROM isl GROUP BY doc_id, island""")
 }

@@ -471,4 +471,40 @@ object Corpus {
           .cast("long"))
       .select(col("id").as(idCol), col("chunk_idx"), col("chunk_len"))
   }
+
+  /** Cross-document repeated-span detection WITH POSITIONS — the
+    * ExactSubstr flavor of span dedup: q128's block dedup drops hot
+    * fixed blocks; this reports, per document, the maximal token
+    * intervals covered by any `window`-token span that occurs at least
+    * `minOcc` times corpus-wide, so a removal pass can surgically cut
+    * exactly the repeated text (and keep one canonical occurrence if
+    * it wants — the intervals carry enough to decide).
+    *
+    * Shape: one windowed-shingle explode (scan-local fan-out ≈ token
+    * count), one map-side-combined occurrence count, one semi join
+    * back, and [[Intervals.mergeIntervals]] per doc — no pairwise doc
+    * comparison anywhere, so cost is O(corpus tokens), not O(docs²).
+    * Output: (doc_id, island, island_start, island_end, n_windows),
+    * token-indexed [start, end] inclusive. */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      window: Int, minOcc: Long): DataFrame = {
+    val sh = df
+      .select(col(idCol), TextFunctions.tokens(lower(col(textCol))).as("tk"))
+      .filter(size(col("tk")) >= window)
+      .select(col(idCol), explode(expr(
+        s"""transform(sequence(0, size(tk) - $window),
+            i -> struct(i AS start,
+                        array_join(slice(tk, i + 1, $window), ' ') AS win))"""))
+        .as("s"))
+      .select(col(idCol), col("s.start").cast("long").as("start"),
+        col("s.win").as("win"))
+    val hot = sh.groupBy(col("win")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOcc).select("win")
+    val rep = sh.join(hot, Seq("win"), "left_semi")
+      .select(col(idCol), col("start"),
+        (col("start") + (window - 1)).as("end"))
+    Intervals.mergeIntervals(rep, idCol, "start", "end")
+      .select(col(idCol), col("island"), col("island_start"),
+        col("island_end"), col("n_rows").as("n_windows"))
+  }
 }

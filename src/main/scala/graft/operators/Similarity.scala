@@ -243,17 +243,68 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
       idCol: String, vecCol: String, m: Int, subDim: Int, numCodes: Int,
       k: Int): DataFrame = {
-    // codebook subvectors: (code_id, sub, cbsub) — m·numCodes rows
-    val cbs = codebook.select(col(idCol).cast("long").as("code_id"),
+    val cbs = pqSubvecs(codebook, idCol, vecCol, m, subDim)
+    val codesArr = pqCodes(corpus, cbs, idCol, vecCol, m, subDim)
+    val dtab = pqDistTables(queries, cbs, idCol, vecCol, m, subDim)
+    // ADC scoring: m integer lookups per corpus row, zero float math
+    val scored = codesArr.crossJoin(broadcast(dtab))
+      .withColumn("adc_d2", adcLookup(m, numCodes))
+    TopK.topKPerQuery(scored.withColumn("neg", -col("adc_d2")),
+        col("neg"), lit(0.0), col("neighbor_id"), noVec, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (-col("ordL")).as("adc_d2"))
+  }
+
+  /** IVF-PQ: the two ANN scale mechanisms composed the way a
+    * production vector index runs them — the coarse quantizer (IVF
+    * cell assignment, [[assignCentroids]]) prunes the CANDIDATE SET to
+    * the query's cell (1/K of the corpus per probe), and product
+    * quantization compresses the SCORING inside the cell (m code
+    * lookups per candidate, no corpus floats). Inputs are
+    * pre-assigned corpus/queries (so multi-probe query assignment via
+    * [[assignCentroidsProbes]] composes directly); the codebook here
+    * encodes raw vectors — a production IVF-PQ encodes residuals
+    * (x − centroid), same pipeline shape with a subtraction folded
+    * into the encode/table steps. */
+  def ivfPqTopK(assignedCorpus: DataFrame, assignedQueries: DataFrame,
+      codebook: DataFrame, idCol: String, vecCol: String, m: Int,
+      subDim: Int, numCodes: Int, k: Int,
+      centroidIdCol: String = "centroid_id"): DataFrame = {
+    val cbs = pqSubvecs(codebook, idCol, vecCol, m, subDim)
+    val codesArr = pqCodes(assignedCorpus, cbs, idCol, vecCol, m, subDim)
+      .join(assignedCorpus.select(col(idCol).cast("long").as("neighbor_id"),
+        col(centroidIdCol)), "neighbor_id")
+    val dtab = pqDistTables(assignedQueries, cbs, idCol, vecCol, m, subDim)
+      .join(assignedQueries.select(col(idCol).cast("long").as("query_id"),
+        col(centroidIdCol)), "query_id")
+    // cell-restricted ADC: only same-cell (query, candidate) pairs form
+    val scored = codesArr.join(broadcast(dtab), Seq(centroidIdCol))
+      .withColumn("adc_d2", adcLookup(m, numCodes))
+    TopK.topKPerQuery(scored.withColumn("neg", -col("adc_d2")),
+        col("neg"), lit(0.0), col("neighbor_id"), noVec, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (-col("ordL")).as("adc_d2"))
+  }
+
+  /** Codebook subvectors: (code_id, sub, cbsub) — m·numCodes rows. */
+  private def pqSubvecs(codebook: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int): DataFrame =
+    codebook.select(col(idCol).cast("long").as("code_id"),
         col(vecCol).as("cbv"))
       .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
       .withColumn("cbsub", slice(col("cbv"), col("sub") * subDim + 1,
         lit(subDim)))
       .select("code_id", "sub", "cbsub")
-    // encode: nearest codeword per (vector, subspace), min-(d2, code)
-    // argmin via struct min — map-local after the broadcast join, so
-    // partial aggregation collapses to one row per (vector, sub)
-    val enc = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+
+  /** PQ encode: nearest codeword per (vector, subspace) — min-(d2,
+    * code) argmin via struct min, map-local after the broadcast join so
+    * partial aggregation collapses to one row per (vector, sub) — then
+    * the m codes packed into one array per vector (ordered by sub).
+    * The packed array IS the compressed index a production run would
+    * persist: (neighbor_id, codes). */
+  private def pqCodes(corpus: DataFrame, cbs: DataFrame, idCol: String,
+      vecCol: String, m: Int, subDim: Int): DataFrame =
+    corpus.select(col(idCol).cast("long").as("neighbor_id"),
         col(vecCol).as("cv"))
       .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
       .withColumn("vsub", slice(col("cv"), col("sub") * subDim + 1,
@@ -263,14 +314,16 @@ object Similarity {
       .groupBy(col("neighbor_id"), col("sub"))
       .agg(min(struct(col("d2"), col("code_id"))).as("best"))
       .select(col("neighbor_id"), col("sub"), col("best.code_id").as("code"))
-    // pack the m codes into one array per vector (ordered by sub) —
-    // this IS the compressed index a production run would persist
-    val codesArr = enc.groupBy(col("neighbor_id"))
+      .groupBy(col("neighbor_id"))
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
         e => e.getField("code")).as("codes"))
-    // per-query ADC table, flattened ordered by (sub, code_id) so
-    // entry [sub·numCodes + code] is that subspace's distance
-    val dtab = queries.select(col(idCol).cast("long").as("query_id"),
+
+  /** Per-query ADC distance tables, flattened ordered by (sub,
+    * code_id) so entry [sub·numCodes + code] is that subspace's
+    * distance: (query_id, dtab). */
+  private def pqDistTables(queries: DataFrame, cbs: DataFrame, idCol: String,
+      vecCol: String, m: Int, subDim: Int): DataFrame =
+    queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).as("qv"))
       .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
       .withColumn("qsub", slice(col("qv"), col("sub") * subDim + 1,
@@ -281,16 +334,12 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("code_id"), col("d2")))),
         e => e.getField("d2")).as("dtab"))
-    // ADC scoring: m integer lookups per corpus row, zero float math
-    val scored = codesArr.crossJoin(broadcast(dtab))
-      .withColumn("adc_d2", expr(
-        s"aggregate(sequence(0, ${m - 1}), cast(0 as bigint), " +
-          s"(acc, sb) -> acc + dtab[cast(sb * $numCodes + codes[sb] as int)])"))
-    TopK.topKPerQuery(scored.withColumn("neg", -col("adc_d2")),
-        col("neg"), lit(0.0), col("neighbor_id"), noVec, k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        (-col("ordL")).as("adc_d2"))
-  }
+
+  /** Σ over subspaces of the query's table entry for the candidate's
+    * code — the ADC inner loop, exact 64-bit integers. */
+  private def adcLookup(m: Int, numCodes: Int): Column = expr(
+    s"aggregate(sequence(0, ${m - 1}), cast(0 as bigint), " +
+      s"(acc, sb) -> acc + dtab[cast(sb * $numCodes + codes[sb] as int)])")
 
   /** Band width (bits per LSH band) scaled to the corpus size: bucket
     * count per band is 2^width, so width grows with log2(n) and the

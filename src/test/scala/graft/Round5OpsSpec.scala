@@ -58,6 +58,48 @@ class Round5OpsSpec extends SparkTestBase {
     assert(plan.contains("partial_"), plan)
   }
 
+  test("ivfPqTopK restricts candidates to the query's cell") {
+    def vec(i: Int, d: Int = 8): Array[Float] =
+      Array.tabulate(d)(j => if (j == i) 1.0f else 0.0f)
+    // two cells (axis 0 / axis 1); codebook = the 4 axis codewords
+    val centroids = Seq((0L, vec(0) ++ vec(0)), (1L, vec(1) ++ vec(1)))
+      .toDF("vec_id", "embedding")
+    val cb = Seq((0L, vec(0) ++ vec(0)), (1L, vec(1) ++ vec(1)),
+      (2L, vec(2) ++ vec(2)), (3L, vec(3) ++ vec(3)))
+      .toDF("vec_id", "embedding")
+    // 10 lands in cell 0; 11 (the global NN of a cell-1 query's
+    // opposite) lands in cell 1
+    val corpus = Seq((10L, vec(0) ++ vec(0)), (11L, vec(1) ++ vec(1)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((20L, vec(1) ++ vec(1))).toDF("vec_id", "embedding")
+    val top = Similarity.ivfPqTopK(
+      Similarity.assignCentroids(corpus, centroids, "vec_id", "embedding"),
+      Similarity.assignCentroids(queries, centroids, "vec_id", "embedding"),
+      cb, "vec_id", "embedding", m = 2, subDim = 8, numCodes = 4, k = 2)
+    val rows = top.collect()
+    // only the same-cell candidate surfaces — cell pruning is real
+    assert(rows.map(_.getAs[Long]("neighbor_id")).toSet == Set(11L))
+    assert(rows.head.getAs[Long]("adc_d2") == 0L)
+  }
+
+  test("repeatedSpans: planted cross-doc span located; adjacent windows merge") {
+    val repeated = (1 to 9).map(i => s"tok$i").mkString(" ") // 9 tokens
+    val docs = Seq(
+      (1L, s"alpha beta $repeated gamma delta"),
+      (2L, s"$repeated something else entirely here now"),
+      (3L, "completely unrelated text with no repeats at all ok")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Corpus
+      .repeatedSpans(docs, "doc_id", "text", window = 8, minOcc = 2L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("island_start"),
+        r.getAs[Long]("island_end"), r.getAs[Long]("n_windows")))
+    // doc 1: 9-token repeat starts at token 2 → windows at 2 and 3
+    // merge into [2, 10]; doc 2: repeat at 0 → windows at 0 and 1
+    // merge into [0, 8]
+    assert(out.toSet == Set((1L, 2L, 10L, 2L), (2L, 0L, 8L, 2L)))
+  }
+
   test("q196 bloom gate: runtime filter verifiably injected") {
     val out = SparkEntry.queries("q196_bloom_runtime_join")(spark, sf)
     assert(out.collect().forall(_.getAs[Boolean]("bloom_pruned")))
