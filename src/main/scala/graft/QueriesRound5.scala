@@ -202,7 +202,78 @@ object QueriesRound5 {
     "q202_repeated_spans" -> ((s, dir) =>
       graft.operators.Corpus.repeatedSpans(
         table(s, dir, "documents"), "doc_id", "text",
-        window = 8, minOcc = 2L)))
+        window = 8, minOcc = 2L)),
+
+    // ---- transformWithState running totals under the oracle: the
+    //      arbitrary-state v2 engine (typed ValueState, RocksDB) over
+    //      a two-phase fixture — keys accumulate ACROSS micro-batches
+    //      and the final per-key state equals the batch group-by the
+    //      oracle runs. Closes the family's last spec-only row. ----
+    "q203_stream_running_totals" -> ((s, dir) =>
+      graft.streaming.StatefulCounters.runEventTotals(s, dir)),
+
+    // ---- deterministic k-per-group priority sample: "keep 5 docs per
+    //      source, reproducibly, in one pass" — md5 priority + the
+    //      bounded top-k aggregator, so each map task ships ≤ k rows
+    //      per source into the shuffle (a window formulation ships the
+    //      corpus). The reservoir-sampling shape with none of the RNG
+    //      nondeterminism. ----
+    "q204_group_sample" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.operators.Sketches.hash60(
+            concat(lit("gs:"), col("doc_id"))).as("h"))
+      graft.operators.TopK.topKPerGroup(s, d, "source", "h", "doc_id", 5)
+    }),
+
+    // ---- exact per-stratum percentile cutoffs (CCNet-style quality
+    //      bucketing): per language, the exact rank-based p50/p90
+    //      token-count values (no interpolation, no approx sketch —
+    //      engine-exact), plus head/tail bucket counts against those
+    //      cutoffs. One rank window per stratum + a broadcast-back
+    //      conditional count. ----
+    "q205_lang_cutoffs" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("nt"))
+      val win = Window.partitionBy(col("lang")).orderBy(col("nt"), col("doc_id"))
+      val ranked = d.withColumn("rk", row_number().over(win).cast("long"))
+      val nper = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val cuts = ranked.join(broadcast(nper), "lang")
+        .withColumn("p50_rk", expr("(n_docs + 1) div 2"))
+        .withColumn("p90_rk", expr("(9 * n_docs + 9) div 10"))
+      val p50 = cuts.filter(col("rk") === col("p50_rk"))
+        .select(col("lang"), col("nt").as("p50"))
+      val p90 = cuts.filter(col("rk") === col("p90_rk"))
+        .select(col("lang"), col("nt").as("p90"))
+      d.join(broadcast(p50), "lang").join(broadcast(p90), "lang")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          first(col("p50")).as("p50"), first(col("p90")).as("p90"),
+          sum(when(col("nt") >= col("p90"), 1L).otherwise(0L)).as("n_head"),
+          sum(when(col("nt") <= col("p50"), 1L).otherwise(0L)).as("n_tail"))
+    }),
+
+    // ---- distinct-n-gram diversity per source (mode-collapse /
+    //      boilerplate metric): unique trigram windows per total
+    //      trigram windows, permille-exact. One shingle explode + one
+    //      two-level agg; distinct is per (source, trigram), so the
+    //      shuffle carries unique pairs, not occurrences. ----
+    "q206_ngram_diversity" -> ((s, dir) => {
+      val tri = table(s, dir, "documents")
+        .select(col("source"),
+          graft.functions.TextFunctions.tokens(lower(col("text"))).as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(col("source"), explode(expr(
+          """transform(sequence(0, size(tk) - 3),
+              i -> array_join(slice(tk, i + 1, 3), ' '))""")).as("t"))
+      tri.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_windows"),
+          countDistinct(col("t")).as("n_distinct"))
+        .withColumn("diversity_permille",
+          expr("(n_distinct * 1000) div n_windows"))
+    }))
 
   private def DecimalType(p: Int, s: Int) =
     org.apache.spark.sql.types.DecimalType(p, s)
@@ -446,5 +517,60 @@ object OraclesRound5 {
          SELECT doc_id, CAST(island AS BIGINT) AS island,
            MIN(start) AS island_start, MAX(e) AS island_end,
            COUNT(*) AS n_windows
-         FROM isl GROUP BY doc_id, island""")
+         FROM isl GROUP BY doc_id, island""",
+
+    // final per-key state after the two-phase drain == batch group-by
+    "q203_stream_running_totals" ->
+      """SELECT user_id AS key, COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT))
+             AS BIGINT) AS total
+         FROM events GROUP BY user_id""",
+
+    "q204_group_sample" ->
+      s"""WITH d AS (SELECT doc_id, source,
+             ${hash60("'gs:' || CAST(doc_id AS VARCHAR)")} AS h
+           FROM documents),
+         r AS (SELECT source, doc_id, h,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY h DESC, doc_id) AS rank
+           FROM d)
+         SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, h
+         FROM r WHERE rank <= 5""",
+
+    "q205_lang_cutoffs" ->
+      """WITH d AS (SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x <> '')) AS BIGINT) AS nt
+           FROM documents),
+         r AS (SELECT lang, nt, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY nt, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+           FROM d),
+         p50 AS (SELECT lang, nt AS p50 FROM r WHERE rk = (n + 1) // 2),
+         p90 AS (SELECT lang, nt AS p90 FROM r WHERE rk = (9 * n + 9) // 10)
+         SELECT d.lang, COUNT(*) AS n_docs,
+           CAST(MIN(p50.p50) AS BIGINT) AS p50,
+           CAST(MIN(p90.p90) AS BIGINT) AS p90,
+           CAST(SUM(CASE WHEN d.nt >= p90.p90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_head,
+           CAST(SUM(CASE WHEN d.nt <= p50.p50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tail
+         FROM d JOIN p50 ON p50.lang = d.lang
+         JOIN p90 ON p90.lang = d.lang
+         GROUP BY d.lang""",
+
+    "q206_ngram_diversity" ->
+      """WITH t AS (SELECT source,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         g AS (SELECT source, tk,
+             unnest(generate_series(0, len(tk) - 3)) AS i
+           FROM t WHERE len(tk) >= 3),
+         tri AS (SELECT source, array_to_string(tk[(i+1):(i+3)], ' ') AS t
+             FROM g)
+         SELECT source, COUNT(*) AS n_windows,
+           CAST(COUNT(DISTINCT t) AS BIGINT) AS n_distinct,
+           (COUNT(DISTINCT t) * 1000) // COUNT(*) AS diversity_permille
+         FROM tri GROUP BY source""")
 }

@@ -54,6 +54,55 @@ object StatefulCounters {
       .transformWithState(new Proc, TimeMode.None(), OutputMode.Update())
   }
 
+  /** Oracle-gated two-phase drive over the events table (q203): the
+    * events split into two micro-batches by event-id parity, so most
+    * keys accumulate state ACROSS batches (the v2 state engine's whole
+    * point); the memory sink then holds one Update-mode row per
+    * (key, touched batch), and the FINAL state per key — max(n), and
+    * max(total) since totals only grow — equals the batch
+    * `groupBy(key).agg(count, sum)` the DuckDB oracle runs. Amounts
+    * are decimal-exact cents so the totals hash-match. */
+  def runEventTotals(spark: SparkSession, dir: String,
+      queryName: String = "graft_stream_totals",
+      statePartitions: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val scratch = graft.Scratch.dir("graft_tws")
+    val e = graft.Queries.events(spark, dir).select(
+      col("user_id").as("key"),
+      (col("value").cast(org.apache.spark.sql.types.DecimalType(14, 2)) * 100)
+        .cast("long").as("amount"),
+      col("event_id").as("seq"))
+    e.filter(col("seq") % 2 === 0).write.mode("append").parquet(scratch)
+    val rocks =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val touched = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.streaming.stateStore.providerClass")
+    val saved = touched.map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", rocks)
+    try {
+      import spark.implicits._
+      val src = spark.readStream
+        .schema(Encoders.product[Tick].schema)
+        .parquet(scratch)
+        .as[Tick]
+      val q = running(src).toDF()
+        .writeStream.outputMode("update").format("memory")
+        .queryName(queryName).start()
+      try {
+        q.processAllAvailable()
+        e.filter(col("seq") % 2 === 1).write.mode("append").parquet(scratch)
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    spark.table(queryName)
+      .groupBy(col("key"))
+      .agg(max(col("n")).as("n"), max(col("total")).as("total"))
+  }
+
   /** Run over a parquet-backed stream to completion (memory sink).
     * transformWithState requires the RocksDB state store; the conf is
     * set for the query and restored after. */

@@ -127,6 +127,22 @@ class Round5OpsSpec extends SparkTestBase {
     assert(bad == 0, s"$bad full batches contain a same-source pair")
   }
 
+  test("q204 group sample: bounded top-k partials, never a rank window") {
+    val df = SparkEntry.queries("q204_group_sample")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), plan)
+    assert(!plan.contains("Window"), plan)
+    // exactly k rows per group, ranks 1..5, priority non-increasing
+    val bySource = df.collect().groupBy(_.getAs[String]("source"))
+    assert(bySource.values.forall(_.length == 5))
+    bySource.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      val hs = sorted.map(_.getAs[Long]("h"))
+      assert(hs.zip(hs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("q195 temperature quotas: small sources get relatively more") {
     val out = SparkEntry.queries("q195_temperature_mixture")(spark, sf)
     val d = Queries.table(spark, sf, "documents")
