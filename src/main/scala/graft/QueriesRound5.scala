@@ -255,6 +255,32 @@ object QueriesRound5 {
           sum(when(col("nt") <= col("p50"), 1L).otherwise(0L)).as("n_tail"))
     }),
 
+    // ---- ANN index lifecycle: the IVF index PERSISTED partitioned by
+    //      cell, then maintained INCREMENTALLY — only the delta batch
+    //      is assigned and appended (assignment is per-vector, so
+    //      incremental == full rebuild, the property that makes the
+    //      index maintainable at 10^9 vectors/day); probes read 1/K of
+    //      the files via partition pruning on centroid_id (spec
+    //      plan-asserts PartitionFilters). ----
+    "q207_ann_index_lifecycle" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val e = table(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+      val work = graft.Scratch.dir("graft_ivf_idx")
+      Similarity.assignCentroids(
+          e.filter(col("vec_id") >= 20 && col("vec_id") < 300),
+          centroids, "vec_id", "embedding")
+        .write.partitionBy("centroid_id").mode("overwrite").parquet(work)
+      Similarity.assignCentroids(e.filter(col("vec_id") >= 300),
+          centroids, "vec_id", "embedding")
+        .write.partitionBy("centroid_id").mode("append").parquet(work)
+      val index = s.read.parquet(work)
+      val queries = Similarity.assignCentroids(
+        e.filter(col("vec_id") >= 12 && col("vec_id") < 16), centroids,
+        "vec_id", "embedding")
+      Similarity.ivfTopK(index, queries, "vec_id", "embedding", k = 2)
+    }),
+
     // ---- distinct-n-gram diversity per source (mode-collapse /
     //      boilerplate metric): unique trigram windows per total
     //      trigram windows, permille-exact. One shingle explode + one
@@ -558,6 +584,53 @@ object OraclesRound5 {
          FROM d JOIN p50 ON p50.lang = d.lang
          JOIN p90 ON p90.lang = d.lang
          GROUP BY d.lang""",
+
+    // probe-1 IVF over the full (base+delta) corpus — incremental
+    // maintenance must equal the full rebuild
+    "q207_ann_index_lifecycle" ->
+      """WITH cent AS (SELECT vec_id AS centroid_id, embedding AS ctv
+             FROM embeddings WHERE vec_id < 8),
+         corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
+         qry AS (SELECT vec_id, embedding
+             FROM embeddings WHERE vec_id >= 12 AND vec_id < 16),
+         corp_d AS (SELECT c.vec_id, cent.centroid_id,
+             (SELECT SUM(CAST(round(CAST(x AS DOUBLE)*10000000) AS BIGINT)
+                       * CAST(round(CAST(y AS DOUBLE)*10000000) AS BIGINT))
+              FROM (SELECT unnest(c.embedding) AS x, unnest(cent.ctv) AS y) zz)
+               AS dot
+           FROM corp c, cent),
+         corp_a AS (SELECT vec_id, centroid_id FROM (
+             SELECT vec_id, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY dot DESC, centroid_id) AS rn
+             FROM corp_d) WHERE rn = 1),
+         qry_d AS (SELECT q.vec_id, cent.centroid_id,
+             (SELECT SUM(CAST(round(CAST(x AS DOUBLE)*10000000) AS BIGINT)
+                       * CAST(round(CAST(y AS DOUBLE)*10000000) AS BIGINT))
+              FROM (SELECT unnest(q.embedding) AS x, unnest(cent.ctv) AS y) zz)
+               AS dot
+           FROM qry q, cent),
+         qry_a AS (SELECT vec_id, centroid_id FROM (
+             SELECT vec_id, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY dot DESC, centroid_id) AS rn
+             FROM qry_d) WHERE rn = 1),
+         scored AS (SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+             (SELECT SUM(CAST(round(CAST(x AS DOUBLE)*10000000) AS BIGINT)
+                       * CAST(round(CAST(y AS DOUBLE)*10000000) AS BIGINT))
+              FROM (SELECT unnest(q.embedding) AS x, unnest(c.embedding) AS y)
+                zz) AS qdot
+           FROM qry_a qa JOIN corp_a ca ON qa.centroid_id = ca.centroid_id
+           JOIN qry q ON q.vec_id = qa.vec_id
+           JOIN corp c ON c.vec_id = ca.vec_id
+           WHERE qa.vec_id <> ca.vec_id),
+         r AS (SELECT query_id, neighbor_id, qdot,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY qdot DESC, neighbor_id) AS rk
+           FROM scored)
+         SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank,
+           CAST(qdot AS DOUBLE) / 100000000000000.0 AS dot
+         FROM r WHERE rk <= 2""",
 
     "q206_ngram_diversity" ->
       """WITH t AS (SELECT source,

@@ -21,6 +21,23 @@ class Round5OpsSpec extends SparkTestBase {
     }
   }
 
+  test("denseIdsOrdered: seeded-random data matches the window formulation") {
+    val rnd = new scala.util.Random(20260813L)
+    val rows = (0L until 500L).map { id =>
+      (("k" * (1 + rnd.nextInt(3))) + rnd.nextInt(40), id)
+    }
+    val df = rows.toDF("k", "id")
+    import org.apache.spark.sql.expressions.Window
+    val want = df.withColumn("seq_id",
+        row_number().over(Window.orderBy(col("k"), col("id"))).cast("long") - 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    for (parts <- Seq(3, 7)) {
+      val got = Intervals.denseIdsOrdered(df, Seq("k", "id"), parts)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
   test("pqTopK: ADC finds the planted nearest neighbor; exact plan shape") {
     // codebook = the 4 axis-ish directions; corpus vectors sit exactly
     // on codewords, so ADC distance to the matching query is 0
@@ -98,6 +115,23 @@ class Round5OpsSpec extends SparkTestBase {
     // merge into [2, 10]; doc 2: repeat at 0 → windows at 0 and 1
     // merge into [0, 8]
     assert(out.toSet == Set((1L, 2L, 10L, 2L), (2L, 0L, 8L, 2L)))
+  }
+
+  test("q207 index layout: a cell probe prunes partitions at the scan") {
+    val e = Queries.table(spark, sf, "embeddings")
+    val centroids = e.filter(col("vec_id") < 8)
+    val work = tempDir("ivfidx")
+    Similarity.assignCentroids(e.filter(col("vec_id") >= 20), centroids,
+        "vec_id", "embedding")
+      .write.partitionBy("centroid_id").mode("overwrite").parquet(work)
+    val all = spark.read.parquet(work)
+    val probe = all.filter(col("centroid_id") === 3)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      plan)
+    // (inputFiles reports the unpruned base relation, so file-count
+    // is not a pruning signal — the PartitionFilters entry above is)
+    assert(probe.count() > 0 && probe.count() < all.count())
   }
 
   test("q196 bloom gate: runtime filter verifiably injected") {
