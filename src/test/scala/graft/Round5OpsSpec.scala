@@ -38,6 +38,34 @@ class Round5OpsSpec extends SparkTestBase {
     }
   }
 
+  test("l2Exact: zero on self, symmetric, equals the quantized reference") {
+    // reference quantization — identical to ArrayQuantDot's
+    // sign·Math.round(|x·1e7|) (see ArrayOps Scaladoc)
+    def q(x: Float): Long = {
+      val y = x.toDouble * 1e7
+      if (y >= 0) Math.round(y) else -Math.round(-y)
+    }
+    val rnd = new scala.util.Random(42L)
+    val vecs = (0L until 30L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val byId = vecs.toMap
+    val df = vecs.toDF("id", "v")
+    val got = df.select(col("id").as("ia"), col("v").as("a"))
+      .crossJoin(df.select(col("id").as("ib"), col("v").as("b")))
+      .select(col("ia"), col("ib"),
+        Similarity.l2Exact(col("a"), col("b")).as("d2"),
+        Similarity.l2Exact(col("b"), col("a")).as("d2r"))
+      .collect()
+    assert(got.length == 900)
+    got.foreach { r =>
+      val (ia, ib) = (r.getLong(0), r.getLong(1))
+      val want = byId(ia).zip(byId(ib))
+        .map { case (x, y) => val d = q(x) - q(y); d * d }.sum
+      assert(r.getLong(2) == want && r.getLong(3) == want, s"($ia,$ib)")
+      if (ia == ib) assert(r.getLong(2) == 0L, s"self-distance $ia")
+    }
+  }
+
   test("pqTopK: ADC finds the planted nearest neighbor; exact plan shape") {
     // codebook = the 4 axis-ish directions; corpus vectors sit exactly
     // on codewords, so ADC distance to the matching query is 0
