@@ -37,10 +37,15 @@ object Bench {
     // AQE stage re-plans, JIT tiering); the min is the steady-state
     // per-query execution time the cluster would see.
     val loadBefore = loadavg()
+    // A query that throws must be VISIBLE in the artifact, not a silent
+    // wall-clock entry (same contract as Verify's _failed.json): track
+    // per-query failures and emit them in the JSON.
+    val errored = scala.collection.mutable.LinkedHashSet[String]()
     val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => errored += name }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times
@@ -70,7 +75,8 @@ object Bench {
     // apparent regression evaporated on a quiet re-run).
     val contaminated =
       (loadBefore >= 0 && loadBefore > cpus.toDouble / 4) || spread > 1.5
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":$cpus,"run_spread":${f"$spread%.3f"},"contaminated":$contaminated}""")
+    val errs = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":$cpus,"run_spread":${f"$spread%.3f"},"contaminated":$contaminated,"errors":$errs}""")
     spark.stop()
   }
 
