@@ -51,12 +51,17 @@ object Bench {
       name -> times
     }
     val loadAfter = loadavg()
-    val mins = results.map { case (k, ts) => k -> ts.min }
+    // Errored queries are reported ONLY in the errors array: their
+    // near-zero wall clocks would otherwise read as a speedup in
+    // `total`/`queries`, and a throw-then-succeed flake would inflate
+    // run_spread past the contamination threshold on a quiet box.
+    val clean = results.filterNot { case (k, _) => errored.contains(k) }
+    val mins = clean.map { case (k, ts) => k -> ts.min }
     val qs = mins.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // per-query slowest run: lets a reader localize WHICH query's runs
     // diverged when run_spread is abnormal
-    val qsMax = results.map { case (k, ts) => s"\"" + k + "\":" + ts.max }
+    val qsMax = clean.map { case (k, ts) => s"\"" + k + "\":" + ts.max }
       .mkString("{", ",", "}")
     val total = if (mins.nonEmpty) mins.map(_._2).sum else 0.0
     // Contamination sentinels: this bench is only meaningful run ALONE
@@ -65,7 +70,7 @@ object Bench {
     // spread between the two timed runs of the same query (min-of-2
     // does not recover from sustained oversubscription). run_spread =
     // Σ max / Σ min across queries; > ~1.5 on a quiet box is abnormal.
-    val sumMax = results.map(_._2.max).sum
+    val sumMax = clean.map(_._2.max).sum
     val spread = if (total > 0) sumMax / total else 1.0
     // Self-label contaminated runs so the artifact carries its own
     // health verdict: a loadavg already above cpus/4 before the first

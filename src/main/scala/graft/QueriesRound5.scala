@@ -136,10 +136,16 @@ object QueriesRound5 {
     //      negatives). Round-robin interleave: rank docs within each
     //      source by a deterministic md5 draw, order globally by
     //      (rank, source) — consecutive docs then cycle through
-    //      sources — and cut into batches of 8. The global order is
-    //      materialized by the range-partitioned denseIdsOrdered (no
-    //      single-partition sort), so assembly is 2 shuffles at any
-    //      corpus size. ----
+    //      sources — and cut into batches of 8. The no-collision
+    //      guarantee holds for every rank level at which ≥ 8 sources
+    //      are still active; once smaller sources exhaust, tail
+    //      batches can span rank groups and may repeat a surviving
+    //      source (provably unavoidable for ANY assignment once fewer
+    //      than 8 sources remain — drop the tail or rebalance
+    //      upstream if the training recipe needs strictness there).
+    //      The global order is materialized by the range-partitioned
+    //      denseIdsOrdered (no single-partition sort), so assembly is
+    //      2 shuffles at any corpus size. ----
     "q199_inbatch_negatives" -> ((s, dir) => {
       val batch = 8L
       val d = table(s, dir, "documents")
@@ -305,16 +311,24 @@ object QueriesRound5 {
     org.apache.spark.sql.types.DecimalType(p, s)
 }
 
-/** DuckDB oracles for [[QueriesRound5.all]]. */
-object OraclesRound5 {
+/** Shared DuckDB SQL fragments used by more than one oracle file —
+  * single source of truth so the SQL mirror of an engine kernel cannot
+  * silently desynchronize between oracles. */
+private[graft] object OracleSql {
 
-  // hash60: first 15 hex digits of md5 as a base-16 integer (see
-  // Sketches.hash60); DuckDB lacks conv(), so expand digit-by-digit
-  private def hash60(arg: String): String =
+  /** hash60: first 15 hex digits of md5 as a base-16 integer (the SQL
+    * mirror of [[graft.operators.Sketches.hash60]]); DuckDB lacks
+    * conv(), so expand digit-by-digit. */
+  def hash60(arg: String): String =
     s"""CAST((SELECT SUM((instr('0123456789abcdef',
            substring(md5($arg), i, 1)) - 1)
          * (CAST(1 AS BIGINT) << (4 * (15 - i))))
        FROM generate_series(1, 15) AS t(i)) AS BIGINT)"""
+}
+
+/** DuckDB oracles for [[QueriesRound5.all]]. */
+object OraclesRound5 {
+  import OracleSql.hash60
 
   val all: Map[String, String] = Map(
 

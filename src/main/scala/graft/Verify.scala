@@ -73,7 +73,11 @@ object Verify {
     // registry-size selfcheck: one result dir per registered query.
     Files.writeString(Paths.get(s"$outDir/_failed.json"),
       failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
-    val resultDirs = new java.io.File(outDir).listFiles.count(_.isDirectory)
+    // Count only dirs named for CURRENTLY-selected queries — a reused
+    // outDir may hold stale dirs from a prior full/filtered run, and a
+    // false MISMATCH alarm would train readers to ignore the real one.
+    val resultDirs = new java.io.File(outDir).listFiles
+      .count(f => f.isDirectory && selected.contains(f.getName))
     System.err.println(
       s"[verify] completed ${selected.size - failed.size}/${selected.size} queries" +
         (if (failed.nonEmpty) s"; FAILED: ${failed.keys.mkString(",")}" else ""))

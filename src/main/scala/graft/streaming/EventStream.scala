@@ -212,7 +212,12 @@ object EventStream {
         .queryName(queryName).start()
       try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(queryName)
+    // WITHIN-watermark dedup re-emits a key that reappears after its
+    // state expired past the horizon (by contract — that is what keeps
+    // state bounded); the batch distinct pins the exact-key-set result
+    // even if the source ever arrives as multiple micro-batches with
+    // >1h event-time spread between them.
+    spark.table(queryName).distinct()
   }
 
   /** Drain the stream-stream join (append mode — inner joins emit as

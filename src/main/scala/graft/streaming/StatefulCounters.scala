@@ -58,10 +58,11 @@ object StatefulCounters {
     * events split into two micro-batches by event-id parity, so most
     * keys accumulate state ACROSS batches (the v2 state engine's whole
     * point); the memory sink then holds one Update-mode row per
-    * (key, touched batch), and the FINAL state per key — max(n), and
-    * max(total) since totals only grow — equals the batch
-    * `groupBy(key).agg(count, sum)` the DuckDB oracle runs. Amounts
-    * are decimal-exact cents so the totals hash-match. */
+    * (key, touched batch), and the FINAL state per key — the row with
+    * the largest n, since n strictly grows per touched batch while
+    * total may move either way (negative amounts are legal) — equals
+    * the batch `groupBy(key).agg(count, sum)` the DuckDB oracle runs.
+    * Amounts are decimal-exact cents so the totals hash-match. */
   def runEventTotals(spark: SparkSession, dir: String,
       queryName: String = "graft_stream_totals",
       statePartitions: Int = 8): DataFrame = {
@@ -100,7 +101,7 @@ object StatefulCounters {
     }
     spark.table(queryName)
       .groupBy(col("key"))
-      .agg(max(col("n")).as("n"), max(col("total")).as("total"))
+      .agg(max(col("n")).as("n"), max_by(col("total"), col("n")).as("total"))
   }
 
   /** Run over a parquet-backed stream to completion (memory sink).

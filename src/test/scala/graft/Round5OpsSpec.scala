@@ -178,8 +178,10 @@ class Round5OpsSpec extends SparkTestBase {
   }
 
   test("q199: every full batch draws its docs from 8 distinct sources") {
-    // with 20 sources and near-balanced ranks, the round-robin
-    // interleave guarantees no same-source pair inside a full batch
+    // with 20 BALANCED sources (sf0.001 is 20×25) every rank level has
+    // ≥ 8 active sources, so the round-robin guarantee holds for all
+    // full batches; on skewed corpora the guarantee degrades at the
+    // tail once < 8 sources remain active (documented at the query)
     val out = SparkEntry.queries("q199_inbatch_negatives")(spark, sf)
     val full = out.groupBy("batch_id")
       .agg(count(lit(1)).as("n"), countDistinct(col("source")).as("ns"))

@@ -52,10 +52,14 @@ class StreamingDedupSpec extends SparkTestBase {
     // The driver has shipped events.parquet with ts as TIMESTAMP(NANOS)
     // (→ LongType under nanosAsLong) and as TIMESTAMP(MICROS,
     // isAdjustedToUTC=false) (→ TimestampNTZType). Regenerate the
-    // sf0.001 events in both physical generations and assert the
-    // streaming hourly agg equals the batch one on each — so a future
-    // testdata regeneration cannot silently break the streaming family
-    // again (the r4 failure mode).
+    // sf0.001 events in both SURFACED types and assert the streaming
+    // hourly agg equals the batch one on each — so a future testdata
+    // regeneration cannot silently break the streaming family again
+    // (the r4 failure mode). Caveat: Spark cannot WRITE
+    // TIMESTAMP(NANOS), so the "legacy_nanos" fixture is a plain INT64
+    // nanos column — it exercises the LongType normalization branch
+    // (identical to what nanosAsLong surfaces), not the parquet
+    // annotation itself.
     import org.apache.spark.sql.types.TimestampNTZType
     val base = Queries.events(spark, "/root/testdata/sf0.001")
       .filter(col("user_id") < 30) // small slice keeps the stream fast
