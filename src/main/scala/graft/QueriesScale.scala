@@ -356,14 +356,22 @@ object QueriesScale {
     //      hash-checked `skew_split` column — same hard-gate pattern as
     //      q45's HLL bound. Values are integer/string-exact. ----
     "q160_aqe_skew_join" -> ((s, dir) => {
+      // Thresholds scale to the INPUT size (clamped to the tuned 1 MB
+      // ceiling) exactly like production tuning scales them to executor
+      // memory: a fixed 1 MB sat above the whole hot partition at the
+      // smallest SF and the skew split silently never fired there.
+      // Ceiling rationale unchanged: the hot partition is tens of MB at
+      // sf0.1 and 1 MB advisory keeps the split to dozens of
+      // sub-partitions (32KB made ~2400 tiny tasks — scheduling
+      // overhead dwarfed the join). Floor 32KB: below that even the
+      // smallest fixture's planted skew stays splittable.
+      val eventsBytes = new java.io.File(s"$dir/events.parquet").length()
+      val thr = math.max(32L << 10, math.min(1L << 20, eventsBytes / 2))
       val confs = Seq(
         "spark.sql.adaptive.skewJoin.enabled" -> "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
-        // the hot partition is tens of MB at sf0.1; 1 MB advisory keeps
-        // the split to dozens of sub-partitions (32KB made ~2400 tiny
-        // tasks — scheduling overhead dwarfed the join)
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1MB",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1MB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> thr.toString,
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> thr.toString,
         "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
         "spark.sql.autoBroadcastJoinThreshold" -> "-1")
       val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }

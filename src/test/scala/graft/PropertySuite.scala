@@ -117,6 +117,35 @@ object GraftProperties extends Properties("graft") {
       graft.functions.expressions.ArrayQuantDot.q(x) == want
     }
 
+  // ---- bounded top-k aggregator algebra -----------------------------------
+
+  // The partial/final split is only correct if reduce/merge form a
+  // commutative monoid up to the top-k result: ANY partitioning of the
+  // input and ANY merge tree must produce the same buffer. This is the
+  // property Spark's partial aggregation silently relies on.
+  private val entries: Gen[List[graft.operators.TopK.Entry]] =
+    Gen.listOf(for {
+      ord <- Gen.chooseNum(-100L, 100L) // dense range → many ord ties
+      id <- Gen.chooseNum(0L, 50L)
+    } yield graft.operators.TopK.Entry(ord, id))
+
+  property("BoundedTopK: any partitioning/merge order gives the sorted top-k") =
+    forAll(entries, Gen.chooseNum(1, 6), Gen.chooseNum(0L, 1000L)) {
+      (es, k, seed) =>
+        val agg = new graft.operators.TopK.BoundedTopK(k)
+        val want = es.sorted(Ordering.by((e: graft.operators.TopK.Entry) =>
+          (-e.ord, e.id))).take(k)
+        // sequential fold
+        val seq = es.foldLeft(agg.zero)(agg.reduce)
+        // random partitioning, each chunk folded then merged in order
+        val rnd = new scala.util.Random(seed)
+        val chunks = es.grouped(math.max(1, 1 + rnd.nextInt(4))).toList
+        val merged = rnd.shuffle(chunks.map(_.foldLeft(agg.zero)(agg.reduce)))
+          .foldLeft(agg.zero)(agg.merge)
+        Prop(seq == want) :| s"sequential $seq != $want" &&
+          Prop(merged == want) :| s"merged $merged != $want"
+    }
+
   private val equalLengthTriple: Gen[(String, String, String)] = for {
     n <- Gen.chooseNum(0, 12)
     a <- Gen.stringOfN(n, Gen.alphaNumChar)
