@@ -287,6 +287,62 @@ object QueriesRound5 {
       Similarity.ivfTopK(index, queries, "vec_id", "embedding", k = 2)
     }),
 
+    // ---- Count-Min sketch under the oracle: one constant-size
+    //      (4×256 longs) counter matrix over every token occurrence —
+    //      the third classic sketch beside HLL (q45, ±bound-gated) and
+    //      KMV (q142, exact) — with estimates for the top-20 words
+    //      checked EXACTLY: the oracle rebuilds the same matrix
+    //      algebraically (bucket counts = Σ word freqs) and must land
+    //      on identical estimates, plus the never-undercount
+    //      structural invariant. Lookup is a broadcast of the one-row
+    //      sketch, no collect. ----
+    "q208_countmin" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Sketches
+      val depth = 4; val width = 256
+      val toks = table(s, dir, "documents")
+        .select(explode(
+          graft.functions.TextFunctions.tokens(lower(col("text")))).as("w"))
+      val sketch = toks.select(Sketches.hash60(col("w")).as("h")).as[Long]
+        .groupByKey(_ => 0)
+        .agg(new Sketches.CountMin(depth, width).toColumn.name("cm"))
+        .toDF("g", "cm").drop("g")
+      val top = toks.groupBy(col("w")).agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("w")).limit(20)
+        .withColumn("h", Sketches.hash60(col("w")))
+      top.crossJoin(broadcast(sketch))
+        .withColumn("est", expr(
+          s"""aggregate(sequence(0, ${depth - 1}), 9223372036854775807L,
+              (acc, r) -> least(acc, cm[cast(r * $width +
+                ((((h % 2147483647) * (r + 2) + r * 12345) % 2147483647)
+                  % $width) as int)]))"""))
+        .select(col("w"), col("exact"), col("est"),
+          (col("est") >= col("exact")).as("never_under"))
+    }),
+
+    // ---- canonical keeper per near-dup cluster: completes the dedup
+    //      lifecycle (detect → cluster → SELECT CANONICAL → remap) —
+    //      per connected component, keep the doc with the most tokens
+    //      (tie: smallest id), argmax via struct max so the choice is
+    //      a map-side partial aggregation, and remap every member to
+    //      its keeper. ----
+    "q209_cluster_keeper" -> ((s, dir) => {
+      val d = table(s, dir, "documents").filter(col("doc_id") < 200)
+      val comp = graft.operators.Corpus
+        .dedupClusters(d, "doc_id", "text", shingleN = 2, bands = 4)
+        .select(col("id").as("doc_id"), col("label").as("component"))
+      val nt = d.select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("nt"))
+      val keeper = comp.join(nt, "doc_id")
+        .groupBy(col("component"))
+        .agg(max(struct(col("nt"), (-col("doc_id")).as("negid"))).as("best"))
+        .select(col("component"), (-col("best.negid")).as("keeper_id"))
+      comp.join(keeper, "component")
+        .select(col("doc_id"), col("component"), col("keeper_id"),
+          (col("doc_id") === col("keeper_id")).as("is_keeper"))
+    }),
+
     // ---- distinct-n-gram diversity per source (mode-collapse /
     //      boilerplate metric): unique trigram windows per total
     //      trigram windows, permille-exact. One shingle explode + one
@@ -645,6 +701,73 @@ object OraclesRound5 {
          SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank,
            CAST(qdot AS DOUBLE) / 100000000000000.0 AS dot
          FROM r WHERE rk <= 2""",
+
+    // algebraic rebuild of the same counter matrix: bucket counts are
+    // Σ of colliding word frequencies, estimates the min over rows
+    "q208_countmin" ->
+      s"""WITH t AS (SELECT list_filter(
+             string_split_regex(trim(lower(text)), '\\s+'),
+             x -> x <> '') AS tk FROM documents),
+         occ AS (SELECT unnest(tk) AS w FROM t),
+         voc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM occ GROUP BY w),
+         vh AS (SELECT w, f, ${OracleSql.hash60("w")} AS h FROM voc),
+         rws AS (SELECT unnest(generate_series(0, 3)) AS r),
+         cnt AS (SELECT r,
+             ((((h % 2147483647) * (r + 2) + r * 12345) % 2147483647)
+               % 256) AS bk,
+             SUM(f) AS c
+           FROM vh CROSS JOIN rws GROUP BY 1, 2),
+         top AS (SELECT w, f AS exact, h FROM vh ORDER BY f DESC, w LIMIT 20),
+         est AS (SELECT top.w, top.exact, CAST(MIN(cnt.c) AS BIGINT) AS est
+           FROM top CROSS JOIN rws
+           JOIN cnt ON cnt.r = rws.r
+             AND cnt.bk = ((((top.h % 2147483647) * (rws.r + 2)
+               + rws.r * 12345) % 2147483647) % 256)
+           GROUP BY 1, 2)
+         SELECT w, exact, est, est >= exact AS never_under FROM est""",
+
+    // q52's component chain + keeper selection (max tokens, min id)
+    "q209_cluster_keeper" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, text FROM documents
+             WHERE doc_id < 200),
+         t AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '') AS tk FROM d),
+         idx AS (SELECT doc_id, tk,
+             unnest(generate_series(1, len(tk) - 1)) AS i FROM t),
+         sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] AS shingle
+             FROM idx),
+         b AS (
+           SELECT doc_id, 0 AS band, MIN(md5('0:' || shingle)) AS minhash
+             FROM sh GROUP BY doc_id
+           UNION ALL SELECT doc_id, 1, MIN(md5('1:' || shingle))
+             FROM sh GROUP BY doc_id
+           UNION ALL SELECT doc_id, 2, MIN(md5('2:' || shingle))
+             FROM sh GROUP BY doc_id
+           UNION ALL SELECT doc_id, 3, MIN(md5('3:' || shingle))
+             FROM sh GROUP BY doc_id),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+                  FROM b a JOIN b c
+                    ON a.band = c.band AND a.minhash = c.minhash
+                  WHERE a.doc_id < c.doc_id),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+                   UNION ALL SELECT id_b, id_a FROM cand),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS r FROM d
+           UNION
+           SELECT e.dst AS id, reach.r AS r
+           FROM reach JOIN edges e ON e.src = reach.id),
+         comp AS (SELECT id AS doc_id, MIN(r) AS component
+                  FROM reach GROUP BY id),
+         nt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS nt FROM t),
+         rk AS (SELECT comp.component, comp.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY comp.component
+               ORDER BY nt.nt DESC, comp.doc_id) AS rn
+           FROM comp JOIN nt USING (doc_id)),
+         keep AS (SELECT component, doc_id AS keeper_id FROM rk WHERE rn = 1)
+         SELECT c.doc_id, c.component, k.keeper_id,
+           c.doc_id = k.keeper_id AS is_keeper
+         FROM comp c JOIN keep k USING (component)""",
 
     "q206_ngram_diversity" ->
       """WITH t AS (SELECT source,

@@ -43,6 +43,46 @@ object Sketches {
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** Count-Min row bucket for a 60-bit hash: row r maps h to
+    * ((h mod P)·(r+2) + r·12345) mod P mod width with P = 2³¹−1 —
+    * overflow-safe 64-bit integer mixing ((h mod P) < 2³¹ times a
+    * single-digit factor) that any engine reproduces exactly. */
+  def cmBucket(h: Long, r: Int, width: Int): Int = {
+    val P = 2147483647L
+    ((((h % P) * (r + 2) + r * 12345L) % P) % width).toInt
+  }
+
+  /** Count-Min sketch: a depth×width matrix of long counters, flat
+    * row-major. Input is a pre-hashed 60-bit value per OCCURRENCE; each
+    * occurrence increments one counter per row. The matrix is a
+    * commutative monoid under elementwise addition, so map-side partial
+    * aggregation ships depth·width longs per partition — constant-size
+    * state for an unbounded stream of occurrences, the third classic
+    * sketch beside HLL (q45) and KMV (q142). Estimates
+    * (min over rows of the addressed counters) never under-count;
+    * over-count is bounded by bucket collisions. Fully deterministic:
+    * the same corpus always yields the same matrix in any engine. */
+  final class CountMin(depth: Int, width: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.ofDim[Long](depth * width)
+    def reduce(b: Array[Long], h: Long): Array[Long] = {
+      var r = 0
+      while (r < depth) {
+        b(r * width + cmBucket(h, r, width)) += 1L
+        r += 1
+      }
+      b
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    def finish(r: Array[Long]): Array[Long] = r
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
   /** Per-group sketches plus a merged '__all' row proving the monoid:
     * (group, kth_hash, n_sketch, est_distinct). Estimate is the KMV
     * (k−1)·2³⁰ div (kth»30 + 1) — exact integer arithmetic,

@@ -146,6 +146,18 @@ object GraftProperties extends Properties("graft") {
           Prop(merged == want) :| s"merged $merged != $want"
     }
 
+  property("CountMin: any partitioning/merge order gives the same matrix") =
+    forAll(Gen.listOf(Gen.chooseNum(0L, 1L << 60)), Gen.chooseNum(0L, 1000L)) {
+      (hs, seed) =>
+        val agg = new graft.operators.Sketches.CountMin(3, 16)
+        val seq = hs.foldLeft(agg.zero)(agg.reduce)
+        val rnd = new scala.util.Random(seed)
+        val chunks = hs.grouped(math.max(1, 1 + rnd.nextInt(4))).toList
+        val merged = rnd.shuffle(chunks.map(_.foldLeft(agg.zero)(agg.reduce)))
+          .foldLeft(agg.zero)(agg.merge)
+        Prop(seq.sameElements(merged)) :| "partition/merge-order independent"
+    }
+
   private val equalLengthTriple: Gen[(String, String, String)] = for {
     n <- Gen.chooseNum(0, 12)
     a <- Gen.stringOfN(n, Gen.alphaNumChar)
