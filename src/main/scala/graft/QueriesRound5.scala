@@ -343,6 +343,46 @@ object QueriesRound5 {
           (col("doc_id") === col("keeper_id")).as("is_keeper"))
     }),
 
+    // ---- Spark 4 NATIVE recursive CTE: the binary parent tree
+    //      (suppkey → suppkey div 2) walked from the root with the
+    //      engine's own iterative anchor/step execution — no hand
+    //      written frontier loop (q173's formulation). Every node has
+    //      exactly one parent, so UNION ALL recursion is linear and
+    //      terminates at depth ⌈log2(max key)⌉. The oracle is the
+    //      SAME recursion in DuckDB. ----
+    "q210_recursive_cte" -> ((s, dir) => {
+      table(s, dir, "supplier").createOrReplaceTempView("supplier_v210")
+      s.sql("""
+        WITH RECURSIVE tree AS (
+          SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+          UNION ALL
+          SELECT CAST(sp.s_suppkey AS BIGINT), t.depth + 1
+          FROM supplier_v210 sp JOIN tree t ON sp.s_suppkey div 2 = t.node
+          WHERE sp.s_suppkey > 1)
+        SELECT depth, COUNT(*) AS n, SUM(node) AS sum_node
+        FROM tree GROUP BY depth""")
+    }),
+
+    // ---- Spark 4 collations, load-bearing: a join that matches ONLY
+    //      under UNICODE_CI equality — odd customers carry an
+    //      Initcap'd segment, the dim side is lowercase, so binary
+    //      equality fails for them and the case-insensitive collation
+    //      is what produces the rows. Oracle mirrors with lower(). ----
+    "q211_collated_join" -> ((s, dir) => {
+      table(s, dir, "customer")
+        .withColumn("seg_mixed",
+          when(col("c_custkey") % 2 === 0, lower(col("c_mktsegment")))
+            .otherwise(initcap(lower(col("c_mktsegment")))))
+        .createOrReplaceTempView("cust_v211")
+      s.sql("""
+        WITH dim AS (SELECT DISTINCT lower(c_mktsegment) AS seg
+                     FROM cust_v211)
+        SELECT d.seg, COUNT(*) AS n, SUM(c.c_custkey) AS sum_key
+        FROM cust_v211 c JOIN dim d
+          ON c.seg_mixed COLLATE UNICODE_CI = d.seg COLLATE UNICODE_CI
+        GROUP BY d.seg""")
+    }),
+
     // ---- distinct-n-gram diversity per source (mode-collapse /
     //      boilerplate metric): unique trigram windows per total
     //      trigram windows, permille-exact. One shingle explode + one
@@ -768,6 +808,30 @@ object OraclesRound5 {
          SELECT c.doc_id, c.component, k.keeper_id,
            c.doc_id = k.keeper_id AS is_keeper
          FROM comp c JOIN keep k USING (component)""",
+
+    // identical recursion — DuckDB's // is Spark's div
+    "q210_recursive_cte" ->
+      """WITH RECURSIVE tree AS (
+           SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+           UNION ALL
+           SELECT CAST(sp.s_suppkey AS BIGINT), t.depth + 1
+           FROM supplier sp JOIN tree t ON sp.s_suppkey // 2 = t.node
+           WHERE sp.s_suppkey > 1)
+         SELECT depth, COUNT(*) AS n, CAST(SUM(node) AS BIGINT) AS sum_node
+         FROM tree GROUP BY depth""",
+
+    // the CI-collated equality mirrored as lower() equality
+    "q211_collated_join" ->
+      """WITH c AS (SELECT c_custkey,
+             CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                  ELSE upper(substring(lower(c_mktsegment), 1, 1)) ||
+                       substring(lower(c_mktsegment), 2) END AS seg_mixed
+           FROM customer),
+         dim AS (SELECT DISTINCT lower(c_mktsegment) AS seg FROM customer)
+         SELECT d.seg, COUNT(*) AS n,
+           CAST(SUM(c.c_custkey) AS BIGINT) AS sum_key
+         FROM c JOIN dim d ON lower(c.seg_mixed) = d.seg
+         GROUP BY d.seg""",
 
     "q206_ngram_diversity" ->
       """WITH t AS (SELECT source,

@@ -207,6 +207,26 @@ class Round5OpsSpec extends SparkTestBase {
     }
   }
 
+  test("q211: the CI collation is load-bearing — binary equality loses rows") {
+    val ci = SparkEntry.queries("q211_collated_join")(spark, sf)
+      .agg(sum(col("n"))).head.getLong(0)
+    // same join under BINARY equality: odd customers (Initcap'd
+    // segment) no longer match the lowercase dim
+    Queries.table(spark, sf, "customer")
+      .withColumn("seg_mixed",
+        when(col("c_custkey") % 2 === 0, lower(col("c_mktsegment")))
+          .otherwise(initcap(lower(col("c_mktsegment")))))
+      .createOrReplaceTempView("cust_v211b")
+    val bin = spark.sql("""
+      WITH dim AS (SELECT DISTINCT lower(c_mktsegment) AS seg
+                   FROM cust_v211b)
+      SELECT COUNT(*) AS n FROM cust_v211b c
+      JOIN dim d ON c.seg_mixed = d.seg""").head.getLong(0)
+    val total = Queries.table(spark, sf, "customer").count()
+    assert(ci == total, s"CI join must match every customer, got $ci/$total")
+    assert(bin < ci, s"binary equality should lose the Initcap'd half: $bin")
+  }
+
   test("q195 temperature quotas: small sources get relatively more") {
     val out = SparkEntry.queries("q195_temperature_mixture")(spark, sf)
     val d = Queries.table(spark, sf, "documents")
