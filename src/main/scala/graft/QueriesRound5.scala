@@ -124,9 +124,10 @@ object QueriesRound5 {
     //      dropDuplicatesWithinWatermark keeps state only inside the
     //      watermark horizon (vs q48's custom TTL state machine) — the
     //      contract that makes infinite-stream dedup feasible: state
-    //      is O(keys per watermark window), not O(stream). Only the
-    //      key columns are emitted (which surviving row represents a
-    //      key is arrival-order-dependent; the key SET is exact). ----
+    //      is O(keys per watermark window), not O(stream). Emits the
+    //      key columns plus the sink-side emission count, so the
+    //      exactly-once-per-key contract on the single-batch fixture
+    //      is itself under the hash (n_emitted must be 1). ----
     "q198_stream_dedup_watermark" -> ((s, dir) =>
       graft.streaming.EventStream.runDedupWithinWatermark(s, dir)),
 
@@ -288,26 +289,34 @@ object QueriesRound5 {
     }),
 
     // ---- Count-Min sketch under the oracle: one constant-size
-    //      (4×256 longs) counter matrix over every token occurrence —
-    //      the third classic sketch beside HLL (q45, ±bound-gated) and
-    //      KMV (q142, exact) — with estimates for the top-20 words
-    //      checked EXACTLY: the oracle rebuilds the same matrix
-    //      algebraically (bucket counts = Σ word freqs) and must land
-    //      on identical estimates, plus the never-undercount
-    //      structural invariant. Lookup is a broadcast of the one-row
-    //      sketch, no collect. ----
+    //      (4×256 longs) counter matrix summarizing every token
+    //      occurrence (built frequency-weighted from the vocab — the
+    //      identical matrix, one corpus scan) — the third classic
+    //      sketch beside HLL (q45, ±bound-gated) and KMV (q142,
+    //      exact) — with estimates for the top-20 words checked
+    //      EXACTLY: the oracle rebuilds the same matrix algebraically
+    //      (bucket counts = Σ word freqs) and must land on identical
+    //      estimates, plus the never-undercount structural invariant.
+    //      Lookup is a broadcast of the one-row sketch, no collect. ----
     "q208_countmin" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.Sketches
       val depth = 4; val width = 256
-      val toks = table(s, dir, "documents")
+      // ONE scan: aggregate to the vocabulary first, then weighted
+      // CM inserts — frequency-weighted increments land on the matrix
+      // an occurrence-by-occurrence build would (and sketch |vocab|
+      // rows instead of |corpus tokens|, the right order at scale)
+      val voc = table(s, dir, "documents")
         .select(explode(
           graft.functions.TextFunctions.tokens(lower(col("text")))).as("w"))
-      val sketch = toks.select(Sketches.hash60(col("w")).as("h")).as[Long]
+        .groupBy(col("w")).agg(count(lit(1)).as("exact"))
+      val sketch = voc
+        .select(Sketches.hash60(col("w")).as("h"), col("exact").as("f"))
+        .as[(Long, Long)]
         .groupByKey(_ => 0)
         .agg(new Sketches.CountMin(depth, width).toColumn.name("cm"))
         .toDF("g", "cm").drop("g")
-      val top = toks.groupBy(col("w")).agg(count(lit(1)).as("exact"))
+      val top = voc
         .orderBy(col("exact").desc, col("w")).limit(20)
         .withColumn("h", Sketches.hash60(col("w")))
       top.crossJoin(broadcast(sketch))
@@ -486,10 +495,11 @@ object OraclesRound5 {
          SELECT pair, cnt FROM c
          ORDER BY cnt DESC, pair LIMIT 20""",
 
-    // the surviving ROW per key is arrival-order-dependent; the key
-    // SET after a full drain is exactly the distinct keys
+    // exactly-once per key on the single-batch fixture: duplicate
+    // emission would show as n_emitted > 1 and hash-mismatch
     "q198_stream_dedup_watermark" ->
-      """SELECT DISTINCT user_id, event_type FROM events""",
+      """SELECT DISTINCT user_id, event_type, CAST(1 AS BIGINT) AS n_emitted
+         FROM events""",
 
     "q199_inbatch_negatives" ->
       s"""WITH d AS (SELECT doc_id, source,
@@ -766,12 +776,16 @@ object OraclesRound5 {
            GROUP BY 1, 2)
          SELECT w, exact, est, est >= exact AS never_under FROM est""",
 
-    // q52's component chain + keeper selection (max tokens, min id)
+    // q52's component chain + keeper selection (max tokens, min id).
+    // Tokens deliberately UNLOWERED — Corpus.dedupClusters shingles the
+    // raw text (q52's convention), and a lowered mirror would diverge
+    // the minhashes the first time a fixture regeneration emits an
+    // uppercase character.
     "q209_cluster_keeper" ->
       """WITH RECURSIVE d AS (SELECT doc_id, text FROM documents
              WHERE doc_id < 200),
          t AS (SELECT doc_id,
-             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             list_filter(string_split_regex(trim(text), '\s+'),
                x -> x <> '') AS tk FROM d),
          idx AS (SELECT doc_id, tk,
              unnest(generate_series(1, len(tk) - 1)) AS i FROM t),

@@ -53,22 +53,26 @@ object Sketches {
   }
 
   /** Count-Min sketch: a depth×width matrix of long counters, flat
-    * row-major. Input is a pre-hashed 60-bit value per OCCURRENCE; each
-    * occurrence increments one counter per row. The matrix is a
-    * commutative monoid under elementwise addition, so map-side partial
-    * aggregation ships depth·width longs per partition — constant-size
-    * state for an unbounded stream of occurrences, the third classic
-    * sketch beside HLL (q45) and KMV (q142). Estimates
+    * row-major. Input is a (pre-hashed 60-bit value, weight) pair; a
+    * raw occurrence stream uses weight 1, and a pre-aggregated
+    * (value, frequency) stream uses the frequency — weighted inserts
+    * land on the identical matrix, which is the smarter shape at
+    * scale (aggregate first, sketch |distinct| rows, not |stream|).
+    * The matrix is a commutative monoid under elementwise addition, so
+    * map-side partial aggregation ships depth·width longs per
+    * partition — constant-size state regardless of input size, the
+    * third classic sketch beside HLL (q45) and KMV (q142). Estimates
     * (min over rows of the addressed counters) never under-count;
     * over-count is bounded by bucket collisions. Fully deterministic:
     * the same corpus always yields the same matrix in any engine. */
   final class CountMin(depth: Int, width: Int)
-      extends Aggregator[Long, Array[Long], Array[Long]] {
+      extends Aggregator[(Long, Long), Array[Long], Array[Long]] {
     def zero: Array[Long] = Array.ofDim[Long](depth * width)
-    def reduce(b: Array[Long], h: Long): Array[Long] = {
+    def reduce(b: Array[Long], in: (Long, Long)): Array[Long] = {
+      val (h, w) = in
       var r = 0
       while (r < depth) {
-        b(r * width + cmBucket(h, r, width)) += 1L
+        b(r * width + cmBucket(h, r, width)) += w
         r += 1
       }
       b

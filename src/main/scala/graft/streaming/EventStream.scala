@@ -149,12 +149,13 @@ object EventStream {
     * Every unmatched real purchase is then flushed null-padded exactly
     * once, so the drained sink restricted to real users equals the
     * BATCH left join over the same prefix — which is what the DuckDB
-    * oracle checks (q194). */
-  /* State partitions sized to the fixture's key cardinality (50
-   * users): a stream-stream join pays 4 state stores × partitions ×
-   * micro-batches in commit overhead, so oversizing partitions costs
-   * real wall-clock (8 → 4 cut the drain ~20% with identical output —
-   * the same sizing rule runHourlyToCompletion documents). */
+    * oracle checks (q194).
+    *
+    * State partitions are sized to the fixture's key cardinality (50
+    * users): a stream-stream join pays 4 state stores × partitions ×
+    * micro-batches in commit overhead, so oversizing partitions costs
+    * real wall-clock (8 → 4 cut the drain ~20% with identical output —
+    * the same sizing rule runHourlyToCompletion documents). */
   def runLeftOuterFlush(spark: SparkSession, dir: String,
       queryName: String = "graft_stream_louter",
       maxUser: Long = 50L, statePartitions: Int = 4): DataFrame = {
@@ -195,9 +196,14 @@ object EventStream {
     * horizon — the contract that makes infinite-stream dedup feasible
     * (state is O(keys per window), not O(stream); q48's custom TTL
     * state machine is the hand-rolled equivalent). Only the key
-    * columns are emitted: WHICH physical row survives is
-    * arrival-order-dependent, but the key set after a full drain is
-    * exactly the distinct keys. */
+    * columns are emitted (WHICH physical row survives is
+    * arrival-order-dependent), plus the per-key EMISSION COUNT from
+    * the sink — the fixture is a single file = a single micro-batch,
+    * so the operator must emit each key exactly once, and a regressed
+    * dedup that re-emits duplicates shows up as n_emitted > 1 instead
+    * of being silently collapsed. (On a live multi-batch stream, a key
+    * reappearing after its state expired past the horizon legitimately
+    * re-emits — that is the bounded-state trade.) */
   def runDedupWithinWatermark(spark: SparkSession, dir: String,
       queryName: String = "graft_stream_ddw",
       statePartitions: Int = 8): DataFrame = {
@@ -212,12 +218,9 @@ object EventStream {
         .queryName(queryName).start()
       try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    // WITHIN-watermark dedup re-emits a key that reappears after its
-    // state expired past the horizon (by contract — that is what keeps
-    // state bounded); the batch distinct pins the exact-key-set result
-    // even if the source ever arrives as multiple micro-batches with
-    // >1h event-time spread between them.
-    spark.table(queryName).distinct()
+    spark.table(queryName)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_emitted"))
   }
 
   /** Drain the stream-stream join (append mode — inner joins emit as

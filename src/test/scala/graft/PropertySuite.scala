@@ -146,16 +146,22 @@ object GraftProperties extends Properties("graft") {
           Prop(merged == want) :| s"merged $merged != $want"
     }
 
-  property("CountMin: any partitioning/merge order gives the same matrix") =
-    forAll(Gen.listOf(Gen.chooseNum(0L, 1L << 60)), Gen.chooseNum(0L, 1000L)) {
-      (hs, seed) =>
+  property("CountMin: any partitioning/merge order gives the same matrix; " +
+    "weighted == repeated inserts") =
+    forAll(
+      Gen.listOf(Gen.zip(Gen.chooseNum(0L, 1L << 60), Gen.chooseNum(1L, 5L))),
+      Gen.chooseNum(0L, 1000L)) { (hws, seed) =>
         val agg = new graft.operators.Sketches.CountMin(3, 16)
-        val seq = hs.foldLeft(agg.zero)(agg.reduce)
+        val seq = hws.foldLeft(agg.zero)(agg.reduce)
         val rnd = new scala.util.Random(seed)
-        val chunks = hs.grouped(math.max(1, 1 + rnd.nextInt(4))).toList
+        val chunks = hws.grouped(math.max(1, 1 + rnd.nextInt(4))).toList
         val merged = rnd.shuffle(chunks.map(_.foldLeft(agg.zero)(agg.reduce)))
           .foldLeft(agg.zero)(agg.merge)
-        Prop(seq.sameElements(merged)) :| "partition/merge-order independent"
+        // a weight-w insert == w weight-1 inserts of the same hash
+        val unrolled = hws.flatMap { case (h, w) => Seq.fill(w.toInt)((h, 1L)) }
+          .foldLeft(agg.zero)(agg.reduce)
+        Prop(seq.sameElements(merged)) :| "partition/merge-order independent" &&
+          Prop(seq.sameElements(unrolled)) :| "weighted == repeated"
     }
 
   private val equalLengthTriple: Gen[(String, String, String)] = for {

@@ -167,10 +167,14 @@ class Round5OpsSpec extends SparkTestBase {
     assert(out.collect().forall(_.getAs[Boolean]("bloom_pruned")))
   }
 
-  test("q198 dropDuplicatesWithinWatermark == batch distinct keys") {
-    val got = graft.streaming.EventStream
+  test("q198 dropDuplicatesWithinWatermark: exact keys, exactly once each") {
+    val rows = graft.streaming.EventStream
       .runDedupWithinWatermark(spark, sf, queryName = "t_ddw")
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      .collect()
+    // every key emitted exactly once — a regressed dedup that re-emits
+    // shows up here, not just a dropped key
+    assert(rows.forall(_.getAs[Long]("n_emitted") == 1L))
+    val got = rows.map(r => (r.getLong(0), r.getString(1))).toSet
     val want = Queries.events(spark, sf)
       .select("user_id", "event_type").distinct()
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
