@@ -41,12 +41,17 @@ object Bench {
     // wall-clock entry (same contract as Verify's _failed.json): track
     // per-query failures and emit them in the JSON.
     val errored = scala.collection.mutable.LinkedHashSet[String]()
+    // (time, succeeded) per run: a query that throws on only ONE of its
+    // two runs is excluded from `queries`/`total` (its timings are not
+    // steady-state) but its surviving run is reported under
+    // `partial_queries` so round-over-round totals can be reconciled.
     val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case _: Throwable => errored += name }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => errored += name; false }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
       name -> times
     }
@@ -56,12 +61,18 @@ object Bench {
     // `total`/`queries`, and a throw-then-succeed flake would inflate
     // run_spread past the contamination threshold on a quiet box.
     val clean = results.filterNot { case (k, _) => errored.contains(k) }
+      .map { case (k, ts) => k -> ts.map(_._1) }
+    val partials = results
+      .filter { case (k, ts) => errored.contains(k) && ts.exists(_._2) }
+      .map { case (k, ts) => k -> ts.filter(_._2).map(_._1).min }
     val mins = clean.map { case (k, ts) => k -> ts.min }
     val qs = mins.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // per-query slowest run: lets a reader localize WHICH query's runs
     // diverged when run_spread is abnormal
     val qsMax = clean.map { case (k, ts) => s"\"" + k + "\":" + ts.max }
+      .mkString("{", ",", "}")
+    val qsPartial = partials.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (mins.nonEmpty) mins.map(_._2).sum else 0.0
     // Contamination sentinels: this bench is only meaningful run ALONE
@@ -81,7 +92,16 @@ object Bench {
     val contaminated =
       (loadBefore >= 0 && loadBefore > cpus.toDouble / 4) || spread > 1.5
     val errs = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":$cpus,"run_spread":${f"$spread%.3f"},"contaminated":$contaminated,"errors":$errs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"partial_queries":$qsPartial,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":$cpus,"run_spread":${f"$spread%.3f"},"contaminated":$contaminated,"errors":$errs}""")
+    // The driver's artifact capture keeps only a ~2 KB TAIL of stdout,
+    // which truncated the single big line above in past rounds (the
+    // totals were the first bytes lost). Emit a compact self-contained
+    // summary as the LAST line so tail capture always retains the
+    // headline numbers without a judge-side re-run.
+    val slowest = mins.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${mins.size},"n_errors":${errored.size},"sf":"$sfDir","run_spread":${f"$spread%.3f"},"contaminated":$contaminated,"slowest10":$slowest,"errors":$errs}""")
     spark.stop()
   }
 

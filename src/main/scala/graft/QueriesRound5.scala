@@ -89,10 +89,15 @@ object QueriesRound5 {
           .agg(count(lit(1)).as("n"),
             sum(col("l_quantity").cast(DecimalType(14, 2)))
               .cast("double").as("sum_qty"))
-        agg.collect() // finalize the adaptive plan under the confs above
+        // finalize THIS adaptive plan under the confs above; return the
+        // collected handful of group rows as a LOCAL frame so downstream
+        // count()/write() doesn't re-execute the shuffled join a second
+        // time (same pattern as q160, QueriesScale.scala)
+        val rows = agg.collect()
         val plan = agg.queryExecution.executedPlan.toString.toLowerCase
-        agg.withColumn("bloom_pruned",
-          lit(plan.contains("might_contain") || plan.contains("bloomfilter")))
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+          .withColumn("bloom_pruned",
+            lit(plan.contains("might_contain") || plan.contains("bloomfilter")))
       } finally prev.foreach {
         case (k, Some(v)) => s.conf.set(k, v)
         case (k, None) => s.conf.unset(k)

@@ -12,12 +12,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all ++ QueriesText.all ++ QueriesMore.all ++ QueriesScale.all ++
       QueriesPipeline.all ++ QueriesData.all ++ QueriesExtra.all ++
-      QueriesMining.all ++ QueriesRound4.all ++ QueriesRound5.all
+      QueriesMining.all ++ QueriesRound4.all ++ QueriesRound5.all ++
+      QueriesRound6.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     Oracles.all ++ OraclesText.all ++ OraclesMore.all ++ OraclesScale.all ++
       QueriesPipeline.oracles ++ OraclesData.all ++ OraclesExtra.all ++
-      OraclesMining.all ++ OraclesRound4.all ++ OraclesRound5.all
+      OraclesMining.all ++ OraclesRound4.all ++ OraclesRound5.all ++
+      OraclesRound6.all
 }

@@ -83,6 +83,82 @@ class TableCatalog(spark: SparkSession, root: String,
     }
   }
 
+  // ---- merge-on-read deletion vectors -------------------------------------
+  // A DV version deletes rows WITHOUT rewriting any data file: the
+  // version dir carries every prior data file by manifest reference and
+  // adds a `_DV/` sidecar — a parquet relation of (file, row_index)
+  // pairs naming the masked rows (the columnar-compressed analog of
+  // Delta's roaring-bitmap DVs, addressed by the same parquet row index
+  // Spark exposes as `_metadata.row_index`). Readers anti-join the mask;
+  // compaction materializes it and starts a DV-free chain. At 100 TB a
+  // point-delete writes O(matched rows) bytes instead of rewriting a
+  // 128 MB file per touched row — the merge-on-read trade Delta/Iceberg
+  // v2 make, with the read-side cost of one (usually broadcast) anti
+  // join while DVs are outstanding. DV sidecars chain exactly like data
+  // files: `_DVMANIFEST` carries prior DV files by reference.
+
+  private def dvDir(dir: Path) = new Path(dir, "_DV")
+
+  private def dvManifestPath(dir: Path) = new Path(dir, "_DVMANIFEST")
+
+  private def writeDvManifest(dir: Path, referenced: Seq[Path]): Unit = {
+    val out = fs.create(dvManifestPath(dir), true)
+    try out.write(referenced.map(_.toString).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def dvManifestEntries(dir: Path): Seq[Path] = {
+    val mf = dvManifestPath(dir)
+    if (!fs.exists(mf)) Nil
+    else {
+      val in = fs.open(mf)
+      val text = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      text.split("\n").toSeq.filter(_.nonEmpty).map(new Path(_))
+    }
+  }
+
+  /** DV parquet files visible to version v: carried references plus the
+    * version's own `_DV/` sidecar files. */
+  private def dvFiles(fq: String, v: Int): Seq[Path] = {
+    val dir = versionDir(fq, v)
+    val own = {
+      val d = dvDir(dir)
+      if (!fs.exists(d)) Nil
+      else fs.listStatus(d).filter(_.isFile).map(_.getPath)
+        .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+        .toSeq
+    }
+    dvManifestEntries(dir) ++ own
+  }
+
+  /** Project the parquet scan's per-row physical address — the columns a
+    * DV mask joins on. */
+  private def withRowPos(df: DataFrame): DataFrame = df
+    .withColumn("__fp", col("_metadata.file_path"))
+    .withColumn("__ri", col("_metadata.row_index"))
+
+  /** Apply DV masks to a scan: anti-join away (file, row_index) pairs.
+    * The DV side is deletes-sized, so AQE plans a broadcast anti join —
+    * the data side is never shuffled. No-op when `dvs` is empty.
+    * `keepPos = true` retains the `__fp`/`__ri` address columns for
+    * callers that write NEW masks from the survivors. */
+  private def maskDv(scan: DataFrame, dvs: Seq[Path],
+      keepPos: Boolean = false): DataFrame =
+    if (dvs.isEmpty) { if (keepPos) withRowPos(scan) else scan }
+    else {
+      val mask = spark.read.parquet(dvs.map(_.toString): _*)
+      val masked = withRowPos(scan)
+        .join(mask, col("__fp") === mask("file") &&
+          col("__ri") === mask("row_index"), "left_anti")
+      if (keepPos) masked else masked.drop("__fp", "__ri")
+    }
+
+  /** Read a set of data files with version v's DV masks applied. */
+  private def readMaskedFiles(fq: String, v: Int, files: Seq[Path]): DataFrame =
+    maskDv(spark.read.parquet(files.map(_.toString): _*), dvFiles(fq, v))
+
   // ---- hive-partitioned layout support ------------------------------------
   // A partitioned version records its partition columns in _PARTITIONS;
   // its manifest entries are whole VERSION DIRECTORIES (partition
@@ -147,9 +223,126 @@ class TableCatalog(spark: SparkSession, root: String,
     val it = fs.listFiles(dir, true)
     while (it.hasNext) {
       val p = it.next().getPath
-      if (!p.getName.startsWith("_") && !p.getName.startsWith(".")) buf += p
+      // skip metadata files AND files under metadata dirs (`_DV/` holds
+      // parquet whose own names don't start with '_')
+      if (!p.getName.startsWith("_") && !p.getName.startsWith(".") &&
+          !p.getParent.getName.startsWith("_")) buf += p
     }
     buf.toSeq
+  }
+
+  // ---- per-file min/max data skipping -------------------------------------
+  // Every commit harvests the parquet FOOTER min/max of the files it
+  // wrote into a `_STATS` sidecar (footer-only IO, O(new files), the
+  // Delta "stats in the commit log" write-path step — carried files
+  // keep the stats of the version that wrote them). [[readBetween]]
+  // then skips whole non-overlapping files BEFORE planning: a selective
+  // range predicate over a huge un-partitioned table opens only the
+  // files whose [min,max] can match, instead of scheduling a task per
+  // file just to discard its row groups. Composes with the Z-order
+  // layout of [[compactZOrder]], which is what makes file ranges tight.
+  // Stats are advisory — a missing/failed `_STATS` only disables
+  // skipping for that version's files, never correctness.
+
+  private def statsPath(dir: Path) = new Path(dir, "_STATS")
+
+  /** Harvest per-file per-column [min,max] from parquet footers of the
+    * files this version wrote, for numeric physical types whose stats
+    * are exactly ordered (int32/int64/float/double; decimals, strings
+    * and timestamps are excluded — truncation/annotation hazards).
+    * Values serialize as exact BigDecimal strings. */
+  private def harvestStats(dir: Path): Unit = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    if (!fs.exists(dir)) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    val lines = listFilesRecursive(dir).sortBy(_.toString).flatMap { f =>
+      val key = fs.makeQualified(f).toUri.getPath
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[String, (BigDecimal, BigDecimal)]
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        rd.getFooter.getBlocks.forEach { blk =>
+          blk.getColumns.forEach { cc =>
+            val pt = cc.getPrimitiveType
+            val ann = pt.getLogicalTypeAnnotation
+            val ordered = pt.getPrimitiveTypeName match {
+              case INT32 | INT64 => ann == null ||
+                ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] ||
+                ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+              case FLOAT | DOUBLE => true
+              case _ => false
+            }
+            val st = cc.getStatistics
+            if (ordered && st != null && st.hasNonNullValue) {
+              val name = cc.getPath.toDotString
+              val mn = BigDecimal(st.genericGetMin.toString)
+              val mx = BigDecimal(st.genericGetMax.toString)
+              acc.get(name) match {
+                case Some((a, b)) => acc(name) = (a.min(mn), b.max(mx))
+                case None => acc(name) = (mn, mx)
+              }
+            }
+          }
+        }
+      } finally rd.close()
+      acc.toSeq.map { case (c, (mn, mx)) => s"$key\t$c\t$mn\t$mx" }
+    }
+    if (lines.nonEmpty) {
+      val out = fs.create(statsPath(dir), true)
+      try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** Stats lookup for a set of chain data files: each file's entry
+    * lives in the `_STATS` of the version dir that wrote it. */
+  private def statsFor(files: Seq[Path])
+      : Map[String, Map[String, (BigDecimal, BigDecimal)]] =
+    files.map(versionAncestor).distinct.flatMap { dir =>
+      val sp = statsPath(dir)
+      if (!fs.exists(sp)) Nil
+      else {
+        val in = fs.open(sp)
+        val text = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+        text.split("\n").toSeq.filter(_.nonEmpty).map { ln =>
+          val Array(f, c, mn, mx) = ln.split("\t", 4)
+          (f, c, BigDecimal(mn), BigDecimal(mx))
+        }
+      }
+    }.groupBy(_._1).map { case (f, es) =>
+      f -> es.map { case (_, c, mn, mx) => c -> (mn, mx) }.toMap
+    }
+
+  /** Range read with manifest-stats file skipping: only files whose
+    * recorded [min,max] for `column` can overlap [lo, hi] are opened
+    * (files without stats are read — safe default), the residual
+    * predicate still applies row-level, and DV masks still apply. The
+    * returned plan's `inputFiles` is the skipping evidence. */
+  def readBetween(fq: String, column: String, lo: Any, hi: Any): DataFrame = {
+    val v = currentVersion(fq).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $fq"))
+    val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
+    if (partitionColsOf(fq, v).nonEmpty) // partition pruning covers these
+      return readPartitionedChain(fq, v).filter(pred)
+    val files = dataFiles(fq, v)
+    if (files.isEmpty)
+      return spark.read.parquet(versionDir(fq, v).toString).filter(pred)
+    val (loD, hiD) = (BigDecimal(lo.toString), BigDecimal(hi.toString))
+    val stats = statsFor(files)
+    val surviving = files.filter { p =>
+      stats.get(fs.makeQualified(p).toUri.getPath)
+        .flatMap(_.get(column)) match {
+          case Some((mn, mx)) => !(mx < loD || mn > hiD)
+          case None => true
+        }
+    }
+    if (surviving.isEmpty) read(fq).filter(pred).limit(0)
+    else maskDv(spark.read.parquet(surviving.map(_.toString): _*),
+      dvFiles(fq, v)).filter(pred)
   }
 
   /** Data files of a version: its own part files plus everything its
@@ -176,7 +369,7 @@ class TableCatalog(spark: SparkSession, root: String,
       val files = dataFiles(fq, v)
       if (files.isEmpty) // truncated table: schema-only marker dir
         spark.read.parquet(versionDir(fq, v).toString)
-      else spark.read.parquet(files.map(_.toString): _*)
+      else readMaskedFiles(fq, v, files)
     case None => throw new IllegalArgumentException(s"table not found: $fq")
   }
 
@@ -196,7 +389,7 @@ class TableCatalog(spark: SparkSession, root: String,
       return readPartitionedChain(fq, version)
     val files = dataFiles(fq, version)
     if (files.isEmpty) spark.read.parquet(dir.toString)
-    else spark.read.parquet(files.map(_.toString): _*)
+    else readMaskedFiles(fq, version, files) // each version sees ITS masks
   }
 
   /** The live committed version number (None = table absent). */
@@ -218,8 +411,8 @@ class TableCatalog(spark: SparkSession, root: String,
     case Some(v) =>
       val files = dataFiles(fq, v)
       if (files.isEmpty) spark.read.parquet(versionDir(fq, v).toString)
-      else spark.read.option("mergeSchema", "true")
-        .parquet(files.map(_.toString): _*)
+      else maskDv(spark.read.option("mergeSchema", "true")
+        .parquet(files.map(_.toString): _*), dvFiles(fq, v))
     case None => throw new IllegalArgumentException(s"table not found: $fq")
   }
 
@@ -266,6 +459,7 @@ class TableCatalog(spark: SparkSession, root: String,
     // path (or silently absorb the orphan's files into its manifest)
     if (fs.exists(dir)) fs.delete(dir, true)
     write(dir)
+    try harvestStats(dir) catch { case _: Exception => () } // advisory
     val tmp = new Path(tableDir(fq), s"_CURRENT.tmp$next")
     val out = fs.create(tmp, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
@@ -277,9 +471,9 @@ class TableCatalog(spark: SparkSession, root: String,
     // version's manifest chain, nor by the kept-back previous
     // version's. Ancestor-prefix check: partitioned chains nest data
     // under partition subdirectories of old version dirs.
-    val live = (dataFiles(fq, next) ++
+    val live = (dataFiles(fq, next) ++ dvFiles(fq, next) ++
       (if (next > 0 && fs.exists(versionDir(fq, next - 1)))
-        dataFiles(fq, next - 1) else Nil))
+        dataFiles(fq, next - 1) ++ dvFiles(fq, next - 1) else Nil))
       .map(p => fs.makeQualified(p).toString).toSet
     // one listing of the table dir (not an existence probe per historic
     // version number — O(live dirs) however long the commit history)
@@ -314,9 +508,12 @@ class TableCatalog(spark: SparkSession, root: String,
         })
       } else {
         val carried = dataFiles(fq, v)
+        val dvs = dvFiles(fq, v) // outstanding masks stay valid: the
+        // files they address are carried unmodified
         commitVersion(fq, dir => {
           df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
           writeManifest(dir, carried)
+          if (dvs.nonEmpty) writeDvManifest(dir, dvs)
         })
       }
   }
@@ -413,13 +610,19 @@ class TableCatalog(spark: SparkSession, root: String,
       if (files.size == 1) (files, Seq.empty[Path])
       else touchedFiles(files, where)
     if (hit.isEmpty) return // no matching rows anywhere: current version stands
-    val cur = spark.read.parquet(hit.map(_.toString): _*)
+    // the rewrite must read THROUGH outstanding DV masks, or rows a
+    // prior merge-on-read delete masked would resurrect in the rewrite
+    val dvs = dvFiles(fq, v)
+    val cur = maskDv(spark.read.parquet(hit.map(_.toString): _*), dvs)
     val updated = assignments.foldLeft(cur) { case (d, (c, value)) =>
       d.withColumn(c, when(where, value).otherwise(col(c)))
     }
     commitVersion(fq, dir => {
       updated.write.mode(SaveMode.Overwrite).parquet(dir.toString)
       if (carried.nonEmpty) writeManifest(dir, carried)
+      // carry masks for the carried files; entries addressing rewritten
+      // files no longer match any chain path and are inert
+      if (carried.nonEmpty && dvs.nonEmpty) writeDvManifest(dir, dvs)
     })
   }
 
@@ -457,11 +660,89 @@ class TableCatalog(spark: SparkSession, root: String,
       if (files.size == 1) (files, Seq.empty[Path])
       else touchedFiles(files, where)
     if (hit.isEmpty) return
-    val kept = spark.read.parquet(hit.map(_.toString): _*).filter(!where)
+    val dvs = dvFiles(fq, v) // see updateWhere: read through the masks
+    val kept = maskDv(spark.read.parquet(hit.map(_.toString): _*), dvs)
+      .filter(!where)
     commitVersion(fq, dir => {
       kept.write.mode(SaveMode.Overwrite).parquet(dir.toString)
       if (carried.nonEmpty) writeManifest(dir, carried)
+      if (carried.nonEmpty && dvs.nonEmpty) writeDvManifest(dir, dvs)
     })
+  }
+
+  /** DELETE with merge-on-read deletion vectors: NO data file is
+    * rewritten — the new version carries every prior file by manifest
+    * reference and records the matching rows' (file, row_index)
+    * addresses in a `_DV/` parquet sidecar that [[read]] /
+    * [[readVersion]] anti-join away. Point-deletes on a 100 TB table
+    * cost O(matched rows) written bytes instead of a 128 MB
+    * copy-on-write per touched file; [[compact]] materializes the
+    * masks (and [[vacuum]] then retires the masked bytes — the erasure
+    * clock, as with [[deleteWhere]]). Falls back to copy-on-write for
+    * hive-partitioned tables, whose partition-granular rewrite is
+    * already delete-proportional. */
+  def deleteWhereDV(fq: String, where: Column): Unit = {
+    val v = currentVersion(fq).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $fq"))
+    if (partitionColsOf(fq, v).nonEmpty) { deleteWhere(fq, where); return }
+    val files = dataFiles(fq, v)
+    if (files.isEmpty) return
+    val dvs = dvFiles(fq, v)
+    // footer min/max stats prune the probe like touchedFiles; already-
+    // masked rows are excluded so re-deleting is a no-op
+    val newDv = maskDv(spark.read.parquet(files.map(_.toString): _*),
+        dvs, keepPos = true)
+      .filter(where)
+      .select(col("__fp").as("file"), col("__ri").as("row_index"))
+    if (newDv.limit(1).count() == 0) return // nothing matches: version stands
+    commitVersion(fq, dir => {
+      fs.mkdirs(dir)
+      newDv.write.mode(SaveMode.Overwrite).parquet(dvDir(dir).toString)
+      writeManifest(dir, files)
+      if (dvs.nonEmpty) writeDvManifest(dir, dvs)
+    })
+  }
+
+  /** UPDATE with merge-on-read semantics: matching rows are masked by a
+    * deletion vector and their updated copies land as NEW data files —
+    * delete+reinsert, the Iceberg v2 MoR update shape. Cost is
+    * O(matched rows) read+written, never a whole-file rewrite; the
+    * rewrite debt is settled by [[compact]]. Falls back to
+    * copy-on-write for hive-partitioned tables. */
+  def updateWhereDV(fq: String, assignments: Map[String, Column],
+      where: Column): Unit = {
+    val v = currentVersion(fq).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $fq"))
+    if (partitionColsOf(fq, v).nonEmpty) {
+      updateWhere(fq, assignments, where); return
+    }
+    val files = dataFiles(fq, v)
+    if (files.isEmpty) return
+    val dvs = dvFiles(fq, v)
+    val hit = maskDv(spark.read.parquet(files.map(_.toString): _*),
+        dvs, keepPos = true)
+      .filter(where)
+    if (hit.limit(1).count() == 0) return
+    val newDv = hit.select(col("__fp").as("file"), col("__ri").as("row_index"))
+    val updated = assignments.foldLeft(hit.drop("__fp", "__ri")) {
+      case (d, (c, value)) => d.withColumn(c, value) // `where` already applied
+    }
+    commitVersion(fq, dir => {
+      updated.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+      newDv.write.mode(SaveMode.Overwrite).parquet(dvDir(dir).toString)
+      writeManifest(dir, files)
+      if (dvs.nonEmpty) writeDvManifest(dir, dvs)
+    })
+  }
+
+  /** Outstanding masked-row count of the live version (0 = no DVs) —
+    * the compaction-policy signal for settling merge-on-read debt. */
+  def deletionVectorRows(fq: String): Long = {
+    val v = currentVersion(fq).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $fq"))
+    val dvs = dvFiles(fq, v)
+    if (dvs.isEmpty) 0L
+    else spark.read.parquet(dvs.map(_.toString): _*).count()
   }
 
   /** MERGE INTO fq USING source ON keys — source wins on match. Same
@@ -518,16 +799,28 @@ class TableCatalog(spark: SparkSession, root: String,
           }
           val (hit, carried) = files.partition(
             p => keyPred.contains(fs.makeQualified(p).toUri.getPath))
+          val dvs = dvFiles(fq, v) // see updateWhere: merge through masks
           val base =
             if (hit.isEmpty) src.limit(0) // no overlap: plain append of source
-            else spark.read.parquet(hit.map(_.toString): _*)
+            else maskDv(spark.read.parquet(hit.map(_.toString): _*), dvs)
           val merged = graft.operators.MergeOps.upsert(base, src, keys)
           commitVersion(fq, dir => {
             merged.write.mode(SaveMode.Overwrite).parquet(dir.toString)
             if (carried.nonEmpty) writeManifest(dir, carried)
+            if (carried.nonEmpty && dvs.nonEmpty) writeDvManifest(dir, dvs)
           })
         } finally src.unpersist()
     }
+
+  /** Qualified data-file paths of the live version (DV sidecars and
+    * metadata excluded) — the no-rewrite evidence for merge-on-read
+    * specs: a DV delete leaves this set identical, a MoR update only
+    * adds to it. */
+  def dataFilePaths(fq: String): Seq[String] = {
+    val v = currentVersion(fq).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $fq"))
+    dataFiles(fq, v).map(p => fs.makeQualified(p).toUri.getPath).sorted
+  }
 
   /** (file count, total bytes) of the live version — the compaction
     * policy input. */
@@ -555,7 +848,8 @@ class TableCatalog(spark: SparkSession, root: String,
     if (cutoff <= 0) return Seq.empty
     val retained = (cutoff to cur).filter(v => fs.exists(versionDir(fq, v)))
     val reachable = retained.flatMap(v =>
-        dataFiles(fq, v).map(p => versionAncestor(p).getName)).toSet ++
+        (dataFiles(fq, v) ++ dvFiles(fq, v))
+          .map(p => versionAncestor(p).getName)).toSet ++
       retained.map(v => f"v_$v%06d")
     val removed = (0 until cutoff).map(v => versionDir(fq, v))
       .filter(d => fs.exists(d) && !reachable.contains(d.getName))
@@ -573,7 +867,10 @@ class TableCatalog(spark: SparkSession, root: String,
     val v = currentVersion(fq).getOrElse(
       throw new IllegalArgumentException(s"table not found: $fq"))
     val (nFiles, bytes) = fileStats(fq)
-    if (nFiles <= 1) return
+    // a single-file table still compacts when DV masks are outstanding:
+    // compaction is what materializes merge-on-read deletes (read(fq)
+    // below is DV-masked; the fresh chain carries no DV manifest)
+    if (nFiles <= 1 && dvFiles(fq, v).isEmpty) return
     val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val pcols = partitionColsOf(fq, v)
     if (pcols.nonEmpty) {

@@ -55,7 +55,16 @@ object Intervals {
     * per-partition offsets from the |partitions|-row count summary
     * (broadcast). `orderCols` must end in a unique tie-break column so
     * the total order — and therefore every seq_id — is independent of
-    * where the sampled range boundaries happen to fall. */
+    * where the sampled range boundaries happen to fall.
+    *
+    * The counts branch and the ranking branch both consume `parted`;
+    * their offsets agree because Spark reuses the identical range
+    * exchange (spark.sql.exchange.reuse, on by default) — one sampling
+    * pass feeds both. Even with reuse disabled the boundaries still
+    * agree in practice (RangePartitioner's reservoir sampling is
+    * seeded per input partition, so two plans over the same source
+    * sample identically), but reuse is the by-construction guarantee;
+    * callers that disable it should localCheckpoint `df` first. */
   def denseIdsOrdered(df: DataFrame, orderCols: Seq[String],
       partitions: Int = 0): DataFrame = {
     val n = if (partitions > 0) partitions

@@ -49,7 +49,12 @@ object Sketches {
     * single-digit factor) that any engine reproduces exactly. */
   def cmBucket(h: Long, r: Int, width: Int): Int = {
     val P = 2147483647L
-    ((((h % P) * (r + 2) + r * 12345L) % P) % width).toInt
+    // floorMod guards a caller passing a raw SIGNED hash: JVM % is
+    // remainder (sign-preserving), so a negative h would otherwise
+    // produce a negative bucket index. For the documented 60-bit
+    // non-negative contract floorMod ≡ %, so existing oracles are
+    // unchanged; the SQL replay uses pmod for the same reason.
+    ((java.lang.Math.floorMod(h, P) * (r + 2) + r * 12345L) % P % width).toInt
   }
 
   /** Count-Min sketch: a depth×width matrix of long counters, flat

@@ -168,6 +168,12 @@ object EventStream {
       .select(cols.map(col): _*)
     e.write.mode("append").parquet(scratch)
     val maxTs = e.agg(max(col("ts"))).head().getTimestamp(0)
+    // A fixture regeneration that changes user-id ranges or event types
+    // could empty the slice; fail with a diagnosable message instead of
+    // an NPE on maxTs.getTime below.
+    require(maxTs != null,
+      s"runLeftOuterFlush: no purchase/click events with user_id < $maxUser " +
+        s"in $dir — fixture changed?")
     def tail(rows: Seq[(Long, Long, Long, String)]): Unit =
       rows.map { case (id, offsetSec, uid, typ) =>
         (id, new java.sql.Timestamp(maxTs.getTime + offsetSec * 1000L),

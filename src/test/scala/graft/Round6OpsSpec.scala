@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalog.TableCatalog
+
+/** Round-6 catalog mechanics: merge-on-read deletion vectors, MoR
+  * update, and manifest min/max data skipping. */
+class Round6OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sf = "/root/testdata/sf0.001"
+
+  test("deleteWhereDV masks rows without rewriting any data file") {
+    val cat = new TableCatalog(spark, tempDir("dv"))
+    val t = "d.s.dv"
+    val df = (1 to 1000).map(i => (i.toLong, i % 7, s"v$i"))
+      .toDF("id", "bucket", "v").repartition(4)
+    cat.overwrite(t, df)
+    val before = cat.dataFilePaths(t)
+    assert(before.size >= 2)
+    cat.deleteWhereDV(t, col("bucket") === 3)
+    // THE merge-on-read contract: identical data-file set post-delete
+    assert(cat.dataFilePaths(t) == before)
+    assert(cat.deletionVectorRows(t) == (1 to 1000).count(_ % 7 == 3))
+    assert(cat.read(t).filter(col("bucket") === 3).count() == 0)
+    assert(cat.count(t) == (1 to 1000).count(_ % 7 != 3))
+    // time travel: v0 still sees every row
+    assert(cat.readVersion(t, 0).count() == 1000)
+  }
+
+  test("DV deletes stack across versions and re-delete is a no-op") {
+    val cat = new TableCatalog(spark, tempDir("dv"))
+    val t = "d.s.dv2"
+    cat.overwrite(t, (1 to 100).map(i => (i.toLong, i % 5))
+      .toDF("id", "b").repartition(3))
+    cat.deleteWhereDV(t, col("b") === 0)
+    val v1 = cat.version(t).get
+    cat.deleteWhereDV(t, col("b") === 1)
+    assert(cat.count(t) == (1 to 100).count(i => i % 5 >= 2))
+    // masked rows are excluded from the probe: same predicate again
+    // matches nothing and commits no new version
+    val v2 = cat.version(t).get
+    cat.deleteWhereDV(t, col("b") === 1)
+    assert(cat.version(t).contains(v2))
+    assert(v2 == v1 + 1)
+    // intermediate version sees only its own masks
+    assert(cat.readVersion(t, v1).count() == (1 to 100).count(_ % 5 != 0))
+  }
+
+  test("compact materializes DVs and vacuum retires masked bytes") {
+    val work = tempDir("dv")
+    val cat = new TableCatalog(spark, work)
+    val t = "d.s.dv3"
+    cat.overwrite(t, (1 to 500).map(i => (i.toLong, i % 4))
+      .toDF("id", "b").repartition(4))
+    cat.deleteWhereDV(t, col("b") === 2)
+    cat.compact(t)
+    assert(cat.deletionVectorRows(t) == 0)
+    assert(cat.count(t) == (1 to 500).count(_ % 4 != 2))
+    cat.vacuum(t, keepVersions = 1)
+    // every pre-compaction version dir (data + DV sidecars) is gone
+    val dirs = new java.io.File(s"$work/d/s/dv3").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set(f"v_${cat.version(t).get}%06d"))
+    assert(cat.count(t) == (1 to 500).count(_ % 4 != 2))
+  }
+
+  test("single-file table with outstanding DVs still compacts") {
+    val cat = new TableCatalog(spark, tempDir("dv"))
+    val t = "d.s.dv4"
+    cat.overwrite(t, (1 to 50).map(i => (i.toLong, i % 2))
+      .toDF("id", "b").coalesce(1))
+    cat.deleteWhereDV(t, col("b") === 0)
+    assert(cat.deletionVectorRows(t) > 0)
+    cat.compact(t)
+    assert(cat.deletionVectorRows(t) == 0)
+    assert(cat.count(t) == 25)
+  }
+
+  test("COW update/merge over a DV'd table read through the masks") {
+    val cat = new TableCatalog(spark, tempDir("dv"))
+    val t = "d.s.dv5"
+    cat.overwrite(t, (1 to 100).map(i => (i.toLong, "keep"))
+      .toDF("id", "v").repartition(3))
+    cat.deleteWhereDV(t, col("id") <= 10)
+    // COW update rewrites files; masked rows must NOT resurrect
+    cat.updateWhere(t, Map("v" -> lit("upd")), col("id") % 2 === 0)
+    assert(cat.count(t) == 90)
+    assert(cat.read(t).filter(col("id") <= 10).count() == 0)
+    assert(cat.read(t).filter(col("v") === "upd").count() ==
+      (11 to 100).count(_ % 2 == 0))
+    // merge through masks: source hits both masked and live ids
+    cat.deleteWhereDV(t, col("id") === 99)
+    cat.merge(t, Seq((99L, "res"), (50L, "m")).toDF("id", "v"), Seq("id"))
+    val got = cat.read(t).as[(Long, String)].collect().toMap
+    assert(got(99L) == "res") // re-inserted by merge (as a NEW row)
+    assert(got(50L) == "m")
+    assert(cat.count(t) == 90) // 89 survivors + merged-back 99
+  }
+
+  test("updateWhereDV preserves every data file and appends the delta") {
+    val cat = new TableCatalog(spark, tempDir("mor"))
+    val t = "d.s.mor"
+    cat.overwrite(t, (1 to 300).map(i => (i.toLong, i % 3, 0))
+      .toDF("id", "b", "flag").repartition(3))
+    val before = cat.dataFilePaths(t)
+    cat.updateWhereDV(t, Map("flag" -> lit(1)), col("b") === 1)
+    val after = cat.dataFilePaths(t)
+    assert(before.toSet.subsetOf(after.toSet))
+    assert(after.size > before.size)
+    assert(cat.count(t) == 300)
+    assert(cat.read(t).filter(col("flag") === 1).count() ==
+      (1 to 300).count(_ % 3 == 1))
+    // no-match update commits nothing
+    val v = cat.version(t).get
+    cat.updateWhereDV(t, Map("flag" -> lit(9)), col("b") === 99)
+    assert(cat.version(t).contains(v))
+  }
+
+  test("readBetween skips non-overlapping files via manifest stats") {
+    val cat = new TableCatalog(spark, tempDir("skip"))
+    val t = "d.s.skip"
+    val df = (1 to 10000).map(i => (i.toLong, i % 13, i * 1.5))
+      .toDF("id", "b", "x")
+    cat.overwrite(t, df.repartitionByRange(8, col("id"))
+      .sortWithinPartitions(col("id")))
+    val all = cat.dataFilePaths(t).size
+    assert(all >= 4)
+    val pruned = cat.readBetween(t, "id", 100L, 600L)
+    // the skipping evidence: a tight range opens a strict subset
+    assert(pruned.inputFiles.length < all)
+    assert(pruned.count() == 501)
+    assert(pruned.agg(sum(col("id"))).head().getLong(0) ==
+      (100L to 600L).sum)
+    // double column skipping too
+    val pd = cat.readBetween(t, "x", 150.0, 900.0)
+    assert(pd.inputFiles.length < all)
+    assert(pd.count() == df.filter(col("x").between(150.0, 900.0)).count())
+    // out-of-range probe reads zero files but keeps the schema
+    val none = cat.readBetween(t, "id", -500L, -1L)
+    assert(none.count() == 0)
+    assert(none.columns.toSeq == Seq("id", "b", "x"))
+  }
+
+  test("readBetween respects DV masks and appended chains") {
+    val cat = new TableCatalog(spark, tempDir("skip"))
+    val t = "d.s.skip2"
+    cat.overwrite(t, (1 to 1000).map(i => (i.toLong, i % 10))
+      .toDF("id", "b").repartitionByRange(4, col("id")))
+    cat.append(t, (1001 to 1200).map(i => (i.toLong, i % 10)).toDF("id", "b"))
+    cat.deleteWhereDV(t, col("id") === 500)
+    val r = cat.readBetween(t, "id", 400L, 1100L)
+    assert(r.count() == (400L to 1100L).size - 1) // DV'd row masked
+    // files without stats would still be read: stats exist here, so the
+    // low range skips the appended files
+    val lo = cat.readBetween(t, "id", 1L, 50L)
+    assert(lo.inputFiles.length < cat.dataFilePaths(t).size)
+  }
+
+  test("round-6 queries return plausible rows at sf0.001") {
+    for (q <- Seq("q212_deletion_vectors", "q213_mor_update",
+        "q214_minmax_skipping")) {
+      val df = QueriesRound6.all(q)(spark, sf)
+      assert(df.count() > 0, q)
+      // every evidence flag must be true or the query self-reports red
+      val flags = df.schema.fields.filter(_.dataType ==
+        org.apache.spark.sql.types.BooleanType).map(_.name)
+      for (f <- flags)
+        assert(df.filter(!col(f)).count() == 0, s"$q: $f is false")
+    }
+  }
+}
