@@ -147,49 +147,110 @@ object QueriesRound6 {
     //      localCheckpoint lineage cut — the kmeans/PageRank driver-
     //      loop shape, corpus-size-independent. ----
     "q216_bpe_train_loop" -> ((s, dir) => {
-      val k = 5
       val words = table(s, dir, "documents")
         .select(explode(
           graft.functions.TextFunctions.tokens(lower(col("text")))).as("w"))
         .filter(col("w").rlike("^[a-z0-9]+$") && length(col("w")) >= 2)
         .groupBy(col("w")).agg(count(lit(1)).as("f"))
-      var vocab = words.select(
-          regexp_replace(col("w"), "(.)", "($1)").as("s"), col("f"))
-        .localCheckpoint(true)
-      val merges = scala.collection.mutable.ArrayBuffer
-        .empty[(Int, String, String, String, Long)]
-      for (step <- 1 to k) {
-        val top = vocab
-          .select(col("f"),
-            split(expr("substring(s, 2, length(s) - 2)"), "\\)\\(").as("a"))
-          .filter(size(col("a")) >= 2)
-          .select(col("f"), explode(expr(
-            "transform(sequence(1, size(a) - 1), " +
-              "i -> struct(element_at(a, i) AS x, element_at(a, i + 1) AS y))"))
-            .as("p"))
-          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
-          .agg(sum(col("f")).as("cnt"))
-          .orderBy(col("cnt").desc, col("x"), col("y"))
-          .limit(1).collect()(0)
-        val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
-        merges += ((step, a, b, a + b, c))
-        vocab = vocab.withColumn("s",
-          expr(s"replace(s, '($a)($b)', '($a$b)')")).localCheckpoint(true)
-      }
+      val merges = graft.operators.Bpe.trainMerges(s, words, 5)
       import s.implicits._
-      merges.toSeq.toDF("step", "lhs", "rhs", "merged", "cnt")
+      merges.map(m => (m.step, m.lhs, m.rhs, m.merged, m.cnt))
+        .toDF("step", "lhs", "rhs", "merged", "cnt")
+    }),
+
+    // ---- BPE APPLICATION — the other half of the tokenizer loop:
+    //      encode every document with the 5 merges q216 learns
+    //      (retrained here for self-containment) and report per-doc
+    //      post-merge token counts. Encoding is k chained scan-local
+    //      `replace`s over the exploded word stream: corpus-sized work
+    //      with ZERO shuffles beyond the final per-doc count — the
+    //      shape a 100 TB tokenize-the-corpus job needs. ----
+    "q220_bpe_encode" -> ((s, dir) => {
+      import graft.operators.Bpe
+      val docWords = table(s, dir, "documents")
+        .select(col("doc_id"), explode(
+          graft.functions.TextFunctions.tokens(lower(col("text")))).as("w"))
+        .filter(col("w").rlike("^[a-z0-9]+$") && length(col("w")) >= 2)
+      val words = docWords.groupBy(col("w")).agg(count(lit(1)).as("f"))
+      val merges = Bpe.trainMerges(s, words, 5)
+      Bpe.applyMerges(docWords.withColumn("s", Bpe.wrap(col("w"))), "s", merges)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(Bpe.symbolCount("s")).as("n_tokens"))
+    }),
+
+    // ---- chained time-window aggregations: 5-minute tumbling pre-agg
+    //      re-windowed into hours in ONE streaming query (window over
+    //      the window column) — the rollup-ladder member of Spark 4's
+    //      multiple-stateful-operators family beside q218's dedup→
+    //      sessions. Coarse state consumes pre-reduced rows: the
+    //      map-side-combine idea applied ACROSS stateful operators. ----
+    "q219_stream_chained_windows" -> ((s, dir) =>
+      graft.streaming.EventStream.runChainedWindows(s, dir)),
+
+    // ---- mergeable quantile sketch: HDR-style log-bucketed histogram
+    //      (exponent + top-4 mantissa bits, ≤ 6.25% rel. err) — the
+    //      deterministic-MONOID member of the quantile-sketch family
+    //      (KLL/t-digest contents depend on merge order; this one is
+    //      bit-identical at any parallelism, so grouped percentile
+    //      monitoring over 100 TB needs one pass + 960 longs per group
+    //      instead of q65/q79's exact sort). The '__all' row is merged
+    //      FROM the per-group sketches, and the oracle rebuilds every
+    //      bucket algebraically (printf('%b') bit length) — hash-exact,
+    //      no tolerance band. ----
+    "q217_quantile_sketch" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          (col("l_extendedprice").cast(DecimalType(14, 2)) * 100)
+            .cast("long").as("cents"))
+      graft.operators.Sketches.logHistQuantiles(s, li, "l_returnflag", "cents")
+    }),
+
+    // ---- chained stateful streaming: watermarked event_id dedup AND
+    //      session-window aggregation in ONE query (Spark 4 multiple-
+    //      stateful-operators) — the at-least-once-bus → sessions
+    //      pipeline without an intermediate sink. Fixture delivers
+    //      every event twice; a regressed dedup doubles n_events in
+    //      every session row (hash-visible). See
+    //      EventStream.runDedupThenSessions for the two-phase
+    //      watermark-flush drive. ----
+    "q218_stream_dedup_sessions" -> ((s, dir) =>
+      graft.streaming.EventStream.runDedupThenSessions(s, dir)),
+
+    // ---- metadata-only COUNT(*): fastCount answers from the per-file
+    //      row counts `_STATS` recorded at commit, minus DV rows
+    //      counted from the sidecars' own footers — zero Spark jobs
+    //      across an overwrite+append+MoR-delete chain. The scan-based
+    //      count is run once here as the in-query witness (`agrees`),
+    //      and the oracle recomputes the same arithmetic from the
+    //      data. ----
+    "q221_metadata_count" -> ((s, dir) => {
+      val work = graft.Scratch.dir("graft_fc")
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val t = "D.S.FC"
+      cat.overwrite(t, o.repartition(4))
+      cat.append(t, o.filter(col("o_orderkey") % 7 === 0))
+      cat.deleteWhereDV(t, col("o_custkey") % 91 === 0)
+      val fc = cat.fastCount(t)
+      val agrees = fc.contains(cat.count(t))
+      import s.implicits._
+      Seq((fc.getOrElse(-1L), fc.isDefined, agrees))
+        .toDF("n", "fast_path", "agrees")
     }))
 }
 
 object OraclesRound6 {
 
-  /** q216's oracle: the same k merge iterations unrolled as CTE stages
-    * (the q191/q180 unrolling convention — DuckDB's recursive CTEs
-    * disallow the per-iteration aggregate this loop needs). Stage N:
-    * split v(N−1)'s symbol strings, count adjacent pairs weighted by f,
-    * argmax with the (cnt DESC, x, y) tie-break, apply via the same
-    * left-to-right non-overlapping `replace`. */
-  private def bpeOracle(k: Int): String = {
+  /** The k BPE merge iterations unrolled as CTE stages (the q191/q180
+    * unrolling convention — DuckDB's recursive CTEs disallow the
+    * per-iteration aggregate this loop needs). Stage N: split v(N−1)'s
+    * symbol strings, count adjacent pairs weighted by f, argmax with
+    * the (cnt DESC, x, y) tie-break, apply via the same left-to-right
+    * non-overlapping `replace`. `dw` carries doc_id for the encode
+    * oracle; `tail` selects against the trained m1..mK. */
+  private def bpeOracle(k: Int, tail: String): String = {
     val stages = (1 to k).map { n =>
       s"""c$n AS (SELECT a[i] AS x, a[i + 1] AS y, SUM(f) AS cnt
            FROM (SELECT f, a, unnest(generate_series(1, len(a) - 1)) AS i
@@ -203,26 +264,127 @@ object OraclesRound6 {
                    '(' || m.x || m.y || ')') AS s, v.f
                  FROM v${n - 1} v, m$n m)"""
     }.mkString(",\n         ")
-    val rows = (1 to k).map(n =>
-      s"""SELECT CAST($n AS INTEGER) AS step, x AS lhs, y AS rhs,
-            x || y AS merged, CAST(cnt AS BIGINT) AS cnt FROM m$n""")
-      .mkString("\n         UNION ALL ")
-    s"""WITH tok AS (SELECT unnest(list_filter(
+    s"""WITH tok AS (SELECT doc_id, unnest(list_filter(
              string_split_regex(trim(lower(text)), '\\s+'),
              x -> x <> '')) AS w
            FROM documents),
-         wf AS (SELECT w, COUNT(*) AS f FROM tok
+         dw AS (SELECT doc_id, w FROM tok
                 WHERE regexp_matches(w, '^[a-z0-9]+$$')
-                GROUP BY w HAVING length(w) >= 2),
+                  AND length(w) >= 2),
+         wf AS (SELECT w, COUNT(*) AS f FROM dw GROUP BY w),
          v0 AS (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS s, f
                 FROM wf),
          $stages
-         $rows"""
+         $tail"""
+  }
+
+  /** q216's tail: the learned merges themselves. */
+  private def bpeTrainTail(k: Int): String =
+    (1 to k).map(n =>
+      s"""SELECT CAST($n AS INTEGER) AS step, x AS lhs, y AS rhs,
+            x || y AS merged, CAST(cnt AS BIGINT) AS cnt FROM m$n""")
+      .mkString("\n         UNION ALL ")
+
+  /** q220's tail: apply m1..mK in training order to every doc word
+    * (nested replaces, innermost first) and count per-doc symbols. */
+  private def bpeEncodeTail(k: Int): String = {
+    val wrapped = "regexp_replace(w, '(.)', '(\\1)', 'g')"
+    val nested = (1 to k).foldLeft(wrapped) { (inner, n) =>
+      s"""replace($inner,
+             '(' || m$n.x || ')(' || m$n.y || ')',
+             '(' || m$n.x || m$n.y || ')')"""
+    }
+    val joins = (1 to k).map(n => s"m$n").mkString(", ")
+    s""", enc AS (SELECT doc_id, $nested AS s FROM dw, $joins)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(s) - length(replace(s, '(', ''))) AS BIGINT)
+             AS n_tokens
+         FROM enc GROUP BY doc_id"""
   }
 
   val all: Map[String, String] = Map(
 
-    "q216_bpe_train_loop" -> bpeOracle(5),
+    "q216_bpe_train_loop" -> bpeOracle(5, bpeTrainTail(5)),
+
+    "q220_bpe_encode" -> bpeOracle(5, bpeEncodeTail(5)),
+
+    // batch two-level rollup: 5-min buckets then hours; hours align to
+    // 5-min boundaries so date_trunc and b5 // 12 group identically
+    "q219_stream_chained_windows" ->
+      """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+             epoch_us(ts) // 300000000 AS b5,
+             COUNT(*) AS n5, SUM(CAST(value AS DECIMAL(14,2))) AS v5
+           FROM events GROUP BY 1, 2, 3)
+         SELECT strftime(hr, '%Y-%m-%d %H:00') AS hour, event_type,
+           CAST(SUM(n5) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(v5) AS DOUBLE) AS sum_value
+         FROM b GROUP BY 1, 2""",
+
+    // algebraic rebuild of the HDR buckets: idx = exponent (bit length
+    // via printf('%b')) and top-5 bits; answers are ceil-rank bucket
+    // lower bounds — the same integers the Scala aggregator emits
+    "q217_quantile_sketch" ->
+      """WITH v AS (SELECT l_returnflag AS g,
+             CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS c
+           FROM lineitem),
+         va AS (SELECT g, c FROM v UNION ALL SELECT '__all', c FROM v),
+         b AS (SELECT g,
+             CASE WHEN c < 32 THEN c
+               ELSE (length(printf('%b', c)) - 5) * 16
+                 + (c >> (length(printf('%b', c)) - 5))
+             END AS idx, COUNT(*) AS n
+           FROM va GROUP BY 1, 2),
+         t AS (SELECT g, SUM(n) AS w FROM b GROUP BY 1),
+         cu AS (SELECT g, idx,
+             SUM(n) OVER (PARTITION BY g ORDER BY idx) AS cum FROM b),
+         pick AS (SELECT cu.g, q.q, MIN(cu.idx) AS idx
+           FROM cu JOIN t ON t.g = cu.g
+           CROSS JOIN (VALUES (50), (95), (99)) AS q(q)
+           WHERE cu.cum >= (q.q * t.w + 99) // 100
+           GROUP BY cu.g, q.q),
+         lb AS (SELECT g, q,
+             CASE WHEN idx < 32 THEN idx
+               ELSE ((idx % 16) + 16) << (idx // 16 - 1) END AS lb
+           FROM pick)
+         SELECT t.g AS l_returnflag, CAST(t.w AS BIGINT) AS w,
+           CAST(MAX(CASE WHEN q = 50 THEN lb END) AS BIGINT) AS p50_lb,
+           CAST(MAX(CASE WHEN q = 95 THEN lb END) AS BIGINT) AS p95_lb,
+           CAST(MAX(CASE WHEN q = 99 THEN lb END) AS BIGINT) AS p99_lb
+         FROM lb JOIN t ON t.g = lb.g GROUP BY t.g, t.w""",
+
+    "q221_metadata_count" ->
+      """WITH u AS (SELECT o_custkey FROM orders
+           UNION ALL
+           SELECT o_custkey FROM orders WHERE o_orderkey % 7 = 0)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS fast_path, TRUE AS agrees
+         FROM u WHERE NOT (o_custkey % 91 = 0)""",
+
+    // DISTINCT-then-sessionize over the same user prefix (the ×2
+    // delivery collapses to the original events); session boundary
+    // follows session_window semantics (>= gap ⇒ new session, q93)
+    "q218_stream_dedup_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+             FROM events WHERE user_id < 50),
+         g AS (SELECT user_id, ts_us,
+                 LAG(ts_us) OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id) AS prev_us
+               FROM e),
+         m AS (SELECT user_id, ts_us,
+                 CASE WHEN prev_us IS NULL
+                        OR ts_us - prev_us >= 30 * 60 * 1000000
+                      THEN 1 ELSE 0 END AS new_session
+               FROM g),
+         s AS (SELECT user_id, ts_us,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                   ROWS UNBOUNDED PRECEDING) AS sid
+               FROM m)
+         SELECT user_id,
+           CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
+           CAST(MAX(ts_us) AS BIGINT) AS session_end_us,
+           COUNT(*) AS n_events
+         FROM s GROUP BY user_id, sid""",
 
     // evidence literals (no_rewrite/v0_intact/dv_cleared) are the
     // in-query catalog assertions; dv_rows is recomputed from the data

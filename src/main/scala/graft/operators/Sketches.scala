@@ -92,6 +92,118 @@ object Sketches {
     def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 
+  // ---- mergeable quantile sketch ------------------------------------------
+  // HDR-histogram-style log-bucketed counts: bucket = the value's
+  // exponent (bit length) plus its top `subBits` mantissa bits — pure
+  // integer arithmetic, relative error ≤ 2^-subBits. The sketch is a
+  // fixed 960-long counter vector and a PERFECT commutative monoid
+  // under elementwise addition (same discipline as [[CountMin]]), which
+  // is why it's the quantile sketch chosen here over KLL/t-digest:
+  // those are sampling/centroid-based, so their content depends on
+  // merge order — fine for tolerance-band answers, useless for a
+  // hash-exact oracle and for bit-identical results at any parallelism.
+  // Quantile answers are bucket lower bounds at ceil-rank targets —
+  // deterministic integers an oracle rebuilds algebraically.
+
+  /** Sub-mantissa bits: 16 sub-buckets per octave, ≤ 6.25 % rel. err. */
+  val HdrSubBits = 4
+  private val HdrSub = 1 << HdrSubBits // 16
+  /** Buckets 0..31 are exact small values; 58 octaves × 16 above
+    * (max idx = (63−5)·16 + 31 = 959 at bit length 63). */
+  val HdrBuckets: Int = (64 - HdrSubBits - 2) * HdrSub + 2 * HdrSub // 960
+
+  /** Bucket index of a non-negative value: v < 32 maps exactly to v;
+    * otherwise (e−5)·16 + top-5-bits with e = bit length of v. */
+  def hdrBucket(v: Long): Int = {
+    require(v >= 0, s"hdrBucket: negative value $v")
+    if (v < 2L * HdrSub) v.toInt
+    else {
+      val e = 64 - java.lang.Long.numberOfLeadingZeros(v) // bit length
+      (e - HdrSubBits - 1) * HdrSub + (v >>> (e - HdrSubBits - 1)).toInt
+    }
+  }
+
+  /** Smallest value in bucket `idx` — the deterministic quantile
+    * answer. Inverse of [[hdrBucket]]. */
+  def hdrLowerBound(idx: Int): Long =
+    if (idx < 2 * HdrSub) idx.toLong
+    else ((idx % HdrSub) + HdrSub).toLong << (idx / HdrSub - 1)
+
+  /** The histogram aggregator: one counter vector per group, map-side
+    * partial aggregation ships 960 longs per group per partition. */
+  final class LogHist extends Aggregator[Long, Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.ofDim[Long](HdrBuckets)
+    def reduce(b: Array[Long], v: Long): Array[Long] = {
+      b(hdrBucket(v)) += 1; b
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    def finish(r: Array[Long]): Array[Long] = r
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Merge already-built histograms (the monoid's second stage — how a
+    * '__all' rollup or a cross-day re-aggregation combines sketches
+    * without touching raw data). */
+  final class LogHistMerge
+      extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.ofDim[Long](HdrBuckets)
+    def reduce(b: Array[Long], a: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < b.length) { b(i) += a(i); i += 1 }
+      b
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = reduce(x, y)
+    def finish(r: Array[Long]): Array[Long] = r
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Quantile answers from a histogram: for each q% the lower bound of
+    * the bucket holding rank ceil(q·W/100) — all-integer, replayable
+    * in any engine. */
+  def hdrQuantiles(h: Array[Long], qs: Seq[Int]): Seq[Long] = {
+    val w = h.sum
+    qs.map { q =>
+      val target = (q.toLong * w + 99L) / 100L // ceil rank
+      var cum = 0L
+      var i = 0
+      var ans = 0L
+      var found = false
+      while (i < h.length && !found) {
+        cum += h(i)
+        if (cum >= target && target > 0) { ans = hdrLowerBound(i); found = true }
+        i += 1
+      }
+      ans
+    }
+  }
+
+  /** Per-group p50/p95/p99 via [[LogHist]], plus a merged '__all' row
+    * built FROM the per-group sketches (never re-reading the data) —
+    * the monoid proof, as in [[bottomKSketch]]. */
+  def logHistQuantiles(spark: SparkSession, df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    import spark.implicits._
+    val vals = df.select(col(groupCol).cast("string").as("g"),
+      col(valueCol).cast("long").as("v")).as[(String, Long)]
+    val sketches = vals.groupByKey(_._1).mapValues(_._2)
+      .agg(new LogHist().toColumn.name("h")).toDF("g", "h")
+    val merged = sketches.select(col("h")).as[Array[Long]]
+      .groupByKey(_ => "__all").mapValues(identity)
+      .agg(new LogHistMerge().toColumn.name("h")).toDF("g", "h")
+    sketches.unionByName(merged).as[(String, Array[Long])]
+      .map { case (g, h) =>
+        val Seq(p50, p95, p99) = hdrQuantiles(h, Seq(50, 95, 99))
+        (g, h.sum, p50, p95, p99)
+      }
+      .toDF(groupCol, "w", "p50_lb", "p95_lb", "p99_lb")
+  }
+
   /** Per-group sketches plus a merged '__all' row proving the monoid:
     * (group, kth_hash, n_sketch, est_distinct). Estimate is the KMV
     * (k−1)·2³⁰ div (kth»30 + 1) — exact integer arithmetic,

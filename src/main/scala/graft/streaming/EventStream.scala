@@ -229,6 +229,110 @@ object EventStream {
       .agg(count(lit(1)).as("n_emitted"))
   }
 
+  /** CHAINED stateful operators in ONE streaming query — watermarked
+    * dedup feeding a session-window aggregation — the Spark 4
+    * multiple-stateful-operators shape (one checkpoint, one state
+    * lifecycle, no intermediate sink): an at-least-once ingest bus is
+    * deduped on event_id and sessionized in the same micro-batch
+    * pipeline. Both states are horizon-bounded (dedup: keys within the
+    * watermark; sessions: open sessions per user). Chained stateful
+    * requires APPEND mode, so sessions only emit once the watermark
+    * passes their close — on a finite fixture that final advance never
+    * happens by itself, hence the q194-style two-phase drive: the real
+    * (duplicated ×2) traffic first, then a sentinel event hours past
+    * the horizon whose batch flushes every real session. The sink
+    * restricted to real users must equal DISTINCT-then-sessionize over
+    * the same prefix — which is exactly what the oracle computes, and
+    * a regressed dedup doubles every n_events (hash-visible). */
+  def runDedupThenSessions(spark: SparkSession, dir: String,
+      queryName: String = "graft_stream_ddsess",
+      maxUser: Long = 50L, statePartitions: Int = 8): DataFrame = {
+    import spark.implicits._
+    val scratch = graft.Scratch.dir("graft_ddsess")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val e = graft.Queries.events(spark, dir)
+      .filter(col("user_id") < maxUser)
+      .select(cols.map(col): _*)
+    // the at-least-once bus: every event delivered twice
+    e.write.mode("append").parquet(scratch)
+    e.write.mode("append").parquet(scratch)
+    val maxTs = e.agg(max(col("ts"))).head().getTimestamp(0)
+    require(maxTs != null,
+      s"runDedupThenSessions: no events with user_id < $maxUser in $dir")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = readStream(spark, scratch, glob = "*.parquet")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("session_start_us"),
+          max(unix_micros(col("ts"))).as("session_end_us"))
+        .select(col("user_id"), col("session_start_us"),
+          col("session_end_us"), col("n_events"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(queryName).start()
+      try {
+        q.processAllAvailable()
+        // sentinel 4 h past the last real event: its batch advances the
+        // watermark past every real session's close
+        Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 4 * 3600 * 1000L),
+            999999L, "noop", 0.0, "{}"))
+          .toDF(cols: _*).coalesce(1).write.mode("append").parquet(scratch)
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(queryName).filter(col("user_id") < maxUser)
+  }
+
+  /** CHAINED time-window aggregations in one streaming query — the
+    * other canonical Spark 4 multiple-stateful-operators shape: a
+    * 5-minute tumbling pre-aggregation re-aggregated into hours by
+    * windowing over the 5-minute WINDOW COLUMN (`window(window, 1h)`).
+    * This is the streaming rollup ladder every metrics pipeline wants
+    * (fine state stays small and early, coarse state aggregates
+    * pre-reduced rows — the map-side-combine idea applied across
+    * stateful operators). Append mode + the sentinel-tail flush drive
+    * as in [[runDedupThenSessions]]; the drained sink minus the
+    * sentinel equals the batch two-level rollup the oracle runs. */
+  def runChainedWindows(spark: SparkSession, dir: String,
+      queryName: String = "graft_stream_chained",
+      statePartitions: Int = 8): DataFrame = {
+    import spark.implicits._
+    val scratch = graft.Scratch.dir("graft_chw")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val e = graft.Queries.events(spark, dir).select(cols.map(col): _*)
+    e.write.mode("append").parquet(scratch)
+    val maxTs = e.agg(max(col("ts"))).head().getTimestamp(0)
+    require(maxTs != null, s"runChainedWindows: no events in $dir")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = readStream(spark, scratch, glob = "*.parquet")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n5"),
+          sum(col("value").cast(DecimalType(14, 2))).as("v5"))
+        .groupBy(window(col("window"), "1 hour"), col("event_type"))
+        .agg(sum(col("n5")).as("n"), count(lit(1)).as("n_buckets"),
+          sum(col("v5")).cast("double").as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:00")
+            .as("hour"),
+          col("event_type"), col("n"), col("n_buckets"), col("sum_value"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(queryName).start()
+      try {
+        q.processAllAvailable()
+        Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 4 * 3600 * 1000L),
+            999999L, "noop", 0.0, "{}"))
+          .toDF(cols: _*).coalesce(1).write.mode("append").parquet(scratch)
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(queryName).filter(col("event_type") =!= "noop")
+  }
+
   /** Drain the stream-stream join (append mode — inner joins emit as
     * matches arrive). */
   def runPurchaseClickJoin(spark: SparkSession, dir: String,

@@ -157,9 +157,103 @@ class Round6OpsSpec extends SparkTestBase {
     assert(lo.inputFiles.length < cat.dataFilePaths(t).size)
   }
 
+  test("PngCodec round-trips geometry and raster through javax.imageio") {
+    import graft.operators.Multimodal.PngCodec
+    for (id <- Seq(0L, 1L, 7L, 123L, 4999L)) {
+      val m = PngCodec.decode(id, PngCodec.encode(id))
+      assert(m.width == PngCodec.widthOf(id))
+      assert(m.height == PngCodec.heightOf(id))
+      assert(m.channels == 3)
+      assert(m.format == "png")
+      val expected = (for (y <- 0 until m.height; x <- 0 until m.width)
+        yield PngCodec.pixel(id, x, y).toLong).sum
+      assert(m.pixel_sum == expected) // raster decoded, not just IHDR
+    }
+  }
+
+  test("hdrBucket is monotone, total, and inverted by hdrLowerBound") {
+    import graft.operators.Sketches._
+    val probes = (0L to 200L) ++
+      Seq(255L, 256L, 1023L, 1024L, 1L << 40, (1L << 40) + 12345L,
+        Long.MaxValue - 1, Long.MaxValue)
+    probes.sliding(2).foreach { case Seq(a, b) =>
+      assert(hdrBucket(a) <= hdrBucket(b), s"monotone at $a,$b")
+    case _ => ()
+    }
+    for (v <- probes) {
+      val i = hdrBucket(v)
+      assert(i >= 0 && i < HdrBuckets, s"range at $v")
+      val lb = hdrLowerBound(i)
+      assert(lb <= v, s"lb at $v")
+      // relative error bound: bucket width ≤ lb / 16 above the exact zone
+      if (i >= 32) assert(v - lb < lb.toDouble / 16 + 1, s"width at $v")
+      assert(hdrBucket(lb) == i, s"inverse at $v")
+    }
+    intercept[IllegalArgumentException](hdrBucket(-1L))
+  }
+
+  test("LogHist quantiles match exact percentile bucket on a known set") {
+    import graft.operators.Sketches._
+    // 1..1000: p50 target rank 500 → value 500 lands in its bucket
+    val h = Array.ofDim[Long](HdrBuckets)
+    (1L to 1000L).foreach(v => h(hdrBucket(v)) += 1)
+    val Seq(p50, p95, p99) = hdrQuantiles(h, Seq(50, 95, 99))
+    assert(p50 == hdrLowerBound(hdrBucket(500L)))
+    assert(p95 == hdrLowerBound(hdrBucket(950L)))
+    assert(p99 == hdrLowerBound(hdrBucket(990L)))
+    // the monoid: splitting the stream and merging gives the same array
+    val a = Array.ofDim[Long](HdrBuckets)
+    val b = Array.ofDim[Long](HdrBuckets)
+    (1L to 500L).foreach(v => a(hdrBucket(v)) += 1)
+    (501L to 1000L).foreach(v => b(hdrBucket(v)) += 1)
+    val merged = new LogHistMerge().reduce(a, b)
+    assert(merged.toSeq == h.toSeq)
+  }
+
+  test("fastCount is metadata-only correct across chains, DVs, partitions") {
+    val work = tempDir("fc")
+    val cat = new TableCatalog(spark, work)
+    val t = "d.s.fc"
+    cat.overwrite(t, (1 to 400).map(i => (i.toLong, i % 9))
+      .toDF("id", "b").repartition(3))
+    cat.append(t, (401 to 450).map(i => (i.toLong, i % 9)).toDF("id", "b"))
+    assert(cat.fastCount(t).contains(450L))
+    cat.deleteWhereDV(t, col("b") === 4)
+    assert(cat.fastCount(t).contains(cat.count(t)))
+    // a chain file without harvested stats disables the fast path
+    val statsFiles = new java.io.File(s"$work/d/s/fc").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName == "_STATS")
+    assert(statsFiles.nonEmpty)
+    statsFiles.foreach(f => assert(f.delete()))
+    assert(cat.fastCount(t).isEmpty)
+    // partitioned tables fast-count too (stats harvest recurses)
+    val tp = "d.s.fcp"
+    cat.overwritePartitioned(tp, (1 to 300).map(i => (i.toLong, i % 5))
+      .toDF("id", "p"), Seq("p"))
+    assert(cat.fastCount(tp).contains(300L))
+  }
+
+  test("Bpe merge application is greedy left-to-right non-overlapping") {
+    import graft.operators.Bpe
+    val df = Seq("aaaa", "abab", "xaay").toDF("w")
+      .withColumn("s", Bpe.wrap(col("w")))
+    val m = Seq(Bpe.Merge(1, "a", "a", "aa", 0L))
+    val got = Bpe.applyMerges(df, "s", m)
+      .select(col("w"), col("s"), Bpe.symbolCount("s").as("n"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getInt(2)))
+      .toMap
+    assert(got("aaaa") == ("(aa)(aa)", 2)) // two disjoint merges
+    assert(got("abab") == ("(a)(b)(a)(b)", 4)) // no (a,a) pair
+    assert(got("xaay") == ("(x)(aa)(y)", 3))
+  }
+
   test("round-6 queries return plausible rows at sf0.001") {
     for (q <- Seq("q212_deletion_vectors", "q213_mor_update",
-        "q214_minmax_skipping")) {
+        "q214_minmax_skipping", "q215_image_decode", "q216_bpe_train_loop",
+        "q217_quantile_sketch", "q218_stream_dedup_sessions",
+        "q219_stream_chained_windows", "q220_bpe_encode",
+        "q221_metadata_count")) {
       val df = QueriesRound6.all(q)(spark, sf)
       assert(df.count() > 0, q)
       // every evidence flag must be true or the query self-reports red
