@@ -238,7 +238,128 @@ object QueriesRound6 {
       import s.implicits._
       Seq((fc.getOrElse(-1L), fc.isDefined, agrees))
         .toDF("n", "fast_path", "agrees")
-    }))
+    }),
+
+    // ---- per-file bloom index: the complement of q214's min/max
+    //      skipping — a point lookup on a high-cardinality UNSORTED key
+    //      overlaps every file's [min,max], so stats prune nothing; the
+    //      ~10-bits/row bloom sidecars answer "definitely not here" per
+    //      file BEFORE planning. An 8-file chain whose name ranges all
+    //      overlap, one probe, and the files-opened count (hashed via
+    //      files_skipped) shows the needle-in-the-table read schedules
+    //      ~1 file instead of 8. Index build is incremental: appended
+    //      files get blooms in one job, already-indexed files are never
+    //      rehashed. ----
+    "q222_bloom_point_lookup" -> ((s, dir) => {
+      val work = graft.Scratch.dir("graft_bloom")
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val t = "D.S.BLOOM"
+      cat.overwrite(t, c.filter(col("c_custkey") % 4 === 0).repartition(2))
+      cat.append(t, c.filter(col("c_custkey") % 4 === 1).repartition(2))
+      cat.buildBloomIndex(t, "c_name") // indexes the first 4 files…
+      cat.append(t, c.filter(col("c_custkey") % 4 === 2).repartition(2))
+      cat.append(t, c.filter(col("c_custkey") % 4 === 3).repartition(2))
+      val delta = cat.buildBloomIndex(t, "c_name") // …this call only the 4 new
+      val nFiles = cat.dataFilePaths(t).size
+      val probe = cat.readPoint(t, "c_name", "Customer#000000042")
+      val skipped = probe.inputFiles.length < nFiles
+      probe.select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        .withColumn("files_skipped", lit(skipped))
+        .withColumn("incremental_build", lit(delta == 4))
+    }),
+
+    // ---- incremental change data feed: readChanges diffs MANIFESTS,
+    //      not snapshots — appended files are inserts, DV sidecar deltas
+    //      are deletes read from just the files they address, and a COW
+    //      rewrite nets out through exceptAll to exactly the touched
+    //      rows. The mutation mix covers all three change sources
+    //      (append, MoR delete/update, COW update); the hashed
+    //      scanned_only_changed witnesses that v0's untouched bulk was
+    //      never opened — the property that makes a ten-file change feed
+    //      over a 100 TB table a ten-file read. Oracle: the full-
+    //      snapshot EXCEPT ALL diff, which the manifest diff must equal
+    //      row-for-row. ----
+    "q223_incremental_cdf" -> ((s, dir) => {
+      val work = graft.Scratch.dir("graft_icdf")
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val cust = table(s, dir, "customer").select(
+        col("c_custkey").as("key"), col("c_name").as("name"),
+        col("c_acctbal").cast(DecimalType(14, 2)).cast("double").as("acctbal"))
+      val t = "D.S.ICDF"
+      // range layout so the mutations below touch a KNOWN file subset
+      cat.overwrite(t, cust.filter(col("key") <= 300)
+        .repartitionByRange(6, col("key")))
+      val v0 = cat.version(t).get
+      val v0Names = cat.dataFilePaths(t).map(_.split('/').last).toSet
+      cat.append(t, cust.filter(col("key").between(301, 350)))
+      cat.deleteWhereDV(t, col("key") % 10 === 0 && col("key") <= 50)
+      cat.updateWhereDV(t, Map("acctbal" ->
+          (col("acctbal").cast(DecimalType(14, 2)) + 100).cast("double")),
+        col("key").between(101, 120))
+      cat.updateWhere(t, Map("acctbal" -> lit(-1.0)), col("key") === 200)
+      val changes = cat.readChanges(t, v0, cat.version(t).get)
+      val readNames = changes.inputFiles.map(_.split('/').last).toSet
+      val skippedOld = (v0Names -- readNames).nonEmpty
+      changes.withColumn("scanned_only_changed", lit(skippedOld))
+    }),
+
+    // ---- SemDeDup semantic near-dedup (Abbas et al. 2023): k-means
+    //      partitions the embedding space, cosine-τ pairs are sought
+    //      only WITHIN a cluster (n²/k candidate space — the published
+    //      scale trick), and any doc with a more-canonical (lower-id)
+    //      τ-neighbor is flagged. Decisions are integer-exact over the
+    //      same quantized longs the assignment used (τ² = 49/400 ⇒
+    //      τ = 0.35), so the DuckDB rebuild — kmeans CTEs + HUGEINT
+    //      pairwise dots — hash-matches bit-for-bit. ----
+    "q224_semantic_dedup" -> ((s, dir) =>
+      graft.operators.Corpus.semanticDedup(
+        table(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2, tauSqNum = 49, tauSqDen = 400)),
+
+    // ---- zero-copy SHALLOW CLONE: the clone's v0 references the
+    //      source's data files AND DV masks by manifest — no bytes
+    //      move (zero_copy hashes the fact that every clone data path
+    //      lives under the SOURCE's tree). Source and clone then
+    //      diverge: a COW update on the source after the clone and a
+    //      MoR delete on the clone must not see each other — the
+    //      groupBy would surface any leaked 'Z' rows or resurrected
+    //      deletes straight into the hash. ----
+    "q225_shallow_clone" -> ((s, dir) => {
+      val work = graft.Scratch.dir("graft_clone")
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val src = "D.S.CSRC"; val dst = "D.S.CDST"
+      cat.overwrite(src, o.repartition(6))
+      cat.deleteWhereDV(src, col("o_custkey") % 97 === 0) // DVs clone too
+      cat.cloneTable(src, dst)
+      val zeroCopy = cat.dataFilePaths(dst).nonEmpty &&
+        cat.dataFilePaths(dst).forall(p => !p.contains("CDST"))
+      // post-clone divergence, both directions
+      cat.updateWhere(src, Map("o_orderstatus" -> lit("Z")),
+        col("o_custkey") % 5 === 0)
+      cat.deleteWhereDV(dst, col("o_custkey") % 7 === 0)
+      cat.read(dst)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(14, 2))).cast("double")
+            .as("sum_price"))
+        .withColumn("zero_copy", lit(zeroCopy))
+    }),
+
+    // ---- integer-exact bigram LM scoring: per-doc Σ of
+    //      bitlen(c(a·)) − bitlen(c(a,b)) over adjacent token pairs —
+    //      the KenLM-perplexity slot of a quality pipeline with
+    //      bit-length standing in for log2 so both engines agree
+    //      bit-for-bit (a float log2 would hash-drift). Two map-side-
+    //      combined corpus counts + two key-joins; no broadcast of
+    //      corpus-sized state. ----
+    "q226_bigram_surprise" -> ((s, dir) =>
+      graft.operators.TextStats.bigramSurprise(
+        table(s, dir, "documents"), "doc_id", "text")))
 }
 
 object OraclesRound6 {
@@ -421,6 +542,104 @@ object OraclesRound6 {
          WHERE o_orderkey BETWEEN 1
            AND (SELECT MAX(o_orderkey) // 10 FROM orders)
          GROUP BY o_orderstatus""",
+
+    // clone = source at clone time (minus its own MoR delete); the
+    // source's later 'Z' rewrite must be invisible
+    "q225_shallow_clone" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+             AS sum_price,
+           TRUE AS zero_copy
+         FROM orders
+         WHERE NOT (o_custkey % 97 = 0) AND NOT (o_custkey % 7 = 0)
+         GROUP BY o_orderstatus""",
+
+    "q226_bigram_surprise" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+             string_split_regex(trim(lower(text)), '\s+'),
+             x -> x <> '') AS tk FROM documents),
+         idx AS (SELECT doc_id, tk,
+             unnest(generate_series(1, len(tk) - 1)) AS i FROM t),
+         bg AS (SELECT doc_id, tk[i] AS a,
+             tk[i] || ' ' || tk[i + 1] AS big FROM idx),
+         pc AS (SELECT big, COUNT(*) AS cab FROM bg GROUP BY big),
+         mc AS (SELECT a, COUNT(*) AS ca FROM bg GROUP BY a),
+         s AS (SELECT doc_id,
+             length(printf('%b', ca)) - length(printf('%b', cab)) AS s
+           FROM bg JOIN pc USING (big) JOIN mc USING (a))
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(s) AS BIGINT) AS surprise,
+           CAST(SUM(s) * 1000 // COUNT(*) AS BIGINT) AS mean_permille
+         FROM s GROUP BY doc_id""",
+
+    "q222_bloom_point_lookup" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+           TRUE AS files_skipped, TRUE AS incremental_build
+         FROM customer WHERE c_name = 'Customer#000000042'""",
+
+    // full-snapshot EXCEPT ALL diff — the ground truth the manifest
+    // diff must reproduce while reading only changed files
+    "q223_incremental_cdf" ->
+      """WITH base AS (SELECT c_custkey AS key, c_name AS name,
+             CAST(CAST(c_acctbal AS DECIMAL(14,2)) AS DOUBLE) AS acctbal
+           FROM customer),
+         old AS (SELECT * FROM base WHERE key <= 300),
+         grown AS (SELECT * FROM base WHERE key <= 350),
+         alive AS (SELECT * FROM grown
+                   WHERE NOT (key % 10 = 0 AND key <= 50)),
+         new AS (SELECT key, name,
+             CASE WHEN key = 200 THEN -1.0
+               WHEN key BETWEEN 101 AND 120
+               THEN CAST(CAST(acctbal AS DECIMAL(14,2)) + 100 AS DOUBLE)
+               ELSE acctbal END AS acctbal
+           FROM alive),
+         i AS (SELECT * FROM new EXCEPT ALL SELECT * FROM old),
+         d AS (SELECT * FROM old EXCEPT ALL SELECT * FROM new)
+         SELECT key, name, acctbal, 'insert' AS _change_type,
+           TRUE AS scanned_only_changed FROM i
+         UNION ALL
+         SELECT key, name, acctbal, 'delete' AS _change_type,
+           TRUE AS scanned_only_changed FROM d""",
+
+    // kmeans CTEs (the q71 fixed-point construction: quantized longs,
+    // seed = vec_id < 8, 2 Lloyd iterations) + HUGEINT pairwise dots
+    // within clusters; τ² = 49/400 compared in exact integer arithmetic
+    "q224_semantic_dedup" ->
+      """WITH q AS (SELECT vec_id AS vid,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS qv
+           FROM embeddings),
+         c0 AS (SELECT vid AS cid, qv AS cv FROM q WHERE vid < 8),
+         a1 AS (SELECT vid, cid FROM (
+             SELECT q.vid, c0.cid, ROW_NUMBER() OVER (PARTITION BY q.vid ORDER BY
+               (SELECT SUM((x - y) * (x - y))
+                FROM (SELECT unnest(q.qv) AS x, unnest(c0.cv) AS y) z) ASC, c0.cid) AS rn
+             FROM q, c0) WHERE rn = 1),
+         d1 AS (SELECT a1.cid, q.qv, unnest(generate_series(1, len(q.qv))) AS i
+                FROM a1 JOIN q USING (vid)),
+         p1 AS (SELECT cid, i,
+                  CAST(floor(CAST(SUM(qv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cval
+                FROM d1 GROUP BY cid, i),
+         c1 AS (SELECT cid, list(cval ORDER BY i) AS cv FROM p1 GROUP BY cid),
+         a2 AS (SELECT vid, cid FROM (
+             SELECT q.vid, c1.cid, ROW_NUMBER() OVER (PARTITION BY q.vid ORDER BY
+               (SELECT SUM((x - y) * (x - y))
+                FROM (SELECT unnest(q.qv) AS x, unnest(c1.cv) AS y) z) ASC, c1.cid) AS rn
+             FROM q, c1) WHERE rn = 1),
+         m AS (SELECT a2.vid, a2.cid, q.qv FROM a2 JOIN q USING (vid)),
+         pr AS (SELECT b.vid AS vb,
+             (SELECT SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+              FROM (SELECT unnest(a.qv) AS x, unnest(b.qv) AS y) z) AS dot,
+             (SELECT SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+              FROM (SELECT unnest(a.qv) AS x) z) AS n2a,
+             (SELECT SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+              FROM (SELECT unnest(b.qv) AS y) z) AS n2b
+           FROM m a JOIN m b ON a.cid = b.cid AND a.vid < b.vid),
+         dropped AS (SELECT DISTINCT vb FROM pr
+           WHERE dot >= 0 AND 400 * dot * dot >= 49 * n2a * n2b)
+         SELECT m.vid AS vec_id, m.cid AS cluster,
+           (m.vid IN (SELECT vb FROM dropped)) AS is_dup
+         FROM m""",
 
     // the closed-form recompute of what the codec must recover:
     // IHDR geometry and the raster checksum

@@ -986,6 +986,263 @@ class TableCatalog(spark: SparkSession, root: String,
       clustered.write.mode(SaveMode.Overwrite).parquet(dir.toString))
   }
 
+  // ---- per-file bloom index (point-lookup file skipping) ------------------
+  // Min/max skipping ([[readBetween]]) only helps when the predicate
+  // column is clustered — a point lookup on a high-cardinality UNSORTED
+  // key overlaps every file's [min,max] and skips nothing. The bloom
+  // index is the complementary structure (the Delta bloom-filter-index
+  // / Iceberg puffin-blob idea): ~10 bits/row per indexed file answers
+  // "definitely not in this file" BEFORE Spark plans the scan, so a
+  // needle-in-the-table id probe schedules O(expected hits) files
+  // instead of a task per file. Sidecars are advisory like `_STATS`:
+  // a file without an entry is always read — never a correctness risk.
+
+  private def bloomPath(dir: Path) = new Path(dir, "_BLOOMS")
+  private val BloomHashes = 5 // double-hashed probes per key (~1% FPR at 10 bits/row)
+
+  /** Entries of a `_BLOOMS` sidecar: (file, column, bitset words). */
+  private def bloomEntries(dir: Path): Seq[(String, String, Array[Long])] = {
+    val bp = bloomPath(dir)
+    if (!fs.exists(bp)) Nil
+    else {
+      val in = fs.open(bp)
+      val text = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      text.split("\n").toSeq.filter(_.nonEmpty).map { ln =>
+        val Array(f, c, b64) = ln.split("\t", 3)
+        val bytes = java.util.Base64.getDecoder.decode(b64)
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        val words = Array.ofDim[Long](bytes.length / 8)
+        var i = 0
+        while (i < words.length) { words(i) = bb.getLong(); i += 1 }
+        (f, c, words)
+      }
+    }
+  }
+
+  /** The key hash both sides use: Spark's `xxhash64` (seed 42) of the
+    * STRING form of the value. Hashing the canonical string form keeps
+    * the build side (a Column over the native type) and the probe side
+    * (a driver-side literal) bit-identical regardless of numeric width;
+    * callers pass probe values whose `toString` matches Spark's
+    * string cast (exact for string and integral keys). */
+  private def bloomHash(s: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.unsafe.types.UTF8String
+    XxHash64(Seq(Literal.create(UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType)), 42L)
+      .eval(null).asInstanceOf[Long]
+  }
+
+  private def bloomBitPositions(h: Long, words: Int): Seq[Int] = {
+    val m = words * 64L
+    val h2 = (h >>> 32) | 1L // odd second hash → full-period double hashing
+    (0 until BloomHashes).map(i => java.lang.Math.floorMod(h + i * h2, m).toInt)
+  }
+
+  /** Build (incrementally) the per-file bloom index on `column` for the
+    * live version's chain. Files already carrying an entry in their
+    * owning version's sidecar are skipped, so steady-state cost after
+    * an append is O(delta files), and ONE Spark job hashes all missing
+    * files' keys and builds every bloom in a single pass (grouped by
+    * `_metadata.file_path` — no job-per-file). Bitsets are sized from
+    * `_STATS` footer row counts at ~10 bits/row: a 1M-row 128 MB file
+    * carries a ~1.25 MB sidecar entry, index-not-data sized, which is
+    * why the per-file blooms may come back through the driver. Returns
+    * the number of files indexed by this call. */
+  def buildBloomIndex(fq: String, column: String): Int = {
+    val v = currentVersion(fq).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $fq"))
+    require(partitionColsOf(fq, v).isEmpty,
+      "bloom index targets unpartitioned tables (partition pruning covers the rest)")
+    val files = dataFiles(fq, v)
+    val have: Set[String] = files.map(versionAncestor).distinct
+      .flatMap(bloomEntries).collect { case (f, c, _) if c == column => f }
+      .toSet
+    val missing = files.filterNot(p => have(fs.makeQualified(p).toUri.getPath))
+    if (missing.isEmpty) return 0
+    val rowsOf = statsFor(missing)
+    val wordsOf: Map[String, Int] = missing.map { p =>
+      val key = fs.makeQualified(p).toUri.getPath
+      val n = rowsOf.get(key).flatMap(_.get("__rows"))
+        .map(_._1.toLong).getOrElse(1L << 16)
+      var m = 1024L
+      while (m < n * 10) m <<= 1
+      key -> (m / 64).toInt
+    }.toMap
+    import spark.implicits._
+    val nh = BloomHashes
+    val built = spark.read.parquet(missing.map(_.toString): _*)
+      .select(col("_metadata.file_path").as("f"),
+        xxhash64(col(column).cast("string")).as("h"))
+      .as[(String, Long)]
+      .map { case (f, h) => (new Path(f).toUri.getPath, h) } // drop scheme
+      .groupByKey(_._1)
+      .mapGroups { (f, it) =>
+        val bits = Array.ofDim[Long](wordsOf(f)) // |missing|-sized closure map
+        val m = bits.length * 64L
+        it.foreach { case (_, h) =>
+          val h2 = (h >>> 32) | 1L
+          var i = 0
+          while (i < nh) {
+            val pos = java.lang.Math.floorMod(h + i * h2, m).toInt
+            bits(pos >> 6) |= 1L << (pos & 63)
+            i += 1
+          }
+        }
+        (f, bits)
+      }.collect()
+    built.toSeq.groupBy { case (f, _) => versionAncestor(new Path(f)) }
+      .foreach { case (dir, entries) =>
+        val keep = bloomEntries(dir).filterNot { case (f, c, _) =>
+          c == column && entries.exists(_._1 == f) }
+        val all = keep ++ entries.map { case (f, b) => (f, column, b) }
+        val lines = all.sortBy(t => (t._1, t._2)).map { case (f, c, bits) =>
+          val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+          bits.foreach(bb.putLong)
+          s"$f\t$c\t${java.util.Base64.getEncoder.encodeToString(bb.array())}"
+        }
+        val out = fs.create(bloomPath(dir), true)
+        try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+      }
+    missing.length
+  }
+
+  /** Point-lookup read with bloom file skipping: open only the files
+    * whose bloom POSSIBLY contains `value` (no entry ⇒ read — safe
+    * default), then apply DV masks and the row-level predicate. The
+    * returned plan's `inputFiles` is the skipping evidence; expected
+    * files opened ≈ true hits + FPR · (files without the key). */
+  def readPoint(fq: String, column: String, value: Any): DataFrame = {
+    val v = currentVersion(fq).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $fq"))
+    val pred = col(column) === lit(value)
+    if (partitionColsOf(fq, v).nonEmpty)
+      return readPartitionedChain(fq, v).filter(pred)
+    val files = dataFiles(fq, v)
+    if (files.isEmpty) return read(fq).filter(pred)
+    val blooms: Map[String, Array[Long]] =
+      files.map(versionAncestor).distinct.flatMap(bloomEntries)
+        .collect { case (f, c, bits) if c == column => f -> bits }.toMap
+    val h = bloomHash(String.valueOf(value))
+    val surviving = files.filter { p =>
+      blooms.get(fs.makeQualified(p).toUri.getPath) match {
+        case Some(bits) =>
+          bloomBitPositions(h, bits.length).forall(pos =>
+            (bits(pos >> 6) & (1L << (pos & 63))) != 0L)
+        case None => true
+      }
+    }
+    if (surviving.isEmpty) read(fq).filter(pred).limit(0)
+    else maskDv(spark.read.parquet(surviving.map(_.toString): _*),
+      dvFiles(fq, v)).filter(pred)
+  }
+
+  // ---- zero-copy shallow clone --------------------------------------------
+
+  /** SHALLOW CLONE (the Delta-style zero-copy table copy): the clone's
+    * v0 carries the source version's data files, DV masks — and,
+    * transitively, the `_STATS`/`_BLOOMS` sidecars resident next to
+    * those files — BY REFERENCE. O(metadata): no data bytes move, which
+    * at 100 TB is the difference between an instant dev/test fork and a
+    * day of copying. Source and clone then evolve independently:
+    * files are immutable and every commit is COW/MoR, so mutations on
+    * either side can never leak into the other (snapshot isolation by
+    * construction). `version` picks a time-travel clone.
+    *
+    * Same referential caveat as Delta shallow clones: the clone pins
+    * NAMES, not bytes — `vacuum`/`drop` on the SOURCE can retire files
+    * a clone still references. Promote with [[compact]] on the clone
+    * (which materializes referenced data into its own files) before
+    * retiring the source. */
+  def cloneTable(src: String, dst: String, version: Option[Int] = None): Unit = {
+    val v = version.orElse(currentVersion(src)).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $src"))
+    require(currentVersion(dst).isEmpty, s"clone target exists: $dst")
+    require(fs.exists(versionDir(src, v)), s"$src version $v not retained")
+    require(partitionColsOf(src, v).isEmpty,
+      "shallow clone targets unpartitioned tables")
+    val files = dataFiles(src, v)
+    val dvs = dvFiles(src, v)
+    commitVersion(dst, dir => {
+      fs.mkdirs(dir)
+      writeManifest(dir, files)
+      if (dvs.nonEmpty) writeDvManifest(dir, dvs)
+    })
+  }
+
+  // ---- incremental change data feed ---------------------------------------
+
+  /** Row-level changes between two committed versions, computed from
+    * the MANIFEST DIFF — cost scales with the files that changed, not
+    * the table ([[graft.operators.Cdc.versionDiff]] re-reads both full
+    * snapshots; at 100 TB a ten-file append must not scan 100 TB).
+    * Files added by `toV` contribute candidate inserts (masked by
+    * `toV`'s deletion vectors), files dropped contribute candidate
+    * deletes (masked by `fromV`'s), and rows newly masked by DVs in
+    * SURVIVING files contribute deletes read from just the files those
+    * masks address — DV sidecar files are immutable and accumulative,
+    * so "new masks" is a file-set diff, no row-level reconciliation.
+    * A rewrite (COW update, compact) shows as drop+add of the rewritten
+    * files; rows carried through unchanged appear in both candidate
+    * sets and the final exceptAll nets them out, so the feed is exactly
+    * the full-snapshot EXCEPT ALL diff while only scanning changed
+    * files. Output: the table's columns plus `_change_type`
+    * ('insert' | 'delete'). Falls back to the full-snapshot diff for
+    * partitioned tables (partition pruning limits those scans). */
+  def readChanges(fq: String, fromV: Int, toV: Int): DataFrame = {
+    require(fromV <= toV, s"fromV $fromV > toV $toV")
+    val cols = readVersion(fq, toV).columns
+      .filterNot(_ == "_change_type").map(col).toSeq
+    def tag(df: DataFrame, t: String) =
+      df.select(cols: _*).withColumn("_change_type", lit(t))
+    if (partitionColsOf(fq, fromV).nonEmpty ||
+        partitionColsOf(fq, toV).nonEmpty) {
+      val o = readVersion(fq, fromV); val n = readVersion(fq, toV)
+      return tag(n.exceptAll(o), "insert")
+        .unionByName(tag(o.exceptAll(n), "delete"))
+    }
+    def qp(p: Path) = fs.makeQualified(p).toUri.getPath
+    val filesA = dataFiles(fq, fromV); val filesB = dataFiles(fq, toV)
+    val setA = filesA.map(qp).toSet; val setB = filesB.map(qp).toSet
+    val added = filesB.filterNot(p => setA(qp(p)))
+    val removed = filesA.filterNot(p => setB(qp(p)))
+    val dvA = dvFiles(fq, fromV); val dvB = dvFiles(fq, toV)
+    val dvASet = dvA.map(qp).toSet
+    val dvNew = dvB.filterNot(p => dvASet(qp(p)))
+    val survivorDeletes: Option[DataFrame] =
+      if (dvNew.isEmpty) None
+      else {
+        val mask = spark.read.parquet(dvNew.map(_.toString): _*)
+        // the address list is metadata-sized (distinct file names)
+        val hitFiles = mask.select("file").distinct().collect()
+          .map(_.getString(0)).toSeq
+          .filter(f => setB(new Path(f).toUri.getPath)) // removed files net elsewhere
+        if (hitFiles.isEmpty) None
+        else Some(withRowPos(spark.read.parquet(hitFiles: _*))
+          .join(mask, col("__fp") === mask("file") &&
+            col("__ri") === mask("row_index"), "left_semi")
+          .drop("__fp", "__ri"))
+      }
+    val candIns =
+      if (added.isEmpty) None
+      else Some(maskDv(spark.read.parquet(added.map(_.toString): _*), dvB))
+    val removedDeletes =
+      if (removed.isEmpty) None
+      else Some(maskDv(spark.read.parquet(removed.map(_.toString): _*), dvA))
+    val candDel = (removedDeletes.toSeq ++ survivorDeletes.toSeq)
+      .map(_.select(cols: _*)).reduceOption(_.unionByName(_))
+    (candIns, candDel) match {
+      case (None, None) => tag(readVersion(fq, toV), "insert").limit(0)
+      case (Some(i), None) => tag(i, "insert")
+      case (None, Some(d)) => tag(d, "delete")
+      case (Some(i), Some(d)) =>
+        val ip = i.select(cols: _*)
+        tag(ip.exceptAll(d), "insert").unionByName(tag(d.exceptAll(ip), "delete"))
+    }
+  }
+
   /** Glob over every version directory of an UNPARTITIONED append-only
     * table — the streamable view of its data files. O(delta) appends
     * mean each version dir holds only its own new files, so a

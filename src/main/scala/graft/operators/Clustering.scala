@@ -23,7 +23,11 @@ object Clustering {
 
   private val Scale = 1e7
 
-  private def quantize(c: Column): Column =
+  /** Fixed-point quantization shared with the operators that compose
+    * over k-means output ([[Corpus.semanticDedup]]): same scale, same
+    * rounding, so distances computed downstream agree bit-for-bit with
+    * the distances the assignment used. */
+  def quantize(c: Column): Column =
     transform(c, x => round(x.cast("double") * Scale).cast("long"))
 
   private def sqDist(a: Column, b: Column): Column =

@@ -507,4 +507,49 @@ object Corpus {
       .select(col(idCol), col("island"), col("island_start"),
         col("island_end"), col("n_rows").as("n_windows"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with k-means, then
+    * within each cluster mark as duplicate any doc whose cosine
+    * similarity to a LOWER-ID cluster-mate reaches τ. The clustering is
+    * the published algorithm's scale trick: pairwise comparison happens
+    * only inside a cluster, so the candidate space is ~n²/k instead of
+    * the all-pairs corpus join, and each cluster's block is an
+    * independent shuffle partition (clusters that outgrow one are
+    * sub-split upstream by IVF cells / LSH bands — [[Similarity]]).
+    *
+    * τ arrives as a rational τ² = tauSqNum/tauSqDen so the keep/drop
+    * decision is integer-exact: cos(a,b) ≥ τ ⟺ dot ≥ 0 ∧
+    * den·dot² ≥ num·‖a‖²·‖b‖², evaluated over the SAME quantized longs
+    * the cluster assignment used (DECIMAL(38,0) products — headroom:
+    * dot ≤ dim·10¹⁴ ⇒ den·dot² ≤ ~10³⁴) — no float comparison that
+    * could drift between engines or accumulation orders.
+    * Returns (idCol, cluster, is_dup). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, tauSqNum: Int, tauSqDen: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val assigned = Clustering.kmeans(df, idCol, vecCol, k, iters)
+    val vecs = df.select(col(idCol).as("vid"),
+      Clustering.quantize(col(vecCol)).as("qv"))
+    val members = assigned.join(vecs, "vid")
+    def n2(c: Column) =
+      aggregate(transform(c, x => x * x), lit(0L), _ + _)
+    val dot = aggregate(
+      zip_with(col("a.qv"), col("b.qv"), (x, y) => x * y), lit(0L), _ + _)
+    val dropped = members.as("a")
+      .join(members.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vid") < col("b.vid"))
+      .select(col("b.vid").as("vid"),
+        dot.cast(DecimalType(38, 0)).as("dot"),
+        n2(col("a.qv")).cast(DecimalType(38, 0)).as("n2a"),
+        n2(col("b.qv")).cast(DecimalType(38, 0)).as("n2b"))
+      .filter(col("dot") >= 0 &&
+        lit(tauSqDen) * col("dot") * col("dot") >=
+          lit(tauSqNum) * col("n2a") * col("n2b"))
+      .select("vid").distinct()
+    members
+      .join(dropped.withColumn("dup", lit(true)), Seq("vid"), "left")
+      .select(col("vid").as(idCol), col("cid").as("cluster"),
+        coalesce(col("dup"), lit(false)).as("is_dup"))
+  }
 }

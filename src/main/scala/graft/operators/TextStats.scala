@@ -102,6 +102,37 @@ object TextStats {
       .select(col("w"), col("next_tok"), col("n"))
   }
 
+  /** Per-document bigram "surprise" — an integer-exact perplexity
+    * proxy for quality filtering: for each adjacent token pair (a,b),
+    * surprise ≈ −log2 P(b|a) ≈ bitlen(c(a·)) − bitlen(c(a,b)), where
+    * bitlen is the binary magnitude (`length(bin(n))`) and the marginal
+    * c(a·) sums the PAIR table, so Σ_b c(a,b) = c(a·) and every term is
+    * ≥ 0. Bit-length is the load-bearing trick: a float log2 would
+    * drift across engines/accumulation orders, the bit count cannot.
+    * Returns per doc: n_pairs, surprise (Σ), mean_permille
+    * (⌊1000·surprise ÷ n_pairs⌋).
+    *
+    * Scale shape: two map-side-combined counts over the corpus pair
+    * stream plus two key-joins of doc pairs against the count tables —
+    * no windows, no broadcast of corpus-sized state, no driver math.
+    * High mean ⇒ improbable token transitions (garbled/TL-mixed text);
+    * low ⇒ boilerplate. The KenLM-scoring slot of a curation pipeline
+    * without the float model. */
+  def bigramSurprise(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = df.select(col(idCol), explode(
+        TextFunctions.shingles(
+          TextFunctions.tokens(lower(col(textCol))), 2)).as("big"))
+      .select(col(idCol), split(col("big"), " ").getItem(0).as("a"), col("big"))
+    val pc = pairs.groupBy(col("big")).agg(count(lit(1)).as("cab"))
+    val mc = pairs.groupBy(col("a")).agg(count(lit(1)).as("ca"))
+    pairs.join(pc, "big").join(mc, "a")
+      .select(col(idCol),
+        (length(bin(col("ca"))) - length(bin(col("cab")))).cast("long").as("s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("s")).as("surprise"))
+      .withColumn("mean_permille", expr("surprise * 1000 div n_pairs"))
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus top-K
     * vocabulary — a cheap perplexity proxy for quality filtering (high
     * OOV ⇒ boilerplate/garbled/foreign text). `oov_ppm` is integer

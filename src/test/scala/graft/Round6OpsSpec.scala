@@ -248,12 +248,117 @@ class Round6OpsSpec extends SparkTestBase {
     assert(got("xaay") == ("(x)(aa)(y)", 3))
   }
 
+  test("bloom index skips files on point lookup and builds incrementally") {
+    val cat = new TableCatalog(spark, tempDir("bloom"))
+    val t = "d.s.bl"
+    val df = (1 to 4000).map(i => (i.toLong, s"key_$i")).toDF("id", "k")
+    cat.overwrite(t, df.filter(col("id") <= 2000).repartition(4))
+    assert(cat.buildBloomIndex(t, "k") == 4)
+    cat.append(t, df.filter(col("id") > 2000).repartition(4))
+    assert(cat.buildBloomIndex(t, "k") == 4) // only the appended files
+    assert(cat.buildBloomIndex(t, "k") == 0) // idempotent
+    val probe = cat.readPoint(t, "k", "key_1234")
+    assert(probe.count() == 1)
+    assert(probe.inputFiles.length < 8) // pre-planning file skipping
+    // absent key: the blooms answer "nowhere" (a stray 1%-FPR file
+    // passing is possible but a single probe hitting one is ~8%·1 file)
+    val miss = cat.readPoint(t, "k", "key_99999")
+    assert(miss.count() == 0)
+    assert(miss.inputFiles.length <= 1)
+    // DV masks still apply on the point-lookup path
+    cat.deleteWhereDV(t, col("k") === "key_1234")
+    assert(cat.readPoint(t, "k", "key_1234").count() == 0)
+  }
+
+  test("readChanges equals the snapshot diff, reading only changed files") {
+    val cat = new TableCatalog(spark, tempDir("cdf"))
+    val t = "d.s.cdf"
+    val df = (1 to 600).map(i => (i.toLong, s"n$i", i * 1.0))
+      .toDF("key", "name", "bal")
+    cat.overwrite(t, df.filter(col("key") <= 500)
+      .repartitionByRange(5, col("key")))
+    val v0 = cat.version(t).get
+    val v0Files = cat.dataFilePaths(t).map(_.split('/').last).toSet
+    cat.append(t, df.filter(col("key") > 500))       // file-level inserts
+    cat.deleteWhereDV(t, col("key") <= 20)           // MoR deletes
+    cat.updateWhere(t, Map("bal" -> lit(-5.0)), col("key") === 333) // COW
+    val v1 = cat.version(t).get
+    val changes = cat.readChanges(t, v0, v1).cache()
+    try {
+      val oldSnap = cat.readVersion(t, v0)
+      val newSnap = cat.readVersion(t, v1)
+      val ins = changes.filter(col("_change_type") === "insert")
+        .drop("_change_type")
+      val del = changes.filter(col("_change_type") === "delete")
+        .drop("_change_type")
+      // content equality against the full-snapshot EXCEPT ALL diff:
+      // a COW rewrite's carried rows must net out entirely
+      assert(ins.exceptAll(newSnap.exceptAll(oldSnap)).count() == 0)
+      assert(newSnap.exceptAll(oldSnap).exceptAll(ins).count() == 0)
+      assert(del.exceptAll(oldSnap.exceptAll(newSnap)).count() == 0)
+      assert(oldSnap.exceptAll(newSnap).exceptAll(del).count() == 0)
+      // the diff never opened v0's untouched bulk
+      val readNames = changes.inputFiles.map(_.split('/').last).toSet
+      assert((v0Files -- readNames).nonEmpty)
+    } finally changes.unpersist()
+    // empty window → empty feed with the right schema
+    val none = cat.readChanges(t, v1, v1)
+    assert(none.columns.contains("_change_type") && none.count() == 0)
+  }
+
+  test("shallow clone is zero-copy, isolated both ways, time-travelable") {
+    val cat = new TableCatalog(spark, tempDir("clone"))
+    val (src, dst, dv0) = ("d.s.src", "d.s.dst", "d.s.dst0")
+    cat.overwrite(src, (1 to 400).map(i => (i.toLong, i % 9))
+      .toDF("id", "b").repartition(4))
+    cat.deleteWhereDV(src, col("b") === 0)
+    val vAfterDelete = cat.version(src).get
+    cat.append(src, Seq((1001L, 1), (1002L, 2)).toDF("id", "b"))
+    // time-travel clone of the pre-append version
+    cat.cloneTable(src, dv0, Some(vAfterDelete))
+    assert(cat.count(dv0) == (1 to 400).count(_ % 9 != 0))
+    // live clone
+    cat.cloneTable(src, dst)
+    assert(cat.count(dst) == (1 to 400).count(_ % 9 != 0) + 2)
+    // zero-copy: every referenced path lives under the source tree,
+    // and the clone's own version dir holds no parquet
+    assert(cat.dataFilePaths(dst).forall(_.contains("/src/")))
+    // metadata rides along: fastCount works off referenced _STATS
+    assert(cat.fastCount(dst).contains(cat.count(dst)))
+    // divergence: COW on source, MoR delete on clone — no crosstalk
+    cat.updateWhere(src, Map("b" -> lit(99)), col("id") <= 10)
+    cat.deleteWhereDV(dst, col("id") > 390)
+    assert(cat.read(dst).filter(col("b") === 99).count() == 0)
+    assert(cat.read(src).filter(col("id") > 390 && col("id") <= 400).count() > 0)
+    // clone over an existing table refuses
+    intercept[IllegalArgumentException] { cat.cloneTable(src, dst) }
+  }
+
+  test("semanticDedup flags τ-neighbors within a cluster, keeps lowest id") {
+    import graft.operators.Corpus
+    val df = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),   // seeds → 2 clusters
+      (5L, Seq(1.0, 0.01)),                        // ≈id0 → dup
+      (6L, Seq(-1.0, -0.02)),                      // anti-parallel: dot<0
+      (7L, Seq(0.0, 2.0)))                         // ∥ id1, cos=1 → dup
+      .toDF("id", "vec")
+    val r = Corpus.semanticDedup(df, "id", "vec",
+        k = 2, iters = 1, tauSqNum = 81, tauSqDen = 100) // τ = 0.9
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(!r(0) && !r(1)) // cluster canonicals survive
+    assert(r(5))           // cos(0,5) ≈ 0.99995 ≥ 0.9, same cluster
+    assert(!r(6))          // negative dot never dedups
+    assert(r(7))           // exact colinearity with a lower id
+  }
+
   test("round-6 queries return plausible rows at sf0.001") {
     for (q <- Seq("q212_deletion_vectors", "q213_mor_update",
         "q214_minmax_skipping", "q215_image_decode", "q216_bpe_train_loop",
         "q217_quantile_sketch", "q218_stream_dedup_sessions",
         "q219_stream_chained_windows", "q220_bpe_encode",
-        "q221_metadata_count")) {
+        "q221_metadata_count", "q222_bloom_point_lookup",
+        "q223_incremental_cdf", "q225_shallow_clone",
+        "q226_bigram_surprise")) {
       val df = QueriesRound6.all(q)(spark, sf)
       assert(df.count() > 0, q)
       // every evidence flag must be true or the query self-reports red
