@@ -359,7 +359,20 @@ object QueriesRound6 {
     //      corpus-sized state. ----
     "q226_bigram_surprise" -> ((s, dir) =>
       graft.operators.TextStats.bigramSurprise(
-        table(s, dir, "documents"), "doc_id", "text")))
+        table(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- hard-negative mining for contrastive training: per query,
+    //      the k most-similar corpus vectors with a DIFFERENT label —
+    //      near the boundary yet guaranteed negative. Exact quantized
+    //      dots (q31 parity) keep ranks engine-portable; bounded top-k
+    //      ships k rows per query into the shuffle. At 100 TB the IVF
+    //      path (q32/q200) prunes cells before this scoring. ----
+    "q234_hard_negatives" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      graft.operators.Similarity.hardNegatives(
+        e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "label", k = 3)
+    }))
 }
 
 object OraclesRound6 {
@@ -424,6 +437,25 @@ object OraclesRound6 {
   }
 
   val all: Map[String, String] = Map(
+
+    "q234_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+                    FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS cl
+               FROM embeddings WHERE vec_id >= 10),
+         z AS (SELECT query_id, neighbor_id, unnest(qv) AS x, unnest(cv) AS y
+               FROM q, c WHERE ql <> cl),
+         dots AS (SELECT query_id, neighbor_id,
+                    SUM(CAST(round(CAST(x AS DOUBLE)*10000000) AS BIGINT) *
+                        CAST(round(CAST(y AS DOUBLE)*10000000) AS BIGINT)) AS dot
+                  FROM z GROUP BY query_id, neighbor_id),
+         ranked AS (SELECT query_id, neighbor_id, dot,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY dot DESC, neighbor_id) AS rank
+                    FROM dots)
+         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+                CAST(dot AS DOUBLE) / 100000000000000.0 AS dot
+         FROM ranked WHERE rank <= 3""",
 
     "q216_bpe_train_loop" -> bpeOracle(5, bpeTrainTail(5)),
 

@@ -1255,6 +1255,94 @@ class TableCatalog(spark: SparkSession, root: String,
   /** Append a single metadata/log row (log-table writer W7). */
   def appendRow(fq: String, row: DataFrame): Unit = append(fq, row)
 
+  // ---- DataSource V2 connector surface (graft.connector) ------------------
+  // Planning-time metadata reads for [[graft.connector.GraftSource]]:
+  // the connector resolves versions, file lists, `_STATS` intervals,
+  // `_BLOOMS` bitsets and DV sidecar paths on the DRIVER (metadata-sized
+  // IO, same cost profile as Delta reading its commit log) and ships
+  // only per-file work to executors. All keyed by scheme-less URI path
+  // (the `_STATS`/`_BLOOMS` sidecar key convention).
+
+  private[graft] def dataFilePathsAt(fq: String, v: Int): Seq[String] =
+    dataFiles(fq, v).map(p => fs.makeQualified(p).toString).sorted
+
+  private[graft] def dvFilePathsAt(fq: String, v: Int): Seq[String] =
+    dvFiles(fq, v).map(p => fs.makeQualified(p).toString).sorted
+
+  private[graft] def isPartitionedAt(fq: String, v: Int): Boolean =
+    partitionColsOf(fq, v).nonEmpty
+
+  private[graft] def statsByPath(fq: String, v: Int)
+      : Map[String, Map[String, (BigDecimal, BigDecimal)]] =
+    statsFor(dataFiles(fq, v))
+
+  private[graft] def bloomsByPath(fq: String, v: Int, column: String)
+      : Map[String, Array[Long]] =
+    dataFiles(fq, v).map(versionAncestor).distinct.flatMap(bloomEntries)
+      .collect { case (f, c, bits) if c == column => f -> bits }.toMap
+
+  private[graft] def bloomMayContain(bits: Array[Long], value: String): Boolean =
+    bloomBitPositions(bloomHash(value), bits.length).forall(pos =>
+      (bits(pos >> 6) & (1L << (pos & 63))) != 0L)
+
+  /** DSv2 write path: adopt executor-staged parquet files as a new
+    * committed version — append carries the prior chain by manifest
+    * reference (outstanding DV masks stay valid: their files ride
+    * unmodified), overwrite starts a fresh chain. Files are MOVED
+    * (rename, O(files) metadata ops), never copied; the commit runs
+    * under the same optimistic-concurrency claim and stats harvest as
+    * every other writer. */
+  private[graft] def commitStagedFiles(fq: String, staged: Seq[Path],
+      overwrite: Boolean, epochTag: Option[String] = None): Unit = {
+    require(staged.nonEmpty, s"no data files staged for $fq")
+    val prior = if (overwrite) None else currentVersion(fq)
+    prior.foreach(v => require(partitionColsOf(fq, v).isEmpty,
+      s"DSv2 write targets unpartitioned tables; $fq is hive-partitioned"))
+    val carried = prior.map(v => (dataFiles(fq, v), dvFiles(fq, v)))
+    commitVersion(fq, dir => {
+      fs.mkdirs(dir)
+      staged.foreach { f =>
+        if (!fs.rename(f, new Path(dir, f.getName)))
+          throw new IllegalStateException(s"failed to adopt staged file $f")
+      }
+      carried.foreach { case (files, dvs) =>
+        writeManifest(dir, files)
+        if (dvs.nonEmpty) writeDvManifest(dir, dvs)
+      }
+      // streaming-sink idempotency: the epoch tag commits ATOMICALLY
+      // with the version (inside the write lambda, before the pointer
+      // swap) — a replayed epoch finds its tag and skips
+      epochTag.foreach { tag =>
+        val out = fs.create(new Path(dir, "_EPOCH"), true)
+        try out.write(tag.getBytes("UTF-8")) finally out.close()
+      }
+    })
+  }
+
+  /** Epoch tags of retained version dirs (streaming-sink replay
+    * detection). Retention caveat: tags live as long as their version
+    * dir; Structured Streaming replays at most the LAST epoch after a
+    * restart, and the pruner always keeps current and current−1, so a
+    * replayed tag is present unless two+ EXTERNAL commits landed
+    * between the crash and the restart (the Delta txn-version
+    * retention trade). */
+  private[graft] def committedEpochs(fq: String): Set[String] = {
+    val td = tableDir(fq)
+    if (!fs.exists(td)) return Set.empty
+    fs.listStatus(td).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.matches("v_\\d{6}"))
+      .flatMap { d =>
+        val p = new Path(d, "_EPOCH")
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          try Some(new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+          finally in.close()
+        }
+      }.toSet
+  }
+
   def drop(fq: String): Unit = {
     val d = tableDir(fq)
     if (fs.exists(d)) fs.delete(d, true)

@@ -1,0 +1,166 @@
+package graft.connector
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog => V2TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.catalog.TableCatalog
+
+/** V2 catalog plugin exposing the graft [[TableCatalog]] to SQL:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.gcat", "graft.connector.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.gcat.root", "/data/warehouse")
+  *   spark.sql("CREATE TABLE gcat.db.s.t AS SELECT ...")       // CTAS
+  *   spark.sql("INSERT INTO gcat.db.s.t SELECT ...")           // append
+  *   spark.sql("SELECT * FROM gcat.db.s.t VERSION AS OF 0")    // time travel
+  * }}}
+  *
+  * Identifiers map `catalog.db.schema.table` → the catalog's
+  * `db.schema.table` layout. Every read/write capability of
+  * [[GraftSource]] rides along unchanged (file skipping, DV masking,
+  * aggregate pushdown, runtime filtering, staged commits) because
+  * `loadTable` returns the same [[GraftTable]]. CREATE TABLE is lazy —
+  * the first committed write materializes v0 (the CTAS/INSERT flow);
+  * a bare CREATE with no subsequent write leaves nothing to read,
+  * which is also the reference pipeline's create-on-first-write
+  * semantics. */
+class GraftCatalog extends V2TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires option spark.sql.catalog.$name.root"))
+  }
+  override def name(): String = catalogName
+
+  private def spark = SparkSession.active
+  private def cat = new TableCatalog(spark, root)
+  private def fqOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path((root +: namespace).mkString("/"))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Array.empty
+    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(t => fs.exists(new Path(dir, s"$t/_CURRENT")))
+      .map(Identifier.of(namespace, _))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    cat.exists(fqOf(ident))
+
+  private def tableFor(fq: String, version: Option[Int]): GraftTable = {
+    val base = Map("root" -> root, "table" -> fq)
+    val opts = version.map(v => base + ("version" -> v.toString)).getOrElse(base)
+    val v = version.orElse(cat.version(fq)).getOrElse(
+      throw new NoSuchTableException(fq.split('.').toSeq))
+    val files = cat.dataFilePathsAt(fq, v)
+    val schema =
+      if (files.isEmpty) new StructType()
+      else spark.read.parquet(files.head).schema
+    new GraftTable(schema, opts)
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val fq = fqOf(ident)
+    if (!cat.exists(fq))
+      throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
+    tableFor(fq, None)
+  }
+
+  /** SQL time travel: `VERSION AS OF <n>`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val fq = fqOf(ident)
+    tableFor(fq, Some(version.toInt))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val fq = fqOf(ident)
+    if (cat.exists(fq))
+      throw new TableAlreadyExistsException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    require(partitions.isEmpty,
+      "graft SQL catalog creates unpartitioned tables " +
+        "(use TableCatalog.overwritePartitioned for hive layouts)")
+    // lazy create: the first committed write materializes v0 (CTAS /
+    // INSERT flow) — matches the engine's create-on-first-write model
+    new GraftTable(schema, Map("root" -> root, "table" -> fq))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft SQL catalog: ALTER TABLE not supported (schema evolves via appendEvolving)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val fq = fqOf(ident)
+    val existed = cat.exists(fq)
+    if (existed) cat.drop(fq)
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val oldFq = fqOf(oldIdent); val newFq = fqOf(newIdent)
+    if (!cat.exists(oldFq))
+      throw new NoSuchTableException((oldIdent.namespace() :+ oldIdent.name()).toSeq)
+    if (cat.exists(newFq))
+      throw new TableAlreadyExistsException(
+        (newIdent.namespace() :+ newIdent.name()).toSeq)
+    // DV sidecars address rows by absolute (file, row_index); a rename
+    // would orphan the masks and RESURRECT deleted rows — compact
+    // first (materializes masks), then rename
+    val curV = cat.version(oldFq).get
+    require(cat.dvFilePathsAt(oldFq, curV).isEmpty,
+      s"cannot rename $oldFq with outstanding deletion vectors — run compact first")
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldDir = new Path(root, oldFq.split('.').mkString("/"))
+    val newDir = new Path(root, newFq.split('.').mkString("/"))
+    fs.mkdirs(newDir.getParent)
+    if (!fs.rename(oldDir, newDir))
+      throw new IllegalStateException(s"rename $oldFq -> $newFq failed")
+    // manifests reference data files by ABSOLUTE path — retarget every
+    // chain reference under the moved root (covers both plain and
+    // scheme-qualified spellings)
+    val oldAbs = fs.makeQualified(oldDir)
+    val newAbs = fs.makeQualified(newDir)
+    // trailing-slash anchors: entries always continue with /v_NNNNNN,
+    // and the boundary stops (a) sibling tables sharing a name prefix
+    // and (b) the scheme-less pattern re-matching inside the
+    // scheme-qualified replacement's own output
+    val reps = Seq(
+      oldAbs.toString + "/" -> (newAbs.toString + "/"),
+      oldAbs.toUri.getPath + "/" -> (newAbs.toUri.getPath + "/"))
+    val it = fs.listFiles(newDir, true)
+    while (it.hasNext) {
+      val p = it.next().getPath
+      // `_STATS`/`_BLOOMS` sidecars key by absolute path too — retarget
+      // them as well or skipping/fastCount would silently deactivate
+      if (p.getName == "_MANIFEST" || p.getName == "_DVMANIFEST" ||
+          p.getName == "_STATS" || p.getName == "_BLOOMS") {
+        val in = fs.open(p)
+        val text = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+        val fixed = reps.foldLeft(text) { case (t, (o, n)) => t.replace(o, n) }
+        if (fixed != text) {
+          val out = fs.create(p, true)
+          try out.write(fixed.getBytes("UTF-8")) finally out.close()
+        }
+      }
+    }
+  }
+}

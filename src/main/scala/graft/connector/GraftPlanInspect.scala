@@ -1,0 +1,42 @@
+package graft.connector
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+/** Plan-evidence helper for specs and oracle queries: the number of
+  * InputPartitions the graft scan actually scheduled — i.e. the files
+  * NOT skipped at planning time (or 1 for a metadata-answered
+  * aggregate). Descends through adaptive wrappers and query stages,
+  * which present as leaves to the standard collectors. */
+object GraftPlanInspect {
+  private def findScan(p: SparkPlan): Option[BatchScanExec] = p match {
+    case b: BatchScanExec => Some(b)
+    case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
+    case q: QueryStageExec => findScan(q.plan)
+    case other => other.children.iterator.flatMap(findScan(_)).nextOption()
+  }
+
+  /** Counts the graft scan's SCHEDULED partitions in an
+    * ALREADY-EXECUTED `df` — `partitions()` reflects runtime
+    * (join-pushed) filtering, where `inputPartitions` would report the
+    * pre-filter plan. −1 = no graft scan found. Callers that collected
+    * `df` use this directly so evidence never re-executes the query
+    * (the q196 lesson). */
+  def scanPartitionsOf(df: DataFrame): Int =
+    findScan(df.queryExecution.executedPlan)
+      .map(_.partitions.map(_.length).sum).getOrElse(-1)
+
+  /** Executes `df` (finalizing any adaptive plan), then counts. */
+  def scanPartitions(df: DataFrame): Int = {
+    df.collect()
+    scanPartitionsOf(df)
+  }
+
+  /** True iff the already-executed `df`'s graft scan carries runtime
+    * filters (the DPP-style join-key pushdown was injected). */
+  def hasRuntimeFiltersOf(df: DataFrame): Boolean =
+    findScan(df.queryExecution.executedPlan)
+      .exists(_.runtimeFilters.nonEmpty)
+}

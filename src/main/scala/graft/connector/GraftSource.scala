@@ -1,0 +1,638 @@
+package graft.connector
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expression, FieldReference, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.sources.DataSourceRegister
+
+import graft.catalog.TableCatalog
+
+/** DataSource V2 connector for the graft [[TableCatalog]]:
+  * `spark.read.format("graft").option("root", r).option("table", fq)`.
+  *
+  * This is the 100 TB read path as a first-class Spark source rather
+  * than a catalog method call — the scan PLANS against the commit
+  * metadata and ships only surviving files to executors:
+  *
+  *  - **Filter pushdown → file skipping.** Pushed range/equality
+  *    predicates are evaluated against the `_STATS` per-file [min,max]
+  *    sidecars and `_BLOOMS` bitsets at planning time; files that
+  *    cannot match are never scheduled. Every pushed filter is ALSO
+  *    kept as a residual Spark re-applies, so skipping is advisory for
+  *    correctness (exactly Delta/Iceberg's contract).
+  *  - **Column pruning is physical.** `pruneColumns` reaches the
+  *    parquet reader as a requested schema; unprojected columns' pages
+  *    are never decompressed.
+  *  - **Merge-on-read inside the reader.** Outstanding deletion-vector
+  *    row indexes ride the InputPartition and are skipped by a sorted
+  *    pointer walk as the file streams — no join, no shuffle, O(dv)
+  *    extra memory per file.
+  *  - **Aggregate pushdown answers from metadata.** COUNT(*)/MIN/MAX
+  *    with no GROUP BY over a stats-covered, DV-free table returns a
+  *    single driver-computed row: zero data files opened — the "count
+  *    a 100 TB table in milliseconds from the log" fast path.
+  *  - **Micro-batch streaming with manifest-version offsets.** The
+  *    table is a streaming source: each committed version is an
+  *    offset; a batch reads exactly the files that version added
+  *    (O(delta) appends make this the file diff of two manifests).
+  *    Checkpointed offsets give exactly-once across restarts.
+  *    Non-append changes (overwrite/compact/new DVs) fail the stream
+  *    loudly, like Delta without `ignoreChanges`.
+  *
+  * Scope guard: unpartitioned tables (partition pruning already covers
+  * hive-layout tables via [[TableCatalog.read]]), non-nested columns.
+  */
+class GraftSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  private def resolve(options: CaseInsensitiveStringMap): (String, String, Int) = {
+    val root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException("graft source requires option 'root'"))
+    val fq = Option(options.get("table")).getOrElse(
+      throw new IllegalArgumentException("graft source requires option 'table'"))
+    val cat = new TableCatalog(SparkSession.active, root)
+    val v = Option(options.get("version")).map(_.toInt)
+      .orElse(cat.version(fq)).getOrElse(
+        throw new IllegalArgumentException(s"graft table not found: $fq"))
+    require(!cat.isPartitionedAt(fq, v),
+      s"graft connector reads unpartitioned tables; $fq is hive-partitioned " +
+        "(use TableCatalog.read — partition pruning covers it)")
+    (root, fq, v)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    // a WRITE creating a new table has nothing to infer — return an
+    // empty schema; the write path uses LogicalWriteInfo.schema and
+    // the read path rejects absent tables anyway
+    val root = options.get("root"); val fq = options.get("table")
+    if (root != null && fq != null &&
+        new TableCatalog(spark, root).version(fq).isEmpty &&
+        options.get("version") == null)
+      return new StructType()
+    val (r, f, v) = resolve(options)
+    val cat = new TableCatalog(spark, r)
+    val files = cat.dataFilePathsAt(f, v)
+    require(files.nonEmpty, s"graft table $f v$v has no data files")
+    spark.read.parquet(files.head).schema // one footer, driver-side
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftTable(schema, properties.asScala.toMap)
+
+  /** Writes hand the incoming DataFrame's schema to [[getTable]]
+    * (create-on-first-write needs it — there is nothing to infer);
+    * reads without a user schema still go through [[inferSchema]]. */
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+class GraftTable(schema: StructType, options: Map[String, String])
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  private def opt(k: String) = options.collectFirst {
+    case (key, v) if key.equalsIgnoreCase(k) => v
+  }
+
+  /** Spark source filter → Column, for the metadata-level DML paths.
+    * None = untranslatable (caller must reject, never approximate). */
+  private def filterToColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    f match {
+      case EqualTo(a, v)            => Some(c(a) === lit(v))
+      case EqualNullSafe(a, v)      => Some(c(a) <=> lit(v))
+      case GreaterThan(a, v)        => Some(c(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
+      case LessThan(a, v)           => Some(c(a) < lit(v))
+      case LessThanOrEqual(a, v)    => Some(c(a) <= lit(v))
+      case In(a, vs)                => Some(c(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a)                => Some(c(a).isNull)
+      case IsNotNull(a)             => Some(c(a).isNotNull)
+      case StringStartsWith(a, v)   => Some(c(a).startsWith(v))
+      case StringEndsWith(a, v)     => Some(c(a).endsWith(v))
+      case StringContains(a, v)     => Some(c(a).contains(v))
+      case And(l, r) =>
+        for { a <- filterToColumn(l); b <- filterToColumn(r) } yield a && b
+      case Or(l, r) =>
+        for { a <- filterToColumn(l); b <- filterToColumn(r) } yield a || b
+      case Not(x) => filterToColumn(x).map(!_)
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
+
+  /** SQL `DELETE FROM graft_cat.db.s.t WHERE ...` lands here as
+    * metadata-level delete filters — routed into MERGE-ON-READ
+    * deletion vectors: O(matched rows) sidecar bytes, ZERO data files
+    * rewritten, prior versions time-travel intact. Untranslatable
+    * predicates are rejected (canDeleteWhere=false) rather than
+    * approximated. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(filterToColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val pred = filters.flatMap(filterToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val cat = new TableCatalog(SparkSession.active, opt("root").get)
+    cat.deleteWhereDV(opt("table").get, pred)
+  }
+  override def name(): String = s"graft.${opt("table").getOrElse("?")}"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(schema,
+      opt("root").get, opt("table").get, opt("version").map(_.toInt))
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(opt("root").get, opt("table").get, info.schema(),
+      tableSchema = schema, queryId = info.queryId())
+}
+
+class GraftScanBuilder(tableSchema: StructType, root: String, fq: String,
+    versionOpt: Option[Int]) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
+
+  private var required: StructType = tableSchema
+  private var skipFilters: Array[Filter] = Array.empty
+  private var limit: Int = -1
+  private var aggResult: Option[(StructType, Array[Any])] = None
+
+  private def cat = new TableCatalog(SparkSession.active, root)
+  private def liveVersion: Int = versionOpt.orElse(cat.version(fq)).getOrElse(
+    throw new IllegalArgumentException(s"graft table not found: $fq"))
+
+  // ---- filters: everything stays residual; the skippable subset is
+  //      recorded for planning-time file elimination ----
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    skipFilters = filters.flatMap(flatten).filter(skippable)
+    filters // all residual — Spark re-applies row-level
+  }
+  override def pushedFilters(): Array[Filter] = skipFilters
+
+  private def flatten(f: Filter): Seq[Filter] = f match {
+    case And(l, r) => flatten(l) ++ flatten(r)
+    case other     => Seq(other)
+  }
+
+  /** A filter usable for file elimination: a comparison against a
+    * stats-ordered constant (numbers, dates) or a bloom-probeable
+    * equality (integrals and strings — exact cast-to-string forms). */
+  private def skippable(f: Filter): Boolean = f match {
+    case EqualTo(_, v)            => statValue(v).isDefined || bloomable(v)
+    case GreaterThan(_, v)        => statValue(v).isDefined
+    case GreaterThanOrEqual(_, v) => statValue(v).isDefined
+    case LessThan(_, v)           => statValue(v).isDefined
+    case LessThanOrEqual(_, v)    => statValue(v).isDefined
+    case In(_, vs) => vs.nonEmpty &&
+      (vs.forall(statValue(_).isDefined) || vs.forall(bloomable))
+    case _ => false
+  }
+
+  private def statValue(v: Any): Option[BigDecimal] = v match {
+    case n: Byte    => Some(BigDecimal(n.toInt))
+    case n: Short   => Some(BigDecimal(n.toInt))
+    case n: Int     => Some(BigDecimal(n))
+    case n: Long    => Some(BigDecimal(n))
+    case n: Float   => Some(BigDecimal(n.toDouble))
+    case n: Double  => Some(BigDecimal(n))
+    case n: java.math.BigDecimal => Some(BigDecimal(n))
+    case d: java.sql.Date       => Some(BigDecimal(d.toLocalDate.toEpochDay))
+    case d: java.time.LocalDate => Some(BigDecimal(d.toEpochDay))
+    case _ => None
+  }
+
+  /** Bloom probes must reproduce the build-side `CAST(col AS STRING)`
+    * exactly; integral and string values stringify canonically,
+    * floating point is excluded (a formatting mismatch would skip a
+    * file that holds the value). */
+  private def bloomable(v: Any): Boolean = v match {
+    case _: Byte | _: Short | _: Int | _: Long | _: String => true
+    case u: org.apache.spark.unsafe.types.UTF8String => true
+    case _ => false
+  }
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def isPartiallyPushed(): Boolean = true // per-file limit only
+
+  // ---- aggregate pushdown: COUNT(*)/MIN/MAX from commit metadata ----
+  // Spark probes supportCompletePushDown then pushAggregation with the
+  // same Aggregation — memoize so the _STATS sidecars parse once.
+  private var aggCache: Option[(Aggregation, Option[(StructType, Array[Any])])] =
+    None
+  private def computeAggCached(agg: Aggregation)
+      : Option[(StructType, Array[Any])] = aggCache match {
+    case Some((a, r)) if a eq agg => r
+    case _ =>
+      val r = computeAgg(agg); aggCache = Some((agg, r)); r
+  }
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    computeAggCached(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggResult = computeAggCached(agg)
+    aggResult.isDefined
+  }
+
+  private def refName(e: Expression): Option[String] = e match {
+    case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+    case _ => None
+  }
+
+  /** Evaluate the aggregation from `_STATS` alone, iff it is exactly
+    * answerable: no grouping, only COUNT(*)/MIN/MAX over stats-covered
+    * columns, every file carrying stats, and no outstanding DVs (a
+    * masked row could BE the min/max; counts could subtract, but one
+    * hazard is enough to fall back to a real scan). */
+  private def computeAgg(agg: Aggregation): Option[(StructType, Array[Any])] = {
+    if (agg.groupByExpressions().nonEmpty) return None
+    val c = cat; val v = liveVersion
+    if (c.dvFilePathsAt(fq, v).nonEmpty) return None
+    val files = c.dataFilePathsAt(fq, v)
+    if (files.isEmpty) return None
+    val stats = c.statsByPath(fq, v)
+    def fileStats(p: String) = stats.get(new Path(p).toUri.getPath)
+    if (files.exists(p => fileStats(p).isEmpty)) return None
+
+    def colBounds(name: String): Option[(BigDecimal, BigDecimal)] = {
+      val per = files.map(p => fileStats(p).get.get(name))
+      if (per.exists(_.isEmpty)) None
+      else Some((per.flatten.map(_._1).min, per.flatten.map(_._2).max))
+    }
+    def sparkValue(b: BigDecimal, dt: DataType): Any = dt match {
+      case LongType              => b.toLong
+      case IntegerType           => b.toInt
+      case DateType              => b.toInt
+      case ShortType             => b.toShort
+      case FloatType             => b.toFloat
+      case DoubleType            => b.toDouble
+      case _                     => null
+    }
+    def colType(name: String): Option[DataType] =
+      tableSchema.fields.find(_.name == name).map(_.dataType)
+    def supportedStatType(dt: DataType) = dt match {
+      case LongType | IntegerType | DateType | ShortType |
+           FloatType | DoubleType => true
+      case _ => false
+    }
+
+    val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
+    val values = scala.collection.mutable.ArrayBuffer.empty[Any]
+    agg.aggregateExpressions().foreach {
+      case _: CountStar =>
+        val rows = files.map(p => fileStats(p).get.get("__rows"))
+        if (rows.exists(_.isEmpty)) return None
+        fields += StructField("COUNT(*)", LongType, nullable = false)
+        values += rows.flatten.map(_._1.toLong).sum
+      case m: Min =>
+        val name = refName(m.column).getOrElse(return None)
+        val dt = colType(name).getOrElse(return None)
+        if (!supportedStatType(dt)) return None
+        val (mn, _) = colBounds(name).getOrElse(return None)
+        fields += StructField(s"MIN($name)", dt)
+        values += sparkValue(mn, dt)
+      case m: Max =>
+        val name = refName(m.column).getOrElse(return None)
+        val dt = colType(name).getOrElse(return None)
+        if (!supportedStatType(dt)) return None
+        val (_, mx) = colBounds(name).getOrElse(return None)
+        fields += StructField(s"MAX($name)", dt)
+        values += sparkValue(mx, dt)
+      case _ => return None
+    }
+    Some((StructType(fields.toSeq), values.toArray))
+  }
+
+  override def build(): Scan =
+    new GraftScan(root, fq, versionOpt, tableSchema, required, skipFilters,
+      limit, aggResult)
+}
+
+/** Planned scan. Batch planning (file skipping, DV loading) happens in
+  * [[toBatch]] on the driver against metadata sidecars only — LAZILY,
+  * so runtime filters delivered after planning still prune files.
+  *
+  * [[SupportsRuntimeFiltering]] is the connector's DPP analog: when
+  * this scan is the probe side of a broadcast join, Spark hands the
+  * build side's key set over as an `In` filter at RUNTIME, and the
+  * same stats/bloom elimination then drops whole files before any
+  * task launches — a dimension predicate prunes the 100 TB fact scan
+  * even though the fact table isn't hive-partitioned. */
+class GraftScan(root: String, fq: String, versionOpt: Option[Int],
+    tableSchema: StructType, required: StructType,
+    skipFilters: Array[Filter], limit: Int,
+    aggResult: Option[(StructType, Array[Any])]) extends Scan
+    with SupportsRuntimeFiltering {
+
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    tableSchema.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters
+
+  override def readSchema(): StructType =
+    aggResult.map(_._1).getOrElse(required)
+
+  override def description(): String = {
+    val agg = aggResult.map(a =>
+      s", PushedAggregates: [${a._1.fieldNames.mkString(", ")}]").getOrElse("")
+    s"graft $fq, SkipFilters: [${skipFilters.mkString(", ")}]$agg"
+  }
+
+  private def cat = new TableCatalog(SparkSession.active, root)
+  private def liveVersion: Int = versionOpt.orElse(cat.version(fq)).getOrElse(
+    throw new IllegalArgumentException(s"graft table not found: $fq"))
+
+  /** Files surviving stats/bloom elimination under the conjunction of
+    * compile-time skip filters AND runtime (join-pushed) filters
+    * (missing sidecar ⇒ keep — advisory skipping). */
+  private def surviving(c: TableCatalog, v: Int): Seq[String] = {
+    def flatten(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => flatten(l) ++ flatten(r)
+      case other     => Seq(other)
+    }
+    val active = skipFilters ++ runtimeFilters.flatMap(flatten)
+    val files = c.dataFilePathsAt(fq, v)
+    if (active.isEmpty || files.isEmpty) return files
+    val stats = c.statsByPath(fq, v)
+    val bloomCols = active.flatMap {
+      case EqualTo(col, _) => Some(col)
+      case In(col, _)      => Some(col)
+      case _ => None
+    }.distinct
+    val blooms: Map[String, Map[String, Array[Long]]] =
+      bloomCols.map(col => col -> c.bloomsByPath(fq, v, col)).toMap
+
+    def key(p: String) = new Path(p).toUri.getPath
+    def statVal(x: Any): Option[BigDecimal] = x match {
+      case n: Byte    => Some(BigDecimal(n.toInt))
+      case n: Short   => Some(BigDecimal(n.toInt))
+      case n: Int     => Some(BigDecimal(n))
+      case n: Long    => Some(BigDecimal(n))
+      case n: Float   => Some(BigDecimal(n.toDouble))
+      case n: Double  => Some(BigDecimal(n))
+      case n: java.math.BigDecimal => Some(BigDecimal(n))
+      case d: java.sql.Date       => Some(BigDecimal(d.toLocalDate.toEpochDay))
+      case d: java.time.LocalDate => Some(BigDecimal(d.toEpochDay))
+      case _ => None
+    }
+    def str(x: Any): String = x match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case other => String.valueOf(other)
+    }
+
+    files.filter { p =>
+      val st = stats.get(key(p))
+      def bounds(col: String) = st.flatMap(_.get(col))
+      def mayEqual(col: String, x: Any): Boolean = {
+        val statOk = (statVal(x), bounds(col)) match {
+          case (Some(v0), Some((mn, mx))) => v0 >= mn && v0 <= mx
+          case _ => true
+        }
+        val bloomOk = blooms.get(col).flatMap(_.get(key(p))) match {
+          case Some(bits) => x match {
+            case _: Byte | _: Short | _: Int | _: Long | _: String |
+                 _: org.apache.spark.unsafe.types.UTF8String =>
+              c.bloomMayContain(bits, str(x)) // reuse the passed catalog
+            case _ => true
+          }
+          case None => true
+        }
+        statOk && bloomOk
+      }
+      active.forall {
+        case EqualTo(col, x) => mayEqual(col, x)
+        case In(col, xs)     => xs.exists(x => mayEqual(col, x))
+        case GreaterThan(col, x) => (statVal(x), bounds(col)) match {
+          case (Some(v0), Some((_, mx))) => mx > v0
+          case _ => true
+        }
+        case GreaterThanOrEqual(col, x) => (statVal(x), bounds(col)) match {
+          case (Some(v0), Some((_, mx))) => mx >= v0
+          case _ => true
+        }
+        case LessThan(col, x) => (statVal(x), bounds(col)) match {
+          case (Some(v0), Some((mn, _))) => mn < v0
+          case _ => true
+        }
+        case LessThanOrEqual(col, x) => (statVal(x), bounds(col)) match {
+          case (Some(v0), Some((mn, _))) => mn <= v0
+          case _ => true
+        }
+        case _ => true
+      }
+    }
+  }
+
+  /** DV row indexes per surviving file, loaded driver-side (sidecars
+    * are deletes-sized — the Delta "DVs ride the commit log" cost). */
+  private def dvByFile(c: TableCatalog, v: Int): Map[String, Array[Long]] = {
+    val dvPaths = c.dvFilePathsAt(fq, v)
+    if (dvPaths.isEmpty) Map.empty
+    else {
+      val conf = SparkSession.active.sparkContext.hadoopConfiguration
+      GraftParquetIO.readDvPairs(dvPaths, conf)
+        .groupBy { case (f, _) => new Path(f).toUri.getPath }
+        .map { case (f, ps) => f -> ps.map(_._2).distinct.sorted.toArray }
+    }
+  }
+
+  override def toBatch: Batch = new Batch {
+    // planned at invocation time, not scan-build time: runtime filters
+    // (DPP-style join key sets) arrive between the two
+    override def planInputPartitions(): Array[InputPartition] =
+      aggResult match {
+        case Some((_, values)) => Array(GraftAggPartition(values))
+        case None =>
+          val c = cat; val v = liveVersion
+          val dvs = dvByFile(c, v)
+          surviving(c, v).map { p =>
+            GraftFilePartition(p,
+              dvs.getOrElse(new Path(p).toUri.getPath, Array.empty[Long]))
+          }.toArray
+      }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GraftReaderFactory(readSchema(), limit,
+        skipFilters ++ runtimeFilters)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(aggResult.isEmpty, "aggregate pushdown not valid for streaming")
+    new GraftMicroBatchStream(root, fq, required, skipFilters, limit)
+  }
+}
+
+/** One data file + the DV row indexes masking it. */
+case class GraftFilePartition(path: String, dvRows: Array[Long])
+  extends InputPartition
+
+/** Metadata-answered aggregate: the single result row's values. */
+case class GraftAggPartition(values: Array[Any]) extends InputPartition
+
+class GraftReaderFactory(schema: StructType, limit: Int,
+    filters: Array[Filter] = Array.empty) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case GraftAggPartition(values) => new PartitionReader[InternalRow] {
+        private var done = false
+        override def next(): Boolean = { val r = !done; done = true; r }
+        override def get(): InternalRow = new GenericInternalRow(values.clone())
+        override def close(): Unit = ()
+      }
+      case GraftFilePartition(path, dvRows) =>
+        new GraftRowReader(path, schema, dvRows, limit, filters)
+    }
+}
+
+/** Streams one parquet file as InternalRows, skipping DV-masked row
+  * indexes with a sorted pointer walk (records arrive in physical
+  * order, so the running counter IS `_metadata.row_index`).
+  *
+  * When the file carries NO deletion vector, the pushed filters are
+  * handed to parquet-hadoop itself ([[GraftParquetIO.toParquetFilter]])
+  * — ROW-GROUP stats skipping + dictionary + record-level filtering
+  * below the decode, so a selective predicate over a multi-row-group
+  * file never decompresses the non-matching groups. With a DV
+  * outstanding the filter stays off: filtered readers renumber rows
+  * and would break the row-index addresses the mask points at (Spark
+  * still applies every residual filter either way). */
+class GraftRowReader(path: String, schema: StructType, dvRows: Array[Long],
+    limit: Int, filters: Array[Filter] = Array.empty)
+    extends PartitionReader[InternalRow] {
+  private val reader = {
+    val conf = new Configuration()
+    val pred =
+      if (dvRows.nonEmpty || filters.isEmpty) None
+      else GraftParquetIO.toParquetFilter(filters.toSeq,
+        GraftParquetIO.fileSchema(path, conf))
+    GraftParquetIO.openReader(path, conf, schema.fieldNames.toSeq, pred)
+  }
+  private var rowIdx = -1L
+  private var dvPtr = 0
+  private var emitted = 0L
+  private var current: org.apache.parquet.example.data.Group = _
+
+  private def deleted(idx: Long): Boolean = {
+    while (dvPtr < dvRows.length && dvRows(dvPtr) < idx) dvPtr += 1
+    dvPtr < dvRows.length && dvRows(dvPtr) == idx
+  }
+
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
+    var g = reader.read(); rowIdx += 1
+    while (g != null && deleted(rowIdx)) { g = reader.read(); rowIdx += 1 }
+    if (g == null) false else { current = g; emitted += 1; true }
+  }
+  override def get(): InternalRow = GraftParquetIO.toInternalRow(current, schema)
+  override def close(): Unit = reader.close()
+}
+
+/** Offset = committed manifest version. */
+case class GraftOffset(v: Int) extends Offset {
+  override def json(): String = s"""{"v":$v}"""
+}
+
+/** The catalog table as a streaming source: offsets are manifest
+  * versions; batch (start, end] delivers exactly the data files added
+  * by those commits (O(delta) appends ⇒ the file diff IS the new
+  * data). Append-only is enforced: a missing previously-seen file
+  * (overwrite/compact/vacuum) or a DV change mid-stream throws, since
+  * already-delivered rows cannot be retracted — Delta's semantics
+  * without ignoreChanges. The initial batch (-1 → current) is the
+  * snapshot read WITH current DV masks applied. */
+class GraftMicroBatchStream(root: String, fq: String, required: StructType,
+    skipFilters: Array[Filter], limit: Int) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  private def cat = new TableCatalog(SparkSession.active, root)
+
+  // Trigger.AvailableNow: pin the end offset at stream start so the
+  // drain has a fixed goalpost even while writers keep committing.
+  private var pinned: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinned = Some(cat.version(fq).getOrElse(-1))
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    pinned.map(GraftOffset(_)).getOrElse(
+      GraftOffset(cat.version(fq).getOrElse(-1)))
+
+  override def initialOffset(): Offset = GraftOffset(-1)
+  override def latestOffset(): Offset =
+    GraftOffset(cat.version(fq).getOrElse(-1))
+  override def deserializeOffset(json: String): Offset = {
+    val m = """\{"v":(-?\d+)\}""".r
+    json.trim match {
+      case m(v) => GraftOffset(v.toInt)
+      case other => throw new IllegalArgumentException(s"bad offset: $other")
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val vs = start.asInstanceOf[GraftOffset].v
+    val ve = end.asInstanceOf[GraftOffset].v
+    if (ve < 0 || ve == vs) return Array.empty
+    val c = cat
+    val endFiles = c.dataFilePathsAt(fq, ve)
+    def key(p: String) = new Path(p).toUri.getPath
+    val newFiles =
+      if (vs < 0) endFiles
+      else {
+        val startSet = c.dataFilePathsAt(fq, vs).map(key).toSet
+        val endSet = endFiles.map(key).toSet
+        val removed = startSet -- endSet
+        if (removed.nonEmpty) throw new IllegalStateException(
+          s"graft stream over $fq: non-append change removed ${removed.size} " +
+            "file(s) (overwrite/compact/vacuum) — restart the stream from a " +
+            "fresh checkpoint")
+        if (c.dvFilePathsAt(fq, vs).map(key).toSet !=
+            c.dvFilePathsAt(fq, ve).map(key).toSet)
+          throw new IllegalStateException(
+            s"graft stream over $fq: deletion vectors changed mid-stream — " +
+              "already-delivered rows cannot be retracted")
+        endFiles.filterNot(p => startSet(key(p)))
+      }
+    // initial snapshot applies current DV masks; later batches carry
+    // none (enforced unchanged above)
+    val dvs: Map[String, Array[Long]] =
+      if (vs >= 0) Map.empty
+      else {
+        val dvPaths = c.dvFilePathsAt(fq, ve)
+        if (dvPaths.isEmpty) Map.empty
+        else GraftParquetIO.readDvPairs(dvPaths,
+            SparkSession.active.sparkContext.hadoopConfiguration)
+          .groupBy { case (f, _) => new Path(f).toUri.getPath }
+          .map { case (f, ps) => f -> ps.map(_._2).distinct.sorted.toArray }
+      }
+    newFiles.map(p => GraftFilePartition(p,
+      dvs.getOrElse(key(p), Array.empty[Long])): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required, limit, skipFilters)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

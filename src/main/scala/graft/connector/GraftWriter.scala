@@ -1,0 +1,290 @@
+package graft.connector
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+import graft.catalog.TableCatalog
+
+/** DSv2 write path for the graft catalog:
+  * `df.write.format("graft").option("root", r).option("table", fq)
+  *    .mode("append" | "overwrite").save()`.
+  *
+  * Executors stream InternalRows into parquet files under a
+  * per-query staging directory; the driver's [[GraftBatchWrite.commit]]
+  * then ADOPTS the staged files into a new catalog version by rename —
+  * one atomic commit under the catalog's optimistic-concurrency claim,
+  * appends carrying the prior chain by manifest reference (zero data
+  * copied, O(delta) like every catalog append). A failed/speculative
+  * task aborts by deleting its own staged file, and an aborted job
+  * deletes the staging dir — nothing partial ever reaches a manifest.
+  */
+object GraftWriteSchema {
+  /** StructType → parquet MessageType for the supported column types
+    * (the same set [[GraftParquetIO]] reads back). */
+  def toMessageType(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case LongType    => b.addField(Types.optional(INT64).named(f.name))
+        case IntegerType => b.addField(Types.optional(INT32).named(f.name))
+        case DoubleType  => b.addField(Types.optional(DOUBLE).named(f.name))
+        case FloatType   => b.addField(Types.optional(FLOAT).named(f.name))
+        case BooleanType => b.addField(Types.optional(BOOLEAN).named(f.name))
+        case StringType  => b.addField(Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        case BinaryType  => b.addField(Types.optional(BINARY).named(f.name))
+        case DateType    => b.addField(Types.optional(INT32)
+          .as(LogicalTypeAnnotation.dateType()).named(f.name))
+        case TimestampType => b.addField(Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name))
+        case TimestampNTZType => b.addField(Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(false,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name))
+        case ArrayType(et, _) =>
+          val elem = et match {
+            case LongType    => Types.optional(INT64)
+            case IntegerType => Types.optional(INT32)
+            case DoubleType  => Types.optional(DOUBLE)
+            case FloatType   => Types.optional(FLOAT)
+            case StringType  => Types.optional(BINARY)
+              .as(LogicalTypeAnnotation.stringType())
+            case other => throw new UnsupportedOperationException(
+              s"graft write: unsupported array element type $other")
+          }
+          b.addField(Types.optionalList()
+            .element(elem.named("element")).named(f.name))
+        case other => throw new UnsupportedOperationException(
+          s"graft write: unsupported type $other for column ${f.name}")
+      }
+    }
+    b.named("spark_schema")
+  }
+
+  /** Append one InternalRow's values into a fresh Group. */
+  def fillGroup(g: Group, row: InternalRow, schema: StructType): Unit = {
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) {
+        val f = schema(i)
+        f.dataType match {
+          case LongType    => g.add(i, row.getLong(i))
+          case IntegerType => g.add(i, row.getInt(i))
+          case DoubleType  => g.add(i, row.getDouble(i))
+          case FloatType   => g.add(i, row.getFloat(i))
+          case BooleanType => g.add(i, row.getBoolean(i))
+          case StringType  => g.add(i,
+            Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+          case BinaryType  => g.add(i,
+            Binary.fromConstantByteArray(row.getBinary(i)))
+          case DateType    => g.add(i, row.getInt(i))
+          case TimestampType | TimestampNTZType => g.add(i, row.getLong(i))
+          case ArrayType(et, _) =>
+            val arr = row.getArray(i)
+            val listG = g.addGroup(i)
+            var j = 0
+            while (j < arr.numElements()) {
+              val el = listG.addGroup("list")
+              if (!arr.isNullAt(j)) et match {
+                case LongType    => el.add("element", arr.getLong(j))
+                case IntegerType => el.add("element", arr.getInt(j))
+                case DoubleType  => el.add("element", arr.getDouble(j))
+                case FloatType   => el.add("element", arr.getFloat(j))
+                case StringType  => el.add("element",
+                  Binary.fromConstantByteArray(arr.getUTF8String(j).getBytes))
+                case other => throw new UnsupportedOperationException(
+                  s"array element $other")
+              }
+              j += 1
+            }
+          case other => throw new UnsupportedOperationException(
+            s"graft write: unsupported type $other")
+        }
+      }
+      i += 1
+    }
+  }
+}
+
+class GraftWriteBuilder(root: String, fq: String, schema: StructType,
+    tableSchema: StructType, queryId: String = "")
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = {
+    // APPEND to an existing table: column sets must line up (the
+    // reader resolves by name; silent drift would corrupt reads).
+    // OVERWRITE recreates the table, so any schema is fine. The check
+    // reads the LIVE catalog schema — `tableSchema` is the df's own
+    // schema on the external-metadata write path.
+    if (!overwrite) {
+      val spark = SparkSession.active
+      val cat = new TableCatalog(spark, root)
+      cat.version(fq).foreach { v =>
+        val files = cat.dataFilePathsAt(fq, v)
+        if (files.nonEmpty) {
+          val existing = spark.read.parquet(files.head).schema
+          require(schema.fieldNames.sorted.sameElements(
+              existing.fieldNames.sorted),
+            s"graft append schema [${schema.fieldNames.mkString(",")}] does " +
+              s"not match table schema [${existing.fieldNames.mkString(",")}]")
+        }
+      }
+    }
+    new Write {
+      override def toBatch: BatchWrite =
+        new GraftBatchWrite(root, fq, schema, overwrite)
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        require(!overwrite,
+          "graft streaming sink supports OutputMode.Append only")
+        new GraftStreamingWrite(root, fq, schema, queryId)
+      }
+    }
+  }
+}
+
+/** Streaming sink: each epoch's staged files commit as ONE catalog
+  * version carrying an `_EPOCH` tag written atomically with the
+  * commit, so a replayed epoch (restart after crash between sink
+  * commit and checkpoint ack) detects its own tag and skips —
+  * exactly-once into the table, the foreachBatch+txn pattern as a
+  * first-class `writeStream.format("graft")` sink. Empty epochs
+  * commit nothing. */
+class GraftStreamingWrite(root: String, fq: String, schema: StructType,
+    queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  private val stagingBase = s"$root/_staging/stream-$queryId"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new GraftStreamingWriterFactory(stagingBase, schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val cat = new TableCatalog(spark, root)
+    val tag = s"$queryId:$epochId"
+    val staged = messages.collect {
+      case GraftCommitMessage(Some(path)) => new Path(path)
+    }.toSeq
+    if (staged.nonEmpty && !cat.committedEpochs(fq).contains(tag))
+      cat.commitStagedFiles(fq, staged, overwrite = false,
+        epochTag = Some(tag))
+    cleanupEpoch(epochId)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    cleanupEpoch(epochId)
+
+  private def cleanupEpoch(epochId: Long): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val p = new Path(s"$stagingBase/$epochId")
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+}
+
+class GraftStreamingWriterFactory(stagingBase: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(s"$stagingBase/$epochId", schema, partitionId, taskId)
+}
+
+class GraftBatchWrite(root: String, fq: String, schema: StructType,
+    overwrite: Boolean) extends BatchWrite {
+  private val stagingDir = s"$root/_staging/${UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftDataWriterFactory(stagingDir, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val staged = messages.collect {
+      case GraftCommitMessage(Some(path)) => new Path(path)
+    }.toSeq
+    val cat = new TableCatalog(spark, root)
+    if (staged.isEmpty) {
+      require(!overwrite && cat.version(fq).isDefined,
+        s"graft write: empty input cannot create/overwrite $fq")
+      // empty append: no-op commit
+    } else cat.commitStagedFiles(fq, staged, overwrite)
+    cleanup()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = cleanup()
+
+  private def cleanup(): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val p = new Path(stagingDir)
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) fs.delete(p, true)
+    // opportunistically drop the _staging parent when empty
+    val parent = p.getParent
+    if (fs.exists(parent) && fs.listStatus(parent).isEmpty)
+      fs.delete(parent, false)
+  }
+}
+
+case class GraftCommitMessage(path: Option[String]) extends WriterCommitMessage
+
+class GraftDataWriterFactory(stagingDir: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(stagingDir, schema, partitionId, taskId)
+}
+
+/** Streams rows into one staged parquet file, created lazily on the
+  * first row (empty partitions stage nothing). */
+class GraftDataWriter(stagingDir: String, schema: StructType,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+  private val path =
+    new Path(s"$stagingDir/part-$partitionId-$taskId.parquet")
+  private val messageType = GraftWriteSchema.toMessageType(schema)
+  private var writer: ParquetWriter[Group] = _
+  private var factory: SimpleGroupFactory = _
+
+  private def ensureOpen(): Unit = if (writer == null) {
+    val conf = new Configuration()
+    writer = ExampleParquetWriter.builder(path)
+      .withConf(conf)
+      .withType(messageType)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    factory = new SimpleGroupFactory(messageType)
+  }
+
+  override def write(row: InternalRow): Unit = {
+    ensureOpen()
+    val g = factory.newGroup()
+    GraftWriteSchema.fillGroup(g, row, schema)
+    writer.write(g)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) { writer.close(); GraftCommitMessage(Some(path.toString)) }
+    else GraftCommitMessage(None)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) writer.close()
+    val fs = path.getFileSystem(new Configuration())
+    if (fs.exists(path)) fs.delete(path, false)
+  }
+
+  override def close(): Unit = ()
+}

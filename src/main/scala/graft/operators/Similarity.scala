@@ -84,6 +84,30 @@ object Similarity {
         descaleDot(col("ordL")).as("dot"))
   }
 
+  /** Hard-negative mining for contrastive training: per query, the k
+    * MOST similar corpus vectors carrying a DIFFERENT label — close to
+    * the decision boundary (high dot) yet guaranteed negative (label
+    * mismatch), the pairs a contrastive loss learns most from. Exact
+    * quantized arithmetic ([[bruteForceTopKExact]] parity) so ranks are
+    * engine-portable; same bounded top-k shuffle (k rows per query
+    * cross the exchange, never the scored corpus). At 100 TB compose
+    * with the IVF path (assignCentroids + probes prune cells before
+    * scoring) — the label filter rides the scored join either way. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), col(labelCol).as("q_label")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("n_label"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id") &&
+        col("q_label") =!= col("n_label"))
+      .withColumn("dot", dotExact(col("qv"), col("cv")))
+    TopK.topKPerQuery(scored, col("dot"), lit(0.0), col("neighbor_id"),
+        noVec, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        descaleDot(col("ordL")).as("dot"))
+  }
+
   /** Per-dimension calibration table for asymmetric quantization /
     * feature scaling: (dim, lo_q, hi_q, n) where lo/hi are the corpus
     * min/max of each embedding dimension, 1e-7-quantized to longs

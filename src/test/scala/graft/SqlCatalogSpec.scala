@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** V2 catalog plugin: SQL DDL/DML surface over the graft catalog. */
+class SqlCatalogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("CTAS, INSERT INTO, SELECT, time travel, rename, drop") {
+    val root = tempDir("gcat_sql")
+    spark.conf.set("spark.sql.catalog.gc_spec", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gc_spec.root", root)
+    (1L to 100L).map(i => (i, i * 2.0)).toDF("k", "x")
+      .createOrReplaceTempView("src100")
+
+    spark.sql("CREATE TABLE gc_spec.d.s.t AS SELECT * FROM src100")
+    assert(spark.sql("SELECT count(*) FROM gc_spec.d.s.t")
+      .as[Long].head() == 100)
+
+    spark.sql("INSERT INTO gc_spec.d.s.t SELECT k + 100, x FROM src100")
+    assert(spark.sql("SELECT count(*), sum(k) FROM gc_spec.d.s.t")
+      .as[(Long, Long)].head() == ((200L, (1L to 100L).sum + (101L to 200L).sum)))
+
+    // time travel reads v0 (the CTAS snapshot)
+    assert(spark.sql("SELECT count(*) FROM gc_spec.d.s.t VERSION AS OF 0")
+      .as[Long].head() == 100)
+
+    // pushdown rides along: metadata-only aggregate through SQL
+    val agg = spark.sql("SELECT count(*), min(k), max(k) FROM gc_spec.d.s.t")
+    assert(graft.connector.GraftPlanInspect.scanPartitions(agg) == 1)
+
+    spark.sql("ALTER TABLE gc_spec.d.s.t RENAME TO d.s.t2")
+    assert(spark.sql("SELECT count(*) FROM gc_spec.d.s.t2")
+      .as[Long].head() == 200)
+    intercept[Exception] { spark.sql("SELECT * FROM gc_spec.d.s.t").collect() }
+
+    assert(spark.sql("SHOW TABLES IN gc_spec.d.s").collect()
+      .map(_.getString(1)).toSeq == Seq("t2"))
+    spark.sql("DROP TABLE gc_spec.d.s.t2")
+    intercept[Exception] { spark.sql("SELECT * FROM gc_spec.d.s.t2").collect() }
+  }
+
+  test("SQL DELETE routes into merge-on-read deletion vectors") {
+    val root = tempDir("gcat_del")
+    spark.conf.set("spark.sql.catalog.gc_del", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gc_del.root", root)
+    val cat = new graft.catalog.TableCatalog(spark, root)
+    cat.overwrite("d.s.del", (1L to 1000L).map(i => (i, s"g${i % 4}"))
+      .toDF("k", "grp").repartition(3))
+    val filesBefore = cat.dataFilePaths("d.s.del")
+    spark.sql("DELETE FROM gc_del.d.s.del WHERE grp = 'g1' AND k <= 500")
+    // merge-on-read: not one data file rewritten
+    assert(cat.dataFilePaths("d.s.del") == filesBefore)
+    val expect = (1L to 1000L).count(i => !(i % 4 == 1 && i <= 500))
+    assert(spark.sql("SELECT count(*) FROM gc_del.d.s.del")
+      .as[Long].head() == expect)
+    // prior version still time-travels complete
+    assert(spark.sql("SELECT count(*) FROM gc_del.d.s.del VERSION AS OF 0")
+      .as[Long].head() == 1000)
+    // untranslatable predicate is rejected, not approximated
+    intercept[Exception] {
+      spark.sql("DELETE FROM gc_del.d.s.del WHERE k % 7 = 0")
+    }
+    assert(spark.sql("SELECT count(*) FROM gc_del.d.s.del")
+      .as[Long].head() == expect)
+  }
+
+  test("rename with outstanding DVs is refused; post-compact rename keeps chains readable") {
+    val root = tempDir("gcat_mv")
+    spark.conf.set("spark.sql.catalog.gc_mv", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gc_mv.root", root)
+    val cat = new graft.catalog.TableCatalog(spark, root)
+    cat.overwrite("d.s.m", (1L to 500L).map(i => (i, i % 9)).toDF("k", "f")
+      .repartition(2))
+    cat.append("d.s.m", (501L to 600L).map(i => (i, i % 9)).toDF("k", "f")
+      .coalesce(1)) // chained version: manifest carries v0 by abs path
+    cat.deleteWhereDV("d.s.m", col("f") === 4L)
+    val err = intercept[Exception] {
+      spark.sql("ALTER TABLE gc_mv.d.s.m RENAME TO d.s.m2")
+    }
+    assert(err.getMessage.contains("deletion vectors"))
+    cat.compact("d.s.m") // materializes masks; rename is now legal
+    spark.sql("ALTER TABLE gc_mv.d.s.m RENAME TO d.s.m2")
+    val expect = (1L to 600L).count(_ % 9 != 4)
+    assert(spark.sql("SELECT count(*) FROM gc_mv.d.s.m2")
+      .as[Long].head() == expect)
+    // append at the NEW name chains onto the retargeted manifests
+    cat.append("d.s.m2", Seq((1000L, 0L)).toDF("k", "f"))
+    assert(spark.sql("SELECT count(*) FROM gc_mv.d.s.m2")
+      .as[Long].head() == expect + 1)
+  }
+}
