@@ -273,6 +273,46 @@ object QueriesConnector {
         .withColumn("exactly_once", lit(exactlyOnce))
     }),
 
+    // ---- TIMESTAMP-range file skipping: the catalog writes
+    //      TIMESTAMP_MICROS int64 (never stat-less INT96), so a
+    //      time-range predicate — THE canonical 100 TB scan filter —
+    //      gets the same `_STATS` elimination as numeric keys. Three
+    //      time-disjoint commits; the pushed `ts <= t1` opens ONE of
+    //      three files (time_skipped hashed); thresholds are integer
+    //      micros so both engines cut identically. ----
+    "q238_dsv2_timestamp_skip" -> ((s, dir) => {
+      val work = graft.Scratch.dir("graft_dsv2ts")
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val ev = Queries.normalizeEventTs(table(s, dir, "events"))
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val b = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val t1 = (2 * mn + mx) / 3; val t2 = (mn + 2 * mx) / 3
+      def tsLit(us: Long) = {
+        val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+        t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt); t
+      }
+      val t = "D.S.V2TS"
+      cat.append(t, ev.filter(unix_micros(col("ts")) <= t1).coalesce(1))
+      cat.append(t, ev.filter(unix_micros(col("ts")) > t1 &&
+        unix_micros(col("ts")) <= t2).coalesce(1))
+      cat.append(t, ev.filter(unix_micros(col("ts")) > t2).coalesce(1))
+      val probe = s.read.format("graft")
+        .option("root", work).option("table", t).load()
+        .filter(col("ts") <= lit(tsLit(t1)))
+      val agg = probe.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 3))).cast("double")
+            .as("sum_value"))
+      val rows = agg.collect()
+      val skipped =
+        graft.connector.GraftPlanInspect.scanPartitionsOf(agg) == 1
+      s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          agg.schema)
+        .withColumn("time_skipped", lit(skipped))
+    }),
+
     // ---- SQL surface: the V2 catalog plugin makes graft tables
     //      first-class SQL objects — CTAS creates v0, INSERT INTO
     //      appends v1 (same staged-commit machinery as the write
@@ -334,6 +374,42 @@ object QueriesConnector {
         FROM $catName.d.s.orddel GROUP BY o_orderstatus""")
         .withColumn("no_rewrite", lit(noRewrite))
         .withColumn("v0_intact", lit(v0Intact))
+    }),
+
+    // ---- atomic REPLACE WHERE (Delta's replaceWhere): one commit
+    //      masks the matching slice via a DV sidecar AND adopts the
+    //      replacement files — readers see delete+insert together or
+    //      neither (one_commit: exactly one version bump), and not one
+    //      pre-existing data file is rewritten (no_rewrite). The
+    //      backfill primitive at 100 TB: re-deriving one slice costs
+    //      O(slice), never a table rewrite, and a concurrent reader
+    //      can never observe the slice half-replaced. ----
+    "q239_replace_where" -> ((s, dir) => {
+      val work = graft.Scratch.dir("graft_rw")
+      val catName = "g6r" + math.abs(work.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$catName",
+        "graft.connector.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$catName.root", work)
+      table(s, dir, "orders").createOrReplaceTempView("g6_rw_src")
+      s.sql(s"""CREATE TABLE $catName.d.s.ordrw AS
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM g6_rw_src""")
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val before = cat.dataFilePaths("d.s.ordrw").toSet
+      val vBefore = cat.version("d.s.ordrw").get
+      // re-derive the 'O' slice with doubled prices, atomically
+      s.sql(s"""INSERT INTO $catName.d.s.ordrw REPLACE WHERE
+          o_orderstatus = 'O'
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2
+        FROM g6_rw_src WHERE o_orderstatus = 'O'""")
+      val oneCommit = cat.version("d.s.ordrw").contains(vBefore + 1)
+      val noRewrite = before.subsetOf(cat.dataFilePaths("d.s.ordrw").toSet)
+      s.sql(s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price
+        FROM $catName.d.s.ordrw GROUP BY o_orderstatus""")
+        .withColumn("one_commit", lit(oneCommit))
+        .withColumn("no_rewrite", lit(noRewrite))
     }),
 
     // ---- the table as a streaming source: manifest versions are the
@@ -437,6 +513,24 @@ object QueriesConnector {
          WHERE l_orderkey >= mk * 2 // 10 AND l_orderkey <= mk * 3 // 10
            AND l_suppkey >= ms * 2 // 10 AND l_suppkey <= ms * 3 // 10
          GROUP BY l_suppkey""",
+
+    "q239_replace_where" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CASE WHEN o_orderstatus = 'O'
+                              THEN o_totalprice * 2 ELSE o_totalprice END
+                     AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           TRUE AS one_commit, TRUE AS no_rewrite
+         FROM orders GROUP BY o_orderstatus""",
+
+    "q238_dsv2_timestamp_skip" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                    FROM events)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value,
+           TRUE AS time_skipped
+         FROM events, b
+         WHERE epoch_us(ts) <= (2 * mn + mx) // 3
+         GROUP BY event_type""",
 
     "q236_dsv2_stream_sink" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

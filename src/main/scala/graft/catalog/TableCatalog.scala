@@ -272,7 +272,15 @@ class TableCatalog(spark: SparkSession, root: String,
             val ordered = pt.getPrimitiveTypeName match {
               case INT32 | INT64 => ann == null ||
                 ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] ||
-                ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+                ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] ||
+                // micros timestamps (LTZ and NTZ) are exactly ordered
+                // int64s — the catalog writes TIMESTAMP_MICROS (see
+                // withMicrosTimestamps), so time-range predicates get
+                // the same file skipping as numeric keys. Other units
+                // stay excluded (values are normalized to micros).
+                (ann.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] &&
+                  ann.asInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
+                    .getUnit == LogicalTypeAnnotation.TimeUnit.MICROS)
               case FLOAT | DOUBLE => true
               case _ => false
             }
@@ -336,7 +344,13 @@ class TableCatalog(spark: SparkSession, root: String,
     val files = dataFiles(fq, v)
     if (files.isEmpty)
       return spark.read.parquet(versionDir(fq, v).toString).filter(pred)
-    val (loD, hiD) = (BigDecimal(lo.toString), BigDecimal(hi.toString))
+    val (loD, hiD) =
+      (TableCatalog.statDecimal(lo), TableCatalog.statDecimal(hi)) match {
+        case (Some(a), Some(b)) => (a, b)
+        case _ => // no stats-comparable form: read all, predicate row-level
+          return maskDv(spark.read.parquet(files.map(_.toString): _*),
+            dvFiles(fq, v)).filter(pred)
+      }
     val stats = statsFor(files)
     val surviving = files.filter { p =>
       stats.get(fs.makeQualified(p).toUri.getPath)
@@ -489,6 +503,22 @@ class TableCatalog(spark: SparkSession, root: String,
     } finally fs.delete(claim, false)
   }
 
+  /** Every catalog write goes out as TIMESTAMP_MICROS int64, not
+    * Spark's default INT96: INT96 is deprecated AND stat-less (parquet
+    * writers emit no usable min/max for it), which would exclude
+    * timestamp columns — the most common 100 TB range predicate — from
+    * `_STATS` file skipping. Session conf is restored after the
+    * write. */
+  private def withMicrosTimestamps[T](body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   private def commitClaimed(fq: String, next: Int, dir: Path,
       write: Path => Unit): Unit = {
     // crash recovery: a commit that died after writing data but before
@@ -496,7 +526,7 @@ class TableCatalog(spark: SparkSession, root: String,
     // referenced — clear it, or this commit would fail on the existing
     // path (or silently absorb the orphan's files into its manifest)
     if (fs.exists(dir)) fs.delete(dir, true)
-    write(dir)
+    withMicrosTimestamps { write(dir) }
     try harvestStats(dir) catch { case _: Exception => () } // advisory
     val tmp = new Path(tableDir(fq), s"_CURRENT.tmp$next")
     val out = fs.create(tmp, true)
@@ -1319,6 +1349,39 @@ class TableCatalog(spark: SparkSession, root: String,
     })
   }
 
+  /** Atomic replaceWhere (Delta's `INSERT INTO … REPLACE WHERE` /
+    * `writeTo.overwrite(cond)`): ONE commit masks every `where`-matching
+    * live row via a deletion-vector sidecar AND adopts the staged
+    * replacement files — a reader sees the delete and the insert
+    * together or neither. Cost O(matched + staged): no data file is
+    * rewritten, the prior chain rides by manifest reference. */
+  private[graft] def commitReplaceWhere(fq: String, staged: Seq[Path],
+      where: Column): Unit = {
+    val v = currentVersion(fq).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $fq"))
+    require(partitionColsOf(fq, v).isEmpty,
+      s"replaceWhere targets unpartitioned tables; $fq is hive-partitioned")
+    val files = dataFiles(fq, v)
+    val dvs = dvFiles(fq, v)
+    val newDv =
+      if (files.isEmpty) None
+      else Some(maskDv(spark.read.parquet(files.map(_.toString): _*),
+          dvs, keepPos = true)
+        .filter(where)
+        .select(col("__fp").as("file"), col("__ri").as("row_index")))
+    commitVersion(fq, dir => {
+      fs.mkdirs(dir)
+      staged.foreach { f =>
+        if (!fs.rename(f, new Path(dir, f.getName)))
+          throw new IllegalStateException(s"failed to adopt staged file $f")
+      }
+      newDv.foreach(_.write.mode(SaveMode.Overwrite)
+        .parquet(dvDir(dir).toString))
+      writeManifest(dir, files)
+      if (dvs.nonEmpty) writeDvManifest(dir, dvs)
+    })
+  }
+
   /** Epoch tags of retained version dirs (streaming-sink replay
     * detection). Retention caveat: tags live as long as their version
     * dir; Structured Streaming replays at most the LAST epoch after a
@@ -1346,5 +1409,33 @@ class TableCatalog(spark: SparkSession, root: String,
   def drop(fq: String): Unit = {
     val d = tableDir(fq)
     if (fs.exists(d)) fs.delete(d, true)
+  }
+}
+
+object TableCatalog {
+  /** Stats-comparable decimal form of a predicate value, matching how
+    * [[TableCatalog]] stores `_STATS`: identity for numerics, epoch
+    * DAYS for dates, epoch MICROS for timestamps (the catalog writes
+    * TIMESTAMP_MICROS physical int64s — see `withMicrosTimestamps`).
+    * None = the value has no exactly-comparable stats form (e.g.
+    * strings — bloom sidecars cover their equality case). */
+  private[graft] def statDecimal(v: Any): Option[BigDecimal] = v match {
+    case n: Byte    => Some(BigDecimal(n.toInt))
+    case n: Short   => Some(BigDecimal(n.toInt))
+    case n: Int     => Some(BigDecimal(n))
+    case n: Long    => Some(BigDecimal(n))
+    case n: Float   => Some(BigDecimal(n.toDouble))
+    case n: Double  => Some(BigDecimal(n))
+    case n: java.math.BigDecimal => Some(BigDecimal(n))
+    case n: BigDecimal          => Some(n)
+    case d: java.sql.Date       => Some(BigDecimal(d.toLocalDate.toEpochDay))
+    case d: java.time.LocalDate => Some(BigDecimal(d.toEpochDay))
+    case t: java.sql.Timestamp  => Some(BigDecimal(
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L))
+    case i: java.time.Instant   => Some(BigDecimal(
+      i.getEpochSecond * 1000000L + i.getNano / 1000L))
+    case l: java.time.LocalDateTime => Some(BigDecimal(
+      l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + l.getNano / 1000L))
+    case _ => None
   }
 }

@@ -85,7 +85,8 @@ object GraftParquetIO {
     * Strings push equality/IN only (parquet compares binaries
     * unsigned-lexicographically, which disagrees with Spark's UTF-16
     * ordering on supplementary characters — range pushes would be
-    * unsound). Timestamp columns are excluded (epoch-unit hazards). */
+    * unsound). Micros timestamps push exactly (the catalog's write
+    * format); other timestamp units stay excluded. */
   def toParquetFilter(filters: Seq[org.apache.spark.sql.sources.Filter],
       schema: MessageType)
       : Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
@@ -106,6 +107,16 @@ object GraftParquetIO {
     def longVal(v: Any): Option[java.lang.Long] = v match {
       case n: Byte => Some(n.toLong); case n: Short => Some(n.toLong)
       case n: Int => Some(n.toLong); case n: Long => Some(n)
+      case _ => None
+    }
+    def microsVal(v: Any): Option[java.lang.Long] = v match {
+      case t: java.sql.Timestamp => Some(
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+      case i: java.time.Instant => Some(
+        i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case l: java.time.LocalDateTime => Some(
+        l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          l.getNano / 1000L)
       case _ => None
     }
     def intVal(v: Any): Option[java.lang.Integer] = v match {
@@ -138,6 +149,18 @@ object GraftParquetIO {
               case OpLe => FilterApi.ltEq(c, x)
             }
           }
+          // micros timestamps (the catalog's write format): the
+          // predicate value converts exactly to the physical int64
+          case (INT64, ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
+              if ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+            microsVal(v).map { x =>
+              val c = FilterApi.longColumn(name)
+              op match {
+                case OpEq => FilterApi.eq(c, x); case OpGt => FilterApi.gt(c, x)
+                case OpGe => FilterApi.gtEq(c, x); case OpLt => FilterApi.lt(c, x)
+                case OpLe => FilterApi.ltEq(c, x)
+              }
+            }
           case (DOUBLE, _) => (v match {
             case n: Double => Some(java.lang.Double.valueOf(n))
             case n: Float => Some(java.lang.Double.valueOf(n.toDouble))

@@ -109,34 +109,6 @@ class GraftTable(schema: StructType, options: Map[String, String])
     case (key, v) if key.equalsIgnoreCase(k) => v
   }
 
-  /** Spark source filter → Column, for the metadata-level DML paths.
-    * None = untranslatable (caller must reject, never approximate). */
-  private def filterToColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
-    import org.apache.spark.sql.functions.{col => c, lit}
-    f match {
-      case EqualTo(a, v)            => Some(c(a) === lit(v))
-      case EqualNullSafe(a, v)      => Some(c(a) <=> lit(v))
-      case GreaterThan(a, v)        => Some(c(a) > lit(v))
-      case GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
-      case LessThan(a, v)           => Some(c(a) < lit(v))
-      case LessThanOrEqual(a, v)    => Some(c(a) <= lit(v))
-      case In(a, vs)                => Some(c(a).isin(vs.toIndexedSeq: _*))
-      case IsNull(a)                => Some(c(a).isNull)
-      case IsNotNull(a)             => Some(c(a).isNotNull)
-      case StringStartsWith(a, v)   => Some(c(a).startsWith(v))
-      case StringEndsWith(a, v)     => Some(c(a).endsWith(v))
-      case StringContains(a, v)     => Some(c(a).contains(v))
-      case And(l, r) =>
-        for { a <- filterToColumn(l); b <- filterToColumn(r) } yield a && b
-      case Or(l, r) =>
-        for { a <- filterToColumn(l); b <- filterToColumn(r) } yield a || b
-      case Not(x) => filterToColumn(x).map(!_)
-      case AlwaysTrue() => Some(lit(true))
-      case AlwaysFalse() => Some(lit(false))
-      case _ => None
-    }
-  }
-
   /** SQL `DELETE FROM graft_cat.db.s.t WHERE ...` lands here as
     * metadata-level delete filters — routed into MERGE-ON-READ
     * deletion vectors: O(matched rows) sidecar bytes, ZERO data files
@@ -144,12 +116,12 @@ class GraftTable(schema: StructType, options: Map[String, String])
     * predicates are rejected (canDeleteWhere=false) rather than
     * approximated. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(filterToColumn(_).isDefined)
+    filters.forall(FilterColumns.toColumn(_).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    import org.apache.spark.sql.functions.lit
-    val pred = filters.flatMap(filterToColumn)
-      .reduceOption(_ && _).getOrElse(lit(true))
+    val pred = FilterColumns.conjunction(filters.toSeq).getOrElse(
+      throw new IllegalArgumentException(
+        s"untranslatable DELETE predicate: ${filters.mkString(", ")}"))
     val cat = new TableCatalog(SparkSession.active, opt("root").get)
     cat.deleteWhereDV(opt("table").get, pred)
   }
@@ -158,7 +130,7 @@ class GraftTable(schema: StructType, options: Map[String, String])
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(schema,
       opt("root").get, opt("table").get, opt("version").map(_.toInt))
@@ -209,18 +181,8 @@ class GraftScanBuilder(tableSchema: StructType, root: String, fq: String,
     case _ => false
   }
 
-  private def statValue(v: Any): Option[BigDecimal] = v match {
-    case n: Byte    => Some(BigDecimal(n.toInt))
-    case n: Short   => Some(BigDecimal(n.toInt))
-    case n: Int     => Some(BigDecimal(n))
-    case n: Long    => Some(BigDecimal(n))
-    case n: Float   => Some(BigDecimal(n.toDouble))
-    case n: Double  => Some(BigDecimal(n))
-    case n: java.math.BigDecimal => Some(BigDecimal(n))
-    case d: java.sql.Date       => Some(BigDecimal(d.toLocalDate.toEpochDay))
-    case d: java.time.LocalDate => Some(BigDecimal(d.toEpochDay))
-    case _ => None
-  }
+  private def statValue(v: Any): Option[BigDecimal] =
+    TableCatalog.statDecimal(v) // numerics / epoch-day dates / micros ts
 
   /** Bloom probes must reproduce the build-side `CAST(col AS STRING)`
     * exactly; integral and string values stringify canonically,
@@ -370,83 +332,9 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
   /** Files surviving stats/bloom elimination under the conjunction of
     * compile-time skip filters AND runtime (join-pushed) filters
     * (missing sidecar ⇒ keep — advisory skipping). */
-  private def surviving(c: TableCatalog, v: Int): Seq[String] = {
-    def flatten(f: Filter): Seq[Filter] = f match {
-      case And(l, r) => flatten(l) ++ flatten(r)
-      case other     => Seq(other)
-    }
-    val active = skipFilters ++ runtimeFilters.flatMap(flatten)
-    val files = c.dataFilePathsAt(fq, v)
-    if (active.isEmpty || files.isEmpty) return files
-    val stats = c.statsByPath(fq, v)
-    val bloomCols = active.flatMap {
-      case EqualTo(col, _) => Some(col)
-      case In(col, _)      => Some(col)
-      case _ => None
-    }.distinct
-    val blooms: Map[String, Map[String, Array[Long]]] =
-      bloomCols.map(col => col -> c.bloomsByPath(fq, v, col)).toMap
-
-    def key(p: String) = new Path(p).toUri.getPath
-    def statVal(x: Any): Option[BigDecimal] = x match {
-      case n: Byte    => Some(BigDecimal(n.toInt))
-      case n: Short   => Some(BigDecimal(n.toInt))
-      case n: Int     => Some(BigDecimal(n))
-      case n: Long    => Some(BigDecimal(n))
-      case n: Float   => Some(BigDecimal(n.toDouble))
-      case n: Double  => Some(BigDecimal(n))
-      case n: java.math.BigDecimal => Some(BigDecimal(n))
-      case d: java.sql.Date       => Some(BigDecimal(d.toLocalDate.toEpochDay))
-      case d: java.time.LocalDate => Some(BigDecimal(d.toEpochDay))
-      case _ => None
-    }
-    def str(x: Any): String = x match {
-      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-      case other => String.valueOf(other)
-    }
-
-    files.filter { p =>
-      val st = stats.get(key(p))
-      def bounds(col: String) = st.flatMap(_.get(col))
-      def mayEqual(col: String, x: Any): Boolean = {
-        val statOk = (statVal(x), bounds(col)) match {
-          case (Some(v0), Some((mn, mx))) => v0 >= mn && v0 <= mx
-          case _ => true
-        }
-        val bloomOk = blooms.get(col).flatMap(_.get(key(p))) match {
-          case Some(bits) => x match {
-            case _: Byte | _: Short | _: Int | _: Long | _: String |
-                 _: org.apache.spark.unsafe.types.UTF8String =>
-              c.bloomMayContain(bits, str(x)) // reuse the passed catalog
-            case _ => true
-          }
-          case None => true
-        }
-        statOk && bloomOk
-      }
-      active.forall {
-        case EqualTo(col, x) => mayEqual(col, x)
-        case In(col, xs)     => xs.exists(x => mayEqual(col, x))
-        case GreaterThan(col, x) => (statVal(x), bounds(col)) match {
-          case (Some(v0), Some((_, mx))) => mx > v0
-          case _ => true
-        }
-        case GreaterThanOrEqual(col, x) => (statVal(x), bounds(col)) match {
-          case (Some(v0), Some((_, mx))) => mx >= v0
-          case _ => true
-        }
-        case LessThan(col, x) => (statVal(x), bounds(col)) match {
-          case (Some(v0), Some((mn, _))) => mn < v0
-          case _ => true
-        }
-        case LessThanOrEqual(col, x) => (statVal(x), bounds(col)) match {
-          case (Some(v0), Some((mn, _))) => mn <= v0
-          case _ => true
-        }
-        case _ => true
-      }
-    }
-  }
+  private def surviving(c: TableCatalog, v: Int): Seq[String] =
+    FileSkipping.surviving(c, fq, v, c.dataFilePathsAt(fq, v),
+      skipFilters ++ runtimeFilters)
 
   /** DV row indexes per surviving file, loaded driver-side (sidecars
     * are deletes-sized — the Delta "DVs ride the commit log" cost). */
@@ -627,8 +515,12 @@ class GraftMicroBatchStream(root: String, fq: String, required: StructType,
           .groupBy { case (f, _) => new Path(f).toUri.getPath }
           .map { case (f, ps) => f -> ps.map(_._2).distinct.sorted.toArray }
       }
-    newFiles.map(p => GraftFilePartition(p,
-      dvs.getOrElse(key(p), Array.empty[Long])): InputPartition).toArray
+    // the same stats/bloom elimination the batch scan runs: a filtered
+    // stream (readStream.filter ...) never schedules new files whose
+    // stats prove them irrelevant
+    FileSkipping.surviving(c, fq, ve, newFiles, skipFilters.toSeq)
+      .map(p => GraftFilePartition(p,
+        dvs.getOrElse(key(p), Array.empty[Long])): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

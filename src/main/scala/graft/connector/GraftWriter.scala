@@ -122,15 +122,34 @@ object GraftWriteSchema {
 
 class GraftWriteBuilder(root: String, fq: String, schema: StructType,
     tableSchema: StructType, queryId: String = "")
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var overwrite = false
+  private var replaceWhere: Option[org.apache.spark.sql.Column] = None
   override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  /** `INSERT INTO … REPLACE WHERE cond` / `writeTo(t).overwrite(cond)`:
+    * the condition becomes an ATOMIC delete+insert commit
+    * ([[TableCatalog.commitReplaceWhere]]) — matching rows masked via a
+    * DV sidecar, staged files adopted, one pointer swap. A full-table
+    * condition (AlwaysTrue) degrades to plain overwrite. */
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+      : WriteBuilder = {
+    import org.apache.spark.sql.sources.AlwaysTrue
+    if (filters.forall(_.isInstanceOf[AlwaysTrue])) { overwrite = true }
+    else replaceWhere = Some(FilterColumns.conjunction(filters.toSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        s"untranslatable REPLACE WHERE predicate: ${filters.mkString(", ")}")))
+    this
+  }
+
   override def build(): Write = {
     // APPEND to an existing table: column sets must line up (the
     // reader resolves by name; silent drift would corrupt reads).
     // OVERWRITE recreates the table, so any schema is fine. The check
     // reads the LIVE catalog schema — `tableSchema` is the df's own
-    // schema on the external-metadata write path.
+    // schema on the external-metadata write path. replaceWhere appends
+    // files into the live chain, so it checks like an append.
     if (!overwrite) {
       val spark = SparkSession.active
       val cat = new TableCatalog(spark, root)
@@ -147,7 +166,7 @@ class GraftWriteBuilder(root: String, fq: String, schema: StructType,
     }
     new Write {
       override def toBatch: BatchWrite =
-        new GraftBatchWrite(root, fq, schema, overwrite)
+        new GraftBatchWrite(root, fq, schema, overwrite, replaceWhere)
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
         require(!overwrite,
@@ -206,7 +225,9 @@ class GraftStreamingWriterFactory(stagingBase: String, schema: StructType)
 }
 
 class GraftBatchWrite(root: String, fq: String, schema: StructType,
-    overwrite: Boolean) extends BatchWrite {
+    overwrite: Boolean,
+    replaceWhere: Option[org.apache.spark.sql.Column] = None)
+    extends BatchWrite {
   private val stagingDir = s"$root/_staging/${UUID.randomUUID()}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -218,11 +239,15 @@ class GraftBatchWrite(root: String, fq: String, schema: StructType,
       case GraftCommitMessage(Some(path)) => new Path(path)
     }.toSeq
     val cat = new TableCatalog(spark, root)
-    if (staged.isEmpty) {
-      require(!overwrite && cat.version(fq).isDefined,
-        s"graft write: empty input cannot create/overwrite $fq")
+    replaceWhere match {
+      case Some(pred) => // atomic delete+insert, even with 0 new rows
+        cat.commitReplaceWhere(fq, staged, pred)
+      case None if staged.isEmpty =>
+        require(!overwrite && cat.version(fq).isDefined,
+          s"graft write: empty input cannot create/overwrite $fq")
       // empty append: no-op commit
-    } else cat.commitStagedFiles(fq, staged, overwrite)
+      case None => cat.commitStagedFiles(fq, staged, overwrite)
+    }
     cleanup()
   }
 

@@ -314,6 +314,41 @@ class ConnectorSpec extends SparkTestBase {
       (101L to 110L).filterNot(_ == 105L).toSeq)
   }
 
+  test("streaming batches skip files via stats when filters are pushed") {
+    val (cat, root, t) = freshTable("conn_stream_skip")
+    Seq(1L to 300L, 301L to 600L, 601L to 900L).foreach { r =>
+      cat.append(t, r.map(i => (i, i * 2.0)).toDF("k", "x").coalesce(1))
+    }
+    import org.apache.spark.sql.sources.LessThanOrEqual
+    val stream = new graft.connector.GraftMicroBatchStream(root, t,
+      org.apache.spark.sql.types.StructType.fromDDL("k LONG, x DOUBLE"),
+      Array(LessThanOrEqual("k", 300L)), -1)
+    val parts = stream.planInputPartitions(
+      graft.connector.GraftOffset(-1),
+      graft.connector.GraftOffset(cat.version(t).get))
+    assert(parts.length == 1) // two of three appended files eliminated
+  }
+
+  test("timestamp-range predicates skip files (catalog writes micros, not INT96)") {
+    val (cat, root, t) = freshTable("conn_ts_skip")
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2026-03-01 $h%02d:00:00")
+    // three time-disjoint commits
+    Seq(0 until 8, 8 until 16, 16 until 24).foreach { hrs =>
+      cat.append(t, hrs.map(h => (h.toLong, ts(h))).toDF("k", "ts")
+        .coalesce(1))
+    }
+    // catalog path: readBetween on the timestamp column
+    val rb = cat.readBetween(t, "ts", ts(2), ts(5))
+    assert(rb.inputFiles.length == 1)
+    assert(rb.count() == 4)
+    // connector path: pushed ts range plans one of three files
+    val probe = graftRead(root, t).filter(col("ts") >= ts(9) &&
+      col("ts") <= ts(12))
+    assert(probe.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(9L, 10L, 11L, 12L))
+    assert(graft.connector.GraftPlanInspect.scanPartitionsOf(probe) == 1)
+  }
+
   test("limit pushdown keeps results correct") {
     val (cat, root, t) = freshTable("conn_limit")
     cat.overwrite(t, (1L to 1000L).map(i => (i, i)).toDF("k", "v")

@@ -65,6 +65,34 @@ class SqlCatalogSpec extends SparkTestBase {
       .as[Long].head() == expect)
   }
 
+  test("INSERT INTO ... REPLACE WHERE is one atomic delete+insert commit") {
+    val root = tempDir("gcat_rw")
+    spark.conf.set("spark.sql.catalog.gc_rw", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gc_rw.root", root)
+    val cat = new graft.catalog.TableCatalog(spark, root)
+    cat.overwrite("d.s.rw", (1L to 1000L).map(i => (i, i % 4, i * 1.0))
+      .toDF("k", "g", "x").repartition(3))
+    val filesBefore = cat.dataFilePaths("d.s.rw").toSet
+    val vBefore = cat.version("d.s.rw").get
+    (1L to 50L).map(i => (i * 10000L, 1L, -1.0)).toDF("k", "g", "x")
+      .createOrReplaceTempView("rw_src")
+    spark.sql(
+      "INSERT INTO gc_rw.d.s.rw REPLACE WHERE g = 1 SELECT * FROM rw_src")
+    // exactly ONE commit; prior files carried (no rewrite), new added
+    assert(cat.version("d.s.rw").contains(vBefore + 1))
+    val filesAfter = cat.dataFilePaths("d.s.rw").toSet
+    assert(filesBefore.subsetOf(filesAfter) && filesAfter.size > filesBefore.size)
+    val got = spark.sql("SELECT count(*), sum(x) FROM gc_rw.d.s.rw WHERE g = 1")
+      .as[(Long, Double)].head()
+    assert(got == ((50L, -50.0))) // old g=1 rows replaced wholesale
+    assert(spark.sql("SELECT count(*) FROM gc_rw.d.s.rw").as[Long].head() ==
+      (1L to 1000L).count(_ % 4 != 1) + 50)
+    // time travel still sees the pre-replace snapshot
+    assert(spark.sql(
+      s"SELECT count(*) FROM gc_rw.d.s.rw VERSION AS OF $vBefore")
+      .as[Long].head() == 1000)
+  }
+
   test("rename with outstanding DVs is refused; post-compact rename keeps chains readable") {
     val root = tempDir("gcat_mv")
     spark.conf.set("spark.sql.catalog.gc_mv", "graft.connector.GraftCatalog")
