@@ -313,6 +313,73 @@ object QueriesConnector {
         .withColumn("time_skipped", lit(skipped))
     }),
 
+    // ---- statistics reporting → automatic broadcast: the scan's
+    //      estimateStatistics answers from commit metadata (file bytes
+    //      + `_STATS` row counts of the files surviving elimination),
+    //      so the planner sees the dim table's REAL size and picks a
+    //      broadcast hash join with NO hint (auto_broadcast hashed).
+    //      Without it a DSv2 scan reports unknown ⇒ huge, and every
+    //      graft join would sort-merge — the planning half of the
+    //      100 TB story. ----
+    "q240_dsv2_auto_broadcast" -> ((s, dir) => {
+      val work = graft.Scratch.dir("graft_dsv2stats")
+      val cat = new graft.catalog.TableCatalog(s, work)
+      cat.overwrite("D.S.FACT", table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartition(4))
+      cat.overwrite("D.S.DIM", table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")).coalesce(1))
+      def rd(t: String) = s.read.format("graft")
+        .option("root", work).option("table", t).load()
+      // NO broadcast() hint: the planner must decide from reported stats
+      val agg = rd("D.S.FACT")
+        .join(rd("D.S.DIM"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_price"))
+      val rows = agg.collect()
+      val bhj = agg.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin")
+      s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          agg.schema)
+        .withColumn("auto_broadcast", lit(bhj))
+    }),
+
+    // ---- policy-driven OPTIMIZE (the post-ingest auto-compaction
+    //      loop): 10 tiny commits + a MoR delete accumulate small-file
+    //      and DV debt; describeHealth reads it from metadata alone,
+    //      maintain() compacts + vacuums, and a second run is a NO-OP
+    //      (idempotent: no data touched when healthy). Content is
+    //      byte-identical through maintenance — the oracle gates the
+    //      data while `maintained`/`noop_when_healthy` gate the
+    //      policy. ----
+    "q241_auto_optimize" -> ((s, dir) => {
+      val work = graft.Scratch.dir("graft_opt")
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val t = "D.S.OPT"
+      (0 until 10).foreach(i =>
+        cat.append(t, c.filter(col("c_custkey") % 10 === i).coalesce(1)))
+      cat.deleteWhereDV(t, col("c_custkey") % 7 === 0)
+      val h0 = cat.describeHealth(t)
+      val actions = cat.maintain(t)
+      val h1 = cat.describeHealth(t)
+      val maintained = actions.contains("compact") &&
+        h1.files < h0.files && h1.dvRows == 0L && h0.dvRows > 0L
+      val filesAfter = cat.dataFilePaths(t)
+      val noop = !cat.maintain(t).contains("compact") &&
+        cat.dataFilePaths(t) == filesAfter
+      cat.read(t)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_bal"))
+        .withColumn("maintained", lit(maintained))
+        .withColumn("noop_when_healthy", lit(noop))
+    }),
+
     // ---- SQL surface: the V2 catalog plugin makes graft tables
     //      first-class SQL objects — CTAS creates v0, INSERT INTO
     //      appends v1 (same staged-commit machinery as the write
@@ -513,6 +580,21 @@ object QueriesConnector {
          WHERE l_orderkey >= mk * 2 // 10 AND l_orderkey <= mk * 3 // 10
            AND l_suppkey >= ms * 2 // 10 AND l_suppkey <= ms * 3 // 10
          GROUP BY l_suppkey""",
+
+    "q241_auto_optimize" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+           TRUE AS maintained, TRUE AS noop_when_healthy
+         FROM customer WHERE c_custkey % 7 <> 0
+         GROUP BY c_nationkey""",
+
+    "q240_dsv2_auto_broadcast" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           TRUE AS auto_broadcast
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_nationkey""",
 
     "q239_replace_where" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,

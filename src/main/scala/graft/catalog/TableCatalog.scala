@@ -1311,6 +1311,14 @@ class TableCatalog(spark: SparkSession, root: String,
     dataFiles(fq, v).map(versionAncestor).distinct.flatMap(bloomEntries)
       .collect { case (f, c, bits) if c == column => f -> bits }.toMap
 
+  /** Byte sizes of a version's data files, keyed like `_STATS`
+    * (scheme-less path) — drives the connector's size estimate and the
+    * planner's broadcast decisions. */
+  private[graft] def fileSizesAt(fq: String, v: Int): Map[String, Long] =
+    dataFiles(fq, v).map { p =>
+      fs.makeQualified(p).toUri.getPath -> fs.getFileStatus(p).getLen
+    }.toMap
+
   private[graft] def bloomMayContain(bits: Array[Long], value: String): Boolean =
     bloomBitPositions(bloomHash(value), bits.length).forall(pos =>
       (bits(pos >> 6) & (1L << (pos & 63))) != 0L)
@@ -1409,6 +1417,56 @@ class TableCatalog(spark: SparkSession, root: String,
   def drop(fq: String): Unit = {
     val d = tableDir(fq)
     if (fs.exists(d)) fs.delete(d, true)
+  }
+
+  // ---- table health + policy-driven maintenance ---------------------------
+
+  /** Metadata-only health report: O(delta) ingest is a loan — small
+    * files and outstanding DV masks accumulate scan debt that
+    * [[maintain]] settles. All fields come from manifests, footers and
+    * sidecars; no data pages are read. */
+  final case class TableHealth(files: Int, bytes: Long, dvRows: Long,
+      liveRows: Option[Long], retainedVersions: Int) {
+    def avgFileBytes: Long = if (files == 0) 0L else bytes / files
+    /** Fraction of addressed rows currently masked (0 when unknown). */
+    def dvRatio: Double = liveRows match {
+      case Some(n) if n + dvRows > 0 => dvRows.toDouble / (n + dvRows)
+      case _ => if (dvRows > 0) 1.0 else 0.0
+    }
+  }
+
+  def describeHealth(fq: String): TableHealth = {
+    val v = currentVersion(fq).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $fq"))
+    val (nFiles, bytes) = fileStats(fq)
+    val dvRows = deletionVectorRows(fq)
+    val retained = fs.listStatus(tableDir(fq)).count(st =>
+      st.isDirectory && st.getPath.getName.matches("v_\\d{6}"))
+    TableHealth(nFiles, bytes, dvRows, fastCount(fq), retained)
+  }
+
+  /** OPTIMIZE policy runner (the auto-compaction loop a lakehouse
+    * schedules after ingest): compacts when the file count exceeds
+    * twice the right-sized count (small-file debt) or when more than
+    * `maxDvRatio` of addressed rows are DV-masked (every read pays the
+    * anti-join/mask walk for bytes that are dead), then vacuums
+    * unreferenced versions past the retention window. Decisions are
+    * metadata-only; a healthy table is a NO-OP (returns empty).
+    * @return actions taken, in order (e.g. "compact", "vacuum:v_000001") */
+  def maintain(fq: String, targetFileBytes: Long = 128L << 20,
+      maxDvRatio: Double = 0.05, keepVersions: Int = 2): Seq[String] = {
+    val h = describeHealth(fq)
+    val rightSized = math.max(1L, (h.bytes + targetFileBytes - 1) / targetFileBytes)
+    val smallFileDebt = h.files > 2 * rightSized
+    val dvDebt = h.dvRows > 0 && h.dvRatio > maxDvRatio
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (smallFileDebt || dvDebt) {
+      compact(fq, targetFileBytes)
+      actions += "compact"
+    }
+    val removed = vacuum(fq, keepVersions)
+    actions ++= removed.map(v => s"vacuum:$v")
+    actions.toSeq
   }
 }
 

@@ -88,6 +88,38 @@ class GraftCatalog extends V2TableCatalog {
     tableFor(fq, Some(version.toInt))
   }
 
+  /** SQL time travel: `TIMESTAMP AS OF <ts>` (micros since epoch from
+    * Spark) — resolves to the newest RETAINED version committed at or
+    * before the instant, by version-dir modification time (the commit's
+    * pointer swap finalizes the dir). Vacuumed versions are not
+    * resolvable, as with Delta. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val fq = fqOf(ident)
+    if (!cat.exists(fq))
+      throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
+    val dir = new Path(root, fq.split('.').mkString("/"))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cutoffMs = Math.floorDiv(timestampMicros, 1000L)
+    // commit clock = earliest of the commit-written artifacts' mtimes:
+    // a later buildBloomIndex adds `_BLOOMS` into OLD version dirs and
+    // bumps the DIR mtime, so the dir alone would mis-date them
+    def commitMs(st: org.apache.hadoop.fs.FileStatus): Long = {
+      val sidecars = Seq("_MANIFEST", "_STATS")
+        .map(n => new Path(st.getPath, n)).filter(fs.exists(_))
+        .map(p => fs.getFileStatus(p).getModificationTime)
+      (st.getModificationTime +: sidecars).min
+    }
+    val candidates = fs.listStatus(dir).filter(_.isDirectory)
+      .filter(_.getPath.getName.matches("v_\\d{6}"))
+      .map(st => (st.getPath.getName.stripPrefix("v_").toInt, commitMs(st)))
+      .filter(_._2 <= cutoffMs)
+    if (candidates.isEmpty)
+      throw new IllegalArgumentException(
+        s"$fq has no retained version committed at or before " +
+          s"timestamp $timestampMicros")
+    tableFor(fq, Some(candidates.map(_._1).max))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val fq = fqOf(ident)

@@ -306,12 +306,40 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
     tableSchema: StructType, required: StructType,
     skipFilters: Array[Filter], limit: Int,
     aggResult: Option[(StructType, Array[Any])]) extends Scan
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportStatistics {
+
+  /** Real size/row estimates from commit metadata (file lengths +
+    * `_STATS` row counts of the files SURVIVING filter elimination) —
+    * without this a DSv2 scan reports "unknown = huge" and the planner
+    * sort-merge-joins tables it should broadcast. The estimate is what
+    * turns a small graft dim table into an automatic broadcast side. */
+  override def estimateStatistics(): Statistics = {
+    val c = cat; val v = liveVersion
+    val files = surviving(c, v)
+    val sizes = c.fileSizesAt(fq, v)
+    val stats = c.statsByPath(fq, v)
+    def key(p: String) = new Path(p).toUri.getPath
+    val bytes = files.map(p => sizes.getOrElse(key(p), 0L)).sum
+    val rowsPerFile = files.map(p =>
+      stats.get(key(p)).flatMap(_.get("__rows")).map(_._1.toLong))
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(bytes, 1L))
+      override def numRows(): java.util.OptionalLong =
+        if (rowsPerFile.exists(_.isEmpty)) java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(rowsPerFile.flatten.sum)
+    }
+  }
 
   @volatile private var runtimeFilters: Array[Filter] = Array.empty
 
+  // only columns present in the scan OUTPUT: the optimizer resolves
+  // these against the PRUNED schema, and naming a pruned-away column
+  // crashes PartitionPruning's ref resolution. (Join keys are always
+  // in the output, so nothing filterable is lost.) None in agg mode.
   override def filterAttributes(): Array[NamedReference] =
-    tableSchema.fieldNames.map(
+    if (aggResult.isDefined) Array.empty
+    else required.fieldNames.map(
       org.apache.spark.sql.connector.expressions.Expressions.column)
   override def filter(filters: Array[Filter]): Unit =
     runtimeFilters = filters

@@ -328,4 +328,29 @@ class CatalogSpec extends SparkTestBase {
     assert(avgArea <= 2100,
       s"z-order should shrink bounding boxes: avg $avgArea of ${perFile.mkString(", ")}")
   }
+
+  test("maintain settles small-file and DV debt, no-ops when healthy") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val cat = new TableCatalog(spark, tempDir("cat_maintain"))
+    val t = "d.s.mnt"
+    // 12 tiny commits + a MoR delete = both debt kinds
+    (0 until 12).foreach { i =>
+      cat.append(t, ((i * 100L + 1) to (i * 100L + 100))
+        .map(k => (k, k % 9)).toDF("k", "g").coalesce(1))
+    }
+    cat.deleteWhereDV(t, col("g") === 4L)
+    val h0 = cat.describeHealth(t)
+    assert(h0.files >= 12 && h0.dvRows > 0 && h0.dvRatio > 0.05)
+    val expect = (1L to 1200L).count(_ % 9 != 4)
+    val actions = cat.maintain(t)
+    assert(actions.contains("compact"))
+    assert(cat.count(t) == expect) // content preserved through maintenance
+    val h1 = cat.describeHealth(t)
+    assert(h1.files < h0.files && h1.dvRows == 0)
+    // healthy table: second run must not touch data
+    val filesBefore = cat.dataFilePaths(t)
+    assert(!cat.maintain(t).contains("compact"))
+    assert(cat.dataFilePaths(t) == filesBefore)
+  }
 }

@@ -93,6 +93,49 @@ class SqlCatalogSpec extends SparkTestBase {
       .as[Long].head() == 1000)
   }
 
+  test("TIMESTAMP AS OF resolves the newest version committed before the instant") {
+    val root = tempDir("gcat_tt")
+    spark.conf.set("spark.sql.catalog.gc_tt", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gc_tt.root", root)
+    val cat = new graft.catalog.TableCatalog(spark, root)
+    cat.overwrite("d.s.tt", (1L to 100L).map(i => (i, i)).toDF("k", "v")
+      .coalesce(1))
+    Thread.sleep(1200)
+    val between = java.sql.Timestamp.from(java.time.Instant.now())
+    Thread.sleep(1200)
+    cat.append("d.s.tt", (101L to 150L).map(i => (i, i)).toDF("k", "v")
+      .coalesce(1))
+    assert(spark.sql(
+      s"SELECT count(*) FROM gc_tt.d.s.tt TIMESTAMP AS OF '$between'")
+      .as[Long].head() == 100)
+    assert(spark.sql("SELECT count(*) FROM gc_tt.d.s.tt")
+      .as[Long].head() == 150)
+    // an instant before the table existed fails loudly
+    val err = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM gc_tt.d.s.tt TIMESTAMP AS OF '2000-01-01'").collect()
+    }
+    assert(err.getMessage.contains("no retained version"))
+  }
+
+  test("reported statistics make small graft tables auto-broadcast") {
+    val root = tempDir("gcat_stats")
+    val cat = new graft.catalog.TableCatalog(spark, root)
+    cat.overwrite("d.s.big", (1L to 20000L).map(i => (i, i % 50, s"pad$i"))
+      .toDF("k", "dk", "pad").repartition(4))
+    cat.overwrite("d.s.dim", (0L until 50L).map(i => (i, s"name$i"))
+      .toDF("dk2", "nm").coalesce(1))
+    def rd(t: String) = spark.read.format("graft")
+      .option("root", root).option("table", t).load()
+    // no broadcast() hint anywhere: the planner must see the dim's
+    // true size from estimateStatistics and choose BHJ on its own
+    val joined = rd("d.s.big").join(rd("d.s.dim"), col("dk") === col("dk2"))
+    assert(joined.count() == 20000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected auto-broadcast from reported stats:\n$plan")
+  }
+
   test("rename with outstanding DVs is refused; post-compact rename keeps chains readable") {
     val root = tempDir("gcat_mv")
     spark.conf.set("spark.sql.catalog.gc_mv", "graft.connector.GraftCatalog")
