@@ -479,6 +479,74 @@ object QueriesConnector {
         .withColumn("no_rewrite", lit(noRewrite))
     }),
 
+    // ---- SQL UPDATE through delta-based row-level operations: the
+    //      rewrite scans candidate rows WITH `_gfile`/`_gpos` row ids
+    //      (condition pushdown bounds the scan), updates become
+    //      delete+reinsert, and ONE commit adopts the DV side and the
+    //      replacement rows together (one_commit, no_rewrite hashed,
+    //      v0 time-travel intact) — Iceberg's merge-on-read UPDATE
+    //      shape, O(touched rows) at any table size. ----
+    "q242_sql_update" -> ((s, dir) => {
+      val work = graft.Scratch.dir("graft_sqlupd")
+      val catName = "g6u" + math.abs(work.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$catName",
+        "graft.connector.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$catName.root", work)
+      table(s, dir, "orders").createOrReplaceTempView("g6_upd_src")
+      s.sql(s"""CREATE TABLE $catName.d.s.ordupd AS
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM g6_upd_src""")
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val before = cat.dataFilePaths("d.s.ordupd").toSet
+      val vBefore = cat.version("d.s.ordupd").get
+      val total = cat.count("d.s.ordupd")
+      s.sql(s"""UPDATE $catName.d.s.ordupd
+        SET o_totalprice = o_totalprice * 2
+        WHERE o_orderstatus = 'F' AND o_custkey % 3 = 0""")
+      val oneCommit = cat.version("d.s.ordupd").contains(vBefore + 1)
+      val noRewrite = before.subsetOf(cat.dataFilePaths("d.s.ordupd").toSet)
+      val v0Intact = cat.readVersion("d.s.ordupd", vBefore).count() == total
+      s.sql(s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price
+        FROM $catName.d.s.ordupd GROUP BY o_orderstatus""")
+        .withColumn("one_commit", lit(oneCommit))
+        .withColumn("no_rewrite", lit(noRewrite))
+        .withColumn("v0_intact", lit(v0Intact))
+    }),
+
+    // ---- SQL MERGE INTO through the same delta writer: matched rows
+    //      delete+reinsert (DV + new file), not-matched source rows
+    //      insert — the warehouse upsert (W5/q18's MERGE) now a ONE-
+    //      COMMIT merge-on-read operation addressable from SQL. ----
+    "q243_sql_merge" -> ((s, dir) => {
+      val work = graft.Scratch.dir("graft_sqlmrg")
+      val catName = "g6m" + math.abs(work.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$catName",
+        "graft.connector.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$catName.root", work)
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      c.createOrReplaceTempView("g6_mrg_all")
+      val cat = new graft.catalog.TableCatalog(s, work)
+      cat.overwrite("d.s.cmrg",
+        c.filter(col("c_custkey") % 2 === 0).repartition(2))
+      val vBefore = cat.version("d.s.cmrg").get
+      s.sql(s"""MERGE INTO $catName.d.s.cmrg t
+        USING (SELECT c_custkey, c_nationkey, c_acctbal + 1000 AS new_bal
+               FROM g6_mrg_all WHERE c_custkey % 3 = 0) s
+        ON t.c_custkey = s.c_custkey
+        WHEN MATCHED THEN UPDATE SET c_acctbal = s.new_bal
+        WHEN NOT MATCHED THEN
+          INSERT (c_custkey, c_nationkey, c_acctbal)
+          VALUES (s.c_custkey, s.c_nationkey, s.new_bal)""")
+      val oneCommit = cat.version("d.s.cmrg").contains(vBefore + 1)
+      s.sql(s"""SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM $catName.d.s.cmrg GROUP BY c_nationkey""")
+        .withColumn("one_commit", lit(oneCommit))
+    }),
+
     // ---- the table as a streaming source: manifest versions are the
     //      offsets, each micro-batch reads exactly the files its
     //      commits appended (the O(delta) manifest diff), and the
@@ -580,6 +648,24 @@ object QueriesConnector {
          WHERE l_orderkey >= mk * 2 // 10 AND l_orderkey <= mk * 3 // 10
            AND l_suppkey >= ms * 2 // 10 AND l_suppkey <= ms * 3 // 10
          GROUP BY l_suppkey""",
+
+    "q242_sql_update" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' AND o_custkey % 3 = 0
+                              THEN o_totalprice * 2 ELSE o_totalprice END
+                     AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           TRUE AS one_commit, TRUE AS no_rewrite, TRUE AS v0_intact
+         FROM orders GROUP BY o_orderstatus""",
+
+    "q243_sql_merge" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CASE WHEN c_custkey % 3 = 0
+                              THEN c_acctbal + 1000 ELSE c_acctbal END
+                     AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+           TRUE AS one_commit
+         FROM customer
+         WHERE c_custkey % 2 = 0 OR c_custkey % 3 = 0
+         GROUP BY c_nationkey""",
 
     "q241_auto_optimize" ->
       """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,

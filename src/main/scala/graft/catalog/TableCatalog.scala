@@ -1390,6 +1390,43 @@ class TableCatalog(spark: SparkSession, root: String,
     })
   }
 
+  /** Row-level-operation commit (SQL UPDATE / MERGE / row-level
+    * DELETE through the connector): ONE version adopts the staged
+    * DELETE side (a parquet of (file, row_index) addresses → the
+    * `_DV/` sidecar) and the staged INSERT side (replacement/new-row
+    * data files), with the prior chain carried by manifest reference —
+    * delete+insert visible together or neither, O(touched rows), no
+    * data file rewritten. The row addresses come from the scan's
+    * `_gfile`/`_gpos` metadata columns, which render identically to
+    * `_metadata.file_path` (both are the FileSystem-qualified path
+    * string), so the catalog's exact-string DV join masks them. */
+  private[graft] def commitDelta(fq: String, dvStaged: Seq[Path],
+      dataStaged: Seq[Path]): Unit = {
+    val v = currentVersion(fq).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $fq"))
+    require(partitionColsOf(fq, v).isEmpty,
+      s"row-level operations target unpartitioned tables; $fq is hive-partitioned")
+    if (dvStaged.isEmpty && dataStaged.isEmpty) return // no-op op
+    val files = dataFiles(fq, v)
+    val dvs = dvFiles(fq, v)
+    commitVersion(fq, dir => {
+      fs.mkdirs(dir)
+      dataStaged.foreach { f =>
+        if (!fs.rename(f, new Path(dir, f.getName)))
+          throw new IllegalStateException(s"failed to adopt staged file $f")
+      }
+      if (dvStaged.nonEmpty) {
+        fs.mkdirs(dvDir(dir))
+        dvStaged.foreach { f =>
+          if (!fs.rename(f, new Path(dvDir(dir), f.getName)))
+            throw new IllegalStateException(s"failed to adopt staged DV $f")
+        }
+      }
+      writeManifest(dir, files)
+      if (dvs.nonEmpty) writeDvManifest(dir, dvs)
+    })
+  }
+
   /** Epoch tags of retained version dirs (streaming-sink replay
     * detection). Retention caveat: tags live as long as their version
     * dir; Structured Streaming replays at most the LAST epoch after a

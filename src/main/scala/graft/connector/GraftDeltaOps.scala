@@ -1,0 +1,143 @@
+package graft.connector
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.catalog.TableCatalog
+
+/** Delta-based row-level operations: SQL `UPDATE`, `MERGE INTO`, and
+  * row-level `DELETE` against graft tables through the V2 catalog.
+  *
+  * The shape mirrors Iceberg's merge-on-read path: the rewrite plan
+  * scans candidate rows WITH the `_gfile`/`_gpos` row-id metadata
+  * columns (file skipping from the pushed condition bounds the scan),
+  * updates are represented as delete+reinsert, and the
+  * [[GraftDeltaWriter]] streams the two sides into separate staged
+  * parquet sets — (file, row_index) addresses for deletes, replacement
+  * rows for inserts. [[TableCatalog.commitDelta]] then adopts both in
+  * ONE commit: the delete side becomes a `_DV/` sidecar, the insert
+  * side new data files, the prior chain rides by manifest reference.
+  * Cost O(touched rows); no data file is rewritten; time travel sees
+  * the pre-op snapshot. */
+class GraftRowLevelOperation(root: String, fq: String,
+    cmd: RowLevelOperation.Command, tableSchema: StructType)
+    extends SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(GraftSource.RowIdFile),
+      Expressions.column(GraftSource.RowIdPos))
+
+  // updates become delete+reinsert: one writer protocol (DV + insert)
+  // covers UPDATE, MERGE and DELETE uniformly
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def requiredMetadataAttributes(): Array[NamedReference] = rowId()
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(tableSchema, root, fq, None)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new GraftDeltaWrite(root, fq,
+        info.schema())
+    }
+}
+
+class GraftDeltaWrite(root: String, fq: String, rowSchema: StructType)
+    extends DeltaWrite {
+  override def toBatch: DeltaBatchWrite = new GraftDeltaBatchWrite(root, fq,
+    rowSchema)
+}
+
+class GraftDeltaBatchWrite(root: String, fq: String, rowSchema: StructType)
+    extends DeltaBatchWrite {
+  private val stagingDir =
+    s"$root/_staging/delta-${java.util.UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    new GraftDeltaWriterFactory(stagingDir, rowSchema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dvStaged = messages.collect {
+      case GraftDeltaMessage(Some(p), _) => new Path(p) }.toSeq
+    val dataStaged = messages.collect {
+      case GraftDeltaMessage(_, Some(p)) => new Path(p) }.toSeq
+    new TableCatalog(SparkSession.active, root)
+      .commitDelta(fq, dvStaged, dataStaged)
+    cleanup()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = cleanup()
+
+  private def cleanup(): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val p = new Path(stagingDir)
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+}
+
+case class GraftDeltaMessage(dvPath: Option[String], dataPath: Option[String])
+  extends WriterCommitMessage
+
+class GraftDeltaWriterFactory(stagingDir: String, rowSchema: StructType)
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(stagingDir, rowSchema, partitionId, taskId)
+}
+
+/** Streams a task's delta: deletes → a (file, row_index) parquet
+  * (pre-shaped as the DV sidecar relation), inserts → a data-row
+  * parquet. Both lazy — a task that only deletes stages no data file
+  * and vice versa. */
+class GraftDeltaWriter(stagingDir: String, rowSchema: StructType,
+    partitionId: Int, taskId: Long) extends DeltaWriter[InternalRow] {
+  private val dvSchema = StructType(Seq(
+    StructField("file", StringType), StructField("row_index", LongType)))
+  private lazy val dvWriter =
+    new GraftDataWriter(s"$stagingDir/dv", dvSchema, partitionId, taskId)
+  private lazy val dataWriter =
+    new GraftDataWriter(s"$stagingDir/data", rowSchema, partitionId, taskId)
+  private var dvUsed = false
+  private var dataUsed = false
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    dvUsed = true
+    dvWriter.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](id.getUTF8String(0), id.getLong(1))))
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    dataUsed = true
+    dataWriter.write(row)
+  }
+
+  // representUpdateAsDeleteAndInsert=true means Spark never calls this,
+  // but the contract is trivially satisfiable
+  override def update(metadata: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = { delete(metadata, id); insert(row) }
+
+  override def commit(): WriterCommitMessage = {
+    val dv = if (dvUsed) dvWriter.commit() match {
+      case GraftCommitMessage(p) => p
+    } else None
+    val data = if (dataUsed) dataWriter.commit() match {
+      case GraftCommitMessage(p) => p
+    } else None
+    GraftDeltaMessage(dv, data)
+  }
+
+  override def abort(): Unit = {
+    if (dvUsed) dvWriter.abort()
+    if (dataUsed) dataWriter.abort()
+  }
+  override def close(): Unit = ()
+}

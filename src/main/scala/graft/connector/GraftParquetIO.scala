@@ -299,25 +299,28 @@ object GraftParquetIO {
     new GenericArrayData(out)
   }
 
+  /** One field's Spark value from a Group record (name lookup). */
+  def valueOf(g: Group, f: StructField): Any = {
+    val gt: GroupType = g.getType
+    val idx = gt.getFieldIndex(f.name)
+    if (g.getFieldRepetitionCount(idx) == 0) null
+    else f.dataType match {
+      case ArrayType(et, _) => listValue(g, idx, et)
+      case dt =>
+        val ft = gt.getType(idx)
+        require(ft.isPrimitive, s"nested column ${f.name} unsupported")
+        primitive(g, idx, 0, dt, ft.asPrimitiveType())
+    }
+  }
+
   /** Convert one Group record to an InternalRow shaped by `schema`
     * (field lookup by name — the projection may reorder columns
     * relative to the file). */
   def toInternalRow(g: Group, schema: StructType): InternalRow = {
-    val gt: GroupType = g.getType
     val vals = new Array[Any](schema.length)
     var i = 0
     while (i < schema.length) {
-      val f = schema(i)
-      val idx = gt.getFieldIndex(f.name)
-      vals(i) =
-        if (g.getFieldRepetitionCount(idx) == 0) null
-        else f.dataType match {
-          case ArrayType(et, _) => listValue(g, idx, et)
-          case dt =>
-            val ft = gt.getType(idx)
-            require(ft.isPrimitive, s"nested column ${f.name} unsupported")
-            primitive(g, idx, 0, dt, ft.asPrimitiveType())
-        }
+      vals(i) = valueOf(g, schema(i))
       i += 1
     }
     new GenericInternalRow(vals)

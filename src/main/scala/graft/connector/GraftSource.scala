@@ -104,10 +104,40 @@ class GraftSource extends TableProvider with DataSourceRegister {
 class GraftTable(schema: StructType, options: Map[String, String])
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   private def opt(k: String) = options.collectFirst {
     case (key, v) if key.equalsIgnoreCase(k) => v
   }
+
+  /** Row-id metadata columns (`_gfile`, `_gpos`) — the DV address
+    * space, synthesized by the reader. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    import org.apache.spark.sql.connector.catalog.MetadataColumn
+    Array(
+      new MetadataColumn {
+        override def name(): String = GraftSource.RowIdFile
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "data file path (DV address)"
+      },
+      new MetadataColumn {
+        override def name(): String = GraftSource.RowIdPos
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "physical row index (DV address)"
+      })
+  }
+
+  /** SQL UPDATE / MERGE INTO / row-level DELETE: delta-based rewrite
+    * — see [[GraftRowLevelOperation]]. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(opt("root").get, opt("table").get,
+      info.command(), schema)
 
   /** SQL `DELETE FROM graft_cat.db.s.t WHERE ...` lands here as
     * metadata-level delete filters — routed into MERGE-ON-READ
@@ -439,13 +469,24 @@ class GraftReaderFactory(schema: StructType, limit: Int,
 class GraftRowReader(path: String, schema: StructType, dvRows: Array[Long],
     limit: Int, filters: Array[Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
+  import GraftSource.{RowIdFile, RowIdPos}
+
+  // row-id metadata columns are synthesized here, not read from parquet
+  private val isMeta: Array[Boolean] =
+    schema.fields.map(f => f.name == RowIdFile || f.name == RowIdPos)
+  private val dataNames = schema.fields.zipWithIndex
+    .collect { case (f, i) if !isMeta(i) => f.name }.toSeq
+
   private val reader = {
     val conf = new Configuration()
+    // parquet-level filtering renumbers survivors, which would corrupt
+    // BOTH the DV pointer walk and the synthesized `_gpos` row ids —
+    // it stays off whenever either is in play
     val pred =
-      if (dvRows.nonEmpty || filters.isEmpty) None
+      if (dvRows.nonEmpty || filters.isEmpty || isMeta.exists(identity)) None
       else GraftParquetIO.toParquetFilter(filters.toSeq,
         GraftParquetIO.fileSchema(path, conf))
-    GraftParquetIO.openReader(path, conf, schema.fieldNames.toSeq, pred)
+    GraftParquetIO.openReader(path, conf, dataNames, pred)
   }
   private var rowIdx = -1L
   private var dvPtr = 0
@@ -463,8 +504,33 @@ class GraftRowReader(path: String, schema: StructType, dvRows: Array[Long],
     while (g != null && deleted(rowIdx)) { g = reader.read(); rowIdx += 1 }
     if (g == null) false else { current = g; emitted += 1; true }
   }
-  override def get(): InternalRow = GraftParquetIO.toInternalRow(current, schema)
+
+  override def get(): InternalRow = {
+    if (!isMeta.exists(identity))
+      return GraftParquetIO.toInternalRow(current, schema)
+    val vals = new Array[Any](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      vals(i) =
+        if (!isMeta(i)) GraftParquetIO.valueOf(current, schema(i))
+        else if (schema(i).name == RowIdFile)
+          org.apache.spark.unsafe.types.UTF8String.fromString(path)
+        else rowIdx
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
   override def close(): Unit = reader.close()
+}
+
+object GraftSource {
+  /** Row-id metadata columns: the file's qualified path (rendered
+    * identically to `_metadata.file_path`) and the physical row index —
+    * the same address space the catalog's deletion vectors mask, which
+    * is what lets row-level operations commit their DELETE side as a
+    * DV sidecar verbatim. */
+  val RowIdFile = "_gfile"
+  val RowIdPos = "_gpos"
 }
 
 /** Offset = committed manifest version. */

@@ -57,12 +57,61 @@ class SqlCatalogSpec extends SparkTestBase {
     // prior version still time-travels complete
     assert(spark.sql("SELECT count(*) FROM gc_del.d.s.del VERSION AS OF 0")
       .as[Long].head() == 1000)
-    // untranslatable predicate is rejected, not approximated
-    intercept[Exception] {
-      spark.sql("DELETE FROM gc_del.d.s.del WHERE k % 7 = 0")
-    }
+    // untranslatable predicate: falls through to the ROW-LEVEL delete
+    // path (scan row ids, commit DV) — still exact, still no rewrite
+    val files1 = cat.dataFilePaths("d.s.del")
+    spark.sql("DELETE FROM gc_del.d.s.del WHERE k % 7 = 0")
+    assert(cat.dataFilePaths("d.s.del") == files1)
+    val expect2 = (1L to 1000L).count(i =>
+      !(i % 4 == 1 && i <= 500) && i % 7 != 0)
     assert(spark.sql("SELECT count(*) FROM gc_del.d.s.del")
-      .as[Long].head() == expect)
+      .as[Long].head() == expect2)
+  }
+
+  test("SQL UPDATE commits as one merge-on-read delta (DV + replacement rows)") {
+    val root = tempDir("gcat_upd")
+    spark.conf.set("spark.sql.catalog.gc_upd", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gc_upd.root", root)
+    val cat = new graft.catalog.TableCatalog(spark, root)
+    cat.overwrite("d.s.u", (1L to 1000L).map(i => (i, i % 10, i * 1.0))
+      .toDF("k", "g", "x").repartition(3))
+    val filesBefore = cat.dataFilePaths("d.s.u").toSet
+    val vBefore = cat.version("d.s.u").get
+    spark.sql("UPDATE gc_upd.d.s.u SET x = x + 1000 WHERE g = 3")
+    assert(cat.version("d.s.u").contains(vBefore + 1)) // ONE commit
+    // merge-on-read: prior files carried untouched, delta files added
+    val filesAfter = cat.dataFilePaths("d.s.u").toSet
+    assert(filesBefore.subsetOf(filesAfter))
+    assert(spark.sql("SELECT count(*) FROM gc_upd.d.s.u").as[Long].head() == 1000)
+    val (nUpd, sumUpd) = spark.sql(
+      "SELECT count(*), sum(x) FROM gc_upd.d.s.u WHERE g = 3")
+      .as[(Long, Double)].head()
+    assert(nUpd == 100)
+    assert(sumUpd == (1L to 1000L).filter(_ % 10 == 3).map(_ * 1.0 + 1000).sum)
+    // pre-update snapshot intact
+    assert(spark.sql(
+      s"SELECT sum(x) FROM gc_upd.d.s.u VERSION AS OF $vBefore WHERE g = 3")
+      .as[Double].head() == (1L to 1000L).filter(_ % 10 == 3).map(_ * 1.0).sum)
+  }
+
+  test("MERGE INTO upserts through the delta writer") {
+    val root = tempDir("gcat_merge")
+    spark.conf.set("spark.sql.catalog.gc_mrg", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gc_mrg.root", root)
+    val cat = new graft.catalog.TableCatalog(spark, root)
+    cat.overwrite("d.s.m", (1L to 100L).map(i => (i, i * 1.0))
+      .toDF("k", "x").coalesce(1))
+    (51L to 150L).map(i => (i, -1.0)).toDF("k", "x")
+      .createOrReplaceTempView("mrg_src")
+    spark.sql("""MERGE INTO gc_mrg.d.s.m t USING mrg_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET x = s.x
+      WHEN NOT MATCHED THEN INSERT (k, x) VALUES (s.k, s.x)""")
+    assert(spark.sql("SELECT count(*) FROM gc_mrg.d.s.m").as[Long].head() == 150)
+    assert(spark.sql("SELECT sum(x) FROM gc_mrg.d.s.m").as[Double].head() ==
+      (1L to 50L).map(_ * 1.0).sum + 100 * -1.0)
+    // matched rows replaced exactly once, unmatched target untouched
+    assert(spark.sql("SELECT count(*) FROM gc_mrg.d.s.m WHERE x = -1.0")
+      .as[Long].head() == 100)
   }
 
   test("INSERT INTO ... REPLACE WHERE is one atomic delete+insert commit") {
