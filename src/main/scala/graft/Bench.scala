@@ -25,11 +25,22 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Post-query hygiene: drop persistent RDD blocks a query leaves
+    // behind (localCheckpoint lineage cuts in the iterative operators,
+    // caches) — 240+ queries share one JVM, and accumulated residue
+    // taxes LATER queries' memory/GC (observed: an iterative query
+    // 10x slower late in a full run, normal in isolation). Timings
+    // must measure the query, not its predecessors' leftovers.
+    def releaseResidue(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     val warmDir = "/root/testdata/sf0.001"
     spark.range(100000).selectExpr("sum(id)").collect()
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        releaseResidue()
       }
     else spark.read.parquet(s"$sfDir/region.parquet").count()
     // Two timed runs per query, report the min: the first timed run at
@@ -51,7 +62,9 @@ object Bench {
         val ok =
           try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => errored += name; false }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val dt = (System.nanoTime() - t0) / 1e9
+        releaseResidue() // outside the timed window
+        (dt, ok)
       }
       name -> times
     }

@@ -94,6 +94,28 @@ class SqlCatalogSpec extends SparkTestBase {
       .as[Double].head() == (1L to 1000L).filter(_ % 10 == 3).map(_ * 1.0).sum)
   }
 
+  test("SQL UPDATE over a DV-carrying table reads through the masks") {
+    val root = tempDir("gcat_upd_dv")
+    spark.conf.set("spark.sql.catalog.gc_ud", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gc_ud.root", root)
+    val cat = new graft.catalog.TableCatalog(spark, root)
+    cat.overwrite("d.s.ud", (1L to 600L).map(i => (i, i % 6, i * 1.0))
+      .toDF("k", "g", "x").repartition(2))
+    cat.deleteWhereDV("d.s.ud", col("g") === 0L) // masks 100 rows
+    // row-level UPDATE must neither resurrect masked rows nor mis-address
+    // survivors (the reader's _gpos counts PHYSICAL rows, masked included)
+    spark.sql("UPDATE gc_ud.d.s.ud SET x = -x WHERE g = 2")
+    assert(spark.sql("SELECT count(*) FROM gc_ud.d.s.ud").as[Long].head() ==
+      (1L to 600L).count(_ % 6 != 0))
+    assert(spark.sql("SELECT sum(x) FROM gc_ud.d.s.ud WHERE g = 2")
+      .as[Double].head() == -(1L to 600L).filter(_ % 6 == 2).map(_ * 1.0).sum)
+    assert(spark.sql("SELECT count(*) FROM gc_ud.d.s.ud WHERE g = 0")
+      .as[Long].head() == 0) // no resurrection
+    // untouched group byte-identical
+    assert(spark.sql("SELECT sum(x) FROM gc_ud.d.s.ud WHERE g = 3")
+      .as[Double].head() == (1L to 600L).filter(_ % 6 == 3).map(_ * 1.0).sum)
+  }
+
   test("MERGE INTO upserts through the delta writer") {
     val root = tempDir("gcat_merge")
     spark.conf.set("spark.sql.catalog.gc_mrg", "graft.connector.GraftCatalog")
