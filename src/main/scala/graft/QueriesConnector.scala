@@ -547,6 +547,44 @@ object QueriesConnector {
         .withColumn("one_commit", lit(oneCommit))
     }),
 
+    // ---- stored procedures: the maintenance loop as SQL verbs
+    //      (CALL c.system.health / optimize / build_bloom) — the
+    //      operational surface a SQL-only client needs. 10 tiny
+    //      commits + a MoR delete accrue debt; health reports it from
+    //      metadata, optimize settles it (debt_settled), build_bloom
+    //      indexes the compacted files (bloom_built) — and the data
+    //      rides through it all byte-identical (the oracle). ----
+    "q244_sql_procedures" -> ((s, dir) => {
+      val work = graft.Scratch.dir("graft_proc")
+      val catName = "g6p" + math.abs(work.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$catName",
+        "graft.connector.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$catName.root", work)
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"))
+      (0 until 10).foreach(i =>
+        cat.append("d.s.pr", c.filter(col("c_custkey") % 10 === i)
+          .coalesce(1)))
+      cat.deleteWhereDV("d.s.pr", col("c_custkey") % 11 === 0)
+      val h = s.sql(s"CALL $catName.system.health('d.s.pr')").collect()(0)
+      val hadDebt = h.getInt(0) >= 10 && h.getLong(3) > 0
+      val acts = s.sql(s"CALL $catName.system.optimize('d.s.pr')")
+        .collect().map(_.getString(0))
+      val h2 = s.sql(s"CALL $catName.system.health('d.s.pr')").collect()(0)
+      val settled = acts.contains("compact") &&
+        h2.getInt(0) < h.getInt(0) && h2.getLong(3) == 0
+      val indexed = s.sql(
+        s"CALL $catName.system.build_bloom('d.s.pr', 'c_name')")
+        .collect()(0).getInt(0)
+      s.sql(s"""SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM $catName.d.s.pr GROUP BY c_nationkey""")
+        .withColumn("debt_settled", lit(hadDebt && settled))
+        .withColumn("bloom_built", lit(indexed >= 1))
+    }),
+
     // ---- the table as a streaming source: manifest versions are the
     //      offsets, each micro-batch reads exactly the files its
     //      commits appended (the O(delta) manifest diff), and the
@@ -648,6 +686,13 @@ object QueriesConnector {
          WHERE l_orderkey >= mk * 2 // 10 AND l_orderkey <= mk * 3 // 10
            AND l_suppkey >= ms * 2 // 10 AND l_suppkey <= ms * 3 // 10
          GROUP BY l_suppkey""",
+
+    "q244_sql_procedures" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+           TRUE AS debt_settled, TRUE AS bloom_built
+         FROM customer WHERE c_custkey % 11 <> 0
+         GROUP BY c_nationkey""",
 
     "q242_sql_update" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,

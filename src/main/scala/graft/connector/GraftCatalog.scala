@@ -33,7 +33,8 @@ import graft.catalog.TableCatalog
   * a bare CREATE with no subsequent write leaves nothing to read,
   * which is also the reference pipeline's create-on-first-write
   * semantics. */
-class GraftCatalog extends V2TableCatalog {
+class GraftCatalog extends V2TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -143,6 +144,107 @@ class GraftCatalog extends V2TableCatalog {
     val existed = cat.exists(fq)
     if (existed) cat.drop(fq)
     existed
+  }
+
+  // ---- stored procedures: CALL <cat>.system.<proc>(...) -------------------
+  // The maintenance loop as SQL verbs — the operational surface a
+  // lakehouse needs from a SQL-only client (Iceberg's CALL
+  // system.rewrite_data_files shape):
+  //   CALL c.system.health('d.s.t')            → table health report
+  //   CALL c.system.optimize('d.s.t')          → policy compact+vacuum
+  //   CALL c.system.zorder('d.s.t', 'a,b')     → z-order re-cluster
+  //   CALL c.system.build_bloom('d.s.t', 'k')  → incremental bloom index
+  //   CALL c.system.vacuum('d.s.t', 2)         → retention sweep
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType, DoubleType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def procedure(pname: String, params: Seq[ProcedureParameter],
+      outSchema: StructType)(body: InternalRow => Seq[InternalRow])
+      : UnboundProcedure = new UnboundProcedure {
+    override def name(): String = pname
+    override def description(): String = s"graft maintenance: $pname"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = pname
+        override def description(): String = s"graft maintenance: $pname"
+        override def parameters(): Array[ProcedureParameter] = params.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val out = body(input).toArray
+          java.util.List.of[Scan](new LocalScan {
+            override def rows(): Array[InternalRow] = out
+            override def readSchema(): StructType = outSchema
+          }).iterator()
+        }
+      }
+  }
+
+  private def p(name: String, dt: org.apache.spark.sql.types.DataType) =
+    ProcedureParameter.in(name, dt).build()
+
+  private def actionRows(actions: Seq[String]): Seq[InternalRow] =
+    if (actions.isEmpty)
+      Seq(new GenericInternalRow(Array[Any](UTF8String.fromString("noop"))))
+    else actions.map(a =>
+      new GenericInternalRow(Array[Any](UTF8String.fromString(a))))
+
+  private val actionSchema =
+    StructType(Seq(org.apache.spark.sql.types.StructField("action", StringType)))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      Array("health", "optimize", "zorder", "build_bloom", "vacuum")
+        .map(Identifier.of(Array("system"), _))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"unknown procedure namespace ${ident.namespace().mkString(".")}")
+    def tableArg(in: InternalRow) = in.getUTF8String(0).toString
+    ident.name() match {
+      case "health" => procedure("health", Seq(p("table", StringType)),
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField("files", IntegerType),
+          org.apache.spark.sql.types.StructField("bytes", LongType),
+          org.apache.spark.sql.types.StructField("avg_file_bytes", LongType),
+          org.apache.spark.sql.types.StructField("dv_rows", LongType),
+          org.apache.spark.sql.types.StructField("dv_ratio", DoubleType),
+          org.apache.spark.sql.types.StructField("retained_versions", IntegerType)))) { in =>
+        val h = cat.describeHealth(tableArg(in))
+        Seq(new GenericInternalRow(Array[Any](h.files, h.bytes,
+          h.avgFileBytes, h.dvRows, h.dvRatio, h.retainedVersions)))
+      }
+      case "optimize" => procedure("optimize",
+        Seq(p("table", StringType)), actionSchema) { in =>
+        actionRows(cat.maintain(tableArg(in)))
+      }
+      case "zorder" => procedure("zorder",
+        Seq(p("table", StringType), p("columns", StringType)), actionSchema) { in =>
+        val cols = in.getUTF8String(1).toString.split(',').map(_.trim).toSeq
+        cat.compactZOrder(tableArg(in), cols)
+        actionRows(Seq(s"zorder:${cols.mkString(",")}"))
+      }
+      case "build_bloom" => procedure("build_bloom",
+        Seq(p("table", StringType), p("column", StringType)),
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField("files_indexed", IntegerType)))) { in =>
+        val n = cat.buildBloomIndex(tableArg(in), in.getUTF8String(1).toString)
+        Seq(new GenericInternalRow(Array[Any](n)))
+      }
+      case "vacuum" => procedure("vacuum",
+        Seq(p("table", StringType), p("keep_versions", IntegerType)),
+        actionSchema) { in =>
+        actionRows(cat.vacuum(tableArg(in), in.getInt(1)).map(v => s"vacuum:$v"))
+      }
+      case other => throw new IllegalArgumentException(
+        s"unknown procedure: system.$other " +
+          "(health | optimize | zorder | build_bloom | vacuum)")
+    }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {

@@ -207,6 +207,40 @@ class SqlCatalogSpec extends SparkTestBase {
       s"expected auto-broadcast from reported stats:\n$plan")
   }
 
+  test("CALL system procedures drive the maintenance loop from SQL") {
+    val root = tempDir("gcat_proc")
+    spark.conf.set("spark.sql.catalog.gc_pr", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gc_pr.root", root)
+    val cat = new graft.catalog.TableCatalog(spark, root)
+    (0 until 10).foreach { i =>
+      cat.append("d.s.p", ((i * 50L + 1) to (i * 50L + 50))
+        .map(k => (k, s"nm$k")).toDF("k", "nm").coalesce(1))
+    }
+    cat.deleteWhereDV("d.s.p", col("k") % 5 === 0L)
+    val h = spark.sql("CALL gc_pr.system.health('d.s.p')").collect()(0)
+    assert(h.getInt(0) >= 10 && h.getLong(3) == 100) // files, dv_rows
+    val acts = spark.sql("CALL gc_pr.system.optimize('d.s.p')")
+      .collect().map(_.getString(0))
+    assert(acts.contains("compact"))
+    assert(cat.count("d.s.p") == 400)
+    assert(spark.sql("CALL gc_pr.system.optimize('d.s.p')")
+      .collect().map(_.getString(0)).forall(_ != "compact")) // healthy now
+    val indexed = spark.sql("CALL gc_pr.system.build_bloom('d.s.p', 'nm')")
+      .collect()(0).getInt(0)
+    assert(indexed >= 1)
+    // the bloom built via SQL actually skips: point read opens < all
+    val probe = cat.readPoint("d.s.p", "nm", "nm123")
+    assert(probe.count() == 1)
+    spark.sql("CALL gc_pr.system.zorder('d.s.p', 'k')").collect()
+    assert(cat.count("d.s.p") == 400)
+    val removed = spark.sql("CALL gc_pr.system.vacuum('d.s.p', 1)")
+      .collect().map(_.getString(0))
+    assert(removed.nonEmpty) // old versions swept or noop row
+    intercept[Exception] {
+      spark.sql("CALL gc_pr.system.nope('d.s.p')").collect()
+    }
+  }
+
   test("rename with outstanding DVs is refused; post-compact rename keeps chains readable") {
     val root = tempDir("gcat_mv")
     spark.conf.set("spark.sql.catalog.gc_mv", "graft.connector.GraftCatalog")
