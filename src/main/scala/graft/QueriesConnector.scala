@@ -547,6 +547,46 @@ object QueriesConnector {
         .withColumn("one_commit", lit(oneCommit))
     }),
 
+    // ---- PARTITION EVOLUTION: the table's first era is unpartitioned;
+    //      the second era appends under a NEW hive layout
+    //      (o_orderstatus) with every old file carried BY REFERENCE
+    //      (no_rewrite hashed — zero bytes rewritten). A status
+    //      predicate then partition-prunes the evolved slice while old
+    //      files are filtered row-level (pruned: executed scans read
+    //      fewer files than a full read) — Iceberg's evolution trade,
+    //      which is what makes "we should have partitioned by day"
+    //      fixable on a 100 TB table without a rewrite. ----
+    "q245_partition_evolution" -> ((s, dir) => {
+      val work = graft.Scratch.dir("graft_evolve")
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val maxK = o.agg(max("o_orderkey")).head().getLong(0)
+      val half = maxK / 2
+      val t = "D.S.EV"
+      cat.overwrite(t, o.filter(col("o_orderkey") <= half).repartition(3))
+      val oldFiles = cat.dataFilePaths(t).toSet
+      cat.appendEvolvePartitioning(t, o.filter(col("o_orderkey") > half),
+        Seq("o_orderstatus"))
+      val noRewrite = oldFiles.subsetOf(cat.dataFilePaths(t).toSet)
+      val probe = cat.read(t).limit(1)
+      probe.collect()
+      val total = graft.connector.GraftPlanInspect.parquetFilesScannedOf(probe)
+      val agg = cat.read(t).filter(col("o_orderstatus") === "F")
+        .groupBy((col("o_custkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_price"))
+      val rows = agg.collect()
+      val pruned =
+        graft.connector.GraftPlanInspect.parquetFilesScannedOf(agg) < total
+      s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          agg.schema)
+        .withColumn("no_rewrite", lit(noRewrite))
+        .withColumn("pruned", lit(pruned))
+    }),
+
     // ---- stored procedures: the maintenance loop as SQL verbs
     //      (CALL c.system.health / optimize / build_bloom) — the
     //      operational surface a SQL-only client needs. 10 tiny
@@ -686,6 +726,14 @@ object QueriesConnector {
          WHERE l_orderkey >= mk * 2 // 10 AND l_orderkey <= mk * 3 // 10
            AND l_suppkey >= ms * 2 // 10 AND l_suppkey <= ms * 3 // 10
          GROUP BY l_suppkey""",
+
+    "q245_partition_evolution" ->
+      """SELECT o_custkey % 10 AS bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           TRUE AS no_rewrite, TRUE AS pruned
+         FROM orders WHERE o_orderstatus = 'F'
+         GROUP BY o_custkey % 10""",
 
     "q244_sql_procedures" ->
       """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,

@@ -590,6 +590,36 @@ class TableCatalog(spark: SparkSession, root: String,
   def overwrite(fq: String, df: DataFrame): Unit =
     commitVersion(fq, dir => df.write.mode(SaveMode.Overwrite).parquet(dir.toString))
 
+  /** PARTITION EVOLUTION (Iceberg-style): append `df` under a NEW
+    * hive layout without rewriting a byte of prior data — the new
+    * version records the new partition columns in `_PARTITIONS` and
+    * carries every prior chain entry, whatever ITS layout, by manifest
+    * reference. Reads union per-entry layouts (partition columns
+    * recovered from paths where the layout has them, read inline from
+    * the data where it doesn't), so partition pruning applies to the
+    * evolved slice immediately while old files keep their old scan
+    * cost until a rewrite — exactly Iceberg's evolution trade. At
+    * 100 TB this is what makes "we should have partitioned by day"
+    * fixable without a table rewrite. Outstanding DVs must be
+    * compacted first: the hive read path is partition-granular and
+    * does not apply row masks. */
+  def appendEvolvePartitioning(fq: String, df: DataFrame,
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "partition columns required")
+    val v = currentVersion(fq).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $fq"))
+    require(dvFiles(fq, v).isEmpty,
+      s"evolve partitioning of $fq after compact: outstanding deletion " +
+        "vectors would not be applied by the partition-granular read path")
+    val carried = chainDirs(fq, v)
+    commitVersion(fq, dir => {
+      df.write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCols: _*).parquet(dir.toString)
+      writePartitions(dir, partitionCols)
+      writeManifest(dir, carried)
+    })
+  }
+
   /** Overwrite with hive-style partitioning — the 100 TB layout: RAW/
     * REFINED tables partitioned by e.g. (practice, load date) so
     * incremental reads and flag-clear rewrites touch only the affected

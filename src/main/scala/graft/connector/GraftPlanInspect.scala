@@ -39,4 +39,20 @@ object GraftPlanInspect {
   def hasRuntimeFiltersOf(df: DataFrame): Boolean =
     findScan(df.queryExecution.executedPlan)
       .exists(_.runtimeFilters.nonEmpty)
+
+  /** Sum of the EXECUTED parquet scans' `numFiles` metrics — the
+    * partition-pruning evidence for hive-layout catalog reads
+    * (`inputFiles` reflects the relation listing, not pruning). The
+    * df must have been executed already. */
+  def parquetFilesScannedOf(df: DataFrame): Long = {
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics.get("numFiles").map(_.value).getOrElse(0L)
+    }.sum
+  }
 }

@@ -329,6 +329,54 @@ class CatalogSpec extends SparkTestBase {
       s"z-order should shrink bounding boxes: avg $avgArea of ${perFile.mkString(", ")}")
   }
 
+  test("partition evolution: new layout appends, old files unrewritten, both read") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val cat = new TableCatalog(spark, tempDir("cat_evolve"))
+    val t = "d.s.ev"
+    val old = (1L to 600L).map(i => (i, if (i % 3 == 0) "A" else "B", i * 1.0))
+      .toDF("k", "grp", "x")
+    cat.overwrite(t, old.repartition(3)) // unpartitioned era
+    val oldFiles = cat.dataFilePaths(t).toSet
+    val newer = (601L to 900L).map(i => (i, if (i % 3 == 0) "A" else "B", i * 1.0))
+      .toDF("k", "grp", "x")
+    cat.appendEvolvePartitioning(t, newer, Seq("grp"))
+    // zero rewrite: every old file still referenced byte-identically
+    assert(oldFiles.subsetOf(cat.dataFilePaths(t).toSet))
+    val all = cat.read(t)
+    assert(all.count() == 900)
+    assert(all.columns.sorted.toSeq == Seq("grp", "k", "x"))
+    assert(all.filter(col("grp") === "A").agg(
+      org.apache.spark.sql.functions.sum("k")).as[Long].head() ==
+      (1L to 900L).filter(_ % 3 == 0).sum)
+    // pruning bites on the evolved slice: grp=A reads old files (their
+    // layout has no partitions) + ONLY the A subdir of the new commit.
+    // inputFiles ignores pruning, so count the EXECUTED scans' files.
+    def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      import org.apache.spark.sql.execution.SparkPlan
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case other => other +: other.children.flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics.get("numFiles").map(_.value).getOrElse(0L)
+      }.sum
+    }
+    val total = filesScanned(cat.read(t))
+    val pruned = filesScanned(cat.read(t).filter(col("grp") === "A"))
+    assert(pruned < total, s"expected partition pruning: $pruned of $total")
+    // post-evolution appends stay partitioned and readable
+    cat.append(t, Seq((1000L, "A", -1.0)).toDF("k", "grp", "x"))
+    assert(cat.read(t).count() == 901)
+    // old snapshot still reads with its own (unpartitioned) layout
+    assert(cat.readVersion(t, 0).count() == 600)
+  }
+
   test("maintain settles small-file and DV debt, no-ops when healthy") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
