@@ -477,17 +477,32 @@ class TableCatalog(spark: SparkSession, root: String,
   private def claimPath(fq: String, v: Int) =
     new Path(tableDir(fq), f"_COMMIT_$v%06d")
 
-  private def commitVersion(fq: String, write: Path => Unit): Unit = {
-    val next = currentVersion(fq).getOrElse(-1) + 1
+  private def commitVersion(fq: String, write: Path => Unit): Unit =
+    commitVersionFrom(fq, currentVersion(fq).getOrElse(-1), write)
+
+  /** Commit a version COMPUTED AGAINST snapshot `basedOn` (-1 = table
+    * absent). Snapshot-conflict check: if any other writer committed
+    * since the caller read `basedOn`, this commit would carry a stale
+    * manifest (lost update) or stage DV addresses into files a
+    * concurrent rewrite already retired — so it FAILS with
+    * ConcurrentModificationException instead (Delta/Iceberg's
+    * optimistic-concurrency abort). The caller re-runs its whole
+    * operation against the winner's snapshot. Two layers: the version
+    * check catches a committed racer, the atomic create-exclusive
+    * claim marker serializes in-flight racers (the loser errors
+    * instead of overwriting the winner's pointer); the check re-runs
+    * UNDER the claim because a racer may commit-and-release between
+    * our first check and our claim. A claim left by a crashed writer
+    * goes stale after `staleClaimMs` and is swept here. */
+  private def commitVersionFrom(fq: String, basedOn: Int,
+      write: Path => Unit): Unit = {
+    def conflict(cur: Int) = new java.util.ConcurrentModificationException(
+      s"$fq advanced to v$cur since this operation read v$basedOn — " +
+        "rerun the operation against the current version")
+    val cur0 = currentVersion(fq).getOrElse(-1)
+    if (cur0 != basedOn) throw conflict(cur0)
+    val next = basedOn + 1
     val dir = versionDir(fq, next)
-    // optimistic concurrency: version number `next` is claimed by an
-    // atomic create-exclusive marker — two writers that both read the
-    // same current version race for the claim, the loser gets a
-    // ConcurrentModificationException INSTEAD of silently overwriting
-    // the winner's pointer (lost update). The caller re-runs its whole
-    // operation: a retry must recompute against the winner's version,
-    // not replay stale reads. A claim left by a crashed writer goes
-    // stale after `staleClaimMs` and is swept here.
     val claim = claimPath(fq, next)
     fs.mkdirs(tableDir(fq))
     if (fs.exists(claim) && System.currentTimeMillis() -
@@ -499,6 +514,8 @@ class TableCatalog(spark: SparkSession, root: String,
     if (!claimed) throw new java.util.ConcurrentModificationException(
       s"concurrent commit in flight for $fq v$next — rerun the operation")
     try {
+      val cur1 = currentVersion(fq).getOrElse(-1)
+      if (cur1 != basedOn) throw conflict(cur1)
       commitClaimed(fq, next, dir, write)
     } finally fs.delete(claim, false)
   }
@@ -561,14 +578,15 @@ class TableCatalog(spark: SparkSession, root: String,
     * files are carried by manifest reference, never copied or
     * rewritten. */
   def append(fq: String, df: DataFrame): Unit = currentVersion(fq) match {
-    case None => commitVersion(fq, dir => df.write.mode(SaveMode.Overwrite).parquet(dir.toString))
+    case None => commitVersionFrom(fq, -1,
+      dir => df.write.mode(SaveMode.Overwrite).parquet(dir.toString))
     case Some(v) =>
       val pcols = partitionColsOf(fq, v)
       if (pcols.nonEmpty) {
         // partitioned chain: the delta lands partitioned in the new
         // version dir; prior data rides along as whole directories
         val carried = chainDirs(fq, v)
-        commitVersion(fq, dir => {
+        commitVersionFrom(fq, v, dir => {
           df.write.mode(SaveMode.Overwrite)
             .partitionBy(pcols: _*).parquet(dir.toString)
           writePartitions(dir, pcols)
@@ -578,7 +596,7 @@ class TableCatalog(spark: SparkSession, root: String,
         val carried = dataFiles(fq, v)
         val dvs = dvFiles(fq, v) // outstanding masks stay valid: the
         // files they address are carried unmodified
-        commitVersion(fq, dir => {
+        commitVersionFrom(fq, v, dir => {
           df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
           writeManifest(dir, carried)
           if (dvs.nonEmpty) writeDvManifest(dir, dvs)
@@ -612,7 +630,7 @@ class TableCatalog(spark: SparkSession, root: String,
       s"evolve partitioning of $fq after compact: outstanding deletion " +
         "vectors would not be applied by the partition-granular read path")
     val carried = chainDirs(fq, v)
-    commitVersion(fq, dir => {
+    commitVersionFrom(fq, v, dir => {
       df.write.mode(SaveMode.Overwrite)
         .partitionBy(partitionCols: _*).parquet(dir.toString)
       writePartitions(dir, partitionCols)
@@ -639,7 +657,7 @@ class TableCatalog(spark: SparkSession, root: String,
       throw new IllegalArgumentException(s"table not found: $fq"))
     val pcols = partitionColsOf(fq, v)
     val empty = read(fq).limit(0)
-    commitVersion(fq, dir => {
+    commitVersionFrom(fq, v, dir => {
       empty.write.mode(SaveMode.Overwrite).parquet(dir.toString)
       if (pcols.nonEmpty) writePartitions(dir, pcols)
     })
@@ -693,7 +711,7 @@ class TableCatalog(spark: SparkSession, root: String,
       val updated = assignments.foldLeft(cur) { case (d, (c, value)) =>
         d.withColumn(c, when(where, value).otherwise(col(c)))
       }
-      commitVersion(fq, dir => {
+      commitVersionFrom(fq, v, dir => {
         updated.write.mode(SaveMode.Overwrite)
           .partitionBy(pcols: _*).parquet(dir.toString)
         writePartitions(dir, pcols)
@@ -715,7 +733,7 @@ class TableCatalog(spark: SparkSession, root: String,
     val updated = assignments.foldLeft(cur) { case (d, (c, value)) =>
       d.withColumn(c, when(where, value).otherwise(col(c)))
     }
-    commitVersion(fq, dir => {
+    commitVersionFrom(fq, v, dir => {
       updated.write.mode(SaveMode.Overwrite).parquet(dir.toString)
       if (carried.nonEmpty) writeManifest(dir, carried)
       // carry masks for the carried files; entries addressing rewritten
@@ -744,7 +762,7 @@ class TableCatalog(spark: SparkSession, root: String,
       if (hitFiles.isEmpty) return
       val (hitDirs, carriedDirs) = touchedPartitionDirs(fq, v, hitFiles)
       val kept = readPartitionedDirs(hitDirs).filter(!where)
-      commitVersion(fq, dir => {
+      commitVersionFrom(fq, v, dir => {
         kept.write.mode(SaveMode.Overwrite)
           .partitionBy(pcols: _*).parquet(dir.toString)
         writePartitions(dir, pcols)
@@ -761,7 +779,7 @@ class TableCatalog(spark: SparkSession, root: String,
     val dvs = dvFiles(fq, v) // see updateWhere: read through the masks
     val kept = maskDv(spark.read.parquet(hit.map(_.toString): _*), dvs)
       .filter(!where)
-    commitVersion(fq, dir => {
+    commitVersionFrom(fq, v, dir => {
       kept.write.mode(SaveMode.Overwrite).parquet(dir.toString)
       if (carried.nonEmpty) writeManifest(dir, carried)
       if (carried.nonEmpty && dvs.nonEmpty) writeDvManifest(dir, dvs)
@@ -793,7 +811,7 @@ class TableCatalog(spark: SparkSession, root: String,
       .filter(where)
       .select(col("__fp").as("file"), col("__ri").as("row_index"))
     if (newDv.limit(1).count() == 0) return // nothing matches: version stands
-    commitVersion(fq, dir => {
+    commitVersionFrom(fq, v, dir => {
       fs.mkdirs(dir)
       newDv.write.mode(SaveMode.Overwrite).parquet(dvDir(dir).toString)
       writeManifest(dir, files)
@@ -825,7 +843,7 @@ class TableCatalog(spark: SparkSession, root: String,
     val updated = assignments.foldLeft(hit.drop("__fp", "__ri")) {
       case (d, (c, value)) => d.withColumn(c, value) // `where` already applied
     }
-    commitVersion(fq, dir => {
+    commitVersionFrom(fq, v, dir => {
       updated.write.mode(SaveMode.Overwrite).parquet(dir.toString)
       newDv.write.mode(SaveMode.Overwrite).parquet(dvDir(dir).toString)
       writeManifest(dir, files)
@@ -872,7 +890,7 @@ class TableCatalog(spark: SparkSession, root: String,
               if (hitDirs.isEmpty) src.limit(0) // no overlap: partitioned append
               else readPartitionedDirs(hitDirs)
             val merged = graft.operators.MergeOps.upsert(base, src, keys)
-            commitVersion(fq, dir => {
+            commitVersionFrom(fq, v, dir => {
               merged.write.mode(SaveMode.Overwrite)
                 .partitionBy(pcols: _*).parquet(dir.toString)
               writePartitions(dir, pcols)
@@ -902,7 +920,7 @@ class TableCatalog(spark: SparkSession, root: String,
             if (hit.isEmpty) src.limit(0) // no overlap: plain append of source
             else maskDv(spark.read.parquet(hit.map(_.toString): _*), dvs)
           val merged = graft.operators.MergeOps.upsert(base, src, keys)
-          commitVersion(fq, dir => {
+          commitVersionFrom(fq, v, dir => {
             merged.write.mode(SaveMode.Overwrite).parquet(dir.toString)
             if (carried.nonEmpty) writeManifest(dir, carried)
             if (carried.nonEmpty && dvs.nonEmpty) writeDvManifest(dir, dvs)
@@ -975,14 +993,15 @@ class TableCatalog(spark: SparkSession, root: String,
       // co-locate rows of each partition before the partitioned write
       // so each partition directory compacts to ~one file
       val df = read(fq).repartition(parts, pcols.map(col): _*)
-      commitVersion(fq, dir => {
+      commitVersionFrom(fq, v, dir => {
         df.write.mode(SaveMode.Overwrite)
           .partitionBy(pcols: _*).parquet(dir.toString)
         writePartitions(dir, pcols)
       })
     } else {
       val df = read(fq).repartition(parts)
-      commitVersion(fq, dir => df.write.mode(SaveMode.Overwrite).parquet(dir.toString))
+      commitVersionFrom(fq, v,
+        dir => df.write.mode(SaveMode.Overwrite).parquet(dir.toString))
     }
   }
 
@@ -1001,7 +1020,9 @@ class TableCatalog(spark: SparkSession, root: String,
   def compactZOrder(fq: String, zorderCols: Seq[String],
       targetFileBytes: Long = 128L << 20, rankBased: Boolean = false): Unit = {
     require(zorderCols.nonEmpty, "zorder columns required")
-    require(currentVersion(fq).forall(v => partitionColsOf(fq, v).isEmpty),
+    val zv = currentVersion(fq).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $fq"))
+    require(partitionColsOf(fq, zv).isEmpty,
       "compactZOrder requires an unpartitioned table (z-cluster within " +
         "partitions by compacting each partition's table separately)")
     val df = read(fq)
@@ -1042,7 +1063,7 @@ class TableCatalog(spark: SparkSession, root: String,
       .repartitionByRange(parts, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-    commitVersion(fq, dir =>
+    commitVersionFrom(fq, zv, dir =>
       clustered.write.mode(SaveMode.Overwrite).parquet(dir.toString))
   }
 
@@ -1367,7 +1388,7 @@ class TableCatalog(spark: SparkSession, root: String,
     prior.foreach(v => require(partitionColsOf(fq, v).isEmpty,
       s"DSv2 write targets unpartitioned tables; $fq is hive-partitioned"))
     val carried = prior.map(v => (dataFiles(fq, v), dvFiles(fq, v)))
-    commitVersion(fq, dir => {
+    val write: Path => Unit = dir => {
       fs.mkdirs(dir)
       staged.foreach { f =>
         if (!fs.rename(f, new Path(dir, f.getName)))
@@ -1384,8 +1405,32 @@ class TableCatalog(spark: SparkSession, root: String,
         val out = fs.create(new Path(dir, "_EPOCH"), true)
         try out.write(tag.getBytes("UTF-8")) finally out.close()
       }
-    })
+    }
+    if (overwrite) commitVersion(fq, write)
+    else commitVersionFrom(fq, prior.getOrElse(-1), write)
+    // durable replay marker OUTSIDE the version dirs: vacuum/maintain
+    // prunes version dirs (and their in-dir `_EPOCH` tags) but must
+    // never void sink idempotency — the table-level `_EPOCHS/` marker
+    // survives any retention policy. Created AFTER the commit: a crash
+    // in between leaves the in-dir tag covering the replay (the pruner
+    // cannot have run from the crashed process), so the two layers
+    // never both miss.
+    epochTag.foreach { tag =>
+      val d = epochsDir(fq)
+      fs.mkdirs(d)
+      fs.create(new Path(d, encodeEpochTag(tag)), true).close()
+    }
   }
+
+  private def epochsDir(fq: String) = new Path(tableDir(fq), "_EPOCHS")
+
+  /** Epoch tags hold a free-form queryId:epochId — filename-encode. */
+  private def encodeEpochTag(tag: String): String =
+    java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(tag.getBytes("UTF-8"))
+
+  private def decodeEpochTag(name: String): String =
+    new String(java.util.Base64.getUrlDecoder.decode(name), "UTF-8")
 
   /** Atomic replaceWhere (Delta's `INSERT INTO … REPLACE WHERE` /
     * `writeTo.overwrite(cond)`): ONE commit masks every `where`-matching
@@ -1407,7 +1452,7 @@ class TableCatalog(spark: SparkSession, root: String,
           dvs, keepPos = true)
         .filter(where)
         .select(col("__fp").as("file"), col("__ri").as("row_index")))
-    commitVersion(fq, dir => {
+    commitVersionFrom(fq, v, dir => {
       fs.mkdirs(dir)
       staged.foreach { f =>
         if (!fs.rename(f, new Path(dir, f.getName)))
@@ -1431,15 +1476,27 @@ class TableCatalog(spark: SparkSession, root: String,
     * `_metadata.file_path` (both are the FileSystem-qualified path
     * string), so the catalog's exact-string DV join masks them. */
   private[graft] def commitDelta(fq: String, dvStaged: Seq[Path],
-      dataStaged: Seq[Path]): Unit = {
+      dataStaged: Seq[Path], basedOn: Option[Int] = None): Unit = {
     val v = currentVersion(fq).getOrElse(
       throw new IllegalArgumentException(s"table not found: $fq"))
+    // snapshot-conflict check: the staged DV (file, row_index) pairs
+    // address the version the row-level SCAN read. If any other commit
+    // (compact/overwrite/another writer) landed since, those addresses
+    // may point at retired files — the DELETE side would silently
+    // match nothing while the INSERT side commits, duplicating rows.
+    // Abort instead (Delta/Iceberg's conflict semantics); the caller
+    // re-runs the whole operation against the current snapshot.
+    basedOn.filter(_ != v).foreach { b =>
+      throw new java.util.ConcurrentModificationException(
+        s"$fq advanced to v$v since the row-level scan read v$b — " +
+          "rerun the operation")
+    }
     require(partitionColsOf(fq, v).isEmpty,
       s"row-level operations target unpartitioned tables; $fq is hive-partitioned")
     if (dvStaged.isEmpty && dataStaged.isEmpty) return // no-op op
     val files = dataFiles(fq, v)
     val dvs = dvFiles(fq, v)
-    commitVersion(fq, dir => {
+    commitVersionFrom(fq, v, dir => {
       fs.mkdirs(dir)
       dataStaged.foreach { f =>
         if (!fs.rename(f, new Path(dir, f.getName)))
@@ -1457,17 +1514,23 @@ class TableCatalog(spark: SparkSession, root: String,
     })
   }
 
-  /** Epoch tags of retained version dirs (streaming-sink replay
-    * detection). Retention caveat: tags live as long as their version
-    * dir; Structured Streaming replays at most the LAST epoch after a
-    * restart, and the pruner always keeps current and current−1, so a
-    * replayed tag is present unless two+ EXTERNAL commits landed
-    * between the crash and the restart (the Delta txn-version
-    * retention trade). */
+  /** Epoch tags already committed into this table (streaming-sink
+    * replay detection): the union of the durable table-level
+    * `_EPOCHS/` markers — which survive vacuum/maintain pruning
+    * version dirs, so idempotency outlives any retention policy — and
+    * the per-version `_EPOCH` files (written atomically with each
+    * commit, and the only layer present for the instant between a
+    * commit and its marker write). */
   private[graft] def committedEpochs(fq: String): Set[String] = {
     val td = tableDir(fq)
     if (!fs.exists(td)) return Set.empty
-    fs.listStatus(td).filter(_.isDirectory).map(_.getPath)
+    val durable = {
+      val d = epochsDir(fq)
+      if (!fs.exists(d)) Set.empty[String]
+      else fs.listStatus(d).filter(_.isFile)
+        .map(st => decodeEpochTag(st.getPath.getName)).toSet
+    }
+    durable ++ fs.listStatus(td).filter(_.isDirectory).map(_.getPath)
       .filter(_.getName.matches("v_\\d{6}"))
       .flatMap { d =>
         val p = new Path(d, "_EPOCH")

@@ -29,6 +29,14 @@ class GraftRowLevelOperation(root: String, fq: String,
     cmd: RowLevelOperation.Command, tableSchema: StructType)
     extends SupportsDelta {
 
+  // the snapshot this whole operation runs against: the SCAN reads it
+  // (pinning survives commits that land mid-query) and the commit
+  // verifies the table still sits at it — otherwise the staged DV
+  // addresses could point into files a concurrent rewrite retired
+  // (see TableCatalog.commitDelta's conflict check)
+  private val scanVersion: Option[Int] =
+    new TableCatalog(SparkSession.active, root).version(fq)
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def rowId(): Array[NamedReference] =
@@ -42,23 +50,23 @@ class GraftRowLevelOperation(root: String, fq: String,
   override def requiredMetadataAttributes(): Array[NamedReference] = rowId()
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(tableSchema, root, fq, None)
+    new GraftScanBuilder(tableSchema, root, fq, scanVersion)
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new GraftDeltaWrite(root, fq,
-        info.schema())
+        info.schema(), scanVersion)
     }
 }
 
-class GraftDeltaWrite(root: String, fq: String, rowSchema: StructType)
-    extends DeltaWrite {
+class GraftDeltaWrite(root: String, fq: String, rowSchema: StructType,
+    scanVersion: Option[Int]) extends DeltaWrite {
   override def toBatch: DeltaBatchWrite = new GraftDeltaBatchWrite(root, fq,
-    rowSchema)
+    rowSchema, scanVersion)
 }
 
-class GraftDeltaBatchWrite(root: String, fq: String, rowSchema: StructType)
-    extends DeltaBatchWrite {
+class GraftDeltaBatchWrite(root: String, fq: String, rowSchema: StructType,
+    scanVersion: Option[Int]) extends DeltaBatchWrite {
   private val stagingDir =
     s"$root/_staging/delta-${java.util.UUID.randomUUID()}"
 
@@ -71,7 +79,7 @@ class GraftDeltaBatchWrite(root: String, fq: String, rowSchema: StructType)
     val dataStaged = messages.collect {
       case GraftDeltaMessage(_, Some(p)) => new Path(p) }.toSeq
     new TableCatalog(SparkSession.active, root)
-      .commitDelta(fq, dvStaged, dataStaged)
+      .commitDelta(fq, dvStaged, dataStaged, basedOn = scanVersion)
     cleanup()
   }
 

@@ -41,15 +41,17 @@ object GraftParquetIO {
   }
 
   /** Projection of `full` keeping only `names`, in `names` order.
-    * Names absent from the file are an error (the connector never
-    * projects columns the inferred schema lacks). */
+    * Names ABSENT from the file are skipped — an evolved chain's
+    * older files simply lack the newer columns, which the record
+    * converter then reads as null (schema-union semantics). A file
+    * containing NONE of the names degrades to its first column
+    * (record boundaries still needed). */
   def projectSchema(full: MessageType, names: Seq[String]): MessageType = {
-    val kept = names.map { n =>
-      require(full.containsField(n), s"column $n not in parquet schema")
-      full.getType(full.getFieldIndex(n))
-    }
+    val kept = names.filter(full.containsField)
+      .map(n => full.getType(full.getFieldIndex(n)))
     val b = Types.buildMessage()
-    kept.foreach(b.addField)
+    if (kept.isEmpty) b.addField(full.getFields.get(0))
+    else kept.foreach(b.addField)
     b.named(full.getName)
   }
 
@@ -299,9 +301,11 @@ object GraftParquetIO {
     new GenericArrayData(out)
   }
 
-  /** One field's Spark value from a Group record (name lookup). */
+  /** One field's Spark value from a Group record (name lookup; a
+    * column the file predates reads as null — schema union). */
   def valueOf(g: Group, f: StructField): Any = {
     val gt: GroupType = g.getType
+    if (!gt.containsField(f.name)) return null
     val idx = gt.getFieldIndex(f.name)
     if (g.getFieldRepetitionCount(idx) == 0) null
     else f.dataType match {

@@ -85,10 +85,9 @@ class GraftSource extends TableProvider with DataSourceRegister {
         options.get("version") == null)
       return new StructType()
     val (r, f, v) = resolve(options)
-    val cat = new TableCatalog(spark, r)
-    val files = cat.dataFilePathsAt(f, v)
-    require(files.nonEmpty, s"graft table $f v$v has no data files")
-    spark.read.parquet(files.head).schema // one footer, driver-side
+    // per-version footer union — evolved chains expose every column,
+    // conflicting chains fail loudly (not schema-of-arbitrary-file)
+    GraftSource.chainSchema(spark, new TableCatalog(spark, r), f, v)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -531,6 +530,39 @@ object GraftSource {
     * DV sidecar verbatim. */
   val RowIdFile = "_gfile"
   val RowIdPos = "_gpos"
+
+  /** Table schema for a connector read: ONE representative footer per
+    * owning version directory (files of one commit share a schema —
+    * they come out of a single writing job), UNIONED across the chain.
+    * A table grown via `appendEvolving` thus exposes every column
+    * (files lacking one read it as null, matching
+    * `TableCatalog.readMergedSchema`), and a same-name TYPE conflict
+    * fails loudly at planning time instead of erroring mid-scan or
+    * silently omitting columns newer than an arbitrary first file.
+    * Cost: O(chain versions) footer reads, driver-side. */
+  private[connector] def chainSchema(spark: SparkSession,
+      cat: graft.catalog.TableCatalog, fq: String, v: Int): StructType = {
+    val files = cat.dataFilePathsAt(fq, v)
+    require(files.nonEmpty, s"graft table $fq v$v has no data files")
+    val vdir = "(.*/v_\\d{6})/".r
+    def owner(p: String): String =
+      vdir.findFirstMatchIn(p).map(_.group(1)).getOrElse(new Path(p).getParent.toString)
+    val reps = files.groupBy(owner).toSeq.sortBy(_._1).map(_._2.min)
+    reps.map(p => spark.read.parquet(p).schema).reduce { (a, b) =>
+      val merged = scala.collection.mutable.ArrayBuffer(a.fields: _*)
+      b.fields.foreach { f =>
+        merged.find(_.name == f.name) match {
+          case Some(e) =>
+            if (e.dataType != f.dataType) throw new IllegalStateException(
+              s"graft table $fq: column ${f.name} has conflicting types " +
+                s"across the chain (${e.dataType.simpleString} vs " +
+                s"${f.dataType.simpleString}) — compact the table first")
+          case None => merged += f
+        }
+      }
+      StructType(merged.toSeq)
+    }
+  }
 }
 
 /** Offset = committed manifest version. */

@@ -156,11 +156,15 @@ class GraftWriteBuilder(root: String, fq: String, schema: StructType,
       cat.version(fq).foreach { v =>
         val files = cat.dataFilePathsAt(fq, v)
         if (files.nonEmpty) {
-          val existing = spark.read.parquet(files.head).schema
-          require(schema.fieldNames.sorted.sameElements(
-              existing.fieldNames.sorted),
-            s"graft append schema [${schema.fieldNames.mkString(",")}] does " +
-              s"not match table schema [${existing.fieldNames.mkString(",")}]")
+          val existing = GraftSource.chainSchema(spark, cat, fq, v)
+          // name AND type: a same-named column of a different type
+          // would commit fine and only explode (or silently widen)
+          // per-file at read time — reject at the write instead
+          def sig(s: StructType) = s.fields
+            .map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+          require(sig(schema) == sig(existing),
+            s"graft append schema [${schema.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")}] does " +
+              s"not match table schema [${existing.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")}]")
         }
       }
     }

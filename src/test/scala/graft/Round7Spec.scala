@@ -1,0 +1,190 @@
+package graft
+
+import java.util.ConcurrentModificationException
+import java.util.concurrent.CyclicBarrier
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.catalog.TableCatalog
+
+/** Round-7 hardening: optimistic-concurrency snapshot conflicts,
+  * vacuum-proof streaming-epoch idempotency, the SQL-catalog
+  * partitioned-table guard, name+type append checking, and
+  * union-of-footers schema inference for evolved chains. */
+class Round7Spec extends SparkTestBase {
+  import spark.implicits._
+
+  private def graftRead(root: String, fq: String): DataFrame =
+    spark.read.format("graft").option("root", root).option("table", fq).load()
+
+  /** Write `df` as one parquet file somewhere stage-able and return
+    * the part-file paths (the executor-staged-files shape the DSv2
+    * writer produces). */
+  private def stageParquet(df: DataFrame): Seq[Path] = {
+    val d = tempDir("r7_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(d)).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).toSeq
+  }
+
+  private def allMessages(e: Throwable): String = {
+    val sb = new StringBuilder
+    var cur: Throwable = e
+    while (cur != null) { sb.append(cur.getMessage).append('\n'); cur = cur.getCause }
+    sb.toString
+  }
+
+  // ---- snapshot conflicts (OCC) -------------------------------------------
+
+  test("commitDelta based on a stale snapshot aborts instead of committing") {
+    val root = tempDir("r7_occ")
+    val cat = new TableCatalog(spark, root)
+    val t = "D.S.OCC"
+    cat.overwrite(t, (1L to 100L).toDF("k"))
+    val v0 = cat.version(t).get
+    cat.append(t, (101L to 110L).toDF("k")) // a concurrent writer lands
+    val ex = intercept[ConcurrentModificationException] {
+      cat.commitDelta(t, Nil, stageParquet((200L to 202L).toDF("k")),
+        basedOn = Some(v0))
+    }
+    assert(ex.getMessage.contains("rerun"))
+    // the conflicting commit left no trace: version unchanged, rows intact
+    assert(cat.version(t).get == v0 + 1)
+    assert(cat.read(t).count() == 110)
+  }
+
+  test("SQL row-level op conflicts when the table advances mid-operation") {
+    // the row-level operation pins its scan version at plan time; an
+    // external commit between plan and write-commit must abort the op
+    val root = tempDir("r7_occ_sql")
+    val cat = new TableCatalog(spark, root)
+    val t = "D.S.OCCSQL"
+    cat.overwrite(t, (1L to 50L).map(i => (i, i * 2.0)).toDF("k", "x"))
+    // the delta write pins the version its scan read (what
+    // GraftRowLevelOperation captures at plan time)…
+    val wb = new graft.connector.GraftDeltaWrite(root, t,
+      graftRead(root, t).schema, cat.version(t)).toBatch
+    // …then the table moves on before the write commits
+    cat.append(t, Seq((99L, 9.9)).toDF("k", "x"))
+    val ex = intercept[ConcurrentModificationException] {
+      wb.commit(Array(graft.connector.GraftDeltaMessage(None,
+        Some(stageParquet(Seq((7L, 7.7)).toDF("k", "x")).head.toString))))
+    }
+    assert(ex.getMessage.contains("row-level scan"))
+  }
+
+  test("two racing appends: one winner per version, retry converges, no lost update") {
+    val root = tempDir("r7_race")
+    val t = "D.S.RACE"
+    new TableCatalog(spark, root).overwrite(t, Seq(0L).toDF("k"))
+    val dfA = Seq(1L).toDF("k"); dfA.count() // materialize plans on main thread
+    val dfB = Seq(2L).toDF("k"); dfB.count()
+    val barrier = new CyclicBarrier(2)
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    def run(df: DataFrame): Thread = new Thread(() => {
+      barrier.await()
+      var done = false; var attempts = 0
+      while (!done && attempts < 30) {
+        attempts += 1
+        try { new TableCatalog(spark, root).append(t, df); done = true }
+        catch {
+          case _: ConcurrentModificationException =>
+            // the loser backs off past the winner's in-flight commit
+            conflicts.incrementAndGet(); Thread.sleep(250)
+        }
+      }
+      if (!done) failures.incrementAndGet()
+    })
+    val (ta, tb) = (run(dfA), run(dfB))
+    ta.start(); tb.start(); ta.join(120000); tb.join(120000)
+    assert(failures.get() == 0, "a writer never converged")
+    val cat = new TableCatalog(spark, root)
+    // no lost update: both appends present, chain readable, version
+    // advanced exactly once per successful commit
+    assert(cat.read(t).as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
+    assert(cat.version(t).get == 2)
+  }
+
+  // ---- vacuum-proof streaming-epoch idempotency ---------------------------
+
+  test("epoch tags survive vacuum retiring their version dirs") {
+    val root = tempDir("r7_epochs")
+    val cat = new TableCatalog(spark, root)
+    val t = "D.S.EPOCHS"
+    cat.overwrite(t, (1L to 10L).toDF("k").repartition(2))
+    cat.commitStagedFiles(t, stageParquet((11L to 20L).toDF("k")),
+      overwrite = false, epochTag = Some("qid-7:42"))
+    assert(cat.committedEpochs(t).contains("qid-7:42"))
+    // a rewrite then an append orphan the epoch's version dir, and the
+    // retention sweep (commit-time pruner + vacuum) retires it…
+    cat.compact(t)
+    cat.append(t, (21L to 25L).toDF("k"))
+    cat.vacuum(t, keepVersions = 2)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(root, "D/S/EPOCHS/v_000001")),
+      "the epoch's version dir (and its in-dir _EPOCH tag) should be retired")
+    // …but the table-level _EPOCHS marker still detects the replay
+    assert(cat.committedEpochs(t).contains("qid-7:42"))
+  }
+
+  // ---- SQL catalog guard for hive-partitioned tables ----------------------
+
+  test("SQL catalog read of a hive-partitioned table fails loudly") {
+    val root = tempDir("r7_ptguard")
+    val cat = new TableCatalog(spark, root)
+    cat.overwritePartitioned("db.s.pt",
+      Seq((1L, "a"), (2L, "b")).toDF("k", "p"), Seq("p"))
+    spark.conf.set("spark.sql.catalog.r7ptcat", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.r7ptcat.root", root)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM r7ptcat.db.s.pt").collect()
+    }
+    assert(allMessages(ex).contains("hive-partitioned"))
+  }
+
+  // ---- name+type append check ---------------------------------------------
+
+  test("DSv2 append with same-named column of different type is rejected") {
+    val root = tempDir("r7_typechk")
+    val t = "D.S.TYPES"
+    def write(df: DataFrame, mode: String) = df.write.format("graft")
+      .option("root", root).option("table", t).mode(mode).save()
+    write((1L to 5L).toDF("k"), "overwrite")
+    val ex = intercept[Exception] {
+      write(Seq("x", "y").toDF("k"), "append")
+    }
+    assert(allMessages(ex).contains("does not match"))
+    // same names AND types still appends fine
+    write((6L to 8L).toDF("k"), "append")
+    assert(graftRead(root, t).count() == 8)
+  }
+
+  // ---- union-of-footers schema inference ----------------------------------
+
+  test("connector read of an evolved chain exposes the union schema") {
+    val root = tempDir("r7_evolve")
+    val cat = new TableCatalog(spark, root)
+    val t = "D.S.EVOLVE"
+    cat.overwrite(t, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    cat.appendEvolving(t, Seq((3L, "c", 3.5)).toDF("k", "s", "x"))
+    val got = graftRead(root, t)
+    assert(got.schema.fieldNames.sorted.toSeq == Seq("k", "s", "x"))
+    val rows = got.select("k", "s", "x").as[(Long, String, Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(3.5))))
+  }
+
+  test("connector read of a type-conflicting chain fails loudly") {
+    val root = tempDir("r7_conflict")
+    val cat = new TableCatalog(spark, root)
+    val t = "D.S.CONFLICT"
+    cat.overwrite(t, Seq(1L).toDF("k"))
+    cat.append(t, Seq("oops").toDF("k")) // the catalog append is unchecked
+    val ex = intercept[Exception] { graftRead(root, t).collect() }
+    assert(allMessages(ex).contains("conflicting types"))
+  }
+}
