@@ -804,19 +804,26 @@ class TableCatalog(spark: SparkSession, root: String,
     val files = dataFiles(fq, v)
     if (files.isEmpty) return
     val dvs = dvFiles(fq, v)
-    // footer min/max stats prune the probe like touchedFiles; already-
-    // masked rows are excluded so re-deleting is a no-op
+    // ONE scan of the candidate files: the matched (file, row_index)
+    // frame is deletes-sized, so it persists whole; the count() both
+    // answers the emptiness probe AND materializes the cache, and the
+    // sidecar write below reads the cache — the data files are read
+    // exactly once per mutation, not once per downstream action.
+    // (already-masked rows are excluded, so re-deleting is a no-op)
     val newDv = maskDv(spark.read.parquet(files.map(_.toString): _*),
         dvs, keepPos = true)
       .filter(where)
       .select(col("__fp").as("file"), col("__ri").as("row_index"))
-    if (newDv.limit(1).count() == 0) return // nothing matches: version stands
-    commitVersionFrom(fq, v, dir => {
-      fs.mkdirs(dir)
-      newDv.write.mode(SaveMode.Overwrite).parquet(dvDir(dir).toString)
-      writeManifest(dir, files)
-      if (dvs.nonEmpty) writeDvManifest(dir, dvs)
-    })
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (newDv.count() == 0) return // nothing matches: version stands
+      commitVersionFrom(fq, v, dir => {
+        fs.mkdirs(dir)
+        newDv.write.mode(SaveMode.Overwrite).parquet(dvDir(dir).toString)
+        writeManifest(dir, files)
+        if (dvs.nonEmpty) writeDvManifest(dir, dvs)
+      })
+    } finally newDv.unpersist()
   }
 
   /** UPDATE with merge-on-read semantics: matching rows are masked by a
@@ -835,20 +842,29 @@ class TableCatalog(spark: SparkSession, root: String,
     val files = dataFiles(fq, v)
     if (files.isEmpty) return
     val dvs = dvFiles(fq, v)
+    // ONE scan: `hit` (the matched rows with their DV addresses) is
+    // matched-rows-sized, so it persists whole. The count() is both
+    // the emptiness probe and the cache materialization; the DV
+    // sidecar write AND the replacement-data write below each read the
+    // cache — previously three separate jobs re-read every candidate
+    // file (at 100 TB: three scans of the touched files instead of one).
     val hit = maskDv(spark.read.parquet(files.map(_.toString): _*),
         dvs, keepPos = true)
       .filter(where)
-    if (hit.limit(1).count() == 0) return
-    val newDv = hit.select(col("__fp").as("file"), col("__ri").as("row_index"))
-    val updated = assignments.foldLeft(hit.drop("__fp", "__ri")) {
-      case (d, (c, value)) => d.withColumn(c, value) // `where` already applied
-    }
-    commitVersionFrom(fq, v, dir => {
-      updated.write.mode(SaveMode.Overwrite).parquet(dir.toString)
-      newDv.write.mode(SaveMode.Overwrite).parquet(dvDir(dir).toString)
-      writeManifest(dir, files)
-      if (dvs.nonEmpty) writeDvManifest(dir, dvs)
-    })
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (hit.count() == 0) return
+      val newDv = hit.select(col("__fp").as("file"), col("__ri").as("row_index"))
+      val updated = assignments.foldLeft(hit.drop("__fp", "__ri")) {
+        case (d, (c, value)) => d.withColumn(c, value) // `where` already applied
+      }
+      commitVersionFrom(fq, v, dir => {
+        updated.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+        newDv.write.mode(SaveMode.Overwrite).parquet(dvDir(dir).toString)
+        writeManifest(dir, files)
+        if (dvs.nonEmpty) writeDvManifest(dir, dvs)
+      })
+    } finally hit.unpersist()
   }
 
   /** Outstanding masked-row count of the live version (0 = no DVs) —

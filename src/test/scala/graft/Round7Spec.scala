@@ -178,6 +178,68 @@ class Round7Spec extends SparkTestBase {
     assert(rows == Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(3.5))))
   }
 
+  // ---- single-pass merge-on-read mutations --------------------------------
+
+  test("MoR delete and update scan their candidate files exactly once") {
+    val root = tempDir("r7_onescan")
+    val cat = new TableCatalog(spark, root)
+    val t = "D.S.ONESCAN"
+    cat.overwrite(t,
+      (1L to 20000L).map(i => (i, i * 2.0)).toDF("k", "x").repartition(4))
+
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(s"[$funcName]\n${qe.executedPlan.toString}")
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    def captured(body: => Unit): Seq[String] = {
+      plans.clear()
+      spark.listenerManager.register(listener)
+      try {
+        body
+        // QueryExecutionListener delivery is async on the listener bus
+        var last = -1; var stable = 0
+        while (stable < 4) {
+          Thread.sleep(250)
+          val n = plans.size()
+          if (n == last) stable += 1 else { stable = 0; last = n }
+        }
+        plans.toArray(Array.empty[String]).toSeq
+      } finally spark.listenerManager.unregister(listener)
+    }
+    // a parquet scan NOT routed through the persisted candidate frame
+    // = a re-read of the data files (the pre-fix triple-scan shape).
+    // A plan string mentioning InMemoryTableScan reads the cache; the
+    // FileScan text inside its InMemoryRelation description is the
+    // cached lineage, executed only once at materialization.
+    def uncachedScans(ps: Seq[String]): Seq[String] =
+      ps.filter(p => p.contains("Scan parquet") &&
+        !p.contains("InMemoryTableScan"))
+
+    // update = probe + DV-sidecar write + replacement-data write; all
+    // three executions must ride the single materialized cache
+    val upd = captured {
+      cat.updateWhereDV(t, Map("x" -> lit(0.0)), col("k") % 100 === 0)
+    }
+    assert(upd.count(_.contains("InMemoryTableScan")) >= 3,
+      s"expected probe + 2 writes through the cache:\n${upd.mkString("\n----\n")}")
+    assert(uncachedScans(upd).isEmpty,
+      s"executions re-scanned the data files:\n${uncachedScans(upd).mkString("\n----\n")}")
+    assert(cat.read(t).filter(col("x") === 0.0).count() == 200)
+
+    val del = captured { cat.deleteWhereDV(t, col("k") % 100 === 50) }
+    assert(del.count(_.contains("InMemoryTableScan")) >= 2,
+      s"expected probe + DV write through the cache:\n${del.mkString("\n----\n")}")
+    assert(uncachedScans(del).isEmpty,
+      s"executions re-scanned the data files:\n${uncachedScans(del).mkString("\n----\n")}")
+    assert(cat.read(t).count() == 20000 - 200)
+  }
+
   test("connector read of a type-conflicting chain fails loudly") {
     val root = tempDir("r7_conflict")
     val cat = new TableCatalog(spark, root)
