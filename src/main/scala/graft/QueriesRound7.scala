@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import Queries.table
+
+/** Round-7 queries: merge-on-read on hive-partitioned tables, the
+  * vectorized connector read path, nested types through the connector,
+  * string min/max file skipping, and change-tolerant streaming. Same
+  * contract as [[Queries]]: every entry is oracle-gated via
+  * [[QueriesRound7.oracles]]. */
+object QueriesRound7 {
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- deletion vectors on a HIVE-PARTITIONED table: the DV
+    //      sidecar addresses (file, row_index) across the partition
+    //      layout, so a point-delete in a huge partition writes
+    //      O(matched rows) bytes and rewrites NOTHING (no_rewrite is
+    //      part of the hashed answer) — previously partitioned tables
+    //      fell back to partition-granular copy-on-write. The MoR
+    //      update then masks+reinserts with the replacements written
+    //      PARTITIONED (they keep riding partition pruning), growing
+    //      the file set without retiring a file (grew_only). ----
+    "q246_partitioned_dv" -> ((s, dir) => {
+      val work = graft.Scratch.dir("graft_pdv")
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_returnflag"))
+      val t = "D.S.PDV"
+      cat.overwritePartitioned(t, li, Seq("l_returnflag"))
+      val filesBefore = cat.dataFilePaths(t)
+      cat.deleteWhereDV(t, col("l_orderkey") % 7 === 0)
+      val noRewrite = cat.dataFilePaths(t) == filesBefore
+      cat.updateWhereDV(t,
+        Map("l_quantity" -> (col("l_quantity") + lit(100))),
+        col("l_orderkey") % 11 === 0)
+      val grewOnly = filesBefore.toSet.subsetOf(cat.dataFilePaths(t).toSet)
+      cat.read(t)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_price"))
+        .withColumn("no_rewrite", lit(noRewrite))
+        .withColumn("grew_only", lit(grewOnly))
+    }))
+
+  val oracles: Map[String, String] = Map(
+
+    "q246_partitioned_dv" ->
+      """SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CAST(CASE WHEN l_orderkey % 11 = 0
+                              THEN l_quantity + 100 ELSE l_quantity END
+                         AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           TRUE AS no_rewrite,
+           TRUE AS grew_only
+         FROM lineitem
+         WHERE l_orderkey % 7 <> 0
+         GROUP BY 1""")
+}

@@ -146,10 +146,18 @@ class TableCatalog(spark: SparkSession, root: String,
     * callers that write NEW masks from the survivors. */
   private def maskDv(scan: DataFrame, dvs: Seq[Path],
       keepPos: Boolean = false): DataFrame =
-    if (dvs.isEmpty) { if (keepPos) withRowPos(scan) else scan }
+    maskDvPos(withRowPos(scan), dvs, keepPos)
+
+  /** [[maskDv]] over a frame that ALREADY carries `__fp`/`__ri` —
+    * partitioned chains project them per-scan BEFORE the layout union
+    * (`_metadata` is per-file-source and cannot be selected on a
+    * union). */
+  private def maskDvPos(dfWithPos: DataFrame, dvs: Seq[Path],
+      keepPos: Boolean = false): DataFrame =
+    if (dvs.isEmpty) { if (keepPos) dfWithPos else dfWithPos.drop("__fp", "__ri") }
     else {
       val mask = spark.read.parquet(dvs.map(_.toString): _*)
-      val masked = withRowPos(scan)
+      val masked = dfWithPos
         .join(mask, col("__fp") === mask("file") &&
           col("__ri") === mask("row_index"), "left_anti")
       if (keepPos) masked else masked.drop("__fp", "__ri")
@@ -203,16 +211,27 @@ class TableCatalog(spark: SparkSession, root: String,
   /** One scan per owning version over a set of chain entries (version
     * dirs and/or partition leaf dirs), partition columns recovered via
     * basePath. `withFileCol` projects `input_file_name()` on each scan
-    * BEFORE the union so downstream joins stay legal. */
+    * BEFORE the union so downstream joins stay legal; `withRowPos`
+    * likewise projects the `__fp`/`__ri` DV address columns per scan
+    * (so [[maskDvPos]] can mask a partitioned chain). Entries holding
+    * no data files (e.g. a DV-only version dir) are skipped — unless
+    * nothing holds data, in which case the raw entries pass through
+    * for an empty-table schema read. */
   private def readPartitionedDirs(entries: Seq[Path],
       mergeSchema: Boolean = false,
-      withFileCol: Option[String] = None): DataFrame = {
+      withFileCol: Option[String] = None,
+      withRowPos: Boolean = false): DataFrame = {
     val existing = entries.filter(fs.exists(_))
-    existing.groupBy(versionAncestor).toSeq.sortBy(_._1.toString)
+    val withData = existing.filter(e => listFilesRecursive(e).nonEmpty)
+    val use = if (withData.nonEmpty) withData else existing
+    use.groupBy(versionAncestor).toSeq.sortBy(_._1.toString)
       .map { case (base, dirs) =>
         var r = spark.read.option("basePath", base.toString)
         if (mergeSchema) r = r.option("mergeSchema", "true")
-        val df = r.parquet(dirs.map(_.toString).sorted: _*)
+        var df = r.parquet(dirs.map(_.toString).sorted: _*)
+        if (withRowPos) df = df
+          .withColumn("__fp", col("_metadata.file_path"))
+          .withColumn("__ri", col("_metadata.row_index"))
         withFileCol.map(c => df.withColumn(c, input_file_name())).getOrElse(df)
       }
       .reduce((a, b) => a.unionByName(b, allowMissingColumns = mergeSchema))
@@ -411,8 +430,14 @@ class TableCatalog(spark: SparkSession, root: String,
     manifestEntries(dir) ++ own
   }
 
-  private def readPartitionedChain(fq: String, v: Int): DataFrame =
-    readPartitionedDirs(chainDirs(fq, v))
+  /** Partitioned chain read WITH the version's DV masks applied (the
+    * address columns project per-scan before the layout union). */
+  private def readPartitionedChain(fq: String, v: Int): DataFrame = {
+    val dvs = dvFiles(fq, v)
+    if (dvs.isEmpty) readPartitionedDirs(chainDirs(fq, v))
+    else maskDvPos(
+      readPartitionedDirs(chainDirs(fq, v), withRowPos = true), dvs)
+  }
 
   def read(fq: String): DataFrame = currentVersion(fq) match {
     case Some(v) if partitionColsOf(fq, v).nonEmpty =>
@@ -459,7 +484,8 @@ class TableCatalog(spark: SparkSession, root: String,
     case Some(v) if partitionColsOf(fq, v).nonEmpty =>
       // per-version partition discovery (bare leaf files would silently
       // drop the partition columns), schema union across the chain
-      readPartitionedDirs(chainDirs(fq, v), mergeSchema = true)
+      maskDvPos(readPartitionedDirs(chainDirs(fq, v), mergeSchema = true,
+        withRowPos = true), dvFiles(fq, v))
     case Some(v) =>
       val files = dataFiles(fq, v)
       if (files.isEmpty) spark.read.parquet(versionDir(fq, v).toString)
@@ -626,15 +652,16 @@ class TableCatalog(spark: SparkSession, root: String,
     require(partitionCols.nonEmpty, "partition columns required")
     val v = currentVersion(fq).getOrElse(
       throw new IllegalArgumentException(s"table not found: $fq"))
-    require(dvFiles(fq, v).isEmpty,
-      s"evolve partitioning of $fq after compact: outstanding deletion " +
-        "vectors would not be applied by the partition-granular read path")
+    // outstanding DV masks ride along: the partition-granular read
+    // path applies them per-scan before its layout union
+    val dvs = dvFiles(fq, v)
     val carried = chainDirs(fq, v)
     commitVersionFrom(fq, v, dir => {
       df.write.mode(SaveMode.Overwrite)
         .partitionBy(partitionCols: _*).parquet(dir.toString)
       writePartitions(dir, partitionCols)
       writeManifest(dir, carried)
+      if (dvs.nonEmpty) writeDvManifest(dir, dvs)
     })
   }
 
@@ -707,7 +734,12 @@ class TableCatalog(spark: SparkSession, root: String,
         .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
       if (hitFiles.isEmpty) return // no matching rows: current version stands
       val (hitDirs, carriedDirs) = touchedPartitionDirs(fq, v, hitFiles)
-      val cur = readPartitionedDirs(hitDirs)
+      // rewrite THROUGH outstanding DV masks (rows a prior MoR delete
+      // masked must not resurrect); carried dirs keep their masks via
+      // the DV manifest, entries addressing rewritten files go inert
+      val dvs = dvFiles(fq, v)
+      val cur = maskDvPos(
+        readPartitionedDirs(hitDirs, withRowPos = true), dvs)
       val updated = assignments.foldLeft(cur) { case (d, (c, value)) =>
         d.withColumn(c, when(where, value).otherwise(col(c)))
       }
@@ -716,6 +748,7 @@ class TableCatalog(spark: SparkSession, root: String,
           .partitionBy(pcols: _*).parquet(dir.toString)
         writePartitions(dir, pcols)
         if (carriedDirs.nonEmpty) writeManifest(dir, carriedDirs)
+        if (carriedDirs.nonEmpty && dvs.nonEmpty) writeDvManifest(dir, dvs)
       })
       return
     }
@@ -761,12 +794,15 @@ class TableCatalog(spark: SparkSession, root: String,
         .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
       if (hitFiles.isEmpty) return
       val (hitDirs, carriedDirs) = touchedPartitionDirs(fq, v, hitFiles)
-      val kept = readPartitionedDirs(hitDirs).filter(!where)
+      val dvs = dvFiles(fq, v) // see updateWhere: rewrite through masks
+      val kept = maskDvPos(
+        readPartitionedDirs(hitDirs, withRowPos = true), dvs).filter(!where)
       commitVersionFrom(fq, v, dir => {
         kept.write.mode(SaveMode.Overwrite)
           .partitionBy(pcols: _*).parquet(dir.toString)
         writePartitions(dir, pcols)
         if (carriedDirs.nonEmpty) writeManifest(dir, carriedDirs)
+        if (carriedDirs.nonEmpty && dvs.nonEmpty) writeDvManifest(dir, dvs)
       })
       return
     }
@@ -794,13 +830,37 @@ class TableCatalog(spark: SparkSession, root: String,
     * cost O(matched rows) written bytes instead of a 128 MB
     * copy-on-write per touched file; [[compact]] materializes the
     * masks (and [[vacuum]] then retires the masked bytes — the erasure
-    * clock, as with [[deleteWhere]]). Falls back to copy-on-write for
-    * hive-partitioned tables, whose partition-granular rewrite is
-    * already delete-proportional. */
+    * clock, as with [[deleteWhere]]). Hive-partitioned tables take the
+    * same MoR path: the DV sidecar addresses (file, row_index) across
+    * the partition layout, the new version carries every prior chain
+    * entry as directories, and the partition-granular read path masks
+    * per-scan before its layout union — a point-delete in a 1 TB
+    * partition writes O(matched rows) bytes instead of rewriting the
+    * partition. */
   def deleteWhereDV(fq: String, where: Column): Unit = {
     val v = currentVersion(fq).getOrElse(
       throw new IllegalArgumentException(s"table not found: $fq"))
-    if (partitionColsOf(fq, v).nonEmpty) { deleteWhere(fq, where); return }
+    val pcolsDv = partitionColsOf(fq, v)
+    if (pcolsDv.nonEmpty) {
+      val dvs = dvFiles(fq, v)
+      val carried = chainDirs(fq, v)
+      val newDv = maskDvPos(
+          readPartitionedDirs(carried, withRowPos = true), dvs, keepPos = true)
+        .filter(where)
+        .select(col("__fp").as("file"), col("__ri").as("row_index"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (newDv.count() == 0) return
+        commitVersionFrom(fq, v, dir => {
+          fs.mkdirs(dir)
+          newDv.write.mode(SaveMode.Overwrite).parquet(dvDir(dir).toString)
+          writePartitions(dir, pcolsDv)
+          writeManifest(dir, carried)
+          if (dvs.nonEmpty) writeDvManifest(dir, dvs)
+        })
+      } finally newDv.unpersist()
+      return
+    }
     val files = dataFiles(fq, v)
     if (files.isEmpty) return
     val dvs = dvFiles(fq, v)
@@ -830,14 +890,39 @@ class TableCatalog(spark: SparkSession, root: String,
     * deletion vector and their updated copies land as NEW data files —
     * delete+reinsert, the Iceberg v2 MoR update shape. Cost is
     * O(matched rows) read+written, never a whole-file rewrite; the
-    * rewrite debt is settled by [[compact]]. Falls back to
-    * copy-on-write for hive-partitioned tables. */
+    * rewrite debt is settled by [[compact]]. Hive-partitioned tables
+    * take the same path: masked originals via the DV sidecar, updated
+    * copies written PARTITIONED into the new version dir (so they keep
+    * riding partition pruning), prior chain carried as directories. */
   def updateWhereDV(fq: String, assignments: Map[String, Column],
       where: Column): Unit = {
     val v = currentVersion(fq).getOrElse(
       throw new IllegalArgumentException(s"table not found: $fq"))
-    if (partitionColsOf(fq, v).nonEmpty) {
-      updateWhere(fq, assignments, where); return
+    val pcolsDv = partitionColsOf(fq, v)
+    if (pcolsDv.nonEmpty) {
+      val dvs = dvFiles(fq, v)
+      val carried = chainDirs(fq, v)
+      val hit = maskDvPos(
+          readPartitionedDirs(carried, withRowPos = true), dvs, keepPos = true)
+        .filter(where)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (hit.count() == 0) return
+        val newDv = hit.select(col("__fp").as("file"),
+          col("__ri").as("row_index"))
+        val updated = assignments.foldLeft(hit.drop("__fp", "__ri")) {
+          case (d, (c, value)) => d.withColumn(c, value)
+        }
+        commitVersionFrom(fq, v, dir => {
+          updated.write.mode(SaveMode.Overwrite)
+            .partitionBy(pcolsDv: _*).parquet(dir.toString)
+          newDv.write.mode(SaveMode.Overwrite).parquet(dvDir(dir).toString)
+          writePartitions(dir, pcolsDv)
+          writeManifest(dir, carried)
+          if (dvs.nonEmpty) writeDvManifest(dir, dvs)
+        })
+      } finally hit.unpersist()
+      return
     }
     val files = dataFiles(fq, v)
     if (files.isEmpty) return
@@ -902,15 +987,18 @@ class TableCatalog(spark: SparkSession, root: String,
               .select(col("__file")).distinct()
               .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
             val (hitDirs, carriedDirs) = touchedPartitionDirs(fq, v, hitFiles)
+            val dvs = dvFiles(fq, v) // merge through outstanding masks
             val base =
               if (hitDirs.isEmpty) src.limit(0) // no overlap: partitioned append
-              else readPartitionedDirs(hitDirs)
+              else maskDvPos(
+                readPartitionedDirs(hitDirs, withRowPos = true), dvs)
             val merged = graft.operators.MergeOps.upsert(base, src, keys)
             commitVersionFrom(fq, v, dir => {
               merged.write.mode(SaveMode.Overwrite)
                 .partitionBy(pcols: _*).parquet(dir.toString)
               writePartitions(dir, pcols)
               if (carriedDirs.nonEmpty) writeManifest(dir, carriedDirs)
+              if (carriedDirs.nonEmpty && dvs.nonEmpty) writeDvManifest(dir, dvs)
             })
           } finally src.unpersist()
           return

@@ -240,6 +240,66 @@ class Round7Spec extends SparkTestBase {
     assert(cat.read(t).count() == 20000 - 200)
   }
 
+  // ---- deletion vectors on hive-partitioned tables ------------------------
+
+  test("partitioned tables take merge-on-read deletes and updates") {
+    val root = tempDir("r7_pdv")
+    val cat = new TableCatalog(spark, root)
+    val t = "db.s.pdv"
+    val letters = Array("a", "b", "c", "d")
+    cat.overwritePartitioned(t,
+      (1L to 1000L).map(i => (i, letters((i % 4).toInt), i * 1.0))
+        .toDF("k", "p", "x"), Seq("p"))
+    val filesBefore = cat.dataFilePaths(t)
+
+    // MoR delete: ZERO data files rewritten, result exact
+    cat.deleteWhereDV(t, col("k") % 10 === 0)
+    assert(cat.dataFilePaths(t) == filesBefore, "DV delete must not rewrite")
+    assert(cat.read(t).count() == 900)
+    assert(cat.read(t).filter(col("p") === "a").count() ==
+      (1L to 1000L).count(i => i % 4 == 0 && i % 10 != 0))
+
+    // MoR update: masks originals, adds partitioned replacement files
+    cat.updateWhereDV(t, Map("x" -> lit(-1.0)), col("k") % 10 === 1)
+    val filesAfter = cat.dataFilePaths(t)
+    assert(filesBefore.forall(filesAfter.contains), "MoR update only adds")
+    assert(cat.read(t).filter(col("x") === -1.0).count() == 100)
+    assert(cat.read(t).count() == 900)
+
+    // COW update reads THROUGH the masks: deleted rows never resurrect
+    cat.updateWhere(t, Map("x" -> lit(5.0)), col("k") % 10 === 2)
+    assert(cat.read(t).count() == 900)
+    assert(cat.read(t)
+      .filter(col("k") % 10 === 2 && col("x") === 5.0).count() == 100)
+
+    // time travel still sees the pre-delete snapshot
+    assert(cat.readVersion(t, 0).count() == 1000)
+
+    // compaction settles the MoR debt and clears the masks
+    cat.compact(t)
+    assert(cat.deletionVectorRows(t) == 0)
+    assert(cat.read(t).count() == 900)
+    assert(cat.read(t).filter(col("x") === -1.0).count() == 100)
+  }
+
+  test("partition evolution with outstanding DVs keeps masks applied") {
+    val root = tempDir("r7_evolvedv")
+    val cat = new TableCatalog(spark, root)
+    val t = "db.s.evdv"
+    cat.overwrite(t,
+      (1L to 200L).map(i => (i, if (i <= 100) "old" else "mid", i * 1.0))
+        .toDF("k", "p", "x"))
+    cat.deleteWhereDV(t, col("k") <= 10)
+    // re-layout going forward while 10 rows are still only DV-masked
+    cat.appendEvolvePartitioning(t,
+      (201L to 300L).map(i => (i, "new", i * 1.0)).toDF("k", "p", "x"),
+      Seq("p"))
+    assert(cat.read(t).count() == 290)
+    assert(cat.read(t).filter(col("k") <= 10).count() == 0,
+      "masked rows resurrected through the evolved layout")
+    assert(cat.read(t).filter(col("p") === "new").count() == 100)
+  }
+
   test("connector read of a type-conflicting chain fails loudly") {
     val root = tempDir("r7_conflict")
     val cat = new TableCatalog(spark, root)
