@@ -48,6 +48,44 @@ object QueriesRound7 {
             .as("sum_price"))
         .withColumn("no_rewrite", lit(noRewrite))
         .withColumn("grew_only", lit(grewOnly))
+    }),
+
+    // ---- vectorized connector scan: a DV-free graft read decodes via
+    //      Spark's VectorizedParquetRecordReader into ColumnarBatches
+    //      (the plan's ColumnarToRow transition is the evidence — the
+    //      same columnar WSCG path as the built-in parquet source,
+    //      replacing the boxed record-at-a-time Group decode on the
+    //      100 TB read path's hot loop). A DV delete then flips the
+    //      SAME query to the row reader (per-record row indexes for
+    //      the mask walk), still exact. Both plan facts hash into the
+    //      oracle result. ----
+    "q247_columnar_scan" -> ((s, dir) => {
+      import s.implicits._
+      val work = graft.Scratch.dir("graft_colscan")
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      val t = "D.S.COLSCAN"
+      cat.overwrite(t, li.repartition(4))
+      def rd = s.read.format("graft")
+        .option("root", work).option("table", t).load()
+      val agg = rd.agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_price"))
+      val r1 = agg.collect()(0) // evidence reads the ALREADY-executed plan
+      val columnar =
+        agg.queryExecution.executedPlan.toString.contains("ColumnarToRow")
+      cat.deleteWhereDV(t, col("l_orderkey") % 13 === 0)
+      val a2 = rd.agg(count(lit(1)).as("n2"))
+      val r2 = a2.collect()(0)
+      val rowFallback =
+        !a2.queryExecution.executedPlan.toString.contains("ColumnarToRow")
+      Seq((r1.getLong(0), r1.getDouble(1), r1.getDouble(2), columnar,
+        r2.getLong(0), rowFallback))
+        .toDF("n", "sum_qty", "sum_price", "columnar",
+          "n_after_dv", "dv_row_fallback")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -64,5 +102,16 @@ object QueriesRound7 {
            TRUE AS grew_only
          FROM lineitem
          WHERE l_orderkey % 7 <> 0
-         GROUP BY 1""")
+         GROUP BY 1""",
+
+    "q247_columnar_scan" ->
+      """SELECT count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           TRUE AS columnar,
+           (SELECT count(*) FROM lineitem WHERE l_orderkey % 13 <> 0)
+             AS n_after_dv,
+           TRUE AS dv_row_fallback
+         FROM lineitem""")
 }

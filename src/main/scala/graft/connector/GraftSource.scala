@@ -162,7 +162,8 @@ class GraftTable(schema: StructType, options: Map[String, String])
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(schema,
-      opt("root").get, opt("table").get, opt("version").map(_.toInt))
+      opt("root").get, opt("table").get, opt("version").map(_.toInt),
+      columnarEnabled = opt("columnar").forall(_.toBoolean))
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftWriteBuilder(opt("root").get, opt("table").get, info.schema(),
@@ -170,7 +171,8 @@ class GraftTable(schema: StructType, options: Map[String, String])
 }
 
 class GraftScanBuilder(tableSchema: StructType, root: String, fq: String,
-    versionOpt: Option[Int]) extends ScanBuilder
+    versionOpt: Option[Int], columnarEnabled: Boolean = true)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
 
@@ -318,7 +320,7 @@ class GraftScanBuilder(tableSchema: StructType, root: String, fq: String,
 
   override def build(): Scan =
     new GraftScan(root, fq, versionOpt, tableSchema, required, skipFilters,
-      limit, aggResult)
+      limit, aggResult, columnarEnabled)
 }
 
 /** Planned scan. Batch planning (file skipping, DV loading) happens in
@@ -334,7 +336,8 @@ class GraftScanBuilder(tableSchema: StructType, root: String, fq: String,
 class GraftScan(root: String, fq: String, versionOpt: Option[Int],
     tableSchema: StructType, required: StructType,
     skipFilters: Array[Filter], limit: Int,
-    aggResult: Option[(StructType, Array[Any])]) extends Scan
+    aggResult: Option[(StructType, Array[Any])],
+    columnarEnabled: Boolean = true) extends Scan
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   /** Real size/row estimates from commit metadata (file lengths +
@@ -408,8 +411,11 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
 
   override def toBatch: Batch = new Batch {
     // planned at invocation time, not scan-build time: runtime filters
-    // (DPP-style join key sets) arrive between the two
-    override def planInputPartitions(): Array[InputPartition] =
+    // (DPP-style join key sets) arrive between the two. Memoized so
+    // the factory's columnar decision sees the same partitions Spark
+    // schedules (the DSv2 contract forbids mixing row and columnar
+    // partitions within one scan).
+    private lazy val parts: Array[InputPartition] =
       aggResult match {
         case Some((_, values)) => Array(GraftAggPartition(values))
         case None =>
@@ -420,9 +426,23 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
               dvs.getOrElse(new Path(p).toUri.getPath, Array.empty[Long]))
           }.toArray
       }
-    override def createReaderFactory(): PartitionReaderFactory =
-      new GraftReaderFactory(readSchema(), limit,
-        skipFilters ++ runtimeFilters)
+    override def planInputPartitions(): Array[InputPartition] = parts
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val out = readSchema()
+      // vectorized decode whenever the whole scan qualifies: plain
+      // batch read, no synthesized row-id columns, and zero DV masks
+      // outstanding on any scheduled file (the pointer walk needs
+      // per-record row indexes)
+      val columnar = columnarEnabled && aggResult.isEmpty &&
+        !out.fieldNames.exists(n =>
+          n == GraftSource.RowIdFile || n == GraftSource.RowIdPos) &&
+        parts.forall {
+          case GraftFilePartition(_, dv) => dv.isEmpty
+          case _ => false
+        }
+      new GraftReaderFactory(out, limit, skipFilters ++ runtimeFilters,
+        columnar)
+    }
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
@@ -439,7 +459,8 @@ case class GraftFilePartition(path: String, dvRows: Array[Long])
 case class GraftAggPartition(values: Array[Any]) extends InputPartition
 
 class GraftReaderFactory(schema: StructType, limit: Int,
-    filters: Array[Filter] = Array.empty) extends PartitionReaderFactory {
+    filters: Array[Filter] = Array.empty, columnar: Boolean = false)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case GraftAggPartition(values) => new PartitionReader[InternalRow] {
@@ -450,6 +471,20 @@ class GraftReaderFactory(schema: StructType, limit: Int,
       }
       case GraftFilePartition(path, dvRows) =>
         new GraftRowReader(path, schema, dvRows, limit, filters)
+    }
+
+  // scan-wide flag (computed over ALL planned partitions), so every
+  // partition answers identically — Spark rejects mixed scans
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    p match {
+      case GraftFilePartition(path, dvRows) =>
+        require(dvRows.isEmpty, "columnar path never sees DV'd files")
+        new GraftColumnarReader(path, schema, limit, filters)
+      case other => throw new IllegalStateException(
+        s"columnar read of non-file partition $other")
     }
 }
 
