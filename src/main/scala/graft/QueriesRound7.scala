@@ -86,6 +86,38 @@ object QueriesRound7 {
         r2.getLong(0), rowFallback))
         .toDF("n", "sum_qty", "sum_price", "columnar",
           "n_after_dv", "dv_row_fallback")
+    }),
+
+    // ---- nested (struct) columns through the connector: the
+    //      multimodal column shape — a binary payload beside typed
+    //      metadata as ONE struct — round-trips through
+    //      format("graft") write AND read. The aggregate touches
+    //      subfields and payload bytes; nested schema pruning clips
+    //      the requested struct down to the referenced leaves before
+    //      the parquet read (physical prune-into-struct, asserted in
+    //      ProjectSchemaFor specs), and the vectorized reader decodes
+    //      the nested batch (columnar evidence hashed). ----
+    "q248_nested_connector" -> ((s, dir) => {
+      val work = graft.Scratch.dir("graft_nested")
+      val t = "D.S.NESTED"
+      val d = table(s, dir, "documents").select(col("doc_id"),
+        struct(col("lang").as("lang"), col("n_chars").as("n_chars"),
+          encode(col("text"), "UTF-8").as("payload")).as("meta"))
+      d.write.format("graft").option("root", work).option("table", t)
+        .mode("overwrite").save()
+      val rd = s.read.format("graft")
+        .option("root", work).option("table", t).load()
+      val agg = rd.groupBy(col("meta.lang").as("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("meta.n_chars")).as("sum_chars"),
+          sum(length(col("meta.payload")).cast("long")).as("payload_bytes"))
+      val rows = agg.collect() // evidence reads the executed plan
+      val columnar =
+        agg.queryExecution.executedPlan.toString.contains("ColumnarToRow")
+      import s.implicits._
+      rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), columnar))
+        .toDF("lang", "n", "sum_chars", "payload_bytes", "nested_columnar")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -113,5 +145,14 @@ object QueriesRound7 {
            (SELECT count(*) FROM lineitem WHERE l_orderkey % 13 <> 0)
              AS n_after_dv,
            TRUE AS dv_row_fallback
-         FROM lineitem""")
+         FROM lineitem""",
+
+    "q248_nested_connector" ->
+      """SELECT lang,
+           count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS payload_bytes,
+           TRUE AS nested_columnar
+         FROM documents
+         GROUP BY 1""")
 }

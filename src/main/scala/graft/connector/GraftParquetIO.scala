@@ -55,6 +55,57 @@ object GraftParquetIO {
     b.named(full.getName)
   }
 
+  /** Clip one file type to the requested Spark shape: a struct keeps
+    * only the requested subfields (recursive — PHYSICAL prune-into-
+    * struct, unrequested leaves' pages are never decompressed);
+    * primitives/lists pass through whole. */
+  private def clipType(fileType: Type, dt: DataType): Type = dt match {
+    case st: StructType if !fileType.isPrimitive &&
+        fileType.getLogicalTypeAnnotation == null => // plain group = struct
+      val g = fileType.asGroupType()
+      val kept = st.fields.toSeq
+        .filter(f => g.containsField(f.name))
+        .map(f => clipType(g.getType(g.getFieldIndex(f.name)), f.dataType))
+      if (kept.isEmpty) fileType // degenerate: nothing requested exists
+      else {
+        val gb = Types.buildGroup(g.getRepetition)
+        kept.foreach(gb.addField)
+        gb.named(g.getName)
+      }
+    case _ => fileType
+  }
+
+  /** [[projectSchema]] shaped by a Spark StructType — required for
+    * nested columns, where the projection must descend INTO structs
+    * (Spark's nested schema pruning hands the scan a struct holding
+    * only the referenced subfields). */
+  def projectSchemaFor(full: MessageType, required: StructType): MessageType = {
+    val kept = required.fields.toSeq
+      .filter(f => full.containsField(f.name))
+      .map(f => clipType(full.getType(full.getFieldIndex(f.name)), f.dataType))
+    val b = Types.buildMessage()
+    if (kept.isEmpty) b.addField(full.getFields.get(0))
+    else kept.foreach(b.addField)
+    b.named(full.getName)
+  }
+
+  /** [[openReader]] with a Spark-shaped projection (nested pruning). */
+  def openReaderFor(path: String, conf: Configuration, required: StructType,
+      filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
+      : ParquetReader[Group] = {
+    val full = fileSchema(path, conf)
+    val proj =
+      if (required.isEmpty) projectSchema(full, Seq.empty)
+      else projectSchemaFor(full, required)
+    val c = new Configuration(conf)
+    c.set(ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
+    val b = ParquetReader.builder(new GroupReadSupport(), new Path(path))
+      .withConf(c)
+    filter.map(f => b.withFilter(
+        org.apache.parquet.filter2.compat.FilterCompat.get(f)))
+      .getOrElse(b).build()
+  }
+
   /** Open a Group reader over `path` restricted to `names` (empty =
     * all columns — a COUNT(*)-shaped scan still needs record
     * boundaries, so project the first column). An optional parquet
@@ -310,11 +361,20 @@ object GraftParquetIO {
     if (g.getFieldRepetitionCount(idx) == 0) null
     else f.dataType match {
       case ArrayType(et, _) => listValue(g, idx, et)
+      case st: StructType => // nested group → InternalRow (recursive)
+        structRow(g.getGroup(idx, 0).asInstanceOf[Group], st)
       case dt =>
         val ft = gt.getType(idx)
         require(ft.isPrimitive, s"nested column ${f.name} unsupported")
         primitive(g, idx, 0, dt, ft.asPrimitiveType())
     }
+  }
+
+  private def structRow(g: Group, st: StructType): InternalRow = {
+    val vals = new Array[Any](st.length)
+    var i = 0
+    while (i < st.length) { vals(i) = valueOf(g, st(i)); i += 1 }
+    new GenericInternalRow(vals)
   }
 
   /** Convert one Group record to an InternalRow shaped by `schema`

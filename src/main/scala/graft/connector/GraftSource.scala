@@ -508,8 +508,8 @@ class GraftRowReader(path: String, schema: StructType, dvRows: Array[Long],
   // row-id metadata columns are synthesized here, not read from parquet
   private val isMeta: Array[Boolean] =
     schema.fields.map(f => f.name == RowIdFile || f.name == RowIdPos)
-  private val dataNames = schema.fields.zipWithIndex
-    .collect { case (f, i) if !isMeta(i) => f.name }.toSeq
+  private val dataSchema = StructType(schema.fields.zipWithIndex
+    .collect { case (f, i) if !isMeta(i) => f })
 
   private val reader = {
     val conf = new Configuration()
@@ -520,7 +520,8 @@ class GraftRowReader(path: String, schema: StructType, dvRows: Array[Long],
       if (dvRows.nonEmpty || filters.isEmpty || isMeta.exists(identity)) None
       else GraftParquetIO.toParquetFilter(filters.toSeq,
         GraftParquetIO.fileSchema(path, conf))
-    GraftParquetIO.openReader(path, conf, dataNames, pred)
+    // Spark-shaped projection: descends into structs (nested pruning)
+    GraftParquetIO.openReaderFor(path, conf, dataSchema, pred)
   }
   private var rowIdx = -1L
   private var dvPtr = 0

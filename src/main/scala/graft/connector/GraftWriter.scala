@@ -33,45 +33,55 @@ import graft.catalog.TableCatalog
   * deletes the staging dir — nothing partial ever reaches a manifest.
   */
 object GraftWriteSchema {
+  import org.apache.parquet.schema.Type
+
+  /** One Spark field → parquet type (recursive: struct columns become
+    * optional groups, the multimodal/VARIANT-shredding column shape —
+    * a binary payload beside typed metadata rides the connector as one
+    * struct). */
+  private def parquetType(name: String, dt: DataType): Type = dt match {
+    case LongType    => Types.optional(INT64).named(name)
+    case IntegerType => Types.optional(INT32).named(name)
+    case DoubleType  => Types.optional(DOUBLE).named(name)
+    case FloatType   => Types.optional(FLOAT).named(name)
+    case BooleanType => Types.optional(BOOLEAN).named(name)
+    case StringType  => Types.optional(BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named(name)
+    case BinaryType  => Types.optional(BINARY).named(name)
+    case DateType    => Types.optional(INT32)
+      .as(LogicalTypeAnnotation.dateType()).named(name)
+    case TimestampType => Types.optional(INT64)
+      .as(LogicalTypeAnnotation.timestampType(true,
+        LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
+    case TimestampNTZType => Types.optional(INT64)
+      .as(LogicalTypeAnnotation.timestampType(false,
+        LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
+    case st: StructType =>
+      val g = Types.optionalGroup()
+      st.fields.foreach(f => g.addField(parquetType(f.name, f.dataType)))
+      g.named(name)
+    case ArrayType(et, _) =>
+      val elem = et match {
+        case LongType    => Types.optional(INT64)
+        case IntegerType => Types.optional(INT32)
+        case DoubleType  => Types.optional(DOUBLE)
+        case FloatType   => Types.optional(FLOAT)
+        case BinaryType  => Types.optional(BINARY)
+        case StringType  => Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType())
+        case other => throw new UnsupportedOperationException(
+          s"graft write: unsupported array element type $other")
+      }
+      Types.optionalList().element(elem.named("element")).named(name)
+    case other => throw new UnsupportedOperationException(
+      s"graft write: unsupported type $other for column $name")
+  }
+
   /** StructType → parquet MessageType for the supported column types
     * (the same set [[GraftParquetIO]] reads back). */
   def toMessageType(schema: StructType): MessageType = {
     val b = Types.buildMessage()
-    schema.fields.foreach { f =>
-      f.dataType match {
-        case LongType    => b.addField(Types.optional(INT64).named(f.name))
-        case IntegerType => b.addField(Types.optional(INT32).named(f.name))
-        case DoubleType  => b.addField(Types.optional(DOUBLE).named(f.name))
-        case FloatType   => b.addField(Types.optional(FLOAT).named(f.name))
-        case BooleanType => b.addField(Types.optional(BOOLEAN).named(f.name))
-        case StringType  => b.addField(Types.optional(BINARY)
-          .as(LogicalTypeAnnotation.stringType()).named(f.name))
-        case BinaryType  => b.addField(Types.optional(BINARY).named(f.name))
-        case DateType    => b.addField(Types.optional(INT32)
-          .as(LogicalTypeAnnotation.dateType()).named(f.name))
-        case TimestampType => b.addField(Types.optional(INT64)
-          .as(LogicalTypeAnnotation.timestampType(true,
-            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name))
-        case TimestampNTZType => b.addField(Types.optional(INT64)
-          .as(LogicalTypeAnnotation.timestampType(false,
-            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name))
-        case ArrayType(et, _) =>
-          val elem = et match {
-            case LongType    => Types.optional(INT64)
-            case IntegerType => Types.optional(INT32)
-            case DoubleType  => Types.optional(DOUBLE)
-            case FloatType   => Types.optional(FLOAT)
-            case StringType  => Types.optional(BINARY)
-              .as(LogicalTypeAnnotation.stringType())
-            case other => throw new UnsupportedOperationException(
-              s"graft write: unsupported array element type $other")
-          }
-          b.addField(Types.optionalList()
-            .element(elem.named("element")).named(f.name))
-        case other => throw new UnsupportedOperationException(
-          s"graft write: unsupported type $other for column ${f.name}")
-      }
-    }
+    schema.fields.foreach(f => b.addField(parquetType(f.name, f.dataType)))
     b.named("spark_schema")
   }
 
@@ -93,6 +103,8 @@ object GraftWriteSchema {
             Binary.fromConstantByteArray(row.getBinary(i)))
           case DateType    => g.add(i, row.getInt(i))
           case TimestampType | TimestampNTZType => g.add(i, row.getLong(i))
+          case st: StructType =>
+            fillGroup(g.addGroup(i), row.getStruct(i, st.length), st)
           case ArrayType(et, _) =>
             val arr = row.getArray(i)
             val listG = g.addGroup(i)
@@ -104,6 +116,8 @@ object GraftWriteSchema {
                 case IntegerType => el.add("element", arr.getInt(j))
                 case DoubleType  => el.add("element", arr.getDouble(j))
                 case FloatType   => el.add("element", arr.getFloat(j))
+                case BinaryType  => el.add("element",
+                  Binary.fromConstantByteArray(arr.getBinary(j)))
                 case StringType  => el.add("element",
                   Binary.fromConstantByteArray(arr.getUTF8String(j).getBytes))
                 case other => throw new UnsupportedOperationException(

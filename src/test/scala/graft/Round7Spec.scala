@@ -299,6 +299,69 @@ class Round7Spec extends SparkTestBase {
     assert(again.count() == 4500)
   }
 
+  // ---- nested types through the connector ---------------------------------
+
+  test("struct columns round-trip through the connector, both decode paths") {
+    val root = tempDir("r7_nested")
+    val t = "D.S.NESTED"
+    val df = (1L to 300L).toDF("k").select(col("k"),
+      struct(
+        concat(lit("lang"), col("k") % 3).as("lang"),
+        (col("k") * 10).as("n"),
+        col("k").cast("string").cast("binary").as("payload")).as("meta"),
+      array(col("k") * 0.5, col("k") * 0.25).as("emb"))
+    df.write.format("graft").option("root", root).option("table", t)
+      .mode("overwrite").save()
+
+    def rd = graftRead(root, t)
+    def planOf(d: org.apache.spark.sql.DataFrame): String = {
+      d.collect(); d.queryExecution.executedPlan.toString
+    }
+
+    // columnar path decodes the nested shape
+    val agg = rd.groupBy(col("meta.lang").as("lang"))
+      .agg(count(lit(1)).as("n"), sum("meta.n").as("sum_n"),
+        sum(length(col("meta.payload"))).as("payload_bytes"),
+        sum(element_at(col("emb"), 1)).as("sum_emb"))
+    assert(planOf(agg).contains("ColumnarToRow"))
+    val rows = agg.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getDouble(4))).sortBy(_._1)
+    assert(rows.map(_._2).sum == 300)
+    assert(rows.map(_._3).sum == (1L to 300L).map(_ * 10).sum)
+    assert(rows.map(_._4).sum ==
+      (1L to 300L).map(_.toString.length.toLong).sum)
+
+    // a DV flips the SAME nested query to the row reader — the Group
+    // converter handles struct recursion and nested physical pruning
+    new TableCatalog(spark, root).deleteWhereDV(t, col("k") % 5 === 0)
+    val masked = rd.select(col("k"), col("meta.lang"), col("meta.n"))
+    assert(!planOf(masked).contains("ColumnarToRow"))
+    assert(masked.count() == 240)
+    assert(rd.agg(sum("meta.n")).head().getLong(0) ==
+      (1L to 300L).filter(_ % 5 != 0).map(_ * 10).sum)
+
+    // row-id metadata columns coexist with nested data columns
+    val withIds = rd.select(col("_gpos"), col("meta.lang")).collect()
+    assert(withIds.length == 240)
+  }
+
+  test("projectSchemaFor physically prunes into structs") {
+    import org.apache.spark.sql.types._
+    val full = graft.connector.GraftWriteSchema.toMessageType(StructType(Seq(
+      StructField("k", LongType),
+      StructField("meta", StructType(Seq(
+        StructField("lang", StringType),
+        StructField("n", LongType),
+        StructField("payload", BinaryType)))))))
+    val pruned = graft.connector.GraftParquetIO.projectSchemaFor(full,
+      StructType(Seq(StructField("meta", StructType(Seq(
+        StructField("lang", StringType)))))))
+    // exactly ONE leaf column survives: meta.lang — payload pages are
+    // never read when only the language is referenced
+    assert(pruned.getPaths.size() == 1)
+    assert(pruned.getPaths.get(0).toSeq == Seq("meta", "lang"))
+  }
+
   // ---- deletion vectors on hive-partitioned tables ------------------------
 
   test("partitioned tables take merge-on-read deletes and updates") {
