@@ -118,6 +118,46 @@ object QueriesRound7 {
       rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
           r.getLong(3), columnar))
         .toDF("lang", "n", "sum_chars", "payload_bytes", "nested_columnar")
+    }),
+
+    // ---- STRING min/max file skipping with truncation-safe bounds
+    //      (Iceberg's lower/upper-bound trick): `_STATS` records the
+    //      16-byte prefix of each file's string min and the SUCCESSOR
+    //      of its max's prefix, so a range or prefix predicate over an
+    //      ID-prefixed key schedules only the files whose bounds can
+    //      match — previously every string predicate scanned every
+    //      file. Three key-disjoint commits; the prefix filter plans
+    //      ONE of three partitions (files_skipped hashed), and the
+    //      catalog readBetween path opens one file (rb_skipped). ----
+    "q249_string_skipping" -> ((s, dir) => {
+      val work = graft.Scratch.dir("graft_strskip")
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val li = table(s, dir, "lineitem")
+        .select(concat(col("l_returnflag"), lit("_"),
+            lpad(col("l_orderkey").cast("string"), 12, "0"), lit("_"),
+            lpad(col("l_linenumber").cast("string"), 8, "0")).as("skey"),
+          col("l_quantity"), col("l_returnflag"))
+      val t = "D.S.STRSKIP"
+      Seq("A", "N", "R").foreach { f =>
+        cat.append(t, li.filter(col("l_returnflag") === f)
+          .drop("l_returnflag").coalesce(1))
+      }
+      def rd = s.read.format("graft")
+        .option("root", work).option("table", t).load()
+      val totalFiles = graft.connector.GraftPlanInspect.scanPartitions(
+        rd.select("skey").limit(1))
+      val pref = rd.filter(col("skey").startsWith("N_"))
+      val prefParts = graft.connector.GraftPlanInspect.scanPartitions(
+        pref.select("skey").limit(1))
+      val skipped = prefParts == 1 && totalFiles == 3
+      val rb = cat.readBetween(t, "skey", "N", "O")
+      val rbSkipped = rb.inputFiles.length == 1
+      pref.agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_qty"))
+        .withColumn("files_skipped", lit(skipped))
+        .withColumn("rb_skipped", lit(rbSkipped))
+        .withColumn("rb_n", lit(rb.count()))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -154,5 +194,14 @@ object QueriesRound7 {
            CAST(sum(octet_length(encode(text))) AS BIGINT) AS payload_bytes,
            TRUE AS nested_columnar
          FROM documents
-         GROUP BY 1""")
+         GROUP BY 1""",
+
+    "q249_string_skipping" ->
+      """SELECT count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           TRUE AS files_skipped,
+           TRUE AS rb_skipped,
+           count(*) AS rb_n
+         FROM lineitem
+         WHERE l_returnflag = 'N'""")
 }

@@ -267,9 +267,20 @@ class TableCatalog(spark: SparkSession, root: String,
 
   /** Harvest per-file per-column [min,max] from parquet footers of the
     * files this version wrote, for numeric physical types whose stats
-    * are exactly ordered (int32/int64/float/double; decimals, strings
-    * and timestamps are excluded — truncation/annotation hazards).
-    * Values serialize as exact BigDecimal strings. */
+    * are exactly ordered (int32/int64/float/double + micros
+    * timestamps; decimals excluded). Values serialize as exact
+    * BigDecimal strings.
+    *
+    * STRING columns harvest too, with TRUNCATION-SAFE bounds (the
+    * Iceberg lower/upper-bound trick): lower = first 16 UTF-8 bytes of
+    * the min (a prefix always compares ≤ the full string in unsigned
+    * byte order — Spark's string order), upper = first 16 bytes of the
+    * max with the last non-0xFF byte incremented (the successor of the
+    * prefix, ≥ every string carrying it; all-0xFF ⇒ unbounded). So a
+    * range or prefix predicate over e.g. an ID-prefixed key skips
+    * whole files from sidecar bytes, and the sidecar stays O(16 bytes)
+    * per column however long the keys are. Serialized as
+    * `s:`-prefixed base64 lines next to the numeric entries. */
   private def harvestStats(dir: Path): Unit = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -278,10 +289,13 @@ class TableCatalog(spark: SparkSession, root: String,
     import scala.jdk.CollectionConverters._
     if (!fs.exists(dir)) return
     val conf = spark.sparkContext.hadoopConfiguration
+    val b64 = java.util.Base64.getEncoder
     val lines = listFilesRecursive(dir).sortBy(_.toString).flatMap { f =>
       val key = fs.makeQualified(f).toUri.getPath
       val acc = scala.collection.mutable.LinkedHashMap
         .empty[String, (BigDecimal, BigDecimal)]
+      val sacc = scala.collection.mutable.LinkedHashMap
+        .empty[String, (Array[Byte], Array[Byte])] // raw min/max bytes
       val rd = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       try {
         rd.getFooter.getBlocks.forEach { blk =>
@@ -303,14 +317,31 @@ class TableCatalog(spark: SparkSession, root: String,
               case FLOAT | DOUBLE => true
               case _ => false
             }
+            val isString = pt.getPrimitiveTypeName == BINARY &&
+              ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
             val st = cc.getStatistics
-            if (ordered && st != null && st.hasNonNullValue) {
+            if (st != null && st.hasNonNullValue) {
               val name = cc.getPath.toDotString
-              val mn = BigDecimal(st.genericGetMin.toString)
-              val mx = BigDecimal(st.genericGetMax.toString)
-              acc.get(name) match {
-                case Some((a, b)) => acc(name) = (a.min(mn), b.max(mx))
-                case None => acc(name) = (mn, mx)
+              if (ordered) {
+                val mn = BigDecimal(st.genericGetMin.toString)
+                val mx = BigDecimal(st.genericGetMax.toString)
+                acc.get(name) match {
+                  case Some((a, b)) => acc(name) = (a.min(mn), b.max(mx))
+                  case None => acc(name) = (mn, mx)
+                }
+              } else if (isString) {
+                // parquet string stats order UNSIGNED lexicographic =
+                // UTF8String order; accumulate raw, truncate at write
+                val mn = st.genericGetMin
+                  .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+                val mx = st.genericGetMax
+                  .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+                sacc.get(name) match {
+                  case Some((a, b)) => sacc(name) = (
+                    if (TableCatalog.compareBytes(mn, a) < 0) mn else a,
+                    if (TableCatalog.compareBytes(mx, b) > 0) mx else b)
+                  case None => sacc(name) = (mn, mx)
+                }
               }
             }
           }
@@ -320,7 +351,13 @@ class TableCatalog(spark: SparkSession, root: String,
           rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
         acc("__rows") = (rows, rows)
       } finally rd.close()
-      acc.toSeq.map { case (c, (mn, mx)) => s"$key\t$c\t$mn\t$mx" }
+      acc.toSeq.map { case (c, (mn, mx)) => s"$key\t$c\t$mn\t$mx" } ++
+        sacc.toSeq.map { case (c, (mn, mx)) =>
+          val lo = b64.encodeToString(TableCatalog.truncLower(mn))
+          val hi = TableCatalog.truncUpper(mx)
+            .map(b64.encodeToString).getOrElse("*") // * = unbounded
+          s"$key\ts:$c\t$lo\t$hi"
+        }
     }
     if (lines.nonEmpty) {
       val out = fs.create(statsPath(dir), true)
@@ -340,14 +377,42 @@ class TableCatalog(spark: SparkSession, root: String,
         val text = try new String(
           org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
         finally in.close()
-        text.split("\n").toSeq.filter(_.nonEmpty).map { ln =>
+        text.split("\n").toSeq.filter(_.nonEmpty).flatMap { ln =>
           val Array(f, c, mn, mx) = ln.split("\t", 4)
-          (f, c, BigDecimal(mn), BigDecimal(mx))
+          if (c.startsWith("s:")) None // string bounds: stringStatsFor
+          else Some((f, c, BigDecimal(mn), BigDecimal(mx)))
         }
       }
     }.groupBy(_._1).map { case (f, es) =>
       f -> es.map { case (_, c, mn, mx) => c -> (mn, mx) }.toMap
     }
+
+  /** Truncation-safe STRING bounds of chain files: per file and
+    * column, (lower prefix bytes, upper successor bytes — None =
+    * unbounded). Sound for skipping because lower ≤ true min and
+    * upper ≥ true max in unsigned byte order (= Spark string order). */
+  private def stringStatsFor(files: Seq[Path])
+      : Map[String, Map[String, (Array[Byte], Option[Array[Byte]])]] = {
+    val b64 = java.util.Base64.getDecoder
+    files.map(versionAncestor).distinct.flatMap { dir =>
+      val sp = statsPath(dir)
+      if (!fs.exists(sp)) Nil
+      else {
+        val in = fs.open(sp)
+        val text = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+        text.split("\n").toSeq.filter(_.nonEmpty).flatMap { ln =>
+          val Array(f, c, mn, mx) = ln.split("\t", 4)
+          if (!c.startsWith("s:")) None
+          else Some((f, c.stripPrefix("s:"), b64.decode(mn),
+            if (mx == "*") None else Some(b64.decode(mx))))
+        }
+      }
+    }.groupBy(_._1).map { case (f, es) =>
+      f -> es.map { case (_, c, mn, mx) => c -> (mn, mx) }.toMap
+    }
+  }
 
   /** Range read with manifest-stats file skipping: only files whose
     * recorded [min,max] for `column` can overlap [lo, hi] are opened
@@ -363,21 +428,36 @@ class TableCatalog(spark: SparkSession, root: String,
     val files = dataFiles(fq, v)
     if (files.isEmpty)
       return spark.read.parquet(versionDir(fq, v).toString).filter(pred)
-    val (loD, hiD) =
+    val surviving =
       (TableCatalog.statDecimal(lo), TableCatalog.statDecimal(hi)) match {
-        case (Some(a), Some(b)) => (a, b)
-        case _ => // no stats-comparable form: read all, predicate row-level
-          return maskDv(spark.read.parquet(files.map(_.toString): _*),
-            dvFiles(fq, v)).filter(pred)
-      }
-    val stats = statsFor(files)
-    val surviving = files.filter { p =>
-      stats.get(fs.makeQualified(p).toUri.getPath)
-        .flatMap(_.get(column)) match {
-          case Some((mn, mx)) => !(mx < loD || mn > hiD)
-          case None => true
+        case (Some(loD), Some(hiD)) =>
+          val stats = statsFor(files)
+          files.filter { p =>
+            stats.get(fs.makeQualified(p).toUri.getPath)
+              .flatMap(_.get(column)) match {
+                case Some((mn, mx)) => !(mx < loD || mn > hiD)
+                case None => true
+              }
+          }
+        case _ => (lo, hi) match {
+          // STRING range: truncation-safe bounds from the `s:` sidecar
+          // entries (unsigned byte order = Spark string order)
+          case (ls: String, hs: String) =>
+            val sstats = stringStatsFor(files)
+            val loB = Some(ls.getBytes("UTF-8"))
+            val hiB = Some(hs.getBytes("UTF-8"))
+            files.filter { p =>
+              sstats.get(fs.makeQualified(p).toUri.getPath)
+                .flatMap(_.get(column)) match {
+                  case Some((lower, upper)) =>
+                    TableCatalog.stringRangeOverlaps(lower, upper, loB, hiB)
+                  case None => true
+                }
+            }
+          case _ => // no stats-comparable form: read all, predicate row-level
+            files
         }
-    }
+      }
     if (surviving.isEmpty) read(fq).filter(pred).limit(0)
     else maskDv(spark.read.parquet(surviving.map(_.toString): _*),
       dvFiles(fq, v)).filter(pred)
@@ -1461,6 +1541,10 @@ class TableCatalog(spark: SparkSession, root: String,
       : Map[String, Map[String, (BigDecimal, BigDecimal)]] =
     statsFor(dataFiles(fq, v))
 
+  private[graft] def stringStatsByPath(fq: String, v: Int)
+      : Map[String, Map[String, (Array[Byte], Option[Array[Byte]])]] =
+    stringStatsFor(dataFiles(fq, v))
+
   private[graft] def bloomsByPath(fq: String, v: Int, column: String)
       : Map[String, Array[Long]] =
     dataFiles(fq, v).map(versionAncestor).distinct.flatMap(bloomEntries)
@@ -1705,6 +1789,56 @@ class TableCatalog(spark: SparkSession, root: String,
 }
 
 object TableCatalog {
+  private[graft] val StringStatBytes = 16
+
+  /** Unsigned lexicographic byte compare — parquet's BINARY stat order
+    * AND Spark's UTF8String order, which is what makes string-bound
+    * skipping decisions agree with Spark's row-level comparisons. */
+  private[graft] def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Truncation-safe LOWER bound: a prefix compares ≤ the full value. */
+  private[graft] def truncLower(b: Array[Byte]): Array[Byte] =
+    if (b.length <= StringStatBytes) b else b.take(StringStatBytes)
+
+  /** Truncation-safe UPPER bound: the successor of the 16-byte prefix
+    * (last non-0xFF byte incremented, tail dropped) compares ≥ every
+    * value carrying the prefix; all-0xFF ⇒ None (unbounded). */
+  private[graft] def truncUpper(b: Array[Byte]): Option[Array[Byte]] =
+    if (b.length <= StringStatBytes) Some(b)
+    else {
+      val t = b.take(StringStatBytes)
+      var i = t.length - 1
+      while (i >= 0 && t(i) == 0xff.toByte) i -= 1
+      if (i < 0) None
+      else {
+        val r = t.take(i + 1)
+        r(i) = (r(i) + 1).toByte
+        Some(r)
+      }
+    }
+
+  /** Can a file with string bounds (lower, upper) hold a value in
+    * [lo, hi]? (either side of the predicate range may be open) */
+  private[graft] def stringRangeOverlaps(
+      lower: Array[Byte], upper: Option[Array[Byte]],
+      lo: Option[Array[Byte]], hi: Option[Array[Byte]]): Boolean = {
+    val belowRange = (upper, lo) match { // file entirely below the range
+      case (Some(u), Some(l)) => compareBytes(u, l) < 0
+      case _ => false
+    }
+    val aboveRange = hi.exists(h => compareBytes(lower, h) > 0)
+    !(belowRange || aboveRange)
+  }
+
   /** Stats-comparable decimal form of a predicate value, matching how
     * [[TableCatalog]] stores `_STATS`: identity for numerics, epoch
     * DAYS for dates, epoch MICROS for timestamps (the catalog writes

@@ -55,11 +55,21 @@ private[connector] object FileSkipping {
     case other     => Seq(other)
   }
 
+  /** UTF-8 bytes of a string-typed predicate value (None = not a
+    * string) — compared against the `s:` truncation-safe bounds in
+    * unsigned byte order, which IS Spark's string order. */
+  private def strBytes(x: Any): Option[Array[Byte]] = x match {
+    case s: String => Some(s.getBytes("UTF-8"))
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.getBytes)
+    case _ => None
+  }
+
   def surviving(c: TableCatalog, fq: String, v: Int, files: Seq[String],
       filters: Seq[Filter]): Seq[String] = {
     val active = filters.flatMap(flatten)
     if (active.isEmpty || files.isEmpty) return files
     val stats = c.statsByPath(fq, v)
+    lazy val sstats = c.stringStatsByPath(fq, v)
     val bloomCols = active.flatMap {
       case EqualTo(col, _) => Some(col)
       case In(col, _)      => Some(col)
@@ -80,10 +90,21 @@ private[connector] object FileSkipping {
     files.filter { p =>
       val st = stats.get(key(p))
       def bounds(col: String) = st.flatMap(_.get(col))
+      def sbounds(col: String) = sstats.get(key(p)).flatMap(_.get(col))
+      /** may the file hold a string value within [lo, hi]? */
+      def strOverlap(col: String, lo: Option[Array[Byte]],
+          hi: Option[Array[Byte]]): Boolean = sbounds(col) match {
+        case Some((lower, upper)) =>
+          TableCatalog.stringRangeOverlaps(lower, upper, lo, hi)
+        case None => true
+      }
       def mayEqual(col: String, x: Any): Boolean = {
         val statOk = (statVal(x), bounds(col)) match {
           case (Some(v0), Some((mn, mx))) => v0 >= mn && v0 <= mx
-          case _ => true
+          case _ => strBytes(x) match { // string point ∈ [lower, upper]
+            case Some(b) => strOverlap(col, Some(b), Some(b))
+            case None => true
+          }
         }
         val bloomOk = blooms.get(col).flatMap(_.get(key(p))) match {
           case Some(bits) => x match {
@@ -101,20 +122,45 @@ private[connector] object FileSkipping {
         case In(col, xs)     => xs.exists(x => mayEqual(col, x))
         case GreaterThan(col, x) => (statVal(x), bounds(col)) match {
           case (Some(v0), Some((_, mx))) => mx > v0
-          case _ => true
+          case _ => strBytes(x) match {
+            // x < value ⇔ the file reaches above x: NOT(upper ≤ x);
+            // conservative via overlap with (x, +∞) — upper ≥ max, so
+            // upper < x ⇒ every value < x ⇒ skip is sound (upper = x
+            // keeps the file: the truncated bound cannot prove strict)
+            case Some(b) => strOverlap(col, Some(b), None)
+            case None => true
+          }
         }
         case GreaterThanOrEqual(col, x) => (statVal(x), bounds(col)) match {
           case (Some(v0), Some((_, mx))) => mx >= v0
-          case _ => true
+          case _ => strBytes(x) match {
+            case Some(b) => strOverlap(col, Some(b), None)
+            case None => true
+          }
         }
         case LessThan(col, x) => (statVal(x), bounds(col)) match {
           case (Some(v0), Some((mn, _))) => mn < v0
-          case _ => true
+          case _ => strBytes(x) match {
+            // lower > x ⇒ every value > x ⇒ skip; lower = x keeps
+            case Some(b) => strOverlap(col, None, Some(b))
+            case None => true
+          }
         }
         case LessThanOrEqual(col, x) => (statVal(x), bounds(col)) match {
           case (Some(v0), Some((mn, _))) => mn <= v0
-          case _ => true
+          case _ => strBytes(x) match {
+            case Some(b) => strOverlap(col, None, Some(b))
+            case None => true
+          }
         }
+        case StringStartsWith(col, prefix) =>
+          // prefix predicate = range [prefix, successor(prefix)):
+          // the ID-prefixed-key case — skip every file whose bounds
+          // cannot reach the prefix block
+          val p0 = prefix.getBytes("UTF-8")
+          strOverlap(col, Some(p0),
+            TableCatalog.truncUpper(p0 ++ Array.fill(
+              TableCatalog.StringStatBytes)(0xff.toByte)))
         case _ => true
       }
     }

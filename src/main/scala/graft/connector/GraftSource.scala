@@ -199,18 +199,24 @@ class GraftScanBuilder(tableSchema: StructType, root: String, fq: String,
   }
 
   /** A filter usable for file elimination: a comparison against a
-    * stats-ordered constant (numbers, dates) or a bloom-probeable
-    * equality (integrals and strings — exact cast-to-string forms). */
+    * stats-ordered constant (numbers, dates, timestamps — or strings
+    * via the truncation-safe `s:` bounds), a prefix predicate
+    * (= a string range), or a bloom-probeable equality. */
   private def skippable(f: Filter): Boolean = f match {
-    case EqualTo(_, v)            => statValue(v).isDefined || bloomable(v)
-    case GreaterThan(_, v)        => statValue(v).isDefined
-    case GreaterThanOrEqual(_, v) => statValue(v).isDefined
-    case LessThan(_, v)           => statValue(v).isDefined
-    case LessThanOrEqual(_, v)    => statValue(v).isDefined
+    case EqualTo(_, v)            => rangeable(v) || bloomable(v)
+    case GreaterThan(_, v)        => rangeable(v)
+    case GreaterThanOrEqual(_, v) => rangeable(v)
+    case LessThan(_, v)           => rangeable(v)
+    case LessThanOrEqual(_, v)    => rangeable(v)
+    case StringStartsWith(_, _)   => true
     case In(_, vs) => vs.nonEmpty &&
-      (vs.forall(statValue(_).isDefined) || vs.forall(bloomable))
+      (vs.forall(rangeable) || vs.forall(bloomable))
     case _ => false
   }
+
+  private def rangeable(v: Any): Boolean =
+    statValue(v).isDefined || v.isInstanceOf[String] ||
+      v.isInstanceOf[org.apache.spark.unsafe.types.UTF8String]
 
   private def statValue(v: Any): Option[BigDecimal] =
     TableCatalog.statDecimal(v) // numerics / epoch-day dates / micros ts

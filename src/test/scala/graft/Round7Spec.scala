@@ -362,6 +362,51 @@ class Round7Spec extends SparkTestBase {
     assert(pruned.getPaths.get(0).toSeq == Seq("meta", "lang"))
   }
 
+  // ---- string min/max file skipping ---------------------------------------
+
+  test("string range and prefix predicates skip files via truncated bounds") {
+    val root = tempDir("r7_strskip")
+    val cat = new TableCatalog(spark, root)
+    val t = "D.S.STRSKIP"
+    // keys longer than the 16-byte stat truncation, disjoint prefixes
+    def keys(prefix: String) = (1 to 400).map(i =>
+      (f"${prefix}_$i%09d_${"x" * 24}", i.toLong))
+    Seq("apple", "mango", "zebra").foreach { p =>
+      cat.append(t, keys(p).toDF("skey", "v").coalesce(1))
+    }
+    def rd = graftRead(root, t)
+    def parts(d: org.apache.spark.sql.DataFrame): Int =
+      graft.connector.GraftPlanInspect.scanPartitions(d)
+    assert(parts(rd.select("skey").limit(1)) == 3)
+
+    // range: only the mango file survives
+    val range = rd.filter(col("skey") >= "mango" && col("skey") < "mangp")
+    assert(parts(range.select("skey").limit(1)) == 1)
+    assert(range.count() == 400)
+
+    // prefix (StringStartsWith = [prefix, succ(prefix)))
+    val pref = rd.filter(col("skey").startsWith("zebra"))
+    assert(parts(pref.select("skey").limit(1)) == 1)
+    assert(pref.agg(sum("v")).head().getLong(0) == (1L to 400L).sum)
+
+    // point equality through the string bounds (no bloom index built)
+    val one = rd.filter(col("skey") === keys("apple")(7)._1)
+    assert(parts(one.select("skey").limit(1)) == 1)
+    assert(one.count() == 1)
+
+    // catalog-side readBetween on the string key
+    val rb = cat.readBetween(t, "skey", "mango", "mangz")
+    assert(rb.inputFiles.length == 1)
+    assert(rb.count() == 400)
+
+    // truncation soundness edges
+    import graft.catalog.TableCatalog._
+    assert(truncUpper(Array.fill(20)(0xff.toByte)).isEmpty)
+    val long = ("mango_000000007_" + "x" * 24).getBytes("UTF-8")
+    assert(compareBytes(truncLower(long), long) <= 0)
+    assert(truncUpper(long).exists(u => compareBytes(u, long) >= 0))
+  }
+
   // ---- deletion vectors on hive-partitioned tables ------------------------
 
   test("partitioned tables take merge-on-read deletes and updates") {
