@@ -158,6 +158,46 @@ object QueriesRound7 {
         .withColumn("files_skipped", lit(skipped))
         .withColumn("rb_skipped", lit(rbSkipped))
         .withColumn("rb_n", lit(rb.count()))
+    }),
+
+    // ---- change-tolerant streaming (skipChangeCommits): a
+    //      continuously MAINTAINED table — deletion vectors landing
+    //      between micro-batches — still feeds a stream; the DV commit
+    //      is silently skipped (appends only, Delta's skipChangeCommits
+    //      contract: already-delivered rows are neither retracted nor
+    //      re-delivered), where the strict default fails loudly. The
+    //      sink therefore holds snapshot + appended rows = the full
+    //      orders relation, and dv_outstanding proves a change commit
+    //      really sat between the drains. ----
+    "q250_skip_change_commits" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val work = graft.Scratch.dir("graft_skipcc")
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val t = "D.S.SKIPCC"
+      cat.overwrite(t, o.filter(col("o_orderkey") % 2 === 0).coalesce(2))
+      val ckpt = s"$work/ckpt"
+      def drain(): Unit = {
+        val q = s.readStream.format("graft")
+          .option("root", work).option("table", t)
+          .option("skipChangeCommits", "true").load()
+          .writeStream.format("parquet")
+          .option("path", s"$work/sink")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000); ()
+      }
+      drain() // initial snapshot: even keys
+      cat.deleteWhereDV(t, col("o_custkey") % 97 === 0) // change commit
+      cat.append(t, o.filter(col("o_orderkey") % 2 === 1).coalesce(2))
+      drain() // append delivered, DV commit skipped
+      val dvOutstanding = cat.deletionVectorRows(t) > 0
+      s.read.parquet(s"$work/sink")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_price"))
+        .withColumn("dv_outstanding", lit(dvOutstanding))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -203,5 +243,12 @@ object QueriesRound7 {
            TRUE AS rb_skipped,
            count(*) AS rb_n
          FROM lineitem
-         WHERE l_returnflag = 'N'""")
+         WHERE l_returnflag = 'N'""",
+
+    "q250_skip_change_commits" ->
+      """SELECT count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           TRUE AS dv_outstanding
+         FROM orders""")
 }

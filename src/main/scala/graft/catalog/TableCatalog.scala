@@ -1537,6 +1537,12 @@ class TableCatalog(spark: SparkSession, root: String,
   private[graft] def isPartitionedAt(fq: String, v: Int): Boolean =
     partitionColsOf(fq, v).nonEmpty
 
+  /** Is the version dir still on disk (not pruned/vacuumed)? The
+    * streaming source's per-commit walk needs this to distinguish "no
+    * diff to compute" from "commit retired". */
+  private[graft] def versionRetained(fq: String, v: Int): Boolean =
+    fs.exists(versionDir(fq, v))
+
   private[graft] def statsByPath(fq: String, v: Int)
       : Map[String, Map[String, (BigDecimal, BigDecimal)]] =
     statsFor(dataFiles(fq, v))

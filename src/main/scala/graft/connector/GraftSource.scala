@@ -163,7 +163,8 @@ class GraftTable(schema: StructType, options: Map[String, String])
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(schema,
       opt("root").get, opt("table").get, opt("version").map(_.toInt),
-      columnarEnabled = opt("columnar").forall(_.toBoolean))
+      columnarEnabled = opt("columnar").forall(_.toBoolean),
+      skipChangeCommits = opt("skipChangeCommits").exists(_.toBoolean))
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftWriteBuilder(opt("root").get, opt("table").get, info.schema(),
@@ -171,7 +172,8 @@ class GraftTable(schema: StructType, options: Map[String, String])
 }
 
 class GraftScanBuilder(tableSchema: StructType, root: String, fq: String,
-    versionOpt: Option[Int], columnarEnabled: Boolean = true)
+    versionOpt: Option[Int], columnarEnabled: Boolean = true,
+    skipChangeCommits: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
@@ -326,7 +328,7 @@ class GraftScanBuilder(tableSchema: StructType, root: String, fq: String,
 
   override def build(): Scan =
     new GraftScan(root, fq, versionOpt, tableSchema, required, skipFilters,
-      limit, aggResult, columnarEnabled)
+      limit, aggResult, columnarEnabled, skipChangeCommits)
 }
 
 /** Planned scan. Batch planning (file skipping, DV loading) happens in
@@ -343,7 +345,8 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
     tableSchema: StructType, required: StructType,
     skipFilters: Array[Filter], limit: Int,
     aggResult: Option[(StructType, Array[Any])],
-    columnarEnabled: Boolean = true) extends Scan
+    columnarEnabled: Boolean = true,
+    skipChangeCommits: Boolean = false) extends Scan
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   /** Real size/row estimates from commit metadata (file lengths +
@@ -453,7 +456,8 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(aggResult.isEmpty, "aggregate pushdown not valid for streaming")
-    new GraftMicroBatchStream(root, fq, required, skipFilters, limit)
+    new GraftMicroBatchStream(root, fq, required, skipFilters, limit,
+      skipChangeCommits)
   }
 }
 
@@ -621,7 +625,8 @@ case class GraftOffset(v: Int) extends Offset {
   * without ignoreChanges. The initial batch (-1 → current) is the
   * snapshot read WITH current DV masks applied. */
 class GraftMicroBatchStream(root: String, fq: String, required: StructType,
-    skipFilters: Array[Filter], limit: Int) extends MicroBatchStream
+    skipFilters: Array[Filter], limit: Int,
+    skipChangeCommits: Boolean = false) extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def cat = new TableCatalog(SparkSession.active, root)
@@ -656,19 +661,51 @@ class GraftMicroBatchStream(root: String, fq: String, required: StructType,
     def key(p: String) = new Path(p).toUri.getPath
     val newFiles =
       if (vs < 0) endFiles
-      else {
+      else if (skipChangeCommits) {
+        // Delta's skipChangeCommits: walk the commits (vs, ve] one by
+        // one, deliver the file adds of PURE APPENDS, silently skip
+        // any commit that removed a file or touched the DV set
+        // (rewrite/compact/overwrite/MoR mutation) — a continuously
+        // maintained table still feeds the stream, with the documented
+        // caveat that rewritten/masked rows are neither re-delivered
+        // nor retracted. A commit whose predecessor dir was already
+        // pruned cannot be diffed and counts as a change commit (its
+        // surviving appends would still be referenced and retained).
+        val adds = Seq.newBuilder[String]
+        var v = vs + 1
+        while (v <= ve) {
+          if (c.versionRetained(fq, v) && c.versionRetained(fq, v - 1)) {
+            val prev = c.dataFilePathsAt(fq, v - 1)
+            val cur = c.dataFilePathsAt(fq, v)
+            val prevSet = prev.map(key).toSet
+            val curSet = cur.map(key).toSet
+            val pureAppend = prevSet.subsetOf(curSet) &&
+              c.dvFilePathsAt(fq, v - 1).map(key).toSet ==
+                c.dvFilePathsAt(fq, v).map(key).toSet
+            if (pureAppend) adds ++= cur.filterNot(p => prevSet(key(p)))
+          }
+          v += 1
+        }
+        // deliver only adds still present at ve (a later rewrite may
+        // have retired an earlier append's files — those rows changed,
+        // so their commit is skipped like any other change)
+        val endSet = endFiles.map(key).toSet
+        adds.result().distinct.filter(p => endSet(key(p)))
+      } else {
         val startSet = c.dataFilePathsAt(fq, vs).map(key).toSet
         val endSet = endFiles.map(key).toSet
         val removed = startSet -- endSet
         if (removed.nonEmpty) throw new IllegalStateException(
           s"graft stream over $fq: non-append change removed ${removed.size} " +
             "file(s) (overwrite/compact/vacuum) — restart the stream from a " +
-            "fresh checkpoint")
+            "fresh checkpoint, or read with skipChangeCommits=true to " +
+            "stream appends only")
         if (c.dvFilePathsAt(fq, vs).map(key).toSet !=
             c.dvFilePathsAt(fq, ve).map(key).toSet)
           throw new IllegalStateException(
             s"graft stream over $fq: deletion vectors changed mid-stream — " +
-              "already-delivered rows cannot be retracted")
+              "already-delivered rows cannot be retracted (skipChangeCommits" +
+              "=true streams appends only)")
         endFiles.filterNot(p => startSet(key(p)))
       }
     // initial snapshot applies current DV masks; later batches carry

@@ -407,6 +407,63 @@ class Round7Spec extends SparkTestBase {
     assert(truncUpper(long).exists(u => compareBytes(u, long) >= 0))
   }
 
+  // ---- change-tolerant streaming ------------------------------------------
+
+  test("skipChangeCommits streams appends across DV and compact commits") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tempDir("r7_skipcc")
+    val cat = new TableCatalog(spark, root)
+    val t = "D.S.SKIPCC"
+    cat.overwrite(t, (1L to 100L).map(i => (i, s"v$i")).toDF("k", "s")
+      .coalesce(1))
+    val ckpt = tempDir("r7_skipcc_ckpt")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("root", root).option("table", t)
+        .option("skipChangeCommits", "true").load()
+        .writeStream.format("parquet")
+        .option("path", s"$root/sink")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000); ()
+    }
+    drain() // initial snapshot
+    assert(spark.read.parquet(s"$root/sink").count() == 100)
+    // a DV delete (change commit), an append, a MoR update (change),
+    // and another append land between drains
+    cat.deleteWhereDV(t, col("k") % 10 === 0)
+    cat.append(t, (101L to 150L).map(i => (i, s"v$i")).toDF("k", "s")
+      .coalesce(1))
+    cat.updateWhereDV(t, Map("s" -> lit("upd")), col("k") === 3L)
+    cat.append(t, (151L to 170L).map(i => (i, s"v$i")).toDF("k", "s")
+      .coalesce(1))
+    drain() // appends delivered, change commits silently skipped
+    val sunk = spark.read.parquet(s"$root/sink")
+    assert(sunk.count() == 170)
+    assert(sunk.agg(sum("k")).head().getLong(0) == (1L to 170L).sum)
+    // already-delivered rows were NOT retracted or re-delivered; the
+    // MoR update's replacement row was not re-emitted either
+    assert(sunk.filter(col("s") === "upd").count() == 0)
+
+    // WITHOUT the option, the same sequence fails loudly (strict mode)
+    val strictCkpt = tempDir("r7_strict_ckpt")
+    def strictDrain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("root", root).option("table", t).load()
+        .writeStream.format("parquet")
+        .option("path", s"$root/sink_strict")
+        .option("checkpointLocation", strictCkpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000); ()
+    }
+    strictDrain()
+    cat.compact(t) // rewrite
+    cat.append(t, Seq((171L, "v171")).toDF("k", "s"))
+    val ex = intercept[Exception] { strictDrain() }
+    assert(allMessages(ex).contains("skipChangeCommits") ||
+      ex.toString.contains("StreamingQueryException"))
+  }
+
   // ---- deletion vectors on hive-partitioned tables ------------------------
 
   test("partitioned tables take merge-on-read deletes and updates") {
