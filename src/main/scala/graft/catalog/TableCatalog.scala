@@ -370,19 +370,13 @@ class TableCatalog(spark: SparkSession, root: String,
   private def statsFor(files: Seq[Path])
       : Map[String, Map[String, (BigDecimal, BigDecimal)]] =
     files.map(versionAncestor).distinct.flatMap { dir =>
-      val sp = statsPath(dir)
-      if (!fs.exists(sp)) Nil
-      else {
-        val in = fs.open(sp)
-        val text = try new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-        finally in.close()
+      TableCatalog.cachedParse(fs, statsPath(dir), "stats") { text =>
         text.split("\n").toSeq.filter(_.nonEmpty).flatMap { ln =>
           val Array(f, c, mn, mx) = ln.split("\t", 4)
           if (c.startsWith("s:")) None // string bounds: stringStatsFor
           else Some((f, c, BigDecimal(mn), BigDecimal(mx)))
         }
-      }
+      }.getOrElse(Nil)
     }.groupBy(_._1).map { case (f, es) =>
       f -> es.map { case (_, c, mn, mx) => c -> (mn, mx) }.toMap
     }
@@ -395,20 +389,14 @@ class TableCatalog(spark: SparkSession, root: String,
       : Map[String, Map[String, (Array[Byte], Option[Array[Byte]])]] = {
     val b64 = java.util.Base64.getDecoder
     files.map(versionAncestor).distinct.flatMap { dir =>
-      val sp = statsPath(dir)
-      if (!fs.exists(sp)) Nil
-      else {
-        val in = fs.open(sp)
-        val text = try new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-        finally in.close()
+      TableCatalog.cachedParse(fs, statsPath(dir), "sstats") { text =>
         text.split("\n").toSeq.filter(_.nonEmpty).flatMap { ln =>
           val Array(f, c, mn, mx) = ln.split("\t", 4)
           if (!c.startsWith("s:")) None
           else Some((f, c.stripPrefix("s:"), b64.decode(mn),
             if (mx == "*") None else Some(b64.decode(mx))))
         }
-      }
+      }.getOrElse(Nil)
     }.groupBy(_._1).map { case (f, es) =>
       f -> es.map { case (_, c, mn, mx) => c -> (mn, mx) }.toMap
     }
@@ -464,15 +452,20 @@ class TableCatalog(spark: SparkSession, root: String,
   }
 
   /** Footer-only row count of a parquet file (used where a Spark count
-    * job would be pure overhead). */
-  private def footerRowCount(p: Path): Long = {
-    import scala.jdk.CollectionConverters._
-    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        p, spark.sparkContext.hadoopConfiguration))
-    try rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-    finally rd.close()
-  }
+    * job would be pure overhead). Cached by file status — DV sidecar
+    * parquet is immutable, so fastCount on a hot table stops
+    * re-opening the same footers per call. */
+  private def footerRowCount(p: Path): Long =
+    TableCatalog.cachedValue(fs, p, "rowcount") {
+      import scala.jdk.CollectionConverters._
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          p, spark.sparkContext.hadoopConfiguration))
+      try java.lang.Long.valueOf(
+        rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+      finally rd.close()
+    }.map(_.longValue).getOrElse(
+      throw new java.io.FileNotFoundException(p.toString))
 
   /** METADATA-ONLY `COUNT(*)` of the live version: the sum of the
     * per-file row counts recorded in `_STATS` at commit time, minus
@@ -1266,14 +1259,8 @@ class TableCatalog(spark: SparkSession, root: String,
   private val BloomHashes = 5 // double-hashed probes per key (~1% FPR at 10 bits/row)
 
   /** Entries of a `_BLOOMS` sidecar: (file, column, bitset words). */
-  private def bloomEntries(dir: Path): Seq[(String, String, Array[Long])] = {
-    val bp = bloomPath(dir)
-    if (!fs.exists(bp)) Nil
-    else {
-      val in = fs.open(bp)
-      val text = try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-      finally in.close()
+  private def bloomEntries(dir: Path): Seq[(String, String, Array[Long])] =
+    TableCatalog.cachedParse(fs, bloomPath(dir), "blooms") { text =>
       text.split("\n").toSeq.filter(_.nonEmpty).map { ln =>
         val Array(f, c, b64) = ln.split("\t", 3)
         val bytes = java.util.Base64.getDecoder.decode(b64)
@@ -1283,8 +1270,7 @@ class TableCatalog(spark: SparkSession, root: String,
         while (i < words.length) { words(i) = bb.getLong(); i += 1 }
         (f, c, words)
       }
-    }
-  }
+    }.getOrElse(Nil)
 
   /** The key hash both sides use: Spark's `xxhash64` (seed 42) of the
     * STRING form of the value. Hashing the canonical string form keeps
@@ -1795,6 +1781,63 @@ class TableCatalog(spark: SparkSession, root: String,
 }
 
 object TableCatalog {
+
+  // ---- sidecar parse cache ------------------------------------------------
+  // statsFor/stringStatsFor/bloomEntries re-read and re-parse their
+  // `_STATS`/`_BLOOMS` text sidecars on EVERY scan-planning call, and
+  // fastCount re-reads DV parquet footers per call — O(chain) driver
+  // IO per query on a long-chained table. Sidecars are immutable once
+  // written except at a commit of their own version dir (or a bloom
+  // rebuild / table rename), so a process-wide cache keyed by
+  // (qualified path, kind, mtime, length) makes repeated planning
+  // O(chain) map lookups with zero filesystem reads — the same
+  // file-status-keyed invalidation Delta uses for its log segments.
+
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long, Long), AnyRef]()
+  private[graft] val metaCacheMisses =
+    new java.util.concurrent.atomic.AtomicLong()
+  private[graft] val metaCacheHits =
+    new java.util.concurrent.atomic.AtomicLong()
+
+  /** Parse `p` through the cache (None = file absent). `kind`
+    * disambiguates different parses of the same file. */
+  private[catalog] def cachedParse[T <: AnyRef](fs: FileSystem, p: Path,
+      kind: String)(parse: String => T): Option[T] = {
+    if (!fs.exists(p)) return None
+    val st = fs.getFileStatus(p)
+    val key = (fs.makeQualified(p).toString, kind,
+      st.getModificationTime, st.getLen)
+    val hit = metaCache.get(key)
+    if (hit != null) { metaCacheHits.incrementAndGet(); return Some(hit.asInstanceOf[T]) }
+    metaCacheMisses.incrementAndGet()
+    val in = fs.open(p)
+    val text = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+    val v = parse(text)
+    if (metaCache.size > 8192) metaCache.clear() // crude bound; re-warms
+    metaCache.put(key, v)
+    Some(v)
+  }
+
+  /** Cache a computed value keyed by a file's status (DV footer row
+    * counts — parquet, not text, so no parse function). */
+  private[catalog] def cachedValue[T <: AnyRef](fs: FileSystem, p: Path,
+      kind: String)(compute: => T): Option[T] = {
+    if (!fs.exists(p)) return None
+    val st = fs.getFileStatus(p)
+    val key = (fs.makeQualified(p).toString, kind,
+      st.getModificationTime, st.getLen)
+    val hit = metaCache.get(key)
+    if (hit != null) { metaCacheHits.incrementAndGet(); return Some(hit.asInstanceOf[T]) }
+    metaCacheMisses.incrementAndGet()
+    val v = compute
+    if (metaCache.size > 8192) metaCache.clear()
+    metaCache.put(key, v)
+    Some(v)
+  }
+
   private[graft] val StringStatBytes = 16
 
   /** Unsigned lexicographic byte compare — parquet's BINARY stat order

@@ -407,6 +407,39 @@ class Round7Spec extends SparkTestBase {
     assert(truncUpper(long).exists(u => compareBytes(u, long) >= 0))
   }
 
+  // ---- sidecar parse caching ----------------------------------------------
+
+  test("sidecar parses are cached across repeated plans") {
+    val root = tempDir("r7_metacache")
+    val cat = new TableCatalog(spark, root)
+    val t = "D.S.METACACHE"
+    Seq(1L to 300L, 301L to 600L, 601L to 900L).foreach { r =>
+      cat.append(t, r.map(i => (i, s"k$i", i * 2.0)).toDF("k", "s", "x")
+        .coalesce(1))
+    }
+    cat.buildBloomIndex(t, "s")
+    def misses = graft.catalog.TableCatalog.metaCacheMisses.get()
+    def hits = graft.catalog.TableCatalog.metaCacheHits.get()
+
+    // first plans warm the cache…
+    assert(cat.readBetween(t, "k", 100L, 200L).count() == 101)
+    assert(cat.readPoint(t, "s", "k500").count() == 1)
+    assert(cat.fastCount(t).contains(900L))
+    val (m1, h1) = (misses, hits)
+    // …repeated planning is pure cache hits: zero sidecar re-reads
+    assert(cat.readBetween(t, "k", 100L, 200L).count() == 101)
+    assert(cat.readPoint(t, "s", "k500").count() == 1)
+    assert(cat.fastCount(t).contains(900L))
+    assert(misses == m1, "repeated plans re-read sidecars")
+    assert(hits > h1)
+
+    // a new commit's sidecar is a fresh parse, the carried ones stay hot
+    cat.append(t, Seq((901L, "k901", 2.0)).toDF("k", "s", "x").coalesce(1))
+    val m2 = misses
+    assert(cat.fastCount(t).contains(901L))
+    assert(misses - m2 <= 2, "append should add at most the new version's parses")
+  }
+
   // ---- change-tolerant streaming ------------------------------------------
 
   test("skipChangeCommits streams appends across DV and compact commits") {
