@@ -198,6 +198,45 @@ object QueriesRound7 {
           sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
             .as("sum_price"))
         .withColumn("dv_outstanding", lit(dvOutstanding))
+    }),
+
+    // ---- hive-partitioned tables as first-class SQL objects: the
+    //      connector reads the partition layout natively (path-encoded
+    //      columns synthesized typed — constant vectors on the
+    //      columnar path), pushed partition predicates prune whole
+    //      FILES by exact value at planning time (partition_pruned is
+    //      hashed), and SQL row-level DELETE works merge-on-read
+    //      against the partitioned chain (untranslatable predicate →
+    //      _gfile/_gpos scan → DV sidecar commit, zero rewrite). The
+    //      'we partitioned by day' 100 TB layout no longer needs the
+    //      TableCatalog API for SQL access. ----
+    "q251_partitioned_sql" -> ((s, dir) => {
+      val work = graft.Scratch.dir("graft_ptsql")
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      cat.overwritePartitioned("db.s.ptsql", li, Seq("l_returnflag"))
+      s.conf.set("spark.sql.catalog.gptsql", "graft.connector.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gptsql.root", work)
+      val filesBefore = cat.dataFilePaths("db.s.ptsql")
+      // row-level MoR delete through SQL (modulo: untranslatable →
+      // delta path), zero files rewritten
+      s.sql("DELETE FROM gptsql.db.s.ptsql WHERE l_orderkey % 5 = 0")
+      val noRewrite = cat.dataFilePaths("db.s.ptsql") == filesBefore
+      def rd = s.read.format("graft")
+        .option("root", work).option("table", "db.s.ptsql").load()
+      val total = graft.connector.GraftPlanInspect.scanPartitions(
+        rd.select("l_orderkey").limit(1))
+      val one = rd.filter(col("l_returnflag") === "N")
+      val oneParts = graft.connector.GraftPlanInspect.scanPartitions(
+        one.select("l_orderkey", "l_returnflag").limit(1))
+      val prunedOk = oneParts < total
+      s.sql("""SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty
+           FROM gptsql.db.s.ptsql GROUP BY l_returnflag""")
+        .withColumn("partition_pruned", lit(prunedOk))
+        .withColumn("no_rewrite", lit(noRewrite))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -250,5 +289,15 @@ object QueriesRound7 {
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              AS sum_price,
            TRUE AS dv_outstanding
-         FROM orders""")
+         FROM orders""",
+
+    "q251_partitioned_sql" ->
+      """SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           TRUE AS partition_pruned,
+           TRUE AS no_rewrite
+         FROM lineitem
+         WHERE l_orderkey % 5 <> 0
+         GROUP BY 1""")
 }

@@ -1529,6 +1529,36 @@ class TableCatalog(spark: SparkSession, root: String,
   private[graft] def versionRetained(fq: String, v: Int): Boolean =
     fs.exists(versionDir(fq, v))
 
+  /** Full schema of a PARTITIONED version — Spark's partition
+    * discovery recovers the path-encoded columns and their inferred
+    * types (int/long/decimal/date/string cascade), unioned across the
+    * chain's layouts. Driver-side footer/listing work only; no job. */
+  private[graft] def partitionedSchemaAt(fq: String, v: Int)
+      : org.apache.spark.sql.types.StructType =
+    readPartitionedDirs(chainDirs(fq, v), mergeSchema = true).schema
+
+  /** Per data file of a (possibly partitioned) version: the qualified
+    * path and the `col=value` pairs parsed from its path segments
+    * below the owning version dir — raw strings, URL-unescaped,
+    * `__HIVE_DEFAULT_PARTITION__` → null. Files outside a hive layout
+    * (pre-evolution chain entries) carry no pairs: their partition
+    * columns, if any, live INLINE in the data. */
+  private[graft] def filePartitionValuesAt(fq: String, v: Int)
+      : Seq[(String, Seq[(String, Option[String])])] =
+    dataFiles(fq, v).map { p =>
+      val anc = fs.makeQualified(versionAncestor(p)).toUri.getPath
+      val full = fs.makeQualified(p).toUri.getPath
+      val rel = if (full.startsWith(anc)) full.stripPrefix(anc) else full
+      val pairs = rel.split('/').toSeq.filter(_.contains('='))
+        .map { seg =>
+          val i = seg.indexOf('=')
+          val name = TableCatalog.unescapePath(seg.substring(0, i))
+          val raw = TableCatalog.unescapePath(seg.substring(i + 1))
+          name -> (if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw))
+        }
+      fs.makeQualified(p).toString -> pairs
+    }
+
   private[graft] def statsByPath(fq: String, v: Int)
       : Map[String, Map[String, (BigDecimal, BigDecimal)]] =
     statsFor(dataFiles(fq, v))
@@ -1671,10 +1701,15 @@ class TableCatalog(spark: SparkSession, root: String,
         s"$fq advanced to v$v since the row-level scan read v$b — " +
           "rerun the operation")
     }
-    require(partitionColsOf(fq, v).isEmpty,
-      s"row-level operations target unpartitioned tables; $fq is hive-partitioned")
     if (dvStaged.isEmpty && dataStaged.isEmpty) return // no-op op
-    val files = dataFiles(fq, v)
+    // hive-partitioned targets: the prior chain rides as DIRECTORIES
+    // and the staged insert side lands INLINE in the new version dir
+    // (its partition column travels as data, like a pre-evolution
+    // entry — the layout-union read path resolves both); compaction
+    // re-partitions the replacements into the hive layout later
+    val pcols = partitionColsOf(fq, v)
+    val carried: Seq[Path] =
+      if (pcols.nonEmpty) chainDirs(fq, v) else dataFiles(fq, v)
     val dvs = dvFiles(fq, v)
     commitVersionFrom(fq, v, dir => {
       fs.mkdirs(dir)
@@ -1689,7 +1724,8 @@ class TableCatalog(spark: SparkSession, root: String,
             throw new IllegalStateException(s"failed to adopt staged DV $f")
         }
       }
-      writeManifest(dir, files)
+      if (pcols.nonEmpty) writePartitions(dir, pcols)
+      writeManifest(dir, carried)
       if (dvs.nonEmpty) writeDvManifest(dir, dvs)
     })
   }
@@ -1836,6 +1872,22 @@ object TableCatalog {
     if (metaCache.size > 8192) metaCache.clear()
     metaCache.put(key, v)
     Some(v)
+  }
+
+  /** Undo Spark's hive-path escaping (%XX) in partition segments. */
+  private[graft] def unescapePath(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   private[graft] val StringStatBytes = 16

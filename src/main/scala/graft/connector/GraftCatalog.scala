@@ -69,13 +69,6 @@ class GraftCatalog extends V2TableCatalog
     val opts = version.map(v => base + ("version" -> v.toString)).getOrElse(base)
     val v = version.orElse(cat.version(fq)).getOrElse(
       throw new NoSuchTableException(fq.split('.').toSeq))
-    // same scope guard as GraftSource.resolve: the connector scans
-    // leaf files directly and would silently DROP path-encoded
-    // partition columns of a hive-partitioned table — reject loudly
-    require(!cat.isPartitionedAt(fq, v),
-      s"graft SQL catalog reads unpartitioned tables; $fq is " +
-        "hive-partitioned (use TableCatalog.read — partition pruning " +
-        "covers it)")
     val files = cat.dataFilePathsAt(fq, v)
     val schema =
       if (files.isEmpty) new StructType()

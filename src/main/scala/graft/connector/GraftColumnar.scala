@@ -41,8 +41,26 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * re-applies every filter row-level above (all filters stay residual,
   * the connector's standing contract). */
 class GraftColumnarReader(path: String, schema: StructType, limit: Int,
-    filters: Array[Filter] = Array.empty)
+    filters: Array[Filter] = Array.empty,
+    partValues: Seq[(String, Option[String])] = Seq.empty)
     extends PartitionReader[ColumnarBatch] {
+
+  // hive-partitioned files: path-encoded columns come back as the
+  // vectorized reader's CONSTANT partition vectors (initBatch), and a
+  // zero-copy column permutation restores the scan's declared order
+  // (the reader appends partition vectors after the data columns)
+  private val partMap = partValues.toMap
+  private val dataFields = schema.fields.filterNot(f => partMap.contains(f.name))
+  private val partFields = schema.fields.filter(f => partMap.contains(f.name))
+  private val dataSchema = StructType(dataFields)
+  // output position i ← underlying batch column outPerm(i)
+  private val outPerm: Array[Int] = {
+    val dataIdx = dataFields.map(_.name).zipWithIndex.toMap
+    val partIdx = partFields.map(_.name).zipWithIndex.toMap
+    schema.fields.map(f => dataIdx.get(f.name)
+      .getOrElse(dataFields.length + partIdx(f.name)))
+  }
+  private val needsPerm = !outPerm.zipWithIndex.forall { case (p, i) => p == i }
 
   private val reader: VectorizedParquetRecordReader = {
     val conf = new Configuration()
@@ -52,7 +70,7 @@ class GraftColumnarReader(path: String, schema: StructType, limit: Int,
     // file lacks (evolved chains) come back as null vectors
     conf.set(ParquetInputFormat.READ_SUPPORT_CLASS,
       classOf[ParquetReadSupport].getName)
-    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, dataSchema.json)
     conf.setBoolean("spark.sql.caseSensitive", false)
     conf.setBoolean("spark.sql.parquet.binaryAsString", false)
     conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
@@ -77,7 +95,12 @@ class GraftColumnarReader(path: String, schema: StructType, limit: Int,
       /* useOffHeap = */ false, /* capacity = */ 4096)
     r.initialize(new FileSplit(p, 0, len, Array.empty[String]),
       new TaskAttemptContextImpl(conf, new TaskAttemptID()))
-    r.initBatch(new StructType(), InternalRow.empty)
+    val partRow: InternalRow =
+      if (partFields.isEmpty) InternalRow.empty
+      else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        partFields.map(f =>
+          GraftPartitions.castValue(partMap(f.name), f.dataType)))
+    r.initBatch(StructType(partFields), partRow)
     r.enableReturningBatches()
     r
   }
@@ -89,7 +112,11 @@ class GraftColumnarReader(path: String, schema: StructType, limit: Int,
     if (limit >= 0 && emitted >= limit) return false // partial pushdown:
     // Spark applies the exact limit above; stopping early just saves IO
     if (!reader.nextKeyValue()) return false
-    batch = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+    val underlying = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+    batch =
+      if (!needsPerm) underlying
+      else new ColumnarBatch( // zero-copy vector re-order
+        outPerm.map(underlying.column), underlying.numRows())
     emitted += batch.numRows()
     true
   }

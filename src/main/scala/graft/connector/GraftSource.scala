@@ -53,8 +53,15 @@ import graft.catalog.TableCatalog
   *    Non-append changes (overwrite/compact/new DVs) fail the stream
   *    loudly, like Delta without `ignoreChanges`.
   *
-  * Scope guard: unpartitioned tables (partition pruning already covers
-  * hive-layout tables via [[TableCatalog.read]]), non-nested columns.
+  *  - **Hive-partitioned tables read natively.** Path-encoded
+  *    partition columns come back typed (partition-discovery
+  *    inference), synthesized per file — as `initBatch` constant
+  *    vectors on the columnar path, casted constants on the row path —
+  *    and pushed filters on partition columns prune whole FILES at
+  *    planning time by exact value (the partition-pruning analog,
+  *    composing with stats/bloom skipping on data columns and with
+  *    runtime join filters). Writes and streaming remain
+  *    unpartitioned-only.
   */
 class GraftSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
@@ -68,9 +75,6 @@ class GraftSource extends TableProvider with DataSourceRegister {
     val v = Option(options.get("version")).map(_.toInt)
       .orElse(cat.version(fq)).getOrElse(
         throw new IllegalArgumentException(s"graft table not found: $fq"))
-    require(!cat.isPartitionedAt(fq, v),
-      s"graft connector reads unpartitioned tables; $fq is hive-partitioned " +
-        "(use TableCatalog.read — partition pruning covers it)")
     (root, fq, v)
   }
 
@@ -86,7 +90,9 @@ class GraftSource extends TableProvider with DataSourceRegister {
       return new StructType()
     val (r, f, v) = resolve(options)
     // per-version footer union — evolved chains expose every column,
-    // conflicting chains fail loudly (not schema-of-arbitrary-file)
+    // conflicting chains fail loudly (not schema-of-arbitrary-file);
+    // hive-partitioned versions recover path-encoded columns via
+    // partition discovery
     GraftSource.chainSchema(spark, new TableCatalog(spark, r), f, v)
   }
 
@@ -356,7 +362,7 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
     * turns a small graft dim table into an automatic broadcast side. */
   override def estimateStatistics(): Statistics = {
     val c = cat; val v = liveVersion
-    val files = surviving(c, v)
+    val files = surviving(c, v).map(_._1)
     val sizes = c.fileSizesAt(fq, v)
     val stats = c.statsByPath(fq, v)
     def key(p: String) = new Path(p).toUri.getPath
@@ -398,12 +404,29 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
   private def liveVersion: Int = versionOpt.orElse(cat.version(fq)).getOrElse(
     throw new IllegalArgumentException(s"graft table not found: $fq"))
 
-  /** Files surviving stats/bloom elimination under the conjunction of
-    * compile-time skip filters AND runtime (join-pushed) filters
-    * (missing sidecar ⇒ keep — advisory skipping). */
-  private def surviving(c: TableCatalog, v: Int): Seq[String] =
-    FileSkipping.surviving(c, fq, v, c.dataFilePathsAt(fq, v),
-      skipFilters ++ runtimeFilters)
+  /** Files (with their path-encoded partition values) surviving BOTH
+    * exact partition-value pruning and stats/bloom elimination, under
+    * the conjunction of compile-time skip filters AND runtime
+    * (join-pushed) filters (missing sidecar ⇒ keep — advisory). */
+  private def surviving(c: TableCatalog, v: Int)
+      : Seq[(String, Seq[(String, Option[String])])] = {
+    val all: Seq[(String, Seq[(String, Option[String])])] =
+      if (c.isPartitionedAt(fq, v)) c.filePartitionValuesAt(fq, v)
+      else c.dataFilePathsAt(fq, v)
+        .map(_ -> Seq.empty[(String, Option[String])])
+    val active = (skipFilters ++ runtimeFilters).toSeq
+    val afterPart =
+      if (active.isEmpty) all
+      else all.filter { case (_, pvs) =>
+        pvs.isEmpty || {
+          val pv = pvs.toMap
+          active.forall(f => GraftPartitions.mayMatch(pv, tableSchema, f))
+        }
+      }
+    val kept = FileSkipping
+      .surviving(c, fq, v, afterPart.map(_._1), active).toSet
+    afterPart.filter(fp => kept(fp._1))
+  }
 
   /** DV row indexes per surviving file, loaded driver-side (sidecars
     * are deletes-sized — the Delta "DVs ride the commit log" cost). */
@@ -430,9 +453,10 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
         case None =>
           val c = cat; val v = liveVersion
           val dvs = dvByFile(c, v)
-          surviving(c, v).map { p =>
+          surviving(c, v).map { case (p, pvs) =>
             GraftFilePartition(p,
-              dvs.getOrElse(new Path(p).toUri.getPath, Array.empty[Long]))
+              dvs.getOrElse(new Path(p).toUri.getPath, Array.empty[Long]),
+              pvs)
           }.toArray
       }
     override def planInputPartitions(): Array[InputPartition] = parts
@@ -446,7 +470,7 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
         !out.fieldNames.exists(n =>
           n == GraftSource.RowIdFile || n == GraftSource.RowIdPos) &&
         parts.forall {
-          case GraftFilePartition(_, dv) => dv.isEmpty
+          case GraftFilePartition(_, dv, _) => dv.isEmpty
           case _ => false
         }
       new GraftReaderFactory(out, limit, skipFilters ++ runtimeFilters,
@@ -456,13 +480,17 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(aggResult.isEmpty, "aggregate pushdown not valid for streaming")
+    require(!cat.isPartitionedAt(fq, liveVersion),
+      s"graft streaming reads unpartitioned tables; $fq is hive-partitioned")
     new GraftMicroBatchStream(root, fq, required, skipFilters, limit,
       skipChangeCommits)
   }
 }
 
-/** One data file + the DV row indexes masking it. */
-case class GraftFilePartition(path: String, dvRows: Array[Long])
+/** One data file + the DV row indexes masking it + the partition
+  * values its path encodes (raw strings; None = null partition). */
+case class GraftFilePartition(path: String, dvRows: Array[Long],
+    partValues: Seq[(String, Option[String])] = Seq.empty)
   extends InputPartition
 
 /** Metadata-answered aggregate: the single result row's values. */
@@ -479,8 +507,8 @@ class GraftReaderFactory(schema: StructType, limit: Int,
         override def get(): InternalRow = new GenericInternalRow(values.clone())
         override def close(): Unit = ()
       }
-      case GraftFilePartition(path, dvRows) =>
-        new GraftRowReader(path, schema, dvRows, limit, filters)
+      case GraftFilePartition(path, dvRows, pvs) =>
+        new GraftRowReader(path, schema, dvRows, limit, filters, pvs)
     }
 
   // scan-wide flag (computed over ALL planned partitions), so every
@@ -490,9 +518,9 @@ class GraftReaderFactory(schema: StructType, limit: Int,
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     p match {
-      case GraftFilePartition(path, dvRows) =>
+      case GraftFilePartition(path, dvRows, pvs) =>
         require(dvRows.isEmpty, "columnar path never sees DV'd files")
-        new GraftColumnarReader(path, schema, limit, filters)
+        new GraftColumnarReader(path, schema, limit, filters, pvs)
       case other => throw new IllegalStateException(
         s"columnar read of non-file partition $other")
     }
@@ -511,15 +539,26 @@ class GraftReaderFactory(schema: StructType, limit: Int,
   * and would break the row-index addresses the mask points at (Spark
   * still applies every residual filter either way). */
 class GraftRowReader(path: String, schema: StructType, dvRows: Array[Long],
-    limit: Int, filters: Array[Filter] = Array.empty)
+    limit: Int, filters: Array[Filter] = Array.empty,
+    partValues: Seq[(String, Option[String])] = Seq.empty)
     extends PartitionReader[InternalRow] {
   import GraftSource.{RowIdFile, RowIdPos}
 
-  // row-id metadata columns are synthesized here, not read from parquet
+  // row-id metadata columns are synthesized here, not read from parquet;
+  // path-encoded partition columns become per-file casted constants
   private val isMeta: Array[Boolean] =
     schema.fields.map(f => f.name == RowIdFile || f.name == RowIdPos)
+  // Some(value-or-null) = path constant; None = read from the file
+  private val partConst: Array[Option[Any]] = {
+    val raw = partValues.toMap
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      if (isMeta(i)) None
+      else raw.get(f.name).map(rv =>
+        GraftPartitions.castValue(rv, f.dataType): Any)
+    }
+  }
   private val dataSchema = StructType(schema.fields.zipWithIndex
-    .collect { case (f, i) if !isMeta(i) => f })
+    .collect { case (f, i) if !isMeta(i) && partConst(i).isEmpty => f })
 
   private val reader = {
     val conf = new Configuration()
@@ -551,16 +590,20 @@ class GraftRowReader(path: String, schema: StructType, dvRows: Array[Long],
   }
 
   override def get(): InternalRow = {
-    if (!isMeta.exists(identity))
+    if (!isMeta.exists(identity) && !partConst.exists(_.isDefined))
       return GraftParquetIO.toInternalRow(current, schema)
     val vals = new Array[Any](schema.length)
     var i = 0
     while (i < schema.length) {
       vals(i) =
-        if (!isMeta(i)) GraftParquetIO.valueOf(current, schema(i))
-        else if (schema(i).name == RowIdFile)
-          org.apache.spark.unsafe.types.UTF8String.fromString(path)
-        else rowIdx
+        if (isMeta(i)) {
+          if (schema(i).name == RowIdFile)
+            org.apache.spark.unsafe.types.UTF8String.fromString(path)
+          else rowIdx
+        } else partConst(i) match {
+          case Some(c) => c // path-encoded partition constant
+          case None => GraftParquetIO.valueOf(current, schema(i))
+        }
       i += 1
     }
     new GenericInternalRow(vals)
@@ -588,6 +631,7 @@ object GraftSource {
     * Cost: O(chain versions) footer reads, driver-side. */
   private[connector] def chainSchema(spark: SparkSession,
       cat: graft.catalog.TableCatalog, fq: String, v: Int): StructType = {
+    if (cat.isPartitionedAt(fq, v)) return cat.partitionedSchemaAt(fq, v)
     val files = cat.dataFilePathsAt(fq, v)
     require(files.nonEmpty, s"graft table $fq v$v has no data files")
     val vdir = "(.*/v_\\d{6})/".r

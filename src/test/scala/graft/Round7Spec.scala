@@ -133,19 +133,90 @@ class Round7Spec extends SparkTestBase {
     assert(cat.committedEpochs(t).contains("qid-7:42"))
   }
 
-  // ---- SQL catalog guard for hive-partitioned tables ----------------------
+  // ---- hive-partitioned tables through the connector ----------------------
 
-  test("SQL catalog read of a hive-partitioned table fails loudly") {
-    val root = tempDir("r7_ptguard")
+  test("connector reads partitioned tables: typed partition columns, pruning") {
+    val root = tempDir("r7_ptread")
     val cat = new TableCatalog(spark, root)
-    cat.overwritePartitioned("db.s.pt",
-      Seq((1L, "a"), (2L, "b")).toDF("k", "p"), Seq("p"))
+    val t = "db.s.pt"
+    val letters = Array("a", "b", "c", "d")
+    cat.overwritePartitioned(t,
+      (1L to 1000L).map(i => (i, letters((i % 4).toInt), i * 1.5))
+        .toDF("k", "p", "x"), Seq("p"))
     spark.conf.set("spark.sql.catalog.r7ptcat", "graft.connector.GraftCatalog")
     spark.conf.set("spark.sql.catalog.r7ptcat.root", root)
-    val ex = intercept[Exception] {
-      spark.sql("SELECT * FROM r7ptcat.db.s.pt").collect()
-    }
-    assert(allMessages(ex).contains("hive-partitioned"))
+
+    // partition column present, typed, correct through plain SQL
+    val byP = spark.sql(
+      "SELECT p, count(*) AS n, sum(k) AS sk FROM r7ptcat.db.s.pt GROUP BY p")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(byP.map(_._1).toSeq == Seq("a", "b", "c", "d"))
+    assert(byP.map(_._2).sum == 1000)
+    assert(byP.map(_._3).sum == (1L to 1000L).sum)
+
+    // exact partition pruning: one partition's files scheduled
+    def parts(d: org.apache.spark.sql.DataFrame): Int =
+      graft.connector.GraftPlanInspect.scanPartitions(d)
+    val all = graftRead(root, t)
+    val total = parts(all.select("k").limit(1))
+    val pruned = graftRead(root, t).filter(col("p") === "b")
+    val prunedParts = parts(pruned.select("k", "p").limit(1))
+    assert(prunedParts < total && prunedParts >= 1,
+      s"partition pruning: $prunedParts of $total")
+    assert(pruned.count() == 250)
+
+    // columnar decode with the partition-constant vectors
+    val agg = graftRead(root, t).filter(col("p") === "c")
+      .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+    agg.collect()
+    assert(agg.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    val r = agg.head()
+    assert(math.abs(r.getDouble(0) -
+      (1L to 1000L).filter(_ % 4 == 2).map(_ * 1.5).sum) < 1e-6)
+
+    // partitioned DVs ride the connector read (row path) and SQL DELETE
+    spark.sql("DELETE FROM r7ptcat.db.s.pt WHERE k % 10 = 0")
+    val masked = graftRead(root, t)
+    masked.collect()
+    assert(masked.count() == 900)
+    assert(spark.sql(
+      "SELECT count(*) FROM r7ptcat.db.s.pt WHERE p = 'b'")
+      .head().getLong(0) == (1L to 1000L).count(i => i % 4 == 1 && i % 10 != 0))
+
+    // SQL UPDATE (row-level delta): masked originals + inline-
+    // partitioned replacements; partition column survives the rewrite
+    spark.sql("UPDATE r7ptcat.db.s.pt SET x = -1.0 WHERE k % 7 = 0")
+    val after = graftRead(root, t)
+    assert(after.count() == 900)
+    val expUpd = (1L to 1000L).count(i => i % 7 == 0 && i % 10 != 0)
+    assert(after.filter(col("x") === -1.0).count() == expUpd)
+    assert(after.filter(col("x") === -1.0 && col("p") === "a").count() ==
+      (1L to 1000L).count(i => i % 7 == 0 && i % 10 != 0 && i % 4 == 0))
+    // compaction settles everything back into one hive-layout chain
+    cat.compact(t)
+    assert(graftRead(root, t).count() == 900)
+    assert(graftRead(root, t).filter(col("x") === -1.0).count() == expUpd)
+  }
+
+  test("connector reads a numeric-partitioned table with inferred types") {
+    val root = tempDir("r7_ptint")
+    val cat = new TableCatalog(spark, root)
+    val t = "db.s.ptint"
+    cat.overwritePartitioned(t,
+      (1L to 300L).map(i => (i, (i % 3 + 2000).toInt, i * 1.0))
+        .toDF("k", "year", "x"), Seq("year"))
+    val rd = graftRead(root, t)
+    // partition discovery infers int; the connector must agree
+    assert(rd.schema("year").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val sel = rd.filter(col("year") === 2001)
+    assert(graft.connector.GraftPlanInspect.scanPartitions(
+      sel.select("k", "year").limit(1)) <
+      graft.connector.GraftPlanInspect.scanPartitions(
+        rd.select("k").limit(1)))
+    assert(sel.count() == 100)
+    assert(rd.groupBy("year").count().collect().map(_.getLong(1)).sum == 300)
   }
 
   // ---- name+type append check ---------------------------------------------
