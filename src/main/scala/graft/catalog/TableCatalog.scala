@@ -407,45 +407,68 @@ class TableCatalog(spark: SparkSession, root: String,
     * (files without stats are read — safe default), the residual
     * predicate still applies row-level, and DV masks still apply. The
     * returned plan's `inputFiles` is the skipping evidence. */
+  /** The subset of `files` whose `_STATS` [min,max] (numeric or
+    * truncation-safe string) can overlap [lo, hi]; files without an
+    * entry survive (advisory). */
+  private def statSurvivors(files: Seq[Path], column: String,
+      lo: Any, hi: Any): Seq[Path] =
+    (TableCatalog.statDecimal(lo), TableCatalog.statDecimal(hi)) match {
+      case (Some(loD), Some(hiD)) =>
+        val stats = statsFor(files)
+        files.filter { p =>
+          stats.get(fs.makeQualified(p).toUri.getPath)
+            .flatMap(_.get(column)) match {
+              case Some((mn, mx)) => !(mx < loD || mn > hiD)
+              case None => true
+            }
+        }
+      case _ => (lo, hi) match {
+        // STRING range: truncation-safe bounds from the `s:` sidecar
+        // entries (unsigned byte order = Spark string order)
+        case (ls: String, hs: String) =>
+          val sstats = stringStatsFor(files)
+          val loB = Some(ls.getBytes("UTF-8"))
+          val hiB = Some(hs.getBytes("UTF-8"))
+          files.filter { p =>
+            sstats.get(fs.makeQualified(p).toUri.getPath)
+              .flatMap(_.get(column)) match {
+                case Some((lower, upper)) =>
+                  TableCatalog.stringRangeOverlaps(lower, upper, loB, hiB)
+                case None => true
+              }
+          }
+        case _ => // no stats-comparable form: read all, predicate row-level
+          files
+      }
+    }
+
+  /** Read a SUBSET of a partitioned version's files with partition
+    * columns recovered (basePath per owning version) and DV masks
+    * applied — the partitioned analog of a pruned multi-file scan. */
+  private def readPartitionedSubset(fq: String, v: Int,
+      files: Seq[Path]): DataFrame =
+    maskDvPos(readPartitionedDirs(files, withRowPos = true), dvFiles(fq, v))
+
   def readBetween(fq: String, column: String, lo: Any, hi: Any): DataFrame = {
     val v = currentVersion(fq).getOrElse(
       throw new IllegalArgumentException(s"table not found: $fq"))
     val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
-    if (partitionColsOf(fq, v).nonEmpty) // partition pruning covers these
-      return readPartitionedChain(fq, v).filter(pred)
+    val pcols = partitionColsOf(fq, v)
+    if (pcols.nonEmpty) {
+      // partition pruning covers partition-column ranges; for DATA
+      // columns the same `_STATS` elimination applies per file, read
+      // back with basePath so partition columns survive
+      if (pcols.contains(column))
+        return readPartitionedChain(fq, v).filter(pred)
+      val files = dataFiles(fq, v)
+      val surviving = statSurvivors(files, column, lo, hi)
+      if (surviving.isEmpty) return read(fq).filter(pred).limit(0)
+      return readPartitionedSubset(fq, v, surviving).filter(pred)
+    }
     val files = dataFiles(fq, v)
     if (files.isEmpty)
       return spark.read.parquet(versionDir(fq, v).toString).filter(pred)
-    val surviving =
-      (TableCatalog.statDecimal(lo), TableCatalog.statDecimal(hi)) match {
-        case (Some(loD), Some(hiD)) =>
-          val stats = statsFor(files)
-          files.filter { p =>
-            stats.get(fs.makeQualified(p).toUri.getPath)
-              .flatMap(_.get(column)) match {
-                case Some((mn, mx)) => !(mx < loD || mn > hiD)
-                case None => true
-              }
-          }
-        case _ => (lo, hi) match {
-          // STRING range: truncation-safe bounds from the `s:` sidecar
-          // entries (unsigned byte order = Spark string order)
-          case (ls: String, hs: String) =>
-            val sstats = stringStatsFor(files)
-            val loB = Some(ls.getBytes("UTF-8"))
-            val hiB = Some(hs.getBytes("UTF-8"))
-            files.filter { p =>
-              sstats.get(fs.makeQualified(p).toUri.getPath)
-                .flatMap(_.get(column)) match {
-                  case Some((lower, upper)) =>
-                    TableCatalog.stringRangeOverlaps(lower, upper, loB, hiB)
-                  case None => true
-                }
-            }
-          case _ => // no stats-comparable form: read all, predicate row-level
-            files
-        }
-      }
+    val surviving = statSurvivors(files, column, lo, hi)
     if (surviving.isEmpty) read(fq).filter(pred).limit(0)
     else maskDv(spark.read.parquet(surviving.map(_.toString): _*),
       dvFiles(fq, v)).filter(pred)
@@ -1305,8 +1328,9 @@ class TableCatalog(spark: SparkSession, root: String,
   def buildBloomIndex(fq: String, column: String): Int = {
     val v = currentVersion(fq).getOrElse(
       throw new IllegalArgumentException(s"table not found: $fq"))
-    require(partitionColsOf(fq, v).isEmpty,
-      "bloom index targets unpartitioned tables (partition pruning covers the rest)")
+    require(!partitionColsOf(fq, v).contains(column),
+      s"$column is a partition column — partition pruning already " +
+        "answers its point lookups exactly")
     val files = dataFiles(fq, v)
     val have: Set[String] = files.map(versionAncestor).distinct
       .flatMap(bloomEntries).collect { case (f, c, _) if c == column => f }
@@ -1369,7 +1393,8 @@ class TableCatalog(spark: SparkSession, root: String,
     val v = currentVersion(fq).getOrElse(
       throw new IllegalArgumentException(s"table not found: $fq"))
     val pred = col(column) === lit(value)
-    if (partitionColsOf(fq, v).nonEmpty)
+    val pcols = partitionColsOf(fq, v)
+    if (pcols.contains(column)) // partition pruning answers exactly
       return readPartitionedChain(fq, v).filter(pred)
     val files = dataFiles(fq, v)
     if (files.isEmpty) return read(fq).filter(pred)
@@ -1386,6 +1411,8 @@ class TableCatalog(spark: SparkSession, root: String,
       }
     }
     if (surviving.isEmpty) read(fq).filter(pred).limit(0)
+    else if (pcols.nonEmpty) // bloom-pruned partitioned point lookup
+      readPartitionedSubset(fq, v, surviving).filter(pred)
     else maskDv(spark.read.parquet(surviving.map(_.toString): _*),
       dvFiles(fq, v)).filter(pred)
   }
@@ -1412,13 +1439,16 @@ class TableCatalog(spark: SparkSession, root: String,
       throw new IllegalArgumentException(s"table not found: $src"))
     require(currentVersion(dst).isEmpty, s"clone target exists: $dst")
     require(fs.exists(versionDir(src, v)), s"$src version $v not retained")
-    require(partitionColsOf(src, v).isEmpty,
-      "shallow clone targets unpartitioned tables")
-    val files = dataFiles(src, v)
+    val pcols = partitionColsOf(src, v)
+    // partitioned clones carry the source's chain DIRECTORIES (the
+    // partition-layout manifest convention) and keep its layout
+    val carried: Seq[Path] =
+      if (pcols.nonEmpty) chainDirs(src, v) else dataFiles(src, v)
     val dvs = dvFiles(src, v)
     commitVersion(dst, dir => {
       fs.mkdirs(dir)
-      writeManifest(dir, files)
+      if (pcols.nonEmpty) writePartitions(dir, pcols)
+      writeManifest(dir, carried)
       if (dvs.nonEmpty) writeDvManifest(dir, dvs)
     })
   }

@@ -478,6 +478,48 @@ class Round7Spec extends SparkTestBase {
     assert(truncUpper(long).exists(u => compareBytes(u, long) >= 0))
   }
 
+  // ---- partitioned data-column skipping, blooms, clones -------------------
+
+  test("partitioned tables: data-column stats/bloom skipping and shallow clone") {
+    val root = tempDir("r7_ptskip")
+    val cat = new TableCatalog(spark, root)
+    val t = "db.s.ptskip"
+    // three appends with disjoint k-ranges, partitioned by p — each
+    // append's files carry tight k stats
+    cat.overwritePartitioned(t,
+      (1L to 300L).map(i => (i, if (i % 2 == 0) "e" else "o", s"id$i"))
+        .toDF("k", "p", "id"), Seq("p"))
+    cat.append(t, (301L to 600L).map(i =>
+      (i, if (i % 2 == 0) "e" else "o", s"id$i")).toDF("k", "p", "id"))
+    cat.append(t, (601L to 900L).map(i =>
+      (i, if (i % 2 == 0) "e" else "o", s"id$i")).toDF("k", "p", "id"))
+
+    // data-column range read opens only the overlapping commit's files
+    val rb = cat.readBetween(t, "k", 350L, 420L)
+    assert(rb.count() == 71)
+    assert(rb.inputFiles.length < cat.dataFilePaths(t).size)
+    // partition columns survive the pruned subset read
+    assert(rb.filter(col("p") === "e").count() ==
+      (350L to 420L).count(_ % 2 == 0))
+
+    // bloom point lookup on a DATA column of the partitioned table
+    cat.buildBloomIndex(t, "id")
+    val pt = cat.readPoint(t, "id", "id777")
+    assert(pt.count() == 1)
+    assert(pt.inputFiles.length < cat.dataFilePaths(t).size)
+    assert(pt.head().getAs[String]("p") == "o")
+    // partition columns reject bloom indexing (pruning answers exactly)
+    intercept[IllegalArgumentException] { cat.buildBloomIndex(t, "p") }
+
+    // partitioned shallow clone: zero copy, independent evolution
+    cat.deleteWhereDV(t, col("k") % 9 === 0)
+    cat.cloneTable(t, "db.s.ptclone")
+    assert(cat.read("db.s.ptclone").count() == cat.read(t).count())
+    cat.deleteWhereDV("db.s.ptclone", col("p") === "e")
+    assert(cat.read("db.s.ptclone").filter(col("p") === "e").count() == 0)
+    assert(cat.read(t).filter(col("p") === "e").count() > 0) // src untouched
+  }
+
   // ---- sidecar parse caching ----------------------------------------------
 
   test("sidecar parses are cached across repeated plans") {
