@@ -237,6 +237,44 @@ object QueriesRound7 {
            FROM gptsql.db.s.ptsql GROUP BY l_returnflag""")
         .withColumn("partition_pruned", lit(prunedOk))
         .withColumn("no_rewrite", lit(noRewrite))
+    }),
+
+    // ---- partitioned CTAS through SQL: CREATE TABLE … PARTITIONED
+    //      BY (c) AS SELECT writes the hive layout via the DSv2
+    //      staged-commit path — executors route rows to per-value
+    //      staged files (partition column path-encoded, stripped from
+    //      the payload; the required clustered distribution keeps it
+    //      to ~one file per value), the driver adopts them by rename.
+    //      hive_layout + payload_stripped are hashed evidence; INSERT
+    //      INTO then appends into the same layout carrying the prior
+    //      chain by manifest. ----
+    "q252_partitioned_ctas" -> ((s, dir) => {
+      val work = graft.Scratch.dir("graft_ptctas")
+      s.conf.set("spark.sql.catalog.gctas", "graft.connector.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gctas.root", work)
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .createOrReplaceTempView("q252_src")
+      s.sql("""CREATE TABLE gctas.d.s.ctas PARTITIONED BY (o_orderstatus)
+               AS SELECT * FROM q252_src""")
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val files = cat.dataFilePaths("d.s.ctas")
+      val hiveLayout = files.nonEmpty &&
+        files.forall(_.contains("/o_orderstatus="))
+      val payloadStripped = s.read.parquet(files.head)
+        .schema.fieldNames.sorted.toSeq == Seq("o_orderkey", "o_totalprice")
+      val before = files.toSet
+      s.sql("""INSERT INTO gctas.d.s.ctas
+               SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+               FROM q252_src WHERE o_orderkey % 100 = 0""")
+      val carried = before.subsetOf(cat.dataFilePaths("d.s.ctas").toSet)
+      s.sql("""SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+           FROM gctas.d.s.ctas GROUP BY o_orderstatus""")
+        .withColumn("hive_layout", lit(hiveLayout))
+        .withColumn("payload_stripped", lit(payloadStripped))
+        .withColumn("append_carried", lit(carried))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -299,5 +337,18 @@ object QueriesRound7 {
            TRUE AS no_rewrite
          FROM lineitem
          WHERE l_orderkey % 5 <> 0
+         GROUP BY 1""",
+
+    "q252_partitioned_ctas" ->
+      """SELECT o_orderstatus,
+           count(*) + count(*) FILTER (WHERE o_orderkey % 100 = 0) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) +
+                coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  FILTER (WHERE o_orderkey % 100 = 0), 0) AS DOUBLE)
+             AS sum_price,
+           TRUE AS hive_layout,
+           TRUE AS payload_stripped,
+           TRUE AS append_carried
+         FROM orders
          GROUP BY 1""")
 }

@@ -1553,6 +1553,9 @@ class TableCatalog(spark: SparkSession, root: String,
   private[graft] def isPartitionedAt(fq: String, v: Int): Boolean =
     partitionColsOf(fq, v).nonEmpty
 
+  private[graft] def partitionColumnsAt(fq: String, v: Int): Seq[String] =
+    partitionColsOf(fq, v)
+
   /** Is the version dir still on disk (not pruned/vacuumed)? The
     * streaming source's per-commit walk needs this to distinguish "no
     * diff to compute" from "commit retired". */
@@ -1671,6 +1674,43 @@ class TableCatalog(spark: SparkSession, root: String,
 
   private def decodeEpochTag(name: String): String =
     new String(java.util.Base64.getUrlDecoder.decode(name), "UTF-8")
+
+  /** DSv2 PARTITIONED write: adopt executor-staged files that already
+    * sit in hive layout relative to a staging base (`p=v/part-…`) —
+    * each file renames into the same relative location under the new
+    * version dir, so the commit is O(files) metadata ops like the
+    * unpartitioned path. Appends require the live layout to match and
+    * carry the prior chain as directories. */
+  private[graft] def commitStagedPartitioned(fq: String,
+      staged: Seq[(Path, String)], pcols: Seq[String],
+      overwrite: Boolean): Unit = {
+    require(staged.nonEmpty, s"no data files staged for $fq")
+    require(pcols.nonEmpty, "partition columns required")
+    val prior = if (overwrite) None else currentVersion(fq)
+    prior.foreach { v =>
+      val live = partitionColsOf(fq, v)
+      require(live == pcols,
+        s"partitioned append layout [${pcols.mkString(",")}] does not " +
+          s"match table layout [${live.mkString(",")}]")
+    }
+    val carried = prior.map(v => (chainDirs(fq, v), dvFiles(fq, v)))
+    val write: Path => Unit = dir => {
+      fs.mkdirs(dir)
+      staged.foreach { case (f, rel) =>
+        val dest = new Path(dir, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(f, dest))
+          throw new IllegalStateException(s"failed to adopt staged file $f")
+      }
+      writePartitions(dir, pcols)
+      carried.foreach { case (dirs, dvs) =>
+        writeManifest(dir, dirs)
+        if (dvs.nonEmpty) writeDvManifest(dir, dvs)
+      }
+    }
+    if (overwrite) commitVersion(fq, write)
+    else commitVersionFrom(fq, prior.getOrElse(-1), write)
+  }
 
   /** Atomic replaceWhere (Delta's `INSERT INTO … REPLACE WHERE` /
     * `writeTo.overwrite(cond)`): ONE commit masks every `where`-matching

@@ -66,9 +66,13 @@ class GraftCatalog extends V2TableCatalog
 
   private def tableFor(fq: String, version: Option[Int]): GraftTable = {
     val base = Map("root" -> root, "table" -> fq)
-    val opts = version.map(v => base + ("version" -> v.toString)).getOrElse(base)
     val v = version.orElse(cat.version(fq)).getOrElse(
       throw new NoSuchTableException(fq.split('.').toSeq))
+    val pcols = cat.partitionColumnsAt(fq, v)
+    val opts = base ++
+      version.map(x => "version" -> x.toString) ++
+      (if (pcols.nonEmpty) Some("partitions" -> pcols.mkString(","))
+       else None)
     val files = cat.dataFilePathsAt(fq, v)
     val schema =
       if (files.isEmpty) new StructType()
@@ -127,12 +131,17 @@ class GraftCatalog extends V2TableCatalog
     if (cat.exists(fq))
       throw new TableAlreadyExistsException(
         (ident.namespace() :+ ident.name()).toSeq)
-    require(partitions.isEmpty,
-      "graft SQL catalog creates unpartitioned tables " +
-        "(use TableCatalog.overwritePartitioned for hive layouts)")
+    // identity partitioning → hive layout on the first committed write
+    val pcols = partitions.toSeq.map { t =>
+      require(t.name == "identity" && t.references.length == 1,
+        s"graft SQL catalog supports identity partitioning only, got $t")
+      t.references.head.fieldNames.mkString(".")
+    }
     // lazy create: the first committed write materializes v0 (CTAS /
     // INSERT flow) — matches the engine's create-on-first-write model
-    new GraftTable(schema, Map("root" -> root, "table" -> fq))
+    new GraftTable(schema, Map("root" -> root, "table" -> fq) ++
+      (if (pcols.nonEmpty) Some("partitions" -> pcols.mkString(","))
+       else None))
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =

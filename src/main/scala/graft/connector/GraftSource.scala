@@ -174,7 +174,15 @@ class GraftTable(schema: StructType, options: Map[String, String])
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftWriteBuilder(opt("root").get, opt("table").get, info.schema(),
-      tableSchema = schema, queryId = info.queryId())
+      tableSchema = schema, queryId = info.queryId(),
+      partitionCols = opt("partitions")
+        .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty))
+
+  override def partitioning(): Array[Transform] =
+    opt("partitions").map(_.split(',').toSeq.filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions
+        .identity(c): Transform).toArray
 }
 
 class GraftScanBuilder(tableSchema: StructType, root: String, fq: String,

@@ -135,7 +135,8 @@ object GraftWriteSchema {
 }
 
 class GraftWriteBuilder(root: String, fq: String, schema: StructType,
-    tableSchema: StructType, queryId: String = "")
+    tableSchema: StructType, queryId: String = "",
+    partitionCols: Seq[String] = Seq.empty)
     extends WriteBuilder with SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var overwrite = false
@@ -158,12 +159,16 @@ class GraftWriteBuilder(root: String, fq: String, schema: StructType,
   }
 
   override def build(): Write = {
+    require(partitionCols.isEmpty || replaceWhere.isEmpty,
+      "REPLACE WHERE is not supported on hive-partitioned graft tables")
     // APPEND to an existing table: column sets must line up (the
     // reader resolves by name; silent drift would corrupt reads).
     // OVERWRITE recreates the table, so any schema is fine. The check
     // reads the LIVE catalog schema — `tableSchema` is the df's own
     // schema on the external-metadata write path. replaceWhere appends
     // files into the live chain, so it checks like an append.
+    // Partition columns compare by NAME only: path-encoding narrows
+    // their read-back type (e.g. a long CTAS value re-infers as int).
     if (!overwrite) {
       val spark = SparkSession.active
       val cat = new TableCatalog(spark, root)
@@ -175,20 +180,39 @@ class GraftWriteBuilder(root: String, fq: String, schema: StructType,
           // would commit fine and only explode (or silently widen)
           // per-file at read time — reject at the write instead
           def sig(s: StructType) = s.fields
-            .map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+            .map(f => (f.name,
+              if (partitionCols.contains(f.name)) NullType else f.dataType))
+            .sortBy(_._1).toSeq
           require(sig(schema) == sig(existing),
             s"graft append schema [${schema.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")}] does " +
               s"not match table schema [${existing.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")}]")
         }
       }
     }
-    new Write {
+    new Write with RequiresDistributionAndOrdering {
+      // cluster incoming rows by partition value so each partition
+      // directory receives ~one file per occupied task, not one per
+      // (task × partition) — the dynamic-partition-write shuffle
+      override def requiredDistribution()
+          : org.apache.spark.sql.connector.distributions.Distribution =
+        if (partitionCols.isEmpty)
+          org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+        else org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          partitionCols.toArray.map(c =>
+            org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+              : org.apache.spark.sql.connector.expressions.Expression))
+      override def requiredOrdering()
+          : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+        Array.empty
       override def toBatch: BatchWrite =
-        new GraftBatchWrite(root, fq, schema, overwrite, replaceWhere)
+        new GraftBatchWrite(root, fq, schema, overwrite, replaceWhere,
+          partitionCols)
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
         require(!overwrite,
           "graft streaming sink supports OutputMode.Append only")
+        require(partitionCols.isEmpty,
+          "graft streaming sink targets unpartitioned tables")
         new GraftStreamingWrite(root, fq, schema, queryId)
       }
     }
@@ -244,19 +268,33 @@ class GraftStreamingWriterFactory(stagingBase: String, schema: StructType)
 
 class GraftBatchWrite(root: String, fq: String, schema: StructType,
     overwrite: Boolean,
-    replaceWhere: Option[org.apache.spark.sql.Column] = None)
+    replaceWhere: Option[org.apache.spark.sql.Column] = None,
+    partitionCols: Seq[String] = Seq.empty)
     extends BatchWrite {
   private val stagingDir = s"$root/_staging/${UUID.randomUUID()}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftDataWriterFactory(stagingDir, schema)
+    if (partitionCols.isEmpty) new GraftDataWriterFactory(stagingDir, schema)
+    else new GraftPartitionedWriterFactory(stagingDir, schema, partitionCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
+    val cat = new TableCatalog(spark, root)
+    if (partitionCols.nonEmpty) {
+      val staged = messages.collect {
+        case GraftPartitionedCommitMessage(files) =>
+          files.map { case (p, rel) => (new Path(p), rel) }
+      }.toSeq.flatten
+      if (staged.isEmpty)
+        require(!overwrite && cat.version(fq).isDefined,
+          s"graft write: empty input cannot create/overwrite $fq")
+      else cat.commitStagedPartitioned(fq, staged, partitionCols, overwrite)
+      cleanup()
+      return
+    }
     val staged = messages.collect {
       case GraftCommitMessage(Some(path)) => new Path(path)
     }.toSeq
-    val cat = new TableCatalog(spark, root)
     replaceWhere match {
       case Some(pred) => // atomic delete+insert, even with 0 new rows
         cat.commitReplaceWhere(fq, staged, pred)
@@ -284,6 +322,86 @@ class GraftBatchWrite(root: String, fq: String, schema: StructType,
 }
 
 case class GraftCommitMessage(path: Option[String]) extends WriterCommitMessage
+
+/** Partitioned staging: (absolute staged path, hive-relative path —
+  * `p=v/part-…`) per file this task wrote. */
+case class GraftPartitionedCommitMessage(files: Seq[(String, String)])
+  extends WriterCommitMessage
+
+class GraftPartitionedWriterFactory(stagingDir: String, schema: StructType,
+    partitionCols: Seq[String]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftPartitionedDataWriter(stagingDir, schema, partitionCols,
+      partitionId, taskId)
+}
+
+/** Routes each row to a per-partition-value staged file in hive
+  * layout (`p=v/part-…`), with the partition columns STRIPPED from
+  * the file payload (they are path-encoded, exactly as
+  * `DataFrameWriter.partitionBy` writes). The clustered distribution
+  * the Write requires keeps the per-task open-writer count at the
+  * task's distinct clustered values (usually 1). */
+class GraftPartitionedDataWriter(stagingDir: String, schema: StructType,
+    partitionCols: Seq[String], partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  private val pIdx = partitionCols.map(schema.fieldIndex)
+  private val pFields = pIdx.map(schema(_))
+  private val dataIdx = schema.fields.indices
+    .filterNot(i => pIdx.contains(i)).toArray
+  private val dataSchema = StructType(dataIdx.map(schema(_)))
+  private val writers =
+    scala.collection.mutable.LinkedHashMap.empty[String, GraftDataWriter]
+
+  /** Hive partition value rendering — must round-trip through
+    * partition discovery with the same inferred type. */
+  private def render(row: InternalRow, i: Int, f: StructField): String = {
+    if (row.isNullAt(i)) return "__HIVE_DEFAULT_PARTITION__"
+    f.dataType match {
+      case StringType  => ExternalCatalogUtils.escapePathName(
+        row.getUTF8String(i).toString)
+      case IntegerType => row.getInt(i).toString
+      case LongType    => row.getLong(i).toString
+      case ShortType   => row.getShort(i).toString
+      case ByteType    => row.getByte(i).toString
+      case BooleanType => row.getBoolean(i).toString
+      case DateType    =>
+        java.time.LocalDate.ofEpochDay(row.getInt(i)).toString
+      case other => throw new UnsupportedOperationException(
+        s"graft partitioned write: partition column type $other")
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val rel = pIdx.zip(pFields).map { case (i, f) =>
+      s"${ExternalCatalogUtils.escapePathName(f.name)}=${render(row, i, f)}"
+    }.mkString("/")
+    val w = writers.getOrElseUpdate(rel,
+      new GraftDataWriter(s"$stagingDir/$rel", dataSchema, partitionId, taskId))
+    val vals = new Array[Any](dataIdx.length)
+    var j = 0
+    while (j < dataIdx.length) {
+      val i = dataIdx(j)
+      vals(j) = if (row.isNullAt(i)) null else row.get(i, schema(i).dataType)
+      j += 1
+    }
+    w.write(new GenericInternalRow(vals))
+  }
+
+  override def commit(): WriterCommitMessage =
+    GraftPartitionedCommitMessage(writers.toSeq.flatMap { case (rel, w) =>
+      w.commit() match {
+        case GraftCommitMessage(Some(p)) =>
+          Some((p, s"$rel/${new Path(p).getName}"))
+        case _ => None
+      }
+    })
+
+  override def abort(): Unit = writers.values.foreach(_.abort())
+  override def close(): Unit = ()
+}
 
 class GraftDataWriterFactory(stagingDir: String, schema: StructType)
     extends DataWriterFactory {

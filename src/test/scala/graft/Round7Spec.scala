@@ -520,6 +520,50 @@ class Round7Spec extends SparkTestBase {
     assert(cat.read(t).filter(col("p") === "e").count() > 0) // src untouched
   }
 
+  // ---- partitioned CTAS / INSERT through SQL ------------------------------
+
+  test("CTAS PARTITIONED BY + INSERT INTO write the hive layout") {
+    val root = tempDir("r7_ptctas")
+    spark.conf.set("spark.sql.catalog.r7ctas", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.r7ctas.root", root)
+    (1L to 400L).map(i => (i, s"g${i % 3}", i * 2.0))
+      .toDF("k", "g", "x").createOrReplaceTempView("r7_src")
+    spark.sql("""CREATE TABLE r7ctas.d.s.pt PARTITIONED BY (g)
+                 AS SELECT * FROM r7_src""")
+    // the layout on disk is hive: g=… directories, g stripped from files
+    val cat = new TableCatalog(spark, root)
+    val files = cat.dataFilePaths("d.s.pt")
+    assert(files.nonEmpty && files.forall(_.contains("/g=g")),
+      s"expected hive layout, got:\n${files.mkString("\n")}")
+    assert(spark.read.parquet(files.head).schema.fieldNames.sorted.toSeq ==
+      Seq("k", "x"), "partition column must be path-encoded, not payload")
+    // clustered write: ~one file per partition value, not per task
+    assert(files.length <= 6, s"file explosion: ${files.length}")
+
+    // reads via SQL recover g with partition pruning
+    assert(spark.sql("SELECT count(*) FROM r7ctas.d.s.pt WHERE g = 'g1'")
+      .head().getLong(0) == (1L to 400L).count(_ % 3 == 1))
+    assert(spark.sql("SELECT sum(k) FROM r7ctas.d.s.pt")
+      .head().getLong(0) == (1L to 400L).sum)
+
+    // INSERT INTO appends into the same layout, carried by manifest.
+    // The canonical partitioned schema lists partition columns LAST
+    // (k, x, g) — the standard Spark convention — so positional SQL
+    // INSERT supplies them last too.
+    assert(spark.table("r7ctas.d.s.pt").schema.fieldNames.toSeq ==
+      Seq("k", "x", "g"))
+    spark.sql("INSERT INTO r7ctas.d.s.pt " +
+      "SELECT k + 1000, x, g FROM r7_src WHERE k <= 50")
+    assert(spark.sql("SELECT count(*) FROM r7ctas.d.s.pt")
+      .head().getLong(0) == 450)
+    assert(cat.dataFilePaths("d.s.pt").toSet.intersect(files.toSet) ==
+      files.toSet, "append must carry prior files, not rewrite")
+    // catalog API interops: partitioned MoR delete over the SQL-made table
+    cat.deleteWhereDV("d.s.pt", col("k") > 1000L)
+    assert(spark.sql("SELECT count(*) FROM r7ctas.d.s.pt")
+      .head().getLong(0) == 400)
+  }
+
   // ---- sidecar parse caching ----------------------------------------------
 
   test("sidecar parses are cached across repeated plans") {
