@@ -630,9 +630,18 @@ class TableCatalog(spark: SparkSession, root: String,
     if (fs.exists(claim) && System.currentTimeMillis() -
         fs.getFileStatus(claim).getModificationTime > staleClaimMs)
       fs.delete(claim, false)
+    // the claim create must be ATOMIC check-and-create: HDFS/object
+    // stores give that via create(overwrite=false), but Hadoop's local
+    // filesystem implements it as a non-atomic exists()-then-create —
+    // two in-process racers could BOTH win and corrupt the commit.
+    // File.createNewFile is the local atomic primitive.
     val claimed =
-      try { fs.create(claim, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      try {
+        if (fs.getUri.getScheme == "file")
+          new java.io.File(fs.makeQualified(claim).toUri.getPath)
+            .createNewFile()
+        else { fs.create(claim, false).close(); true }
+      } catch { case _: java.io.IOException => false }
     if (!claimed) throw new java.util.ConcurrentModificationException(
       s"concurrent commit in flight for $fq v$next — rerun the operation")
     try {

@@ -85,24 +85,30 @@ class Round7Spec extends SparkTestBase {
     val barrier = new CyclicBarrier(2)
     val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
     val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val unexpected =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     def run(df: DataFrame): Thread = new Thread(() => {
-      barrier.await()
-      var done = false; var attempts = 0
-      while (!done && attempts < 60) {
-        attempts += 1
-        try { new TableCatalog(spark, root).append(t, df); done = true }
-        catch {
-          case _: ConcurrentModificationException =>
-            // the loser backs off past the winner's in-flight commit
-            // (generous: under parallel suite load a commit's Spark
-            // job can hold the claim for seconds)
-            conflicts.incrementAndGet(); Thread.sleep(500)
+      try {
+        barrier.await()
+        var done = false; var attempts = 0
+        while (!done && attempts < 60) {
+          attempts += 1
+          try { new TableCatalog(spark, root).append(t, df); done = true }
+          catch {
+            case _: ConcurrentModificationException =>
+              // the loser backs off past the winner's in-flight commit
+              // (generous: under parallel suite load a commit's Spark
+              // job can hold the claim for seconds)
+              conflicts.incrementAndGet(); Thread.sleep(500)
+          }
         }
-      }
-      if (!done) failures.incrementAndGet()
+        if (!done) failures.incrementAndGet()
+      } catch { case e: Throwable => unexpected.add(e) }
     })
     val (ta, tb) = (run(dfA), run(dfB))
     ta.start(); tb.start(); ta.join(120000); tb.join(120000)
+    assert(unexpected.isEmpty,
+      s"non-conflict failure: ${unexpected.toArray.mkString("; ")}")
     assert(failures.get() == 0, "a writer never converged")
     val cat = new TableCatalog(spark, root)
     // no lost update: both appends present, chain readable, version
@@ -518,6 +524,34 @@ class Round7Spec extends SparkTestBase {
     cat.deleteWhereDV("db.s.ptclone", col("p") === "e")
     assert(cat.read("db.s.ptclone").filter(col("p") === "e").count() == 0)
     assert(cat.read(t).filter(col("p") === "e").count() > 0) // src untouched
+  }
+
+  test("connector reads an evolved mixed-layout partitioned table") {
+    val root = tempDir("r7_ptevolve")
+    val cat = new TableCatalog(spark, root)
+    val t = "db.s.ptev"
+    // unpartitioned first (p inline in the data files)…
+    cat.overwrite(t, (1L to 200L).map(i => (i, s"g${i % 2}", i * 1.0))
+      .toDF("k", "p", "x"))
+    // …then evolve to a hive layout going forward (p path-encoded)
+    cat.appendEvolvePartitioning(t,
+      (201L to 300L).map(i => (i, s"g${i % 2}", i * 1.0)).toDF("k", "p", "x"),
+      Seq("p"))
+    val rd = graftRead(root, t)
+    assert(rd.count() == 300)
+    // p resolves from DATA in old files and from the PATH in new ones
+    val byP = rd.groupBy("p").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byP == Map("g0" -> 150L, "g1" -> 150L))
+    assert(rd.filter(col("p") === "g1").agg(sum("k")).head().getLong(0) ==
+      (1L to 300L).filter(_ % 2 == 1).sum)
+    // partition pruning applies to the evolved slice: a p-filter prunes
+    // the path-encoded files, old files stay (their stats can't prove)
+    val total = graft.connector.GraftPlanInspect.scanPartitions(
+      rd.select("k").limit(1))
+    val sel = graftRead(root, t).filter(col("p") === "g0")
+    assert(graft.connector.GraftPlanInspect.scanPartitions(
+      sel.select("k", "p").limit(1)) < total)
   }
 
   // ---- partitioned CTAS / INSERT through SQL ------------------------------
