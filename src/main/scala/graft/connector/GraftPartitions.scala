@@ -57,6 +57,29 @@ object GraftPartitions {
     case _ => None
   }
 
+  /** MIN/MAX over raw partition values under the column's inferred
+    * type, returned as the Catalyst-internal value (None = no non-null
+    * values → SQL null). Powers metadata-answered aggregates over
+    * partition columns: the answer comes from path strings alone. */
+  def extreme(raws: Seq[String], dt: DataType, wantMin: Boolean): Option[Any] = {
+    if (raws.isEmpty) return None
+    val chosen = dt match {
+      case StringType =>
+        val ord = Ordering.comparatorToOrdering(
+          new java.util.Comparator[String] {
+            def compare(a: String, b: String): Int =
+              TableCatalog.compareBytes(
+                a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+          })
+        if (wantMin) raws.min(ord) else raws.max(ord)
+      case _ =>
+        val keyed = raws.flatMap(r => partDecimal(r, dt).map(_ -> r))
+        if (keyed.size != raws.size) return None // unorderable under dt
+        if (wantMin) keyed.minBy(_._1)._2 else keyed.maxBy(_._1)._2
+    }
+    Some(castValue(Some(chosen), dt))
+  }
+
   /** compare(partition value, filter value): None = incomparable
     * (keep the file — pruning is advisory). */
   private def cmp(raw: String, dt: DataType, v: Any): Option[Int] =

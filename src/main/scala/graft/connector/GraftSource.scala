@@ -278,7 +278,8 @@ class GraftScanBuilder(tableSchema: StructType, root: String, fq: String,
 
   /** Evaluate the aggregation from `_STATS` alone, iff it is exactly
     * answerable: no grouping, only COUNT(*)/MIN/MAX over stats-covered
-    * columns, every file carrying stats, and no outstanding DVs (a
+    * columns (or PARTITION columns — their extrema come from the path
+    * strings), every file carrying stats, and no outstanding DVs (a
     * masked row could BE the min/max; counts could subtract, but one
     * hazard is enough to fall back to a real scan). */
   private def computeAgg(agg: Aggregation): Option[(StructType, Array[Any])] = {
@@ -290,6 +291,21 @@ class GraftScanBuilder(tableSchema: StructType, root: String, fq: String,
     val stats = c.statsByPath(fq, v)
     def fileStats(p: String) = stats.get(new Path(p).toUri.getPath)
     if (files.exists(p => fileStats(p).isEmpty)) return None
+    val partCols =
+      if (c.isPartitionedAt(fq, v)) c.partitionColumnsAt(fq, v) else Nil
+    lazy val filePartVals = c.filePartitionValuesAt(fq, v)
+    /** MIN/MAX of a partition column from path strings — answerable
+      * only when EVERY file path-encodes it (mixed evolved chains
+      * fall back to a real scan). Null partitions drop out (SQL MIN/
+      * MAX ignore nulls); all-null → null. */
+    def partExtreme(name: String, dt: DataType, wantMin: Boolean)
+        : Option[Any] = {
+      val per = filePartVals.map(_._2.toMap.get(name))
+      if (per.exists(_.isEmpty)) return None // some file lacks the col
+      val raws = per.flatten.flatten
+      if (raws.isEmpty) return Some(null) // only null partitions
+      GraftPartitions.extreme(raws, dt, wantMin)
+    }
 
     def colBounds(name: String): Option[(BigDecimal, BigDecimal)] = {
       val per = files.map(p => fileStats(p).get.get(name))
@@ -324,17 +340,29 @@ class GraftScanBuilder(tableSchema: StructType, root: String, fq: String,
       case m: Min =>
         val name = refName(m.column).getOrElse(return None)
         val dt = colType(name).getOrElse(return None)
-        if (!supportedStatType(dt)) return None
-        val (mn, _) = colBounds(name).getOrElse(return None)
-        fields += StructField(s"MIN($name)", dt)
-        values += sparkValue(mn, dt)
+        if (partCols.contains(name)) {
+          val v0 = partExtreme(name, dt, wantMin = true).getOrElse(return None)
+          fields += StructField(s"MIN($name)", dt)
+          values += v0
+        } else {
+          if (!supportedStatType(dt)) return None
+          val (mn, _) = colBounds(name).getOrElse(return None)
+          fields += StructField(s"MIN($name)", dt)
+          values += sparkValue(mn, dt)
+        }
       case m: Max =>
         val name = refName(m.column).getOrElse(return None)
         val dt = colType(name).getOrElse(return None)
-        if (!supportedStatType(dt)) return None
-        val (_, mx) = colBounds(name).getOrElse(return None)
-        fields += StructField(s"MAX($name)", dt)
-        values += sparkValue(mx, dt)
+        if (partCols.contains(name)) {
+          val v0 = partExtreme(name, dt, wantMin = false).getOrElse(return None)
+          fields += StructField(s"MAX($name)", dt)
+          values += v0
+        } else {
+          if (!supportedStatType(dt)) return None
+          val (_, mx) = colBounds(name).getOrElse(return None)
+          fields += StructField(s"MAX($name)", dt)
+          values += sparkValue(mx, dt)
+        }
       case _ => return None
     }
     Some((StructType(fields.toSeq), values.toArray))

@@ -526,6 +526,31 @@ class Round7Spec extends SparkTestBase {
     assert(cat.read(t).filter(col("p") === "e").count() > 0) // src untouched
   }
 
+  test("metadata-only aggregates answer over partitioned tables") {
+    val root = tempDir("r7_ptagg")
+    val cat = new TableCatalog(spark, root)
+    val t = "db.s.ptagg"
+    cat.overwritePartitioned(t,
+      (1L to 500L).map(i => (i, (2000 + (i % 5)).toInt, s"s$i"))
+        .toDF("k", "year", "s"), Seq("year"))
+    val rd = graftRead(root, t)
+    // COUNT(*) + MIN/MAX over the data column (stats) AND the
+    // partition column (path strings): one synthetic partition, zero
+    // data files opened
+    val agg = rd.agg(count(lit(1)).as("n"), min("k").as("mink"),
+      max("k").as("maxk"), min("year").as("miny"), max("year").as("maxy"))
+    assert(graft.connector.GraftPlanInspect.scanPartitions(agg) == 1,
+      "expected metadata-answered aggregate")
+    val r = agg.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+      r.getInt(4)) == ((500L, 1L, 500L, 2000, 2004)))
+    // a DV deactivates the pushdown; fallback stays exact
+    cat.deleteWhereDV(t, col("k") === 500L)
+    val agg2 = rd.agg(count(lit(1)).as("n"), max("year").as("my"))
+    assert(graft.connector.GraftPlanInspect.scanPartitions(agg2) > 1)
+    assert(agg2.head().getLong(0) == 499L)
+  }
+
   test("connector reads an evolved mixed-layout partitioned table") {
     val root = tempDir("r7_ptevolve")
     val cat = new TableCatalog(spark, root)
