@@ -216,12 +216,17 @@ object QueriesRound7 {
       val li = table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
       cat.overwritePartitioned("db.s.ptsql", li, Seq("l_returnflag"))
-      s.conf.set("spark.sql.catalog.gptsql", "graft.connector.GraftCatalog")
-      s.conf.set("spark.sql.catalog.gptsql.root", work)
+      // catalog NAME must be unique per invocation: Spark caches
+      // catalog INSTANCES by name, so a re-run's conf root change
+      // would not re-initialize an already-used name (bench runs
+      // every query twice)
+      val gptsql = "gptsql_" + work.replaceAll("[^A-Za-z0-9]", "").takeRight(12)
+      s.conf.set(s"spark.sql.catalog.$gptsql", "graft.connector.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$gptsql.root", work)
       val filesBefore = cat.dataFilePaths("db.s.ptsql")
       // row-level MoR delete through SQL (modulo: untranslatable →
       // delta path), zero files rewritten
-      s.sql("DELETE FROM gptsql.db.s.ptsql WHERE l_orderkey % 5 = 0")
+      s.sql(s"DELETE FROM $gptsql.db.s.ptsql WHERE l_orderkey % 5 = 0")
       val noRewrite = cat.dataFilePaths("db.s.ptsql") == filesBefore
       def rd = s.read.format("graft")
         .option("root", work).option("table", "db.s.ptsql").load()
@@ -231,10 +236,10 @@ object QueriesRound7 {
       val oneParts = graft.connector.GraftPlanInspect.scanPartitions(
         one.select("l_orderkey", "l_returnflag").limit(1))
       val prunedOk = oneParts < total
-      s.sql("""SELECT l_returnflag, count(*) AS n,
+      s.sql(s"""SELECT l_returnflag, count(*) AS n,
              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                AS sum_qty
-           FROM gptsql.db.s.ptsql GROUP BY l_returnflag""")
+           FROM $gptsql.db.s.ptsql GROUP BY l_returnflag""")
         .withColumn("partition_pruned", lit(prunedOk))
         .withColumn("no_rewrite", lit(noRewrite))
     }),
@@ -250,12 +255,14 @@ object QueriesRound7 {
     //      chain by manifest. ----
     "q252_partitioned_ctas" -> ((s, dir) => {
       val work = graft.Scratch.dir("graft_ptctas")
-      s.conf.set("spark.sql.catalog.gctas", "graft.connector.GraftCatalog")
-      s.conf.set("spark.sql.catalog.gctas.root", work)
+      // unique per invocation — Spark caches catalog instances by name
+      val gctas = "gctas_" + work.replaceAll("[^A-Za-z0-9]", "").takeRight(12)
+      s.conf.set(s"spark.sql.catalog.$gctas", "graft.connector.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$gctas.root", work)
       table(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
         .createOrReplaceTempView("q252_src")
-      s.sql("""CREATE TABLE gctas.d.s.ctas PARTITIONED BY (o_orderstatus)
+      s.sql(s"""CREATE TABLE $gctas.d.s.ctas PARTITIONED BY (o_orderstatus)
                AS SELECT * FROM q252_src""")
       val cat = new graft.catalog.TableCatalog(s, work)
       val files = cat.dataFilePaths("d.s.ctas")
@@ -264,14 +271,14 @@ object QueriesRound7 {
       val payloadStripped = s.read.parquet(files.head)
         .schema.fieldNames.sorted.toSeq == Seq("o_orderkey", "o_totalprice")
       val before = files.toSet
-      s.sql("""INSERT INTO gctas.d.s.ctas
+      s.sql(s"""INSERT INTO $gctas.d.s.ctas
                SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
                FROM q252_src WHERE o_orderkey % 100 = 0""")
       val carried = before.subsetOf(cat.dataFilePaths("d.s.ctas").toSet)
-      s.sql("""SELECT o_orderstatus, count(*) AS n,
+      s.sql(s"""SELECT o_orderstatus, count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                AS sum_price
-           FROM gctas.d.s.ctas GROUP BY o_orderstatus""")
+           FROM $gctas.d.s.ctas GROUP BY o_orderstatus""")
         .withColumn("hive_layout", lit(hiveLayout))
         .withColumn("payload_stripped", lit(payloadStripped))
         .withColumn("append_carried", lit(carried))
