@@ -31,7 +31,10 @@ object QueriesRound7 {
         .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
           col("l_returnflag"))
       val t = "D.S.PDV"
-      cat.overwritePartitioned(t, li, Seq("l_returnflag"))
+      // cluster by the partition col first: ~2 files per partition dir
+      // instead of one per shuffle task
+      cat.overwritePartitioned(t, li.repartition(6, col("l_returnflag")),
+        Seq("l_returnflag"))
       val filesBefore = cat.dataFilePaths(t)
       cat.deleteWhereDV(t, col("l_orderkey") % 7 === 0)
       val noRewrite = cat.dataFilePaths(t) == filesBefore
@@ -215,7 +218,8 @@ object QueriesRound7 {
       val cat = new graft.catalog.TableCatalog(s, work)
       val li = table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
-      cat.overwritePartitioned("db.s.ptsql", li, Seq("l_returnflag"))
+      cat.overwritePartitioned("db.s.ptsql",
+        li.repartition(6, col("l_returnflag")), Seq("l_returnflag"))
       // catalog NAME must be unique per invocation: Spark caches
       // catalog INSTANCES by name, so a re-run's conf root change
       // would not re-initialize an already-used name (bench runs
