@@ -1731,16 +1731,25 @@ class TableCatalog(spark: SparkSession, root: String,
       where: Column): Unit = {
     val v = currentVersion(fq).getOrElse(
       throw new IllegalArgumentException(s"table not found: $fq"))
-    require(partitionColsOf(fq, v).isEmpty,
-      s"replaceWhere targets unpartitioned tables; $fq is hive-partitioned")
+    val pcols = partitionColsOf(fq, v)
     val files = dataFiles(fq, v)
     val dvs = dvFiles(fq, v)
+    // hive-partitioned targets mask via the layout-union read and land
+    // the replacement files INLINE (partition column as payload, like
+    // a pre-evolution chain entry) — compaction re-partitions later
     val newDv =
       if (files.isEmpty) None
+      else if (pcols.nonEmpty) Some(maskDvPos(
+          readPartitionedDirs(chainDirs(fq, v), withRowPos = true),
+          dvs, keepPos = true)
+        .filter(where)
+        .select(col("__fp").as("file"), col("__ri").as("row_index")))
       else Some(maskDv(spark.read.parquet(files.map(_.toString): _*),
           dvs, keepPos = true)
         .filter(where)
         .select(col("__fp").as("file"), col("__ri").as("row_index")))
+    val carried: Seq[Path] =
+      if (pcols.nonEmpty) chainDirs(fq, v) else files
     commitVersionFrom(fq, v, dir => {
       fs.mkdirs(dir)
       staged.foreach { f =>
@@ -1749,7 +1758,8 @@ class TableCatalog(spark: SparkSession, root: String,
       }
       newDv.foreach(_.write.mode(SaveMode.Overwrite)
         .parquet(dvDir(dir).toString))
-      writeManifest(dir, files)
+      if (pcols.nonEmpty) writePartitions(dir, pcols)
+      writeManifest(dir, carried)
       if (dvs.nonEmpty) writeDvManifest(dir, dvs)
     })
   }

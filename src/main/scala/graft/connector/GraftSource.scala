@@ -60,8 +60,9 @@ import graft.catalog.TableCatalog
   *    and pushed filters on partition columns prune whole FILES at
   *    planning time by exact value (the partition-pruning analog,
   *    composing with stats/bloom skipping on data columns and with
-  *    runtime join filters). Writes and streaming remain
-  *    unpartitioned-only.
+  *    runtime join filters). Partitioned tables also STREAM (each
+  *    delivered file carries its partition values) and accept SQL
+  *    CTAS/INSERT writes via the clustered staged-commit path.
   */
 class GraftSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
@@ -516,8 +517,6 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(aggResult.isEmpty, "aggregate pushdown not valid for streaming")
-    require(!cat.isPartitionedAt(fq, liveVersion),
-      s"graft streaming reads unpartitioned tables; $fq is hive-partitioned")
     new GraftMicroBatchStream(root, fq, required, skipFilters, limit,
       skipChangeCommits)
   }
@@ -800,12 +799,19 @@ class GraftMicroBatchStream(root: String, fq: String, required: StructType,
           .groupBy { case (f, _) => new Path(f).toUri.getPath }
           .map { case (f, ps) => f -> ps.map(_._2).distinct.sorted.toArray }
       }
+    // hive-partitioned tables stream too: each delivered file carries
+    // its path-encoded partition values (the batch readers' contract)
+    val partVals: Map[String, Seq[(String, Option[String])]] =
+      if (!c.isPartitionedAt(fq, ve)) Map.empty
+      else c.filePartitionValuesAt(fq, ve)
+        .map { case (p, pvs) => key(p) -> pvs }.toMap
     // the same stats/bloom elimination the batch scan runs: a filtered
     // stream (readStream.filter ...) never schedules new files whose
     // stats prove them irrelevant
     FileSkipping.surviving(c, fq, ve, newFiles, skipFilters.toSeq)
       .map(p => GraftFilePartition(p,
-        dvs.getOrElse(key(p), Array.empty[Long])): InputPartition).toArray
+        dvs.getOrElse(key(p), Array.empty[Long]),
+        partVals.getOrElse(key(p), Seq.empty)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

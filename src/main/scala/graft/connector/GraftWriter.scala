@@ -159,8 +159,6 @@ class GraftWriteBuilder(root: String, fq: String, schema: StructType,
   }
 
   override def build(): Write = {
-    require(partitionCols.isEmpty || replaceWhere.isEmpty,
-      "REPLACE WHERE is not supported on hive-partitioned graft tables")
     // APPEND to an existing table: column sets must line up (the
     // reader resolves by name; silent drift would corrupt reads).
     // OVERWRITE recreates the table, so any schema is fine. The check
@@ -273,14 +271,19 @@ class GraftBatchWrite(root: String, fq: String, schema: StructType,
     extends BatchWrite {
   private val stagingDir = s"$root/_staging/${UUID.randomUUID()}"
 
+  // REPLACE WHERE on a partitioned table stages FLAT: the replacement
+  // files land inline in the version dir (partition column as
+  // payload), exactly like row-level-op inserts — compaction
+  // re-partitions them later
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    if (partitionCols.isEmpty) new GraftDataWriterFactory(stagingDir, schema)
+    if (partitionCols.isEmpty || replaceWhere.nonEmpty)
+      new GraftDataWriterFactory(stagingDir, schema)
     else new GraftPartitionedWriterFactory(stagingDir, schema, partitionCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val cat = new TableCatalog(spark, root)
-    if (partitionCols.nonEmpty) {
+    if (partitionCols.nonEmpty && replaceWhere.isEmpty) {
       val staged = messages.collect {
         case GraftPartitionedCommitMessage(files) =>
           files.map { case (p, rel) => (new Path(p), rel) }

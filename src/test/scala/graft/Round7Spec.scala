@@ -579,6 +579,68 @@ class Round7Spec extends SparkTestBase {
       sel.select("k", "p").limit(1)) < total)
   }
 
+  test("partitioned tables stream: appends deliver with partition values") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tempDir("r7_ptstream")
+    val cat = new TableCatalog(spark, root)
+    val t = "db.s.ptstream"
+    cat.overwritePartitioned(t,
+      (1L to 100L).map(i => (i, s"g${i % 2}")).toDF("k", "p")
+        .repartition(2, col("p")), Seq("p"))
+    val ckpt = tempDir("r7_ptstream_ckpt")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("root", root).option("table", t).load()
+        .writeStream.format("parquet")
+        .option("path", s"$root/sink")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000); ()
+    }
+    drain() // snapshot: partition column rides into the sink
+    val s1 = spark.read.parquet(s"$root/sink")
+    assert(s1.count() == 100)
+    assert(s1.groupBy("p").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap ==
+      Map("g0" -> 50L, "g1" -> 50L))
+    cat.append(t, (101L to 140L).map(i => (i, s"g${i % 2}")).toDF("k", "p")
+      .repartition(2, col("p")))
+    drain() // O(delta): only the appended partitioned files
+    val s2 = spark.read.parquet(s"$root/sink")
+    assert(s2.count() == 140)
+    assert(s2.agg(sum("k")).head().getLong(0) == (1L to 140L).sum)
+    assert(s2.filter(col("p") === "g1").count() ==
+      (1L to 140L).count(_ % 2 == 1))
+  }
+
+  test("REPLACE WHERE commits atomically on a partitioned table") {
+    val root = tempDir("r7_ptrw")
+    val cat = new TableCatalog(spark, root)
+    val t = "d.s.ptrw"
+    cat.overwritePartitioned(t,
+      (1L to 300L).map(i => (i, s"g${i % 3}", i * 1.0)).toDF("k", "g", "x")
+        .repartition(3, col("g")), Seq("g"))
+    val before = cat.dataFilePaths(t)
+    val v0 = cat.version(t).get
+    spark.conf.set("spark.sql.catalog.r7rwcat", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.r7rwcat.root", root)
+    (1001L to 1050L).map(i => (i, -1.0, "g1")).toDF("k", "x", "g")
+      .createOrReplaceTempView("r7_rw_src")
+    // one commit: DV-mask the g1 slice + adopt the replacements
+    spark.sql("INSERT INTO r7rwcat.d.s.ptrw REPLACE WHERE g = 'g1' " +
+      "SELECT k, x, g FROM r7_rw_src")
+    assert(cat.version(t).get == v0 + 1, "must be ONE commit")
+    assert(before.toSet.subsetOf(cat.dataFilePaths(t).toSet),
+      "no pre-existing file rewritten")
+    val after = cat.read(t)
+    assert(after.filter(col("g") === "g1").count() == 50)
+    assert(after.filter(col("g") === "g1" && col("x") === -1.0).count() == 50)
+    assert(after.filter(col("g") =!= "g1").count() == 200)
+    assert(after.count() == 250)
+    // the pre-op snapshot still time-travels complete
+    assert(cat.readVersion(t, v0).count() == 300)
+  }
+
   // ---- partitioned CTAS / INSERT through SQL ------------------------------
 
   test("CTAS PARTITIONED BY + INSERT INTO write the hive layout") {
