@@ -474,22 +474,6 @@ class TableCatalog(spark: SparkSession, root: String,
       dvFiles(fq, v)).filter(pred)
   }
 
-  /** Footer-only row count of a parquet file (used where a Spark count
-    * job would be pure overhead). Cached by file status — DV sidecar
-    * parquet is immutable, so fastCount on a hot table stops
-    * re-opening the same footers per call. */
-  private def footerRowCount(p: Path): Long =
-    TableCatalog.cachedValue(fs, p, "rowcount") {
-      import scala.jdk.CollectionConverters._
-      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          p, spark.sparkContext.hadoopConfiguration))
-      try java.lang.Long.valueOf(
-        rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
-      finally rd.close()
-    }.map(_.longValue).getOrElse(
-      throw new java.io.FileNotFoundException(p.toString))
-
   /** METADATA-ONLY `COUNT(*)` of the live version: the sum of the
     * per-file row counts recorded in `_STATS` at commit time, minus
     * outstanding deletion-vector rows (counted from the DV sidecars'
@@ -509,7 +493,30 @@ class TableCatalog(spark: SparkSession, root: String,
       stats.get(fs.makeQualified(p).toUri.getPath)
         .flatMap(_.get("__rows")).map(_._1.toLong))
     if (counts.exists(_.isEmpty)) None
-    else Some(counts.flatten.sum - dvFiles(fq, v).map(footerRowCount).sum)
+    else Some(counts.flatten.sum - liveMaskedRows(fq, v))
+  }
+
+  /** Rows masked by the version's DVs that address LIVE data files.
+    * A copy-on-write rewrite (update/delete/merge) carries the DV
+    * manifest for its untouched files, so sidecars may hold INERT
+    * entries addressing retired files — subtracting raw footer row
+    * counts would over-subtract. Per-sidecar per-addressed-file counts
+    * cache by file status (DV parquet is immutable). */
+  private def liveMaskedRows(fq: String, v: Int): Long = {
+    val dvs = dvFiles(fq, v)
+    if (dvs.isEmpty) return 0L
+    val live = dataFiles(fq, v)
+      .map(p => fs.makeQualified(p).toUri.getPath).toSet
+    dvs.map { p =>
+      val byFile = TableCatalog.cachedValue(fs, p, "dvcounts") {
+        graft.connector.GraftParquetIO
+          .readDvPairs(Seq(p.toString),
+            spark.sparkContext.hadoopConfiguration)
+          .groupBy { case (f, _) => new Path(f).toUri.getPath }
+          .map { case (f, ps) => f -> java.lang.Long.valueOf(ps.size.toLong) }
+      }.getOrElse(Map.empty[String, java.lang.Long])
+      byFile.collect { case (f, n) if live(f) => n.longValue }.sum
+    }.sum
   }
 
   /** Data files of a version: its own part files plus everything its
@@ -1058,13 +1065,13 @@ class TableCatalog(spark: SparkSession, root: String,
   }
 
   /** Outstanding masked-row count of the live version (0 = no DVs) —
-    * the compaction-policy signal for settling merge-on-read debt. */
+    * the compaction-policy signal for settling merge-on-read debt.
+    * Counts only entries addressing LIVE files (inert entries carried
+    * past a copy-on-write rewrite don't mask anything). */
   def deletionVectorRows(fq: String): Long = {
     val v = currentVersion(fq).getOrElse(
       throw new IllegalArgumentException(s"table not found: $fq"))
-    val dvs = dvFiles(fq, v)
-    if (dvs.isEmpty) 0L
-    else spark.read.parquet(dvs.map(_.toString): _*).count()
+    liveMaskedRows(fq, v)
   }
 
   /** MERGE INTO fq USING source ON keys — source wins on match. Same

@@ -685,6 +685,26 @@ class Round7Spec extends SparkTestBase {
       .head().getLong(0) == 400)
   }
 
+  test("fastCount ignores inert DV entries carried past a COW rewrite") {
+    val root = tempDir("r7_inertdv")
+    val cat = new TableCatalog(spark, root)
+    val t = "d.s.inert"
+    cat.overwrite(t, (1L to 1000L).map(i => (i, i * 2.0)).toDF("k", "x")
+      .repartitionByRange(4, col("k"))) // key-disjoint files
+    cat.deleteWhereDV(t, col("k") <= 100)
+    assert(cat.fastCount(t).contains(900L))
+    assert(cat.deletionVectorRows(t) == 100L)
+    // the COW update rewrites the masked files (reading THROUGH the
+    // masks) and carries the DV manifest for the untouched ones — its
+    // entries addressing the rewritten files are now INERT and must
+    // not subtract from the metadata count
+    cat.updateWhere(t, Map("x" -> lit(0.0)), col("k") <= 200)
+    assert(cat.count(t) == 900)
+    assert(cat.fastCount(t).contains(900L),
+      "inert DV entries over-subtracted from fastCount")
+    assert(cat.deletionVectorRows(t) == 0L)
+  }
+
   // ---- sidecar parse caching ----------------------------------------------
 
   test("sidecar parses are cached across repeated plans") {
