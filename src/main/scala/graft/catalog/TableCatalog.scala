@@ -1238,9 +1238,14 @@ class TableCatalog(spark: SparkSession, root: String,
     require(zorderCols.nonEmpty, "zorder columns required")
     val zv = currentVersion(fq).getOrElse(
       throw new IllegalArgumentException(s"table not found: $fq"))
-    require(partitionColsOf(fq, zv).isEmpty,
-      "compactZOrder requires an unpartitioned table (z-cluster within " +
-        "partitions by compacting each partition's table separately)")
+    // hive-partitioned tables z-cluster WITHIN partitions: the range
+    // partitioning leads with the partition columns so each output
+    // task holds a contiguous (partition, z) slice and the partitioned
+    // write emits z-local files per partition directory
+    val zpcols = partitionColsOf(fq, zv)
+    require(!zorderCols.exists(zpcols.contains),
+      "z-order columns must be data columns (partition pruning already " +
+        "clusters the partition columns)")
     val df = read(fq)
     val (bits, scaled): (Int, Seq[Column]) =
       if (rankBased) {
@@ -1275,11 +1280,18 @@ class TableCatalog(spark: SparkSession, root: String,
     }).reduce(_.bitwiseOR(_))
     val (_, bytes) = fileStats(fq)
     val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val rangeCols = zpcols.map(col) :+ col("__z")
     val clustered = df.withColumn("__z", morton)
-      .repartitionByRange(parts, col("__z"))
-      .sortWithinPartitions(col("__z"))
+      .repartitionByRange(parts, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
       .drop("__z")
-    commitVersionFrom(fq, zv, dir =>
+    if (zpcols.nonEmpty)
+      commitVersionFrom(fq, zv, dir => {
+        clustered.write.mode(SaveMode.Overwrite)
+          .partitionBy(zpcols: _*).parquet(dir.toString)
+        writePartitions(dir, zpcols)
+      })
+    else commitVersionFrom(fq, zv, dir =>
       clustered.write.mode(SaveMode.Overwrite).parquet(dir.toString))
   }
 

@@ -685,6 +685,38 @@ class Round7Spec extends SparkTestBase {
       .head().getLong(0) == 400)
   }
 
+  test("z-order compaction clusters within hive partitions") {
+    val root = tempDir("r7_ptzorder")
+    val cat = new TableCatalog(spark, root)
+    val t = "d.s.ptz"
+    val rnd = new scala.util.Random(7)
+    cat.overwritePartitioned(t,
+      (1 to 16000).map(i => (rnd.nextInt(1000).toLong,
+        rnd.nextInt(1000).toLong, s"g${i % 2}")).toDF("a", "b", "p")
+        .repartition(8), Seq("p"))
+    cat.compactZOrder(t, Seq("a", "b"), targetFileBytes = 16L << 10)
+    // layout preserved, data intact
+    assert(cat.dataFilePaths(t).forall(_.contains("/p=g")))
+    assert(cat.read(t).count() == 16000)
+    assert(cat.read(t).groupBy("p").count().collect()
+      .map(_.getLong(1)).toSeq == Seq(8000L, 8000L))
+    // the z layout makes a 2-D box prunable via _STATS through the
+    // connector (random layout couldn't skip anything)
+    val rd = graftRead(root, t)
+    val total = graft.connector.GraftPlanInspect.scanPartitions(
+      rd.select("a").limit(1))
+    assert(total > 2, s"need multiple files for skipping evidence: $total")
+    val box = graftRead(root, t)
+      .filter(col("a") < 100L && col("b") < 100L)
+    val boxParts = graft.connector.GraftPlanInspect.scanPartitions(
+      box.select("a", "b").limit(1))
+    assert(boxParts < total, s"z-order skipping: $boxParts of $total")
+    // partition column rejected as a z-order dimension
+    intercept[IllegalArgumentException] {
+      cat.compactZOrder(t, Seq("p", "a"))
+    }
+  }
+
   test("fastCount ignores inert DV entries carried past a COW rewrite") {
     val root = tempDir("r7_inertdv")
     val cat = new TableCatalog(spark, root)
