@@ -13,7 +13,8 @@ object SparkEntry {
     Queries.all ++ QueriesText.all ++ QueriesMore.all ++ QueriesScale.all ++
       QueriesPipeline.all ++ QueriesData.all ++ QueriesExtra.all ++
       QueriesMining.all ++ QueriesRound4.all ++ QueriesRound5.all ++
-      QueriesRound6.all ++ QueriesConnector.all ++ QueriesRound7.all
+      QueriesRound6.all ++ QueriesConnector.all ++ QueriesRound7.all ++
+      QueriesRound8.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -21,5 +22,6 @@ object SparkEntry {
     Oracles.all ++ OraclesText.all ++ OraclesMore.all ++ OraclesScale.all ++
       QueriesPipeline.oracles ++ OraclesData.all ++ OraclesExtra.all ++
       OraclesMining.all ++ OraclesRound4.all ++ OraclesRound5.all ++
-      OraclesRound6.all ++ QueriesConnector.oracles ++ QueriesRound7.oracles
+      OraclesRound6.all ++ QueriesConnector.oracles ++ QueriesRound7.oracles ++
+      QueriesRound8.oracles
 }

@@ -635,8 +635,17 @@ class TableCatalog(spark: SparkSession, root: String,
     val claim = claimPath(fq, next)
     fs.mkdirs(tableDir(fq))
     if (fs.exists(claim) && System.currentTimeMillis() -
-        fs.getFileStatus(claim).getModificationTime > staleClaimMs)
-      fs.delete(claim, false)
+        fs.getFileStatus(claim).getModificationTime > staleClaimMs) {
+      // sweep a crashed writer's claim by ATOMIC RENAME to a unique
+      // tombstone: at most one sweeper wins the rename; losers fall
+      // through to the (atomic) create race below. A delete-then-create
+      // sweep could remove the FIRST sweeper's freshly recreated claim
+      // and let two writers commit the same version (lost update).
+      val tomb = new Path(tableDir(fq),
+        s"_SWEPT_${java.util.UUID.randomUUID()}")
+      try { if (fs.rename(claim, tomb)) fs.delete(tomb, false) }
+      catch { case _: java.io.IOException => () }
+    }
     // the claim create must be ATOMIC check-and-create: HDFS/object
     // stores give that via create(overwrite=false), but Hadoop's local
     // filesystem implements it as a non-atomic exists()-then-create —
@@ -651,11 +660,99 @@ class TableCatalog(spark: SparkSession, root: String,
       } catch { case _: java.io.IOException => false }
     if (!claimed) throw new java.util.ConcurrentModificationException(
       s"concurrent commit in flight for $fq v$next — rerun the operation")
+    // ownership tag: write our UUID into the claim and verify it reads
+    // back — belt-and-braces against the residual sweep race (a slow
+    // second sweeper renaming OUR fresh claim away and recreating);
+    // re-verified immediately before the pointer swap in commitClaimed
+    val writerId = java.util.UUID.randomUUID().toString
     try {
+      val out = fs.create(claim, true)
+      try out.write(writerId.getBytes("UTF-8")) finally out.close()
+      def ownsClaim(): Boolean =
+        try {
+          val in = fs.open(claim)
+          val tag = try new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+          finally in.close()
+          tag == writerId
+        } catch { case _: java.io.IOException => false }
+      if (!ownsClaim()) throw new java.util.ConcurrentModificationException(
+        s"commit claim for $fq v$next stolen by a concurrent sweeper — " +
+          "rerun the operation")
       val cur1 = currentVersion(fq).getOrElse(-1)
       if (cur1 != basedOn) throw conflict(cur1)
-      commitClaimed(fq, next, dir, write)
+      commitClaimed(fq, next, dir, write, verifyOwner = () =>
+        if (!ownsClaim()) throw new java.util.ConcurrentModificationException(
+          s"commit claim for $fq v$next stolen before pointer swap — " +
+            "rerun the operation"))
     } finally fs.delete(claim, false)
+  }
+
+  /** Commit with Delta-style conflict RESOLUTION for COMMUTING pairs:
+    * on a snapshot-conflict abort, re-validate against the winner —
+    * if every data file in `readFiles` (the files this operation's
+    * already-computed OUTPUT depends on) is still live and no NEW
+    * deletion-vector sidecar addresses any of them, the operation
+    * commutes with the winner (a blind append, typically) and REBASES:
+    * `write(dir, head)` re-runs against the advanced head, recomputing
+    * only the carried manifests — the expensive distributed output is
+    * reused. Genuine conflicts (the winner rewrote or newly masked a
+    * read file) abort exactly as before. Without this, maintenance
+    * commits (compact / z-order / DV mutations) STARVE under a
+    * continuous append stream — the first liveness property a 100 TB
+    * ingest-while-maintaining table needs. `readFiles = Nil` (blind
+    * append) rebases unconditionally. */
+  private[graft] def commitRebase(fq: String, basedOn: Int,
+      readFiles: Seq[Path], readDvs: Seq[Path],
+      write: (Path, Int) => Unit, maxRetries: Int = 50): Unit = {
+    def qp(p: Path) = fs.makeQualified(p).toUri.getPath
+    val readSet = readFiles.map(qp).toSet
+    val knownDvs = readDvs.map(qp).toSet
+    val basePcols =
+      if (basedOn < 0) Nil else partitionColsOf(fq, basedOn)
+    var head = basedOn
+    var attempts = 0
+    while (true) {
+      try {
+        commitVersionFrom(fq, head, dir => write(dir, head))
+        return
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts > maxRetries) throw e
+          val cur = currentVersion(fq).getOrElse(-1)
+          if (cur != head) {
+            // a winner COMMITTED: validate commutativity before rebasing
+            // (a blind append — empty read set — recomputes the layout
+            // in its closure, so only snapshot-bound ops need the
+            // layout guard)
+            if (readSet.nonEmpty) {
+              if (basedOn >= 0 && partitionColsOf(fq, cur) != basePcols)
+                throw new java.util.ConcurrentModificationException(
+                  s"$fq: a concurrent commit changed the partition layout — " +
+                    "rerun the operation against the current version")
+              val liveNow = dataFiles(fq, cur).map(qp).toSet
+              if (!readSet.subsetOf(liveNow)) throw new
+                  java.util.ConcurrentModificationException(
+                s"$fq: a concurrent commit rewrote file(s) this operation " +
+                  "read — rerun the operation against the current version")
+              val newDvs = dvFiles(fq, cur).filterNot(p => knownDvs(qp(p)))
+              if (newDvs.nonEmpty) {
+                val addressed = graft.connector.GraftParquetIO
+                  .readDvPairs(newDvs.map(_.toString),
+                    spark.sparkContext.hadoopConfiguration)
+                  .exists { case (f, _) => readSet(new Path(f).toUri.getPath) }
+                if (addressed) throw new
+                    java.util.ConcurrentModificationException(
+                  s"$fq: a concurrent commit masked row(s) in file(s) this " +
+                    "operation read — rerun against the current version")
+              }
+            }
+            head = cur
+          } else Thread.sleep(25L * math.min(attempts, 8)) // in-flight
+          // claim contention: wait for the holder to commit or release
+      }
+    }
   }
 
   /** Every catalog write goes out as TIMESTAMP_MICROS int64, not
@@ -675,7 +772,7 @@ class TableCatalog(spark: SparkSession, root: String,
   }
 
   private def commitClaimed(fq: String, next: Int, dir: Path,
-      write: Path => Unit): Unit = {
+      write: Path => Unit, verifyOwner: () => Unit = () => ()): Unit = {
     // crash recovery: a commit that died after writing data but before
     // the pointer swap leaves a partial v_next dir the pointer never
     // referenced — clear it, or this commit would fail on the existing
@@ -683,6 +780,7 @@ class TableCatalog(spark: SparkSession, root: String,
     if (fs.exists(dir)) fs.delete(dir, true)
     withMicrosTimestamps { write(dir) }
     try harvestStats(dir) catch { case _: Exception => () } // advisory
+    verifyOwner() // claim still ours? (stale-claim sweeper race)
     val tmp = new Path(tableDir(fq), s"_CURRENT.tmp$next")
     val out = fs.create(tmp, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
@@ -714,33 +812,33 @@ class TableCatalog(spark: SparkSession, root: String,
   /** Append (creating the table if absent — save_as_table semantics).
     * O(delta): only the new rows are written; the prior version's data
     * files are carried by manifest reference, never copied or
-    * rewritten. */
-  def append(fq: String, df: DataFrame): Unit = currentVersion(fq) match {
-    case None => commitVersionFrom(fq, -1,
-      dir => df.write.mode(SaveMode.Overwrite).parquet(dir.toString))
-    case Some(v) =>
-      val pcols = partitionColsOf(fq, v)
-      if (pcols.nonEmpty) {
-        // partitioned chain: the delta lands partitioned in the new
-        // version dir; prior data rides along as whole directories
-        val carried = chainDirs(fq, v)
-        commitVersionFrom(fq, v, dir => {
-          df.write.mode(SaveMode.Overwrite)
-            .partitionBy(pcols: _*).parquet(dir.toString)
-          writePartitions(dir, pcols)
-          writeManifest(dir, carried)
-        })
-      } else {
-        val carried = dataFiles(fq, v)
-        val dvs = dvFiles(fq, v) // outstanding masks stay valid: the
-        // files they address are carried unmodified
-        commitVersionFrom(fq, v, dir => {
+    * rewritten. A BLIND append commutes with any concurrent commit, so
+    * a snapshot conflict REBASES onto the winner (manifests recomputed
+    * at the advanced head) instead of aborting — two racing appends
+    * both land, in commit order. */
+  def append(fq: String, df: DataFrame): Unit =
+    commitRebase(fq, currentVersion(fq).getOrElse(-1), Nil, Nil,
+      (dir, head) => {
+        if (head < 0)
           df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
-          writeManifest(dir, carried)
+        else {
+          val pcols = partitionColsOf(fq, head)
+          val dvs = dvFiles(fq, head) // outstanding masks stay valid:
+          // the files they address are carried unmodified
+          if (pcols.nonEmpty) {
+            // partitioned chain: the delta lands partitioned in the new
+            // version dir; prior data rides along as whole directories
+            df.write.mode(SaveMode.Overwrite)
+              .partitionBy(pcols: _*).parquet(dir.toString)
+            writePartitions(dir, pcols)
+            writeManifest(dir, chainDirs(fq, head))
+          } else {
+            df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+            writeManifest(dir, dataFiles(fq, head))
+          }
           if (dvs.nonEmpty) writeDvManifest(dir, dvs)
-        })
-      }
-  }
+        }
+      })
 
   /** Overwrite = drop + recreate with df's schema (unpartitioned). */
   def overwrite(fq: String, df: DataFrame): Unit =
@@ -963,12 +1061,16 @@ class TableCatalog(spark: SparkSession, root: String,
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         if (newDv.count() == 0) return
-        commitVersionFrom(fq, v, dir => {
+        // rebase across commuting winners (blind appends): the DV
+        // addresses stay valid iff no winner rewrote/re-masked the
+        // files we scanned — commitRebase validates exactly that
+        commitRebase(fq, v, dataFiles(fq, v), dvs, (dir, head) => {
           fs.mkdirs(dir)
           newDv.write.mode(SaveMode.Overwrite).parquet(dvDir(dir).toString)
           writePartitions(dir, pcolsDv)
-          writeManifest(dir, carried)
-          if (dvs.nonEmpty) writeDvManifest(dir, dvs)
+          writeManifest(dir, chainDirs(fq, head))
+          val headDvs = dvFiles(fq, head)
+          if (headDvs.nonEmpty) writeDvManifest(dir, headDvs)
         })
       } finally newDv.unpersist()
       return
@@ -989,11 +1091,15 @@ class TableCatalog(spark: SparkSession, root: String,
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (newDv.count() == 0) return // nothing matches: version stands
-      commitVersionFrom(fq, v, dir => {
+      // rebase across commuting winners (see partitioned branch above):
+      // a concurrent append's rows simply aren't subject to this
+      // delete's predicate (it read snapshot v) — Delta's semantics
+      commitRebase(fq, v, files, dvs, (dir, head) => {
         fs.mkdirs(dir)
         newDv.write.mode(SaveMode.Overwrite).parquet(dvDir(dir).toString)
-        writeManifest(dir, files)
-        if (dvs.nonEmpty) writeDvManifest(dir, dvs)
+        writeManifest(dir, dataFiles(fq, head))
+        val headDvs = dvFiles(fq, head)
+        if (headDvs.nonEmpty) writeDvManifest(dir, headDvs)
       })
     } finally newDv.unpersist()
   }
@@ -1025,13 +1131,16 @@ class TableCatalog(spark: SparkSession, root: String,
         val updated = assignments.foldLeft(hit.drop("__fp", "__ri")) {
           case (d, (c, value)) => d.withColumn(c, value)
         }
-        commitVersionFrom(fq, v, dir => {
+        // rebase across commuting winners (blind appends) — the MoR
+        // delete+reinsert stays valid while our scanned files live
+        commitRebase(fq, v, dataFiles(fq, v), dvs, (dir, head) => {
           updated.write.mode(SaveMode.Overwrite)
             .partitionBy(pcolsDv: _*).parquet(dir.toString)
           newDv.write.mode(SaveMode.Overwrite).parquet(dvDir(dir).toString)
           writePartitions(dir, pcolsDv)
-          writeManifest(dir, carried)
-          if (dvs.nonEmpty) writeDvManifest(dir, dvs)
+          writeManifest(dir, chainDirs(fq, head))
+          val headDvs = dvFiles(fq, head)
+          if (headDvs.nonEmpty) writeDvManifest(dir, headDvs)
         })
       } finally hit.unpersist()
       return
@@ -1055,11 +1164,13 @@ class TableCatalog(spark: SparkSession, root: String,
       val updated = assignments.foldLeft(hit.drop("__fp", "__ri")) {
         case (d, (c, value)) => d.withColumn(c, value) // `where` already applied
       }
-      commitVersionFrom(fq, v, dir => {
+      // rebase across commuting winners (see partitioned branch)
+      commitRebase(fq, v, files, dvs, (dir, head) => {
         updated.write.mode(SaveMode.Overwrite).parquet(dir.toString)
         newDv.write.mode(SaveMode.Overwrite).parquet(dvDir(dir).toString)
-        writeManifest(dir, files)
-        if (dvs.nonEmpty) writeDvManifest(dir, dvs)
+        writeManifest(dir, dataFiles(fq, head))
+        val headDvs = dvFiles(fq, head)
+        if (headDvs.nonEmpty) writeDvManifest(dir, headDvs)
       })
     } finally hit.unpersist()
   }
@@ -1205,19 +1316,43 @@ class TableCatalog(spark: SparkSession, root: String,
     if (nFiles <= 1 && dvFiles(fq, v).isEmpty) return
     val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val pcols = partitionColsOf(fq, v)
+    // conflict RESOLUTION: `df` below is pinned to snapshot v's file
+    // paths, so if appends land while the rewrite runs, the compaction
+    // REBASES — commits the compacted v-snapshot with the winners'
+    // delta carried by manifest (commit-order chain: their files ride
+    // uncompacted until the next cycle). Without this a continuous
+    // append stream starves compaction forever. A winner that REWROTE
+    // or newly MASKED any of v's files still aborts (not commuting).
+    val readFiles = dataFiles(fq, v)
+    val readDvs = dvFiles(fq, v)
+    def carryDelta(dir: Path, head: Int): Unit = if (head != v) {
+      if (partitionColsOf(fq, head).nonEmpty || pcols.nonEmpty) {
+        val known = chainDirs(fq, v).map(_.toString).toSet
+        val delta = chainDirs(fq, head).filterNot(p => known(p.toString))
+        if (delta.nonEmpty) writeManifest(dir, delta)
+      } else {
+        val known = readFiles.map(p => fs.makeQualified(p).toString).toSet
+        val delta = dataFiles(fq, head)
+          .filterNot(p => known(fs.makeQualified(p).toString))
+        if (delta.nonEmpty) writeManifest(dir, delta)
+      }
+    }
     if (pcols.nonEmpty) {
       // co-locate rows of each partition before the partitioned write
       // so each partition directory compacts to ~one file
       val df = read(fq).repartition(parts, pcols.map(col): _*)
-      commitVersionFrom(fq, v, dir => {
+      commitRebase(fq, v, readFiles, readDvs, (dir, head) => {
         df.write.mode(SaveMode.Overwrite)
           .partitionBy(pcols: _*).parquet(dir.toString)
         writePartitions(dir, pcols)
+        carryDelta(dir, head)
       })
     } else {
       val df = read(fq).repartition(parts)
-      commitVersionFrom(fq, v,
-        dir => df.write.mode(SaveMode.Overwrite).parquet(dir.toString))
+      commitRebase(fq, v, readFiles, readDvs, (dir, head) => {
+        df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+        carryDelta(dir, head)
+      })
     }
   }
 
@@ -1285,14 +1420,34 @@ class TableCatalog(spark: SparkSession, root: String,
       .repartitionByRange(parts, rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
       .drop("__z")
+    // same conflict RESOLUTION as compact: a z-order rewrite commutes
+    // with concurrent blind appends (their delta rides by manifest,
+    // un-clustered until the next cycle) — see commitRebase
+    val readFiles = dataFiles(fq, zv)
+    val readDvs = dvFiles(fq, zv)
+    def carryDelta(dir: Path, head: Int): Unit = if (head != zv) {
+      if (zpcols.nonEmpty) {
+        val known = chainDirs(fq, zv).map(_.toString).toSet
+        val delta = chainDirs(fq, head).filterNot(p => known(p.toString))
+        if (delta.nonEmpty) writeManifest(dir, delta)
+      } else {
+        val known = readFiles.map(p => fs.makeQualified(p).toString).toSet
+        val delta = dataFiles(fq, head)
+          .filterNot(p => known(fs.makeQualified(p).toString))
+        if (delta.nonEmpty) writeManifest(dir, delta)
+      }
+    }
     if (zpcols.nonEmpty)
-      commitVersionFrom(fq, zv, dir => {
+      commitRebase(fq, zv, readFiles, readDvs, (dir, head) => {
         clustered.write.mode(SaveMode.Overwrite)
           .partitionBy(zpcols: _*).parquet(dir.toString)
         writePartitions(dir, zpcols)
+        carryDelta(dir, head)
       })
-    else commitVersionFrom(fq, zv, dir =>
-      clustered.write.mode(SaveMode.Overwrite).parquet(dir.toString))
+    else commitRebase(fq, zv, readFiles, readDvs, (dir, head) => {
+      clustered.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+      carryDelta(dir, head)
+    })
   }
 
   // ---- per-file bloom index (point-lookup file skipping) ------------------
@@ -1306,12 +1461,30 @@ class TableCatalog(spark: SparkSession, root: String,
   // instead of a task per file. Sidecars are advisory like `_STATS`:
   // a file without an entry is always read — never a correctness risk.
 
-  private def bloomPath(dir: Path) = new Path(dir, "_BLOOMS")
+  // Bloom sidecars are CONTENT-VERSIONED: each rebuild writes
+  // `_BLOOMS.<seq+1>` and deletes older generations, so the parse
+  // cache's (path, kind, mtime, len) key is unique per content — an
+  // in-place rewrite on a coarse-mtime filesystem could otherwise
+  // serve stale bits, and a stale bloom wrongly SKIPS a file holding
+  // the probed key (wrong results, not just perf). Plain `_BLOOMS`
+  // (pre-versioning tables) reads as generation 0.
+  // (bloom sidecar path is derived per-generation — see bloomFileOf)
+  private def bloomSeqOf(p: Path): Int =
+    if (p.getName == "_BLOOMS") 0
+    else p.getName.stripPrefix("_BLOOMS.").toInt
+  private def bloomFileOf(dir: Path): Option[Path] = {
+    if (!fs.exists(dir)) return None
+    val cands = fs.listStatus(dir).filter(_.isFile).map(_.getPath)
+      .filter(p => p.getName == "_BLOOMS" || (p.getName.startsWith("_BLOOMS.")
+        && p.getName.stripPrefix("_BLOOMS.").forall(_.isDigit)))
+    if (cands.isEmpty) None else Some(cands.maxBy(bloomSeqOf))
+  }
   private val BloomHashes = 5 // double-hashed probes per key (~1% FPR at 10 bits/row)
 
   /** Entries of a `_BLOOMS` sidecar: (file, column, bitset words). */
   private def bloomEntries(dir: Path): Seq[(String, String, Array[Long])] =
-    TableCatalog.cachedParse(fs, bloomPath(dir), "blooms") { text =>
+    bloomFileOf(dir).flatMap(p =>
+      TableCatalog.cachedParse(fs, p, "blooms") { text =>
       text.split("\n").toSeq.filter(_.nonEmpty).map { ln =>
         val Array(f, c, b64) = ln.split("\t", 3)
         val bytes = java.util.Base64.getDecoder.decode(b64)
@@ -1321,7 +1494,7 @@ class TableCatalog(spark: SparkSession, root: String,
         while (i < words.length) { words(i) = bb.getLong(); i += 1 }
         (f, c, words)
       }
-    }.getOrElse(Nil)
+    }).getOrElse(Nil)
 
   /** The key hash both sides use: Spark's `xxhash64` (seed 42) of the
     * STRING form of the value. Hashing the canonical string form keeps
@@ -1406,8 +1579,18 @@ class TableCatalog(spark: SparkSession, root: String,
           bits.foreach(bb.putLong)
           s"$f\t$c\t${java.util.Base64.getEncoder.encodeToString(bb.array())}"
         }
-        val out = fs.create(bloomPath(dir), true)
+        // next GENERATION, then retire older ones: the sidecar parse
+        // cache keys by path, so a rebuild must land at a fresh name
+        val prior = bloomFileOf(dir)
+        val gen = prior.map(bloomSeqOf).getOrElse(-1) + 1
+        val out = fs.create(new Path(dir, s"_BLOOMS.$gen"), true)
         try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+        fs.listStatus(dir).filter(_.isFile).map(_.getPath)
+          .filter(p => (p.getName == "_BLOOMS" ||
+              (p.getName.startsWith("_BLOOMS.") &&
+                p.getName.stripPrefix("_BLOOMS.").forall(_.isDigit))) &&
+            bloomSeqOf(p) < gen)
+          .foreach(fs.delete(_, false))
       }
     missing.length
   }
@@ -1658,15 +1841,17 @@ class TableCatalog(spark: SparkSession, root: String,
     val prior = if (overwrite) None else currentVersion(fq)
     prior.foreach(v => require(partitionColsOf(fq, v).isEmpty,
       s"DSv2 write targets unpartitioned tables; $fq is hive-partitioned"))
-    val carried = prior.map(v => (dataFiles(fq, v), dvFiles(fq, v)))
-    val write: Path => Unit = dir => {
+    def write(dir: Path, head: Int): Unit = {
       fs.mkdirs(dir)
       staged.foreach { f =>
         if (!fs.rename(f, new Path(dir, f.getName)))
           throw new IllegalStateException(s"failed to adopt staged file $f")
       }
-      carried.foreach { case (files, dvs) =>
-        writeManifest(dir, files)
+      if (!overwrite && head >= 0) {
+        require(partitionColsOf(fq, head).isEmpty,
+          s"DSv2 write targets unpartitioned tables; $fq is hive-partitioned")
+        writeManifest(dir, dataFiles(fq, head))
+        val dvs = dvFiles(fq, head)
         if (dvs.nonEmpty) writeDvManifest(dir, dvs)
       }
       // streaming-sink idempotency: the epoch tag commits ATOMICALLY
@@ -1677,8 +1862,9 @@ class TableCatalog(spark: SparkSession, root: String,
         try out.write(tag.getBytes("UTF-8")) finally out.close()
       }
     }
-    if (overwrite) commitVersion(fq, write)
-    else commitVersionFrom(fq, prior.getOrElse(-1), write)
+    if (overwrite) commitVersion(fq, dir => write(dir, -1))
+    else // staged appends are BLIND appends: rebase across winners
+      commitRebase(fq, prior.getOrElse(-1), Nil, Nil, write)
     // durable replay marker OUTSIDE the version dirs: vacuum/maintain
     // prunes version dirs (and their in-dir `_EPOCH` tags) but must
     // never void sink idempotency — the table-level `_EPOCHS/` marker
@@ -1721,8 +1907,7 @@ class TableCatalog(spark: SparkSession, root: String,
         s"partitioned append layout [${pcols.mkString(",")}] does not " +
           s"match table layout [${live.mkString(",")}]")
     }
-    val carried = prior.map(v => (chainDirs(fq, v), dvFiles(fq, v)))
-    val write: Path => Unit = dir => {
+    def write(dir: Path, head: Int): Unit = {
       fs.mkdirs(dir)
       staged.foreach { case (f, rel) =>
         val dest = new Path(dir, rel)
@@ -1731,13 +1916,54 @@ class TableCatalog(spark: SparkSession, root: String,
           throw new IllegalStateException(s"failed to adopt staged file $f")
       }
       writePartitions(dir, pcols)
-      carried.foreach { case (dirs, dvs) =>
-        writeManifest(dir, dirs)
+      if (!overwrite && head >= 0) {
+        require(partitionColsOf(fq, head) == pcols,
+          s"partitioned append layout [${pcols.mkString(",")}] does not " +
+            s"match table layout [${partitionColsOf(fq, head).mkString(",")}]")
+        writeManifest(dir, chainDirs(fq, head))
+        val dvs = dvFiles(fq, head)
         if (dvs.nonEmpty) writeDvManifest(dir, dvs)
       }
     }
-    if (overwrite) commitVersion(fq, write)
-    else commitVersionFrom(fq, prior.getOrElse(-1), write)
+    if (overwrite) commitVersion(fq, dir => write(dir, -1))
+    else // staged partitioned appends are blind appends: rebase
+      commitRebase(fq, prior.getOrElse(-1), Nil, Nil, write)
+  }
+
+  /** DSv2 EMPTY write (zero staged files): still commits a version —
+    * Delta's contract, and the asymmetry the old no-op/throw behavior
+    * had (empty INSERT INTO silently skipped, empty CTAS/overwrite
+    * threw, empty overwrite of a partitioned table inexpressible).
+    * Append carries the prior chain unchanged; overwrite (or first
+    * write) materializes a zero-row parquet file holding the full
+    * schema (partition columns INLINE, exactly [[truncate]]'s shape —
+    * partition discovery cannot type path-encoded columns that have no
+    * paths). */
+  private[graft] def commitEmptyVersion(fq: String,
+      schema: org.apache.spark.sql.types.StructType, overwrite: Boolean,
+      pcols: Seq[String]): Unit = {
+    val prior = if (overwrite) None else currentVersion(fq)
+    prior match {
+      case Some(v) => // empty append: carry everything forward
+        val live = partitionColsOf(fq, v)
+        val dvs = dvFiles(fq, v)
+        commitVersionFrom(fq, v, dir => {
+          fs.mkdirs(dir)
+          if (live.nonEmpty) {
+            writePartitions(dir, live)
+            writeManifest(dir, chainDirs(fq, v))
+          } else writeManifest(dir, dataFiles(fq, v))
+          if (dvs.nonEmpty) writeDvManifest(dir, dvs)
+        })
+      case None => // overwrite/create: schema-only zero-row version
+        val empty = spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+        commitVersion(fq, dir => {
+          empty.repartition(1).write.mode(SaveMode.Overwrite)
+            .parquet(dir.toString)
+          if (pcols.nonEmpty) writePartitions(dir, pcols)
+        })
+    }
   }
 
   /** Atomic replaceWhere (Delta's `INSERT INTO … REPLACE WHERE` /

@@ -42,7 +42,8 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * the connector's standing contract). */
 class GraftColumnarReader(path: String, schema: StructType, limit: Int,
     filters: Array[Filter] = Array.empty,
-    partValues: Seq[(String, Option[String])] = Seq.empty)
+    partValues: Seq[(String, Option[String])] = Seq.empty,
+    hadoopConf: Configuration = new Configuration())
     extends PartitionReader[ColumnarBatch] {
 
   // hive-partitioned files: path-encoded columns come back as the
@@ -63,7 +64,7 @@ class GraftColumnarReader(path: String, schema: StructType, limit: Int,
   private val needsPerm = !outPerm.zipWithIndex.forall { case (p, i) => p == i }
 
   private val reader: VectorizedParquetRecordReader = {
-    val conf = new Configuration()
+    val conf = hadoopConf // driver's conf, shipped (fs creds/endpoints)
     // the conf keys SpecificParquetRecordReaderBase.initialize reads:
     // Spark's ParquetReadSupport clips the file schema to the
     // requested Catalyst schema (nested pruning included); columns the

@@ -71,7 +71,8 @@ class GraftDeltaBatchWrite(root: String, fq: String, rowSchema: StructType,
     s"$root/_staging/delta-${java.util.UUID.randomUUID()}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-    new GraftDeltaWriterFactory(stagingDir, rowSchema)
+    new GraftDeltaWriterFactory(stagingDir, rowSchema,
+      GraftSource.shippedConf())
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dvStaged = messages.collect {
@@ -96,10 +97,11 @@ class GraftDeltaBatchWrite(root: String, fq: String, rowSchema: StructType,
 case class GraftDeltaMessage(dvPath: Option[String], dataPath: Option[String])
   extends WriterCommitMessage
 
-class GraftDeltaWriterFactory(stagingDir: String, rowSchema: StructType)
+class GraftDeltaWriterFactory(stagingDir: String, rowSchema: StructType,
+    shipped: graft.util.SerializableHadoopConf = null)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new GraftDeltaWriter(stagingDir, rowSchema, partitionId, taskId)
+    new GraftDeltaWriter(stagingDir, rowSchema, partitionId, taskId, shipped)
 }
 
 /** Streams a task's delta: deletes → a (file, row_index) parquet
@@ -107,13 +109,17 @@ class GraftDeltaWriterFactory(stagingDir: String, rowSchema: StructType)
   * parquet. Both lazy — a task that only deletes stages no data file
   * and vice versa. */
 class GraftDeltaWriter(stagingDir: String, rowSchema: StructType,
-    partitionId: Int, taskId: Long) extends DeltaWriter[InternalRow] {
+    partitionId: Int, taskId: Long,
+    shipped: graft.util.SerializableHadoopConf = null)
+    extends DeltaWriter[InternalRow] {
   private val dvSchema = StructType(Seq(
     StructField("file", StringType), StructField("row_index", LongType)))
   private lazy val dvWriter =
-    new GraftDataWriter(s"$stagingDir/dv", dvSchema, partitionId, taskId)
+    new GraftDataWriter(s"$stagingDir/dv", dvSchema, partitionId, taskId,
+      shipped)
   private lazy val dataWriter =
-    new GraftDataWriter(s"$stagingDir/data", rowSchema, partitionId, taskId)
+    new GraftDataWriter(s"$stagingDir/data", rowSchema, partitionId, taskId,
+      shipped)
   private var dvUsed = false
   private var dataUsed = false
 

@@ -32,11 +32,21 @@ object GraftPartitions {
       case FloatType   => s.toFloat
       case BooleanType => s.toBoolean
       case DateType    => java.time.LocalDate.parse(s).toEpochDay.toInt
+      case TimestampType => timestampMicros(s)
       case d: DecimalType =>
         org.apache.spark.sql.types.Decimal(BigDecimal(s), d.precision, d.scale)
       case other => throw new UnsupportedOperationException(
         s"graft partition column type $other")
     }
+  }
+
+  /** Hive partition timestamp string → micros since epoch, JVM-default
+    * zone (how `DataFrameWriter.partitionBy` renders under the default
+    * session timezone, and how [[GraftPartitionedDataWriter.render]]
+    * writes) — `yyyy-MM-dd HH:mm:ss[.f…]` via `Timestamp.valueOf`. */
+  private[connector] def timestampMicros(s: String): Long = {
+    val t = java.sql.Timestamp.valueOf(s)
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
   }
 
   /** Numeric/date ordering form of a raw partition value (None = not
@@ -48,6 +58,8 @@ object GraftPartitions {
         Try(BigDecimal(raw)).toOption
       case DateType =>
         Try(BigDecimal(java.time.LocalDate.parse(raw).toEpochDay)).toOption
+      case TimestampType =>
+        Try(BigDecimal(timestampMicros(raw))).toOption
       case _ => None
     }
 

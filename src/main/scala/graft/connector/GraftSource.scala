@@ -171,7 +171,9 @@ class GraftTable(schema: StructType, options: Map[String, String])
     new GraftScanBuilder(schema,
       opt("root").get, opt("table").get, opt("version").map(_.toInt),
       columnarEnabled = opt("columnar").forall(_.toBoolean),
-      skipChangeCommits = opt("skipChangeCommits").exists(_.toBoolean))
+      skipChangeCommits = opt("skipChangeCommits").exists(_.toBoolean),
+      maxFilesPerTrigger = opt("maxFilesPerTrigger").map(_.toInt),
+      maxBytesPerTrigger = opt("maxBytesPerTrigger").map(_.toLong))
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftWriteBuilder(opt("root").get, opt("table").get, info.schema(),
@@ -188,7 +190,9 @@ class GraftTable(schema: StructType, options: Map[String, String])
 
 class GraftScanBuilder(tableSchema: StructType, root: String, fq: String,
     versionOpt: Option[Int], columnarEnabled: Boolean = true,
-    skipChangeCommits: Boolean = false)
+    skipChangeCommits: Boolean = false,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
@@ -371,7 +375,8 @@ class GraftScanBuilder(tableSchema: StructType, root: String, fq: String,
 
   override def build(): Scan =
     new GraftScan(root, fq, versionOpt, tableSchema, required, skipFilters,
-      limit, aggResult, columnarEnabled, skipChangeCommits)
+      limit, aggResult, columnarEnabled, skipChangeCommits,
+      maxFilesPerTrigger, maxBytesPerTrigger)
 }
 
 /** Planned scan. Batch planning (file skipping, DV loading) happens in
@@ -389,7 +394,9 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
     skipFilters: Array[Filter], limit: Int,
     aggResult: Option[(StructType, Array[Any])],
     columnarEnabled: Boolean = true,
-    skipChangeCommits: Boolean = false) extends Scan
+    skipChangeCommits: Boolean = false,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends Scan
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   /** Real size/row estimates from commit metadata (file lengths +
@@ -511,14 +518,14 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
           case _ => false
         }
       new GraftReaderFactory(out, limit, skipFilters ++ runtimeFilters,
-        columnar)
+        columnar, GraftSource.shippedConf())
     }
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(aggResult.isEmpty, "aggregate pushdown not valid for streaming")
     new GraftMicroBatchStream(root, fq, required, skipFilters, limit,
-      skipChangeCommits)
+      skipChangeCommits, maxFilesPerTrigger, maxBytesPerTrigger)
   }
 }
 
@@ -532,8 +539,14 @@ case class GraftFilePartition(path: String, dvRows: Array[Long],
 case class GraftAggPartition(values: Array[Any]) extends InputPartition
 
 class GraftReaderFactory(schema: StructType, limit: Int,
-    filters: Array[Filter] = Array.empty, columnar: Boolean = false)
+    filters: Array[Filter] = Array.empty, columnar: Boolean = false,
+    conf: graft.util.SerializableHadoopConf = null)
     extends PartitionReaderFactory {
+  // null only when constructed by old callers/tests: executor falls
+  // back to classpath defaults, exactly the pre-propagation behavior
+  private def hadoopConf: Configuration =
+    if (conf == null) new Configuration() else new Configuration(conf.value)
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case GraftAggPartition(values) => new PartitionReader[InternalRow] {
@@ -543,7 +556,8 @@ class GraftReaderFactory(schema: StructType, limit: Int,
         override def close(): Unit = ()
       }
       case GraftFilePartition(path, dvRows, pvs) =>
-        new GraftRowReader(path, schema, dvRows, limit, filters, pvs)
+        new GraftRowReader(path, schema, dvRows, limit, filters, pvs,
+          hadoopConf)
     }
 
   // scan-wide flag (computed over ALL planned partitions), so every
@@ -555,7 +569,8 @@ class GraftReaderFactory(schema: StructType, limit: Int,
     p match {
       case GraftFilePartition(path, dvRows, pvs) =>
         require(dvRows.isEmpty, "columnar path never sees DV'd files")
-        new GraftColumnarReader(path, schema, limit, filters, pvs)
+        new GraftColumnarReader(path, schema, limit, filters, pvs,
+          hadoopConf)
       case other => throw new IllegalStateException(
         s"columnar read of non-file partition $other")
     }
@@ -575,7 +590,8 @@ class GraftReaderFactory(schema: StructType, limit: Int,
   * still applies every residual filter either way). */
 class GraftRowReader(path: String, schema: StructType, dvRows: Array[Long],
     limit: Int, filters: Array[Filter] = Array.empty,
-    partValues: Seq[(String, Option[String])] = Seq.empty)
+    partValues: Seq[(String, Option[String])] = Seq.empty,
+    hadoopConf: Configuration = new Configuration())
     extends PartitionReader[InternalRow] {
   import GraftSource.{RowIdFile, RowIdPos}
 
@@ -596,7 +612,7 @@ class GraftRowReader(path: String, schema: StructType, dvRows: Array[Long],
     .collect { case (f, i) if !isMeta(i) && partConst(i).isEmpty => f })
 
   private val reader = {
-    val conf = new Configuration()
+    val conf = hadoopConf // driver's conf, shipped (fs creds/endpoints)
     // parquet-level filtering renumbers survivors, which would corrupt
     // BOTH the DV pointer walk and the synthesized `_gpos` row ids —
     // it stays off whenever either is in play
@@ -655,6 +671,12 @@ object GraftSource {
   val RowIdFile = "_gfile"
   val RowIdPos = "_gpos"
 
+  /** Driver's Hadoop conf packaged for executor-side readers/writers
+    * (runtime `spark.hadoop.*` / object-store settings included). */
+  def shippedConf(): graft.util.SerializableHadoopConf =
+    new graft.util.SerializableHadoopConf(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+
   /** Table schema for a connector read: ONE representative footer per
     * owning version directory (files of one commit share a schema —
     * they come out of a single writing job), UNIONED across the chain.
@@ -702,11 +724,28 @@ case class GraftOffset(v: Int) extends Offset {
   * (overwrite/compact/vacuum) or a DV change mid-stream throws, since
   * already-delivered rows cannot be retracted — Delta's semantics
   * without ignoreChanges. The initial batch (-1 → current) is the
-  * snapshot read WITH current DV masks applied. */
+  * snapshot read WITH current DV masks applied.
+  *
+  * ADMISSION CONTROL ([[SupportsAdmissionControl]], Delta's contract):
+  * `maxFilesPerTrigger` / `maxBytesPerTrigger` bound each micro-batch
+  * — a stream catching up on a week-old checkpoint over a 100 TB
+  * table plans a BOUNDED batch per trigger instead of the entire
+  * backlog as one giant batch (one failure = re-read everything).
+  * `latestOffset(start, limit)` walks the commits after `start`
+  * accumulating each commit's file adds and returns the LAST version
+  * that fits the cap — version-granular (a single commit larger than
+  * the cap still ships whole; offsets stay exactly the committed
+  * manifest versions, so exactly-once replay is untouched). Composes
+  * with `Trigger.AvailableNow` (bounded batches drain to the pinned
+  * goalpost) and with `skipChangeCommits`. */
 class GraftMicroBatchStream(root: String, fq: String, required: StructType,
     skipFilters: Array[Filter], limit: Int,
-    skipChangeCommits: Boolean = false) extends MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+    skipChangeCommits: Boolean = false,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles}
 
   private def cat = new TableCatalog(SparkSession.active, root)
 
@@ -715,10 +754,73 @@ class GraftMicroBatchStream(root: String, fq: String, required: StructType,
   private var pinned: Option[Int] = None
   override def prepareForTriggerAvailableNow(): Unit =
     pinned = Some(cat.version(fq).getOrElse(-1))
-  override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    pinned.map(GraftOffset(_)).getOrElse(
-      GraftOffset(cat.version(fq).getOrElse(-1)))
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val legs = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    legs match {
+      case Seq()  => ReadLimit.allAvailable()
+      case Seq(l) => l
+      case many   => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  override def reportLatestOffset(): Offset =
+    GraftOffset(cat.version(fq).getOrElse(-1))
+
+  override def latestOffset(start: Offset, readLimit: ReadLimit): Offset = {
+    val startV = start.asInstanceOf[GraftOffset].v
+    val goal = pinned.getOrElse(cat.version(fq).getOrElse(-1))
+    if (goal <= startV) return GraftOffset(startV)
+    // flatten the limit: None = unbounded on that axis
+    def flatten(l: ReadLimit): Seq[ReadLimit] = l match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(flatten)
+      case other => Seq(other)
+    }
+    val legs = flatten(readLimit)
+    val fileCap: Option[Int] = legs.collectFirst { case f: ReadMaxFiles => f.maxFiles() }
+    val byteCap: Option[Long] = legs.collectFirst { case b: ReadMaxBytes => b.maxBytes() }
+    if ((fileCap.isEmpty && byteCap.isEmpty) ||
+        legs.exists(_.isInstanceOf[ReadAllAvailable]))
+      return GraftOffset(goal)
+    val c = cat
+    def key(p: String) = new Path(p).toUri.getPath
+    // per-commit file ADDS, walked (startV, goal]; a commit whose
+    // predecessor was pruned (or the initial -1 snapshot) counts its
+    // whole visible file set. Metadata-only: paths + one getFileStatus
+    // per NEW file when a byte cap is set.
+    var admitted = startV
+    var files = 0L
+    var bytes = 0L
+    var prevSet: Set[String] =
+      if (startV < 0 || !c.versionRetained(fq, startV)) Set.empty
+      else c.dataFilePathsAt(fq, startV).map(key).toSet
+    var v = startV + 1
+    var stop = false
+    while (v <= goal && !stop) {
+      if (c.versionRetained(fq, v)) {
+        val cur = c.dataFilePathsAt(fq, v)
+        val adds = cur.filterNot(p => prevSet(key(p)))
+        files += adds.size
+        if (byteCap.isDefined) bytes += adds.map { p =>
+          val hp = new Path(p)
+          try hp.getFileSystem(
+            SparkSession.active.sparkContext.hadoopConfiguration)
+            .getFileStatus(hp).getLen
+          catch { case _: java.io.IOException => 0L }
+        }.sum
+        val over = fileCap.exists(files > _) || byteCap.exists(bytes > _)
+        if (over) {
+          // always admit at least ONE commit (progress guarantee);
+          // version granularity: an oversized single commit ships whole
+          if (admitted == startV) admitted = v
+          stop = true
+        } else { admitted = v; prevSet = cur.map(key).toSet }
+      } else { admitted = v } // pruned dir: nothing to size or deliver
+      v += 1
+    }
+    GraftOffset(admitted)
+  }
 
   override def initialOffset(): Offset = GraftOffset(-1)
   override def latestOffset(): Offset =
@@ -815,7 +917,8 @@ class GraftMicroBatchStream(root: String, fq: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, limit, skipFilters)
+    new GraftReaderFactory(required, limit, skipFilters,
+      conf = GraftSource.shippedConf())
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }

@@ -231,7 +231,8 @@ class GraftStreamingWrite(root: String, fq: String, schema: StructType,
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new GraftStreamingWriterFactory(stagingBase, schema)
+    new GraftStreamingWriterFactory(stagingBase, schema,
+      GraftSource.shippedConf())
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -257,11 +258,13 @@ class GraftStreamingWrite(root: String, fq: String, schema: StructType,
   }
 }
 
-class GraftStreamingWriterFactory(stagingBase: String, schema: StructType)
+class GraftStreamingWriterFactory(stagingBase: String, schema: StructType,
+    shipped: graft.util.SerializableHadoopConf = null)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(s"$stagingBase/$epochId", schema, partitionId, taskId)
+    new GraftDataWriter(s"$stagingBase/$epochId", schema, partitionId,
+      taskId, shipped)
 }
 
 class GraftBatchWrite(root: String, fq: String, schema: StructType,
@@ -277,8 +280,9 @@ class GraftBatchWrite(root: String, fq: String, schema: StructType,
   // re-partitions them later
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     if (partitionCols.isEmpty || replaceWhere.nonEmpty)
-      new GraftDataWriterFactory(stagingDir, schema)
-    else new GraftPartitionedWriterFactory(stagingDir, schema, partitionCols)
+      new GraftDataWriterFactory(stagingDir, schema, GraftSource.shippedConf())
+    else new GraftPartitionedWriterFactory(stagingDir, schema, partitionCols,
+      GraftSource.shippedConf())
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -288,9 +292,8 @@ class GraftBatchWrite(root: String, fq: String, schema: StructType,
         case GraftPartitionedCommitMessage(files) =>
           files.map { case (p, rel) => (new Path(p), rel) }
       }.toSeq.flatten
-      if (staged.isEmpty)
-        require(!overwrite && cat.version(fq).isDefined,
-          s"graft write: empty input cannot create/overwrite $fq")
+      if (staged.isEmpty) // empty input still COMMITS a version
+        cat.commitEmptyVersion(fq, schema, overwrite, partitionCols)
       else cat.commitStagedPartitioned(fq, staged, partitionCols, overwrite)
       cleanup()
       return
@@ -301,10 +304,10 @@ class GraftBatchWrite(root: String, fq: String, schema: StructType,
     replaceWhere match {
       case Some(pred) => // atomic delete+insert, even with 0 new rows
         cat.commitReplaceWhere(fq, staged, pred)
-      case None if staged.isEmpty =>
-        require(!overwrite && cat.version(fq).isDefined,
-          s"graft write: empty input cannot create/overwrite $fq")
-      // empty append: no-op commit
+      case None if staged.isEmpty => // empty input still COMMITS a
+        // version (Delta's contract): append carries the chain,
+        // overwrite/create lands a schema-only zero-row file
+        cat.commitEmptyVersion(fq, schema, overwrite, Seq.empty)
       case None => cat.commitStagedFiles(fq, staged, overwrite)
     }
     cleanup()
@@ -332,10 +335,12 @@ case class GraftPartitionedCommitMessage(files: Seq[(String, String)])
   extends WriterCommitMessage
 
 class GraftPartitionedWriterFactory(stagingDir: String, schema: StructType,
-    partitionCols: Seq[String]) extends DataWriterFactory {
+    partitionCols: Seq[String],
+    shipped: graft.util.SerializableHadoopConf = null)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftPartitionedDataWriter(stagingDir, schema, partitionCols,
-      partitionId, taskId)
+      partitionId, taskId, shipped)
 }
 
 /** Routes each row to a per-partition-value staged file in hive
@@ -345,7 +350,8 @@ class GraftPartitionedWriterFactory(stagingDir: String, schema: StructType,
   * the Write requires keeps the per-task open-writer count at the
   * task's distinct clustered values (usually 1). */
 class GraftPartitionedDataWriter(stagingDir: String, schema: StructType,
-    partitionCols: Seq[String], partitionId: Int, taskId: Long)
+    partitionCols: Seq[String], partitionId: Int, taskId: Long,
+    shipped: graft.util.SerializableHadoopConf = null)
     extends DataWriter[InternalRow] {
   import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -372,6 +378,13 @@ class GraftPartitionedDataWriter(stagingDir: String, schema: StructType,
       case BooleanType => row.getBoolean(i).toString
       case DateType    =>
         java.time.LocalDate.ofEpochDay(row.getInt(i)).toString
+      case TimestampType => // micros → `Timestamp.toString` shape the
+        // reader's `Timestamp.valueOf` round-trips exactly (the `:`s
+        // hive-escape like any string partition value)
+        val micros = row.getLong(i)
+        val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+        t.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        ExternalCatalogUtils.escapePathName(t.toString)
       case other => throw new UnsupportedOperationException(
         s"graft partitioned write: partition column type $other")
     }
@@ -382,7 +395,8 @@ class GraftPartitionedDataWriter(stagingDir: String, schema: StructType,
       s"${ExternalCatalogUtils.escapePathName(f.name)}=${render(row, i, f)}"
     }.mkString("/")
     val w = writers.getOrElseUpdate(rel,
-      new GraftDataWriter(s"$stagingDir/$rel", dataSchema, partitionId, taskId))
+      new GraftDataWriter(s"$stagingDir/$rel", dataSchema, partitionId,
+        taskId, shipped))
     val vals = new Array[Any](dataIdx.length)
     var j = 0
     while (j < dataIdx.length) {
@@ -406,16 +420,24 @@ class GraftPartitionedDataWriter(stagingDir: String, schema: StructType,
   override def close(): Unit = ()
 }
 
-class GraftDataWriterFactory(stagingDir: String, schema: StructType)
+class GraftDataWriterFactory(stagingDir: String, schema: StructType,
+    shipped: graft.util.SerializableHadoopConf = null)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(stagingDir, schema, partitionId, taskId)
+    new GraftDataWriter(stagingDir, schema, partitionId, taskId, shipped)
 }
 
 /** Streams rows into one staged parquet file, created lazily on the
   * first row (empty partitions stage nothing). */
 class GraftDataWriter(stagingDir: String, schema: StructType,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long,
+    shipped: graft.util.SerializableHadoopConf = null)
+    extends DataWriter[InternalRow] {
+  // driver's conf when shipped (fs creds/endpoints); classpath
+  // defaults only for old direct-construction callers
+  private def conf: Configuration =
+    if (shipped == null) new Configuration()
+    else new Configuration(shipped.value)
   private val path =
     new Path(s"$stagingDir/part-$partitionId-$taskId.parquet")
   private val messageType = GraftWriteSchema.toMessageType(schema)
@@ -423,7 +445,6 @@ class GraftDataWriter(stagingDir: String, schema: StructType,
   private var factory: SimpleGroupFactory = _
 
   private def ensureOpen(): Unit = if (writer == null) {
-    val conf = new Configuration()
     writer = ExampleParquetWriter.builder(path)
       .withConf(conf)
       .withType(messageType)
@@ -446,7 +467,7 @@ class GraftDataWriter(stagingDir: String, schema: StructType,
 
   override def abort(): Unit = {
     if (writer != null) writer.close()
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(conf)
     if (fs.exists(path)) fs.delete(path, false)
   }
 
