@@ -572,7 +572,9 @@ object QueriesConnector {
       val noRewrite = oldFiles.subsetOf(cat.dataFilePaths(t).toSet)
       val probe = cat.read(t).limit(1)
       probe.collect()
-      val total = graft.connector.GraftPlanInspect.parquetFilesScannedOf(probe)
+      // catalog partitioned reads are connector scans (round 8): the
+      // pruning evidence counts scheduled slices, not parquet metrics
+      val total = graft.connector.GraftPlanInspect.scanPartitionsOf(probe)
       val agg = cat.read(t).filter(col("o_orderstatus") === "F")
         .groupBy((col("o_custkey") % 10).as("bucket"))
         .agg(count(lit(1)).as("n"),
@@ -580,7 +582,7 @@ object QueriesConnector {
             .as("sum_price"))
       val rows = agg.collect()
       val pruned =
-        graft.connector.GraftPlanInspect.parquetFilesScannedOf(agg) < total
+        graft.connector.GraftPlanInspect.scanPartitionsOf(agg) < total
       s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1),
           agg.schema)
         .withColumn("no_rewrite", lit(noRewrite))

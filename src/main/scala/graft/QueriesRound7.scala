@@ -58,10 +58,11 @@ object QueriesRound7 {
     //      (the plan's ColumnarToRow transition is the evidence — the
     //      same columnar WSCG path as the built-in parquet source,
     //      replacing the boxed record-at-a-time Group decode on the
-    //      100 TB read path's hot loop). A DV delete then flips the
-    //      SAME query to the row reader (per-record row indexes for
-    //      the mask walk), still exact. Both plan facts hash into the
-    //      oracle result. ----
+    //      100 TB read path's hot loop). A DV delete then KEEPS the
+    //      SAME query columnar (round 8): masked batches wrap their
+    //      vectors with a zero-copy survivor map instead of dropping
+    //      the scan to the row reader — and the masked count is exact.
+    //      Both plan facts hash into the oracle result. ----
     "q247_columnar_scan" -> ((s, dir) => {
       import s.implicits._
       val work = graft.Scratch.dir("graft_colscan")
@@ -83,12 +84,12 @@ object QueriesRound7 {
       cat.deleteWhereDV(t, col("l_orderkey") % 13 === 0)
       val a2 = rd.agg(count(lit(1)).as("n2"))
       val r2 = a2.collect()(0)
-      val rowFallback =
-        !a2.queryExecution.executedPlan.toString.contains("ColumnarToRow")
+      val dvColumnar =
+        a2.queryExecution.executedPlan.toString.contains("ColumnarToRow")
       Seq((r1.getLong(0), r1.getDouble(1), r1.getDouble(2), columnar,
-        r2.getLong(0), rowFallback))
+        r2.getLong(0), dvColumnar))
         .toDF("n", "sum_qty", "sum_price", "columnar",
-          "n_after_dv", "dv_row_fallback")
+          "n_after_dv", "dv_columnar")
     }),
 
     // ---- nested (struct) columns through the connector: the
@@ -312,7 +313,7 @@ object QueriesRound7 {
            TRUE AS columnar,
            (SELECT count(*) FROM lineitem WHERE l_orderkey % 13 <> 0)
              AS n_after_dv,
-           TRUE AS dv_row_fallback
+           TRUE AS dv_columnar
          FROM lineitem""",
 
     "q248_nested_connector" ->

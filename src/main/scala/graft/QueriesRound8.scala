@@ -52,10 +52,162 @@ object QueriesRound8 {
       val bounded = batches.size >= 3 // 6 files / cap 2
       import s.implicits._
       Seq((batches.sum, bounded)).toDF("n", "bounded_batches")
+    }),
+
+    // ---- scan partition sizing: task count tracks BYTES, not file
+    //      count — Spark's own split model applied to the connector.
+    //      One oversized file (many small row groups) splits into >1
+    //      tasks at row-group seams with zero rows lost at the seams;
+    //      16 tiny files coalesce into fewer bin-packed tasks while
+    //      every file is still scheduled (slices). At 100 TB this is
+    //      the difference between a task per manifest-chain filelet
+    //      and a right-sized stage. Both plan facts hash into the
+    //      oracle result. ----
+    "q254_scan_sizing" -> ((s, dir) => {
+      import s.implicits._
+      val work = graft.Scratch.dir("graft_sizing")
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val hc = s.sparkContext.hadoopConfiguration
+      val oldBlock = Option(hc.get("parquet.block.size"))
+      hc.setInt("parquet.block.size", 64 * 1024) // many small row groups
+      try cat.overwrite("D.S.SIZBIG", li.coalesce(1)) // ONE big file
+      finally oldBlock match {
+        case Some(v) => hc.set("parquet.block.size", v)
+        case None    => hc.unset("parquet.block.size")
+      }
+      // MORE files than cores: Spark's bytesPerCore model only packs
+      // once the file count exceeds the parallelism (below that it
+      // deliberately spreads tiny files across idle cores)
+      cat.overwrite("D.S.SIZTINY",
+        li.filter(col("l_orderkey") % 50 === 0).repartition(64)) // 64 tiny
+      val keys = Seq("spark.sql.files.maxPartitionBytes",
+        "spark.sql.files.openCostInBytes")
+      val olds = keys.map(k => k -> s.conf.getOption(k))
+      s.conf.set(keys(0), "262144"); s.conf.set(keys(1), "16")
+      try {
+        def rd(t: String) = s.read.format("graft")
+          .option("root", work).option("table", t).load()
+        val big = rd("D.S.SIZBIG").agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_qty"))
+        val rBig = big.collect()(0)
+        val bigSplit = graft.connector.GraftPlanInspect.scanTasksOf(big) > 1
+        // count(col), not count(*): a bare COUNT(*) would answer from
+        // metadata (aggregate pushdown — one synthetic partition) and
+        // prove nothing about scan sizing
+        val tiny = rd("D.S.SIZTINY").agg(count(col("l_orderkey")).as("n2"))
+        val rTiny = tiny.collect()(0)
+        val tinyTasks = graft.connector.GraftPlanInspect.scanTasksOf(tiny)
+        val tinySlices = graft.connector.GraftPlanInspect.scanPartitionsOf(tiny)
+        Seq((rBig.getLong(0), rBig.getDouble(1), bigSplit,
+            rTiny.getLong(0), tinySlices == 64 && tinyTasks < 64))
+          .toDF("n", "sum_qty", "big_split", "n_tiny", "tiny_packed")
+      } finally olds.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    }),
+
+    // ---- CHANGE DATA FEED: the per-commit row changes of a table as
+    //      a distributed scan (file adds → insert slices, new DV
+    //      entries → keepOnly delete slices — no exceptAll, no
+    //      snapshot diffs, O(changed bytes)). The feed reconstructs
+    //      the live table exactly: inserts minus deletes == read(t),
+    //      hashed against the oracle's equivalent transform; the SQL
+    //      `t@changes(a,b)` identifier answers the same feed
+    //      (sql_matches hashed). ----
+    "q255_change_feed" -> ((s, dir) => {
+      val work = graft.Scratch.dir("graft_cdf")
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val t = "D.S.CDFQ"
+      cat.overwrite(t, o.filter(col("o_orderkey") % 2 === 0).repartition(2))
+      cat.append(t, o.filter(col("o_orderkey") % 2 === 1).repartition(2))
+      cat.deleteWhereDV(t, col("o_custkey") % 7 === 0)
+      val cdf = s.read.format("graft")
+        .option("root", work).option("table", t)
+        .option("readChangeFeed", "true").load()
+      val ins = cdf.filter(col("_change_type") === "insert")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val dels = cdf.filter(col("_change_type") === "delete")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val state = ins.exceptAll(dels)
+      // the reconstructed state matches the live read EXACTLY
+      val live = cat.read(t)
+      val matches = state.exceptAll(live).count() == 0 &&
+        live.exceptAll(state).count() == 0
+      // SQL surface answers the same feed
+      val cname = "gcdfq_" + work.replaceAll("[^A-Za-z0-9]", "").takeRight(12)
+      s.conf.set(s"spark.sql.catalog.$cname", "graft.connector.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cname.root", work)
+      val sqlN = s.sql(s"SELECT count(*) AS n FROM $cname.D.S.`CDFQ@changes(0,2)`")
+        .head().getLong(0)
+      val sqlMatches = sqlN == cdf.count()
+      state.groupBy((col("o_orderkey") % 3).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_price"))
+        .withColumn("reconstructs", lit(matches))
+        .withColumn("sql_matches", lit(sqlMatches))
+    }),
+
+    // ---- SQL SCHEMA EVOLUTION: ALTER TABLE ADD COLUMNS declares a
+    //      column in the vacuum-proof `_SCHEMAS/` sidecar + a metadata
+    //      commit — zero data bytes touched; existing rows read NULL,
+    //      the next INSERT carries values, and the aggregate over the
+    //      evolved table hashes against the oracle (count(tier) counts
+    //      only post-evolution rows). ----
+    "q256_sql_evolution" -> ((s, dir) => {
+      val work = graft.Scratch.dir("graft_sqlevo")
+      val cname = "gevo_" + work.replaceAll("[^A-Za-z0-9]", "").takeRight(12)
+      s.conf.set(s"spark.sql.catalog.$cname", "graft.connector.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cname.root", work)
+      table(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .createOrReplaceTempView("q256_src")
+      s.sql(s"CREATE TABLE $cname.d.s.nat AS SELECT * FROM q256_src")
+      s.sql(s"ALTER TABLE $cname.d.s.nat ADD COLUMNS (tier STRING)")
+      s.sql(s"""INSERT INTO $cname.d.s.nat
+               SELECT n_nationkey + 100, n_name, n_regionkey, 'gold'
+               FROM q256_src WHERE n_nationkey < 5""")
+      s.sql(s"""SELECT n_regionkey, count(*) AS n,
+               CAST(count(tier) AS BIGINT) AS n_tier
+             FROM $cname.d.s.nat GROUP BY n_regionkey""")
     }))
 
   val oracles: Map[String, String] = Map(
 
     "q253_admission_control" ->
-      """SELECT count(*) AS n, TRUE AS bounded_batches FROM orders""")
+      """SELECT count(*) AS n, TRUE AS bounded_batches FROM orders""",
+
+    "q254_scan_sizing" ->
+      """SELECT count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           TRUE AS big_split,
+           (SELECT count(*) FROM lineitem WHERE l_orderkey % 50 = 0)
+             AS n_tiny,
+           TRUE AS tiny_packed
+         FROM lineitem""",
+
+    "q255_change_feed" ->
+      """SELECT o_orderkey % 3 AS bucket,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           TRUE AS reconstructs,
+           TRUE AS sql_matches
+         FROM orders
+         WHERE o_custkey % 7 <> 0
+         GROUP BY 1""",
+
+    "q256_sql_evolution" ->
+      """SELECT n_regionkey,
+           CAST(count(*) + count(*) FILTER (WHERE n_nationkey < 5)
+             AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE n_nationkey < 5) AS BIGINT) AS n_tier
+         FROM nation
+         GROUP BY 1""")
 }

@@ -533,23 +533,40 @@ class TableCatalog(spark: SparkSession, root: String,
     manifestEntries(dir) ++ own
   }
 
-  /** Partitioned chain read WITH the version's DV masks applied (the
-    * address columns project per-scan before the layout union). */
-  private def readPartitionedChain(fq: String, v: Int): DataFrame = {
-    val dvs = dvFiles(fq, v)
-    if (dvs.isEmpty) readPartitionedDirs(chainDirs(fq, v))
-    else maskDvPos(
-      readPartitionedDirs(chainDirs(fq, v), withRowPos = true), dvs)
-  }
+  /** Partitioned chain read WITH the version's DV masks applied —
+    * routed through the DSv2 connector scan: ONE scan node plans
+    * per-file from commit metadata (partition values recovered per
+    * file — mixed evolved layouts included — DV masks applied inside
+    * the reader, vectorized decode, filter pushdown → partition/stats
+    * /bloom file pruning). The plan's scan-node count is CONSTANT in
+    * chain length, where the old per-owning-version relation union
+    * grew O(versions) — a 1000-commit partitioned table planned 1000
+    * scan nodes per query. `readPartitionedDirs` remains the
+    * driver-side schema/probe path (and the mutators' `__fp`/`__ri`
+    * address reads). */
+  private def readPartitionedChain(fq: String, v: Int): DataFrame =
+    spark.read.format("graft")
+      .option("root", root).option("table", fq)
+      .option("version", v.toString).load()
 
   def read(fq: String): DataFrame = currentVersion(fq) match {
     case Some(v) if partitionColsOf(fq, v).nonEmpty =>
-      readPartitionedChain(fq, v)
+      readPartitionedChain(fq, v) // connector scan: declared cols included
     case Some(v) =>
       val files = dataFiles(fq, v)
-      if (files.isEmpty) // truncated table: schema-only marker dir
-        spark.read.parquet(versionDir(fq, v).toString)
-      else readMaskedFiles(fq, v, files)
+      val declared = declaredColumns(fq)
+      val df =
+        if (files.isEmpty) // truncated table: schema-only marker dir
+          spark.read.parquet(versionDir(fq, v).toString)
+        else if (declared.nonEmpty) // evolved: footers are heterogeneous
+          maskDv(spark.read.option("mergeSchema", "true")
+            .parquet(files.map(_.toString): _*), dvFiles(fq, v))
+        else readMaskedFiles(fq, v, files)
+      // declared (ALTER ADD COLUMNS) columns no file carries yet read
+      // as typed nulls
+      val have = df.columns.map(_.toLowerCase).toSet
+      declared.filterNot(f => have(f.name.toLowerCase))
+        .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
     case None => throw new IllegalArgumentException(s"table not found: $fq")
   }
 
@@ -1928,6 +1945,65 @@ class TableCatalog(spark: SparkSession, root: String,
     if (overwrite) commitVersion(fq, dir => write(dir, -1))
     else // staged partitioned appends are blind appends: rebase
       commitRebase(fq, prior.getOrElse(-1), Nil, Nil, write)
+  }
+
+  // ---- declared schema extensions (SQL ALTER TABLE ADD COLUMNS) ----------
+  // A table's schema is the UNION of its files' footers; a column with
+  // no data yet cannot live in any footer, so ALTER TABLE ADD COLUMNS
+  // declares it in an append-only table-level `_SCHEMAS/` sidecar
+  // (vacuum-proof, like `_EPOCHS/`) and bumps the version (a metadata
+  // commit — streams observe a no-file-change commit). Readers expose
+  // declared columns as typed nulls until data carrying them lands;
+  // a later file carrying a declared name with a DIFFERENT type fails
+  // loudly at planning (same contract as footer conflicts).
+
+  private def schemasDir(fq: String) = new Path(tableDir(fq), "_SCHEMAS")
+
+  /** Declared extension columns, in declaration order. */
+  private[graft] def declaredColumns(fq: String)
+      : Seq[org.apache.spark.sql.types.StructField] = {
+    val d = schemasDir(fq)
+    if (!fs.exists(d)) return Nil
+    fs.listStatus(d).filter(_.isFile).map(_.getPath).sortBy(_.getName)
+      .toSeq.flatMap { p =>
+        val in = fs.open(p)
+        val json = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+        org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fields.toSeq
+      }
+  }
+
+  /** ALTER TABLE ADD COLUMNS: declare new nullable columns without
+    * touching a data byte — existing rows read them as NULL, the next
+    * append may carry them (the SQL face of [[appendEvolving]]).
+    * Same-name columns (footer or declared) are rejected. */
+  def alterAddColumns(fq: String,
+      cols: org.apache.spark.sql.types.StructType): Unit = {
+    require(cols.nonEmpty, "no columns to add")
+    val v = currentVersion(fq).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $fq"))
+    val existing = graft.connector.GraftSource
+      .chainSchema(spark, this, fq, v).fieldNames.map(_.toLowerCase).toSet
+    cols.fields.foreach(f => require(!existing(f.name.toLowerCase),
+      s"column ${f.name} already exists in $fq"))
+    val pcols = partitionColsOf(fq, v)
+    val dvs = dvFiles(fq, v)
+    commitVersionFrom(fq, v, dir => {
+      fs.mkdirs(dir)
+      if (pcols.nonEmpty) {
+        writePartitions(dir, pcols)
+        writeManifest(dir, chainDirs(fq, v))
+      } else writeManifest(dir, dataFiles(fq, v))
+      if (dvs.nonEmpty) writeDvManifest(dir, dvs)
+      // the declaration rides the commit (table-level, vacuum-proof)
+      val d = schemasDir(fq)
+      fs.mkdirs(d)
+      val seq = fs.listStatus(d).count(_.isFile)
+      val out = fs.create(new Path(d, f"$seq%06d.json"), true)
+      try out.write(cols.json.getBytes("UTF-8")) finally out.close()
+    })
   }
 
   /** DSv2 EMPTY write (zero staged files): still commits a version —

@@ -80,11 +80,26 @@ class GraftCatalog extends V2TableCatalog
     new GraftTable(schema, opts)
   }
 
-  override def loadTable(ident: Identifier): Table = {
-    val fq = fqOf(ident)
-    if (!cat.exists(fq))
-      throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
-    tableFor(fq, None)
+  // SQL change-data-feed identifier (Delta's @-syntax family):
+  //   SELECT * FROM cat.db.s.`t@changes(0,5)`
+  // resolves to the table's change feed over commits [0, 5] — the
+  // columns plus _change_type / _commit_version.
+  private val ChangesIdent = """(.+)@changes\((\d+),(\d+)\)""".r
+
+  override def loadTable(ident: Identifier): Table = ident.name() match {
+    case ChangesIdent(tname, from, to) =>
+      val fq = (ident.namespace() :+ tname).mkString(".")
+      if (!cat.exists(fq))
+        throw new NoSuchTableException((ident.namespace() :+ tname).toSeq)
+      val v = cat.version(fq).get
+      val base = GraftSource.chainSchema(spark, cat, fq, v)
+      new GraftCdfTable(base, Map("root" -> root, "table" -> fq,
+        "startingVersion" -> from, "endingVersion" -> to))
+    case _ =>
+      val fq = fqOf(ident)
+      if (!cat.exists(fq))
+        throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
+      tableFor(fq, None)
   }
 
   /** SQL time travel: `VERSION AS OF <n>`. */
@@ -144,9 +159,28 @@ class GraftCatalog extends V2TableCatalog
        else None))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft SQL catalog: ALTER TABLE not supported (schema evolves via appendEvolving)")
+  /** SQL schema evolution: `ALTER TABLE t ADD COLUMNS (c TYPE, …)` —
+    * declares the columns in the catalog's `_SCHEMAS/` sidecar and
+    * commits a metadata version; old rows read NULL, the next INSERT
+    * carries them, same-name/type-conflicting adds are rejected (the
+    * SQL face of the connector's union-schema evolution). Other ALTER
+    * shapes stay unsupported. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val fq = fqOf(ident)
+    if (!cat.exists(fq))
+      throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    require(adds.size == changes.size,
+      "graft SQL catalog: only ALTER TABLE ADD COLUMNS is supported " +
+        s"(got ${changes.filterNot(_.isInstanceOf[TableChange.AddColumn])})")
+    adds.foreach(a => require(a.fieldNames().length == 1,
+      s"graft ALTER TABLE: nested column add unsupported " +
+        s"(${a.fieldNames().mkString(".")})"))
+    cat.alterAddColumns(fq, StructType(adds.map(a =>
+      org.apache.spark.sql.types.StructField(
+        a.fieldNames().head, a.dataType(), nullable = true))))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val fq = fqOf(ident)

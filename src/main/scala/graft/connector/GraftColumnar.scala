@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.read.PartitionReader
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
 /** Vectorized (ColumnarBatch) read path for the graft DSv2 connector —
   * the 100 TB read path's hot loop.
@@ -25,46 +25,62 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * keep the plan on the `ColumnarToRow`/columnar-codegen path, exactly
   * like Spark's built-in parquet scan.
   *
-  * Engaged ONLY when the whole scan qualifies (Spark's DSv2 contract
-  * forbids mixing row and columnar partitions in one scan):
-  *  - no outstanding deletion vectors on any scheduled file — the DV
-  *    sorted-pointer skip needs per-record row indexes, which batched
-  *    decode does not surface (a DV'd table reads via the row path
-  *    until compaction settles the masks);
-  *  - no synthesized `_gfile`/`_gpos` metadata columns (row-level ops
-  *    need per-record addresses);
-  *  - no metadata-answered aggregate (that path emits one local row).
+  * Reads a bin-packed set of [[GraftSlice]]s (byte ranges of files —
+  * large files split at row-group seams, small files coalesce into one
+  * task), and is now the UNIVERSAL decode path:
+  *  - deletion-vector masks apply per batch as a zero-copy
+  *    [[MaskedColumnVector]] survivor map — a DV'd table keeps the
+  *    vectorized decode (previously one masked file dropped the whole
+  *    scan to the boxed row reader); clean batches pass through
+  *    unwrapped;
+  *  - `keepOnly` (CDF delete mining) inverts the mask: the batch
+  *    yields exactly the rows a DV commit masked;
+  *  - only synthesized `_gfile`/`_gpos` metadata columns and
+  *    metadata-answered aggregates still use the row path.
   *
-  * Pushed filters still reach parquet-mr through the conf
-  * ([[ParquetInputFormat.setFilterPredicate]]), so row-group stats and
-  * dictionary skipping happen BELOW the batched decode; Spark
-  * re-applies every filter row-level above (all filters stay residual,
-  * the connector's standing contract). */
-class GraftColumnarReader(path: String, schema: StructType, limit: Int,
-    filters: Array[Filter] = Array.empty,
-    partValues: Seq[(String, Option[String])] = Seq.empty,
+  * Pushed filters reach parquet-mr through the conf
+  * ([[ParquetInputFormat.setFilterPredicate]]) on UNMASKED slices, so
+  * row-group stats and dictionary skipping happen BELOW the batched
+  * decode; masked slices keep the filter off (filtered readers
+  * renumber rows, which would corrupt the file-relative mask
+  * addresses). Spark re-applies every filter row-level above (all
+  * filters stay residual, the connector's standing contract). */
+class GraftColumnarReader(slices: Seq[GraftSlice], schema: StructType,
+    limit: Int, filters: Array[Filter] = Array.empty,
     hadoopConf: Configuration = new Configuration())
     extends PartitionReader[ColumnarBatch] {
 
-  // hive-partitioned files: path-encoded columns come back as the
-  // vectorized reader's CONSTANT partition vectors (initBatch), and a
-  // zero-copy column permutation restores the scan's declared order
-  // (the reader appends partition vectors after the data columns)
-  private val partMap = partValues.toMap
-  private val dataFields = schema.fields.filterNot(f => partMap.contains(f.name))
-  private val partFields = schema.fields.filter(f => partMap.contains(f.name))
-  private val dataSchema = StructType(dataFields)
-  // output position i ← underlying batch column outPerm(i)
-  private val outPerm: Array[Int] = {
+  private var sliceIdx = -1
+  private var cur: GraftSlice = _
+  private var reader: VectorizedParquetRecordReader = _
+  // output position i ← underlying batch column outPerm(i) (the
+  // vectorized reader appends partition-constant vectors after the
+  // data columns; the permutation restores the scan's declared order)
+  private var outPerm: Array[Int] = _
+  private var needsPerm = false
+  private var rowBase = 0L // file row index of the next batch's first row
+  private var dvPtr = 0
+  private var batch: ColumnarBatch = _
+  private var emitted = 0L
+
+  private def openNext(): Boolean = {
+    sliceIdx += 1
+    if (sliceIdx >= slices.size) return false
+    cur = slices(sliceIdx)
+    // hive-partitioned / CDF constant columns: path-encoded values come
+    // back as the vectorized reader's CONSTANT partition vectors
+    // (initBatch)
+    val partMap = cur.partValues.toMap
+    val dataFields = schema.fields.filterNot(f => partMap.contains(f.name))
+    val partFields = schema.fields.filter(f => partMap.contains(f.name))
+    val dataSchema = StructType(dataFields)
     val dataIdx = dataFields.map(_.name).zipWithIndex.toMap
     val partIdx = partFields.map(_.name).zipWithIndex.toMap
-    schema.fields.map(f => dataIdx.get(f.name)
+    outPerm = schema.fields.map(f => dataIdx.get(f.name)
       .getOrElse(dataFields.length + partIdx(f.name)))
-  }
-  private val needsPerm = !outPerm.zipWithIndex.forall { case (p, i) => p == i }
+    needsPerm = !outPerm.zipWithIndex.forall { case (p, i) => p == i }
 
-  private val reader: VectorizedParquetRecordReader = {
-    val conf = hadoopConf // driver's conf, shipped (fs creds/endpoints)
+    val conf = new Configuration(hadoopConf) // per-slice mutations below
     // the conf keys SpecificParquetRecordReaderBase.initialize reads:
     // Spark's ParquetReadSupport clips the file schema to the
     // requested Catalyst schema (nested pruning included); columns the
@@ -80,21 +96,20 @@ class GraftColumnarReader(path: String, schema: StructType, limit: Int,
     // key (no default) — the catalog never writes NANOS timestamps
     conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
     conf.setBoolean("spark.sql.optimizer.nestedSchemaPruning.enabled", true)
-    // row-group stats + dictionary skipping below the decode; the
-    // translation is conservative (see GraftParquetIO.toParquetFilter)
-    // and Spark re-applies every residual above
-    if (filters.nonEmpty)
+    // row-group stats + dictionary skipping below the decode — ONLY on
+    // unmasked slices: a filtered reader renumbers rows and would
+    // corrupt the file-relative DV addresses
+    if (filters.nonEmpty && cur.dvRows.isEmpty && !cur.keepOnly)
       GraftParquetIO.toParquetFilter(filters.toSeq,
-          GraftParquetIO.fileSchema(path, conf))
+          GraftParquetIO.fileSchema(cur.path, conf))
         .foreach(ParquetInputFormat.setFilterPredicate(conf, _))
-    val p = new Path(path)
-    val len = p.getFileSystem(conf).getFileStatus(p).getLen
+    val p = new Path(cur.path)
     // rebase modes CORRECTED: the catalog writes Spark-4 parquet
     // (proleptic-Gregorian micros); no pre-1582 legacy data exists
     val r = new VectorizedParquetRecordReader(
       null, "CORRECTED", "UTC", "CORRECTED", "UTC",
       /* useOffHeap = */ false, /* capacity = */ 4096)
-    r.initialize(new FileSplit(p, 0, len, Array.empty[String]),
+    r.initialize(new FileSplit(p, cur.start, cur.length, Array.empty[String]),
       new TaskAttemptContextImpl(conf, new TaskAttemptID()))
     val partRow: InternalRow =
       if (partFields.isEmpty) InternalRow.empty
@@ -103,26 +118,65 @@ class GraftColumnarReader(path: String, schema: StructType, limit: Int,
           GraftPartitions.castValue(partMap(f.name), f.dataType)))
     r.initBatch(StructType(partFields), partRow)
     r.enableReturningBatches()
-    r
+    reader = r
+    rowBase = 0L
+    dvPtr = 0
+    true
   }
 
-  private var batch: ColumnarBatch = _
-  private var emitted = 0L
+  /** Survivor map of this batch under the slice's mask (rows
+    * [rowBase, rowBase+n) in file row order — valid because masked
+    * slices never byte-split and never parquet-filter). null = keep
+    * the whole batch. */
+  private def survivorMap(n: Int): Array[Int] = {
+    val dv = cur.dvRows
+    val keep = new Array[Int](n)
+    var kept = 0
+    var i = 0
+    while (i < n) {
+      val idx = rowBase + i
+      while (dvPtr < dv.length && dv(dvPtr) < idx) dvPtr += 1
+      val m = dvPtr < dv.length && dv(dvPtr) == idx
+      if (m == cur.keepOnly) { keep(kept) = i; kept += 1 }
+      i += 1
+    }
+    if (kept == n) null else java.util.Arrays.copyOf(keep, kept)
+  }
 
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false // partial pushdown:
     // Spark applies the exact limit above; stopping early just saves IO
-    if (!reader.nextKeyValue()) return false
-    val underlying = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
-    batch =
-      if (!needsPerm) underlying
-      else new ColumnarBatch( // zero-copy vector re-order
-        outPerm.map(underlying.column), underlying.numRows())
-    emitted += batch.numRows()
-    true
+    while (true) {
+      if (reader == null && !openNext()) return false
+      if (!reader.nextKeyValue()) { reader.close(); reader = null }
+      else {
+        val underlying = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+        val n = underlying.numRows()
+        val base =
+          if (!needsPerm) underlying
+          else new ColumnarBatch( // zero-copy vector re-order
+            outPerm.map(underlying.column(_): ColumnVector), n)
+        val out =
+          if (cur.dvRows.isEmpty && !cur.keepOnly) base
+          else survivorMap(n) match {
+            case null => base // no masked rows land in this batch
+            case map => new ColumnarBatch(
+              (0 until base.numCols()).map(c =>
+                new MaskedColumnVector(base.column(c), map): ColumnVector)
+                .toArray, map.length)
+          }
+        rowBase += n
+        if (out.numRows() > 0) {
+          batch = out
+          emitted += out.numRows()
+          return true
+        } // fully-masked batch: fetch the next one
+      }
+    }
+    false
   }
 
   override def get(): ColumnarBatch = batch
 
-  override def close(): Unit = reader.close()
+  override def close(): Unit = if (reader != null) reader.close()
 }

@@ -75,10 +75,10 @@ class GraftDeltaBatchWrite(root: String, fq: String, rowSchema: StructType,
       GraftSource.shippedConf())
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val dvStaged = messages.collect {
-      case GraftDeltaMessage(Some(p), _) => new Path(p) }.toSeq
-    val dataStaged = messages.collect {
-      case GraftDeltaMessage(_, Some(p)) => new Path(p) }.toSeq
+    val dvStaged = messages.toSeq.collect {
+      case GraftDeltaMessage(ps, _) => ps.map(new Path(_)) }.flatten
+    val dataStaged = messages.toSeq.collect {
+      case GraftDeltaMessage(_, ps) => ps.map(new Path(_)) }.flatten
     new TableCatalog(SparkSession.active, root)
       .commitDelta(fq, dvStaged, dataStaged, basedOn = scanVersion)
     cleanup()
@@ -94,7 +94,7 @@ class GraftDeltaBatchWrite(root: String, fq: String, rowSchema: StructType,
   }
 }
 
-case class GraftDeltaMessage(dvPath: Option[String], dataPath: Option[String])
+case class GraftDeltaMessage(dvPaths: Seq[String], dataPaths: Seq[String])
   extends WriterCommitMessage
 
 class GraftDeltaWriterFactory(stagingDir: String, rowSchema: StructType,
@@ -141,11 +141,11 @@ class GraftDeltaWriter(stagingDir: String, rowSchema: StructType,
 
   override def commit(): WriterCommitMessage = {
     val dv = if (dvUsed) dvWriter.commit() match {
-      case GraftCommitMessage(p) => p
-    } else None
+      case GraftCommitMessage(ps) => ps
+    } else Nil
     val data = if (dataUsed) dataWriter.commit() match {
-      case GraftCommitMessage(p) => p
-    } else None
+      case GraftCommitMessage(ps) => ps
+    } else Nil
     GraftDeltaMessage(dv, data)
   }
 

@@ -89,9 +89,15 @@ object GraftParquetIO {
     b.named(full.getName)
   }
 
-  /** [[openReader]] with a Spark-shaped projection (nested pruning). */
+  /** [[openReader]] with a Spark-shaped projection (nested pruning).
+    * `range` restricts the read to the byte window [start, end) — a
+    * row group belongs to the window containing its midpoint
+    * (parquet's split contract), which is how large files scan as
+    * multiple tasks. Callers relying on the running row counter as
+    * `_metadata.row_index` must pass whole-file ranges only. */
   def openReaderFor(path: String, conf: Configuration, required: StructType,
-      filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
+      filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None,
+      range: Option[(Long, Long)] = None)
       : ParquetReader[Group] = {
     val full = fileSchema(path, conf)
     val proj =
@@ -99,8 +105,9 @@ object GraftParquetIO {
       else projectSchemaFor(full, required)
     val c = new Configuration(conf)
     c.set(ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
-    val b = ParquetReader.builder(new GroupReadSupport(), new Path(path))
+    var b = ParquetReader.builder(new GroupReadSupport(), new Path(path))
       .withConf(c)
+    range.foreach { case (s, e) => b = b.withFileRange(s, e) }
     filter.map(f => b.withFilter(
         org.apache.parquet.filter2.compat.FilterCompat.get(f)))
       .getOrElse(b).build()

@@ -18,13 +18,25 @@ object GraftPlanInspect {
     case other => other.children.iterator.flatMap(findScan(_)).nextOption()
   }
 
-  /** Counts the graft scan's SCHEDULED partitions in an
+  /** Counts the graft scan's SCHEDULED file slices in an
     * ALREADY-EXECUTED `df` — `partitions()` reflects runtime
     * (join-pushed) filtering, where `inputPartitions` would report the
-    * pre-filter plan. −1 = no graft scan found. Callers that collected
-    * `df` use this directly so evidence never re-executes the query
-    * (the q196 lesson). */
+    * pre-filter plan. Slices, not tasks: bin-packing coalesces small
+    * files into shared tasks, and the skipping evidence these counts
+    * exist for is "how many FILES were scheduled". −1 = no graft scan
+    * found. Callers that collected `df` use this directly so evidence
+    * never re-executes the query (the q196 lesson). */
   def scanPartitionsOf(df: DataFrame): Int =
+    findScan(df.queryExecution.executedPlan)
+      .map(_.partitions.map(_.map {
+        case g: GraftFilesPartition => g.slices.size
+        case _ => 1
+      }.sum).sum).getOrElse(-1)
+
+  /** The number of scan TASKS (bin-packed partitions) — the
+    * scheduling-granularity evidence, distinct from the per-file
+    * counts above. */
+  def scanTasksOf(df: DataFrame): Int =
     findScan(df.queryExecution.executedPlan)
       .map(_.partitions.map(_.length).sum).getOrElse(-1)
 

@@ -94,12 +94,25 @@ class GraftSource extends TableProvider with DataSourceRegister {
     // conflicting chains fail loudly (not schema-of-arbitrary-file);
     // hive-partitioned versions recover path-encoded columns via
     // partition discovery
-    GraftSource.chainSchema(spark, new TableCatalog(spark, r), f, v)
+    val base = GraftSource.chainSchema(spark, new TableCatalog(spark, r), f, v)
+    // change-data-feed reads append the change metadata columns
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+      GraftChanges.cdfSchema(base)
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new GraftTable(schema, properties.asScala.toMap)
+      properties: util.Map[String, String]): Table = {
+    val opts = properties.asScala.toMap
+    if (opts.exists { case (k, v) =>
+        k.equalsIgnoreCase("readChangeFeed") && v.toBoolean }) {
+      // schema here is cdfSchema(base) from inferSchema — strip the
+      // change columns back off for the table's base schema
+      val base = StructType(schema.fields.filterNot(f =>
+        f.name == GraftChanges.ChangeType || f.name == GraftChanges.CommitVersion))
+      new GraftCdfTable(base, opts)
+    } else new GraftTable(schema, opts)
+  }
 
   /** Writes hand the incoming DataFrame's schema to [[getTable]]
     * (create-on-first-write needs it — there is nothing to infer);
@@ -179,7 +192,10 @@ class GraftTable(schema: StructType, options: Map[String, String])
     new GraftWriteBuilder(opt("root").get, opt("table").get, info.schema(),
       tableSchema = schema, queryId = info.queryId(),
       partitionCols = opt("partitions")
-        .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty))
+        .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty),
+      targetFileBytes = opt("targetFileSize")
+        .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+        .getOrElse(128L << 20))
 
   override def partitioning(): Array[Transform] =
     opt("partitions").map(_.split(',').toSeq.filter(_.nonEmpty))
@@ -491,32 +507,35 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
     // the factory's columnar decision sees the same partitions Spark
     // schedules (the DSv2 contract forbids mixing row and columnar
     // partitions within one scan).
+    private def metaRequested: Boolean = readSchema().fieldNames.exists(n =>
+      n == GraftSource.RowIdFile || n == GraftSource.RowIdPos)
     private lazy val parts: Array[InputPartition] =
       aggResult match {
         case Some((_, values)) => Array(GraftAggPartition(values))
         case None =>
           val c = cat; val v = liveVersion
           val dvs = dvByFile(c, v)
-          surviving(c, v).map { case (p, pvs) =>
-            GraftFilePartition(p,
-              dvs.getOrElse(new Path(p).toUri.getPath, Array.empty[Long]),
-              pvs)
-          }.toArray
+          val sizes = c.fileSizesAt(fq, v)
+          def key(p: String) = new Path(p).toUri.getPath
+          val inputs = surviving(c, v).map { case (p, pvs) =>
+            GraftSlicePlanner.FileInput(p, sizes.getOrElse(key(p), 0L),
+              dvs.getOrElse(key(p), Array.empty[Long]), pvs)
+          }
+          // Spark's own split-size model: task count tracks bytes, not
+          // file count (bigs split at row-group seams, smalls coalesce).
+          // `_gpos` scans never byte-split: the synthesized row index
+          // is file-relative.
+          GraftSource.planSlices(inputs, splitAllowed = !metaRequested)
       }
     override def planInputPartitions(): Array[InputPartition] = parts
     override def createReaderFactory(): PartitionReaderFactory = {
       val out = readSchema()
       // vectorized decode whenever the whole scan qualifies: plain
-      // batch read, no synthesized row-id columns, and zero DV masks
-      // outstanding on any scheduled file (the pointer walk needs
-      // per-record row indexes)
-      val columnar = columnarEnabled && aggResult.isEmpty &&
-        !out.fieldNames.exists(n =>
-          n == GraftSource.RowIdFile || n == GraftSource.RowIdPos) &&
-        parts.forall {
-          case GraftFilePartition(_, dv, _) => dv.isEmpty
-          case _ => false
-        }
+      // batch read without synthesized row-id columns. DV'd files stay
+      // columnar too — masked batches wrap their vectors with a
+      // survivor map (MaskedColumnVector) instead of dropping the
+      // whole scan to the boxed row reader.
+      val columnar = columnarEnabled && aggResult.isEmpty && !metaRequested
       new GraftReaderFactory(out, limit, skipFilters ++ runtimeFilters,
         columnar, GraftSource.shippedConf())
     }
@@ -528,12 +547,6 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
       skipChangeCommits, maxFilesPerTrigger, maxBytesPerTrigger)
   }
 }
-
-/** One data file + the DV row indexes masking it + the partition
-  * values its path encodes (raw strings; None = null partition). */
-case class GraftFilePartition(path: String, dvRows: Array[Long],
-    partValues: Seq[(String, Option[String])] = Seq.empty)
-  extends InputPartition
 
 /** Metadata-answered aggregate: the single result row's values. */
 case class GraftAggPartition(values: Array[Any]) extends InputPartition
@@ -555,9 +568,8 @@ class GraftReaderFactory(schema: StructType, limit: Int,
         override def get(): InternalRow = new GenericInternalRow(values.clone())
         override def close(): Unit = ()
       }
-      case GraftFilePartition(path, dvRows, pvs) =>
-        new GraftRowReader(path, schema, dvRows, limit, filters, pvs,
-          hadoopConf)
+      case GraftFilesPartition(slices) =>
+        new GraftRowReader(slices, schema, limit, filters, hadoopConf)
     }
 
   // scan-wide flag (computed over ALL planned partitions), so every
@@ -567,99 +579,121 @@ class GraftReaderFactory(schema: StructType, limit: Int,
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     p match {
-      case GraftFilePartition(path, dvRows, pvs) =>
-        require(dvRows.isEmpty, "columnar path never sees DV'd files")
-        new GraftColumnarReader(path, schema, limit, filters, pvs,
-          hadoopConf)
+      case GraftFilesPartition(slices) =>
+        new GraftColumnarReader(slices, schema, limit, filters, hadoopConf)
       case other => throw new IllegalStateException(
         s"columnar read of non-file partition $other")
     }
 }
 
-/** Streams one parquet file as InternalRows, skipping DV-masked row
-  * indexes with a sorted pointer walk (records arrive in physical
-  * order, so the running counter IS `_metadata.row_index`).
+/** Streams a bin-packed set of file slices as InternalRows, skipping
+  * (or, in `keepOnly` CDF mode, emitting ONLY) the DV-masked row
+  * indexes with a sorted pointer walk per slice — records arrive in
+  * physical order, so the running counter IS `_metadata.row_index`.
   *
-  * When the file carries NO deletion vector, the pushed filters are
-  * handed to parquet-hadoop itself ([[GraftParquetIO.toParquetFilter]])
-  * — ROW-GROUP stats skipping + dictionary + record-level filtering
+  * When a slice carries NO row mask, the pushed filters are handed to
+  * parquet-hadoop itself ([[GraftParquetIO.toParquetFilter]]) —
+  * ROW-GROUP stats skipping + dictionary + record-level filtering
   * below the decode, so a selective predicate over a multi-row-group
-  * file never decompresses the non-matching groups. With a DV
-  * outstanding the filter stays off: filtered readers renumber rows
-  * and would break the row-index addresses the mask points at (Spark
-  * still applies every residual filter either way). */
-class GraftRowReader(path: String, schema: StructType, dvRows: Array[Long],
+  * file never decompresses the non-matching groups. With a mask (or
+  * synthesized `_gpos` row ids) the filter stays off: filtered
+  * readers renumber rows and would break the row-index addresses
+  * (Spark still applies every residual filter either way). */
+class GraftRowReader(slices: Seq[GraftSlice], schema: StructType,
     limit: Int, filters: Array[Filter] = Array.empty,
-    partValues: Seq[(String, Option[String])] = Seq.empty,
     hadoopConf: Configuration = new Configuration())
     extends PartitionReader[InternalRow] {
   import GraftSource.{RowIdFile, RowIdPos}
 
-  // row-id metadata columns are synthesized here, not read from parquet;
-  // path-encoded partition columns become per-file casted constants
+  // row-id metadata columns are synthesized here, not read from parquet
   private val isMeta: Array[Boolean] =
     schema.fields.map(f => f.name == RowIdFile || f.name == RowIdPos)
-  // Some(value-or-null) = path constant; None = read from the file
-  private val partConst: Array[Option[Any]] = {
-    val raw = partValues.toMap
-    schema.fields.zipWithIndex.map { case (f, i) =>
-      if (isMeta(i)) None
-      else raw.get(f.name).map(rv =>
-        GraftPartitions.castValue(rv, f.dataType): Any)
-    }
-  }
-  private val dataSchema = StructType(schema.fields.zipWithIndex
-    .collect { case (f, i) if !isMeta(i) && partConst(i).isEmpty => f })
+  private val anyMeta = isMeta.exists(identity)
 
-  private val reader = {
-    val conf = hadoopConf // driver's conf, shipped (fs creds/endpoints)
-    // parquet-level filtering renumbers survivors, which would corrupt
-    // BOTH the DV pointer walk and the synthesized `_gpos` row ids —
-    // it stays off whenever either is in play
-    val pred =
-      if (dvRows.nonEmpty || filters.isEmpty || isMeta.exists(identity)) None
-      else GraftParquetIO.toParquetFilter(filters.toSeq,
-        GraftParquetIO.fileSchema(path, conf))
-    // Spark-shaped projection: descends into structs (nested pruning)
-    GraftParquetIO.openReaderFor(path, conf, dataSchema, pred)
-  }
+  private var sliceIdx = -1
+  private var cur: GraftSlice = _
+  private var reader: org.apache.parquet.hadoop.ParquetReader[
+    org.apache.parquet.example.data.Group] = _
+  // Some(value-or-null) = per-slice constant (partition value / CDF
+  // metadata); None = read from the file
+  private var partConst: Array[Option[Any]] = _
+  private var plainRow = false // fast path: no meta cols, no constants
   private var rowIdx = -1L
   private var dvPtr = 0
   private var emitted = 0L
   private var current: org.apache.parquet.example.data.Group = _
 
-  private def deleted(idx: Long): Boolean = {
-    while (dvPtr < dvRows.length && dvRows(dvPtr) < idx) dvPtr += 1
-    dvPtr < dvRows.length && dvRows(dvPtr) == idx
+  private def openNext(): Boolean = {
+    sliceIdx += 1
+    if (sliceIdx >= slices.size) return false
+    cur = slices(sliceIdx)
+    val raw = cur.partValues.toMap
+    partConst = schema.fields.zipWithIndex.map { case (f, i) =>
+      if (isMeta(i)) None
+      else raw.get(f.name).map(rv =>
+        GraftPartitions.castValue(rv, f.dataType): Any)
+    }
+    plainRow = !anyMeta && !partConst.exists(_.isDefined)
+    val dataSchema = StructType(schema.fields.zipWithIndex
+      .collect { case (f, i) if !isMeta(i) && partConst(i).isEmpty => f })
+    val conf = hadoopConf // driver's conf, shipped (fs creds/endpoints)
+    val pred =
+      if (cur.dvRows.nonEmpty || cur.keepOnly || filters.isEmpty || anyMeta)
+        None
+      else GraftParquetIO.toParquetFilter(filters.toSeq,
+        GraftParquetIO.fileSchema(cur.path, conf))
+    // Spark-shaped projection: descends into structs (nested pruning);
+    // the byte range assigns this slice its row groups by midpoint
+    reader = GraftParquetIO.openReaderFor(cur.path, conf, dataSchema, pred,
+      range = Some((cur.start, cur.start + cur.length)))
+    rowIdx = -1L; dvPtr = 0
+    true
+  }
+
+  private def masked(idx: Long): Boolean = {
+    val dv = cur.dvRows
+    while (dvPtr < dv.length && dv(dvPtr) < idx) dvPtr += 1
+    dvPtr < dv.length && dv(dvPtr) == idx
   }
 
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false
-    var g = reader.read(); rowIdx += 1
-    while (g != null && deleted(rowIdx)) { g = reader.read(); rowIdx += 1 }
-    if (g == null) false else { current = g; emitted += 1; true }
+    while (true) {
+      if (reader == null && !openNext()) return false
+      // keepOnly with the mask exhausted: nothing left in this slice
+      if (cur.keepOnly && dvPtr >= cur.dvRows.length) {
+        reader.close(); reader = null
+      } else {
+        var g = reader.read(); rowIdx += 1
+        while (g != null && masked(rowIdx) != cur.keepOnly) {
+          g = reader.read(); rowIdx += 1
+        }
+        if (g != null) { current = g; emitted += 1; return true }
+        reader.close(); reader = null // slice exhausted
+      }
+    }
+    false
   }
 
   override def get(): InternalRow = {
-    if (!isMeta.exists(identity) && !partConst.exists(_.isDefined))
-      return GraftParquetIO.toInternalRow(current, schema)
+    if (plainRow) return GraftParquetIO.toInternalRow(current, schema)
     val vals = new Array[Any](schema.length)
     var i = 0
     while (i < schema.length) {
       vals(i) =
         if (isMeta(i)) {
           if (schema(i).name == RowIdFile)
-            org.apache.spark.unsafe.types.UTF8String.fromString(path)
+            org.apache.spark.unsafe.types.UTF8String.fromString(cur.path)
           else rowIdx
         } else partConst(i) match {
-          case Some(c) => c // path-encoded partition constant
+          case Some(c) => c // per-slice synthesized constant
           case None => GraftParquetIO.valueOf(current, schema(i))
         }
       i += 1
     }
     new GenericInternalRow(vals)
   }
-  override def close(): Unit = reader.close()
+  override def close(): Unit = if (reader != null) reader.close()
 }
 
 object GraftSource {
@@ -677,6 +711,24 @@ object GraftSource {
     new graft.util.SerializableHadoopConf(
       SparkSession.active.sparkContext.hadoopConfiguration)
 
+  /** Size scan tasks under the session's file-source knobs
+    * (`spark.sql.files.maxPartitionBytes` / `openCostInBytes`) and the
+    * cluster's parallelism — the same three inputs Spark's own
+    * `FilePartition` model uses. */
+  private[connector] def planSlices(inputs: Seq[GraftSlicePlanner.FileInput],
+      splitAllowed: Boolean): Array[InputPartition] = {
+    val spark = SparkSession.active
+    def bytesConf(k: String, dflt: Long): Long =
+      spark.conf.getOption(k)
+        .map(v => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
+        .getOrElse(dflt)
+    GraftSlicePlanner.plan(inputs,
+      maxPartitionBytes = bytesConf("spark.sql.files.maxPartitionBytes", 128L << 20),
+      openCostInBytes = bytesConf("spark.sql.files.openCostInBytes", 4L << 20),
+      minPartitions = spark.sparkContext.defaultParallelism,
+      splitAllowed = splitAllowed)
+  }
+
   /** Table schema for a connector read: ONE representative footer per
     * owning version directory (files of one commit share a schema —
     * they come out of a single writing job), UNIONED across the chain.
@@ -686,28 +738,46 @@ object GraftSource {
     * fails loudly at planning time instead of erroring mid-scan or
     * silently omitting columns newer than an arbitrary first file.
     * Cost: O(chain versions) footer reads, driver-side. */
-  private[connector] def chainSchema(spark: SparkSession,
+  private[graft] def chainSchema(spark: SparkSession,
       cat: graft.catalog.TableCatalog, fq: String, v: Int): StructType = {
-    if (cat.isPartitionedAt(fq, v)) return cat.partitionedSchemaAt(fq, v)
-    val files = cat.dataFilePathsAt(fq, v)
-    require(files.nonEmpty, s"graft table $fq v$v has no data files")
-    val vdir = "(.*/v_\\d{6})/".r
-    def owner(p: String): String =
-      vdir.findFirstMatchIn(p).map(_.group(1)).getOrElse(new Path(p).getParent.toString)
-    val reps = files.groupBy(owner).toSeq.sortBy(_._1).map(_._2.min)
-    reps.map(p => spark.read.parquet(p).schema).reduce { (a, b) =>
-      val merged = scala.collection.mutable.ArrayBuffer(a.fields: _*)
-      b.fields.foreach { f =>
-        merged.find(_.name == f.name) match {
-          case Some(e) =>
-            if (e.dataType != f.dataType) throw new IllegalStateException(
-              s"graft table $fq: column ${f.name} has conflicting types " +
-                s"across the chain (${e.dataType.simpleString} vs " +
-                s"${f.dataType.simpleString}) — compact the table first")
-          case None => merged += f
+    val base: StructType =
+      if (cat.isPartitionedAt(fq, v)) cat.partitionedSchemaAt(fq, v)
+      else {
+        val files = cat.dataFilePathsAt(fq, v)
+        require(files.nonEmpty, s"graft table $fq v$v has no data files")
+        val vdir = "(.*/v_\\d{6})/".r
+        def owner(p: String): String =
+          vdir.findFirstMatchIn(p).map(_.group(1))
+            .getOrElse(new Path(p).getParent.toString)
+        val reps = files.groupBy(owner).toSeq.sortBy(_._1).map(_._2.min)
+        reps.map(p => spark.read.parquet(p).schema).reduce { (a, b) =>
+          val merged = scala.collection.mutable.ArrayBuffer(a.fields: _*)
+          b.fields.foreach { f =>
+            merged.find(_.name == f.name) match {
+              case Some(e) =>
+                if (e.dataType != f.dataType) throw new IllegalStateException(
+                  s"graft table $fq: column ${f.name} has conflicting types " +
+                    s"across the chain (${e.dataType.simpleString} vs " +
+                    s"${f.dataType.simpleString}) — compact the table first")
+              case None => merged += f
+            }
+          }
+          StructType(merged.toSeq)
         }
       }
-      StructType(merged.toSeq)
+    // DECLARED extension columns (ALTER TABLE ADD COLUMNS): appended
+    // after the footer union; files predating the declaration read
+    // them as null. A data file later carrying the name with a
+    // DIFFERENT type fails loudly here, like any footer conflict.
+    cat.declaredColumns(fq).foldLeft(base) { (acc, f) =>
+      acc.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+        case Some(e) if e.dataType == f.dataType => acc
+        case Some(e) => throw new IllegalStateException(
+          s"graft table $fq: declared column ${f.name} " +
+            s"(${f.dataType.simpleString}) conflicts with data files' " +
+            s"${e.dataType.simpleString} — drop or compact first")
+        case None => StructType(acc.fields :+ f)
+      }
     }
   }
 }
@@ -910,10 +980,21 @@ class GraftMicroBatchStream(root: String, fq: String, required: StructType,
     // the same stats/bloom elimination the batch scan runs: a filtered
     // stream (readStream.filter ...) never schedules new files whose
     // stats prove them irrelevant
-    FileSkipping.surviving(c, fq, ve, newFiles, skipFilters.toSeq)
-      .map(p => GraftFilePartition(p,
-        dvs.getOrElse(key(p), Array.empty[Long]),
-        partVals.getOrElse(key(p), Seq.empty)): InputPartition).toArray
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val inputs = FileSkipping.surviving(c, fq, ve, newFiles, skipFilters.toSeq)
+      .map { p =>
+        val hp = new Path(p)
+        val bytes =
+          try hp.getFileSystem(conf).getFileStatus(hp).getLen
+          catch { case _: java.io.IOException => 0L }
+        GraftSlicePlanner.FileInput(p, bytes,
+          dvs.getOrElse(key(p), Array.empty[Long]),
+          partVals.getOrElse(key(p), Seq.empty))
+      }
+    // micro-batches size their tasks like the batch scan (bigs split,
+    // smalls coalesce) — a catch-up batch over many tiny commit files
+    // is not a task per file
+    GraftSource.planSlices(inputs, splitAllowed = true)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

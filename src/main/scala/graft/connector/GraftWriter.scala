@@ -136,7 +136,8 @@ object GraftWriteSchema {
 
 class GraftWriteBuilder(root: String, fq: String, schema: StructType,
     tableSchema: StructType, queryId: String = "",
-    partitionCols: Seq[String] = Seq.empty)
+    partitionCols: Seq[String] = Seq.empty,
+    targetFileBytes: Long = 128L << 20)
     extends WriteBuilder with SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var overwrite = false
@@ -204,14 +205,14 @@ class GraftWriteBuilder(root: String, fq: String, schema: StructType,
         Array.empty
       override def toBatch: BatchWrite =
         new GraftBatchWrite(root, fq, schema, overwrite, replaceWhere,
-          partitionCols)
+          partitionCols, targetFileBytes)
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
         require(!overwrite,
           "graft streaming sink supports OutputMode.Append only")
         require(partitionCols.isEmpty,
           "graft streaming sink targets unpartitioned tables")
-        new GraftStreamingWrite(root, fq, schema, queryId)
+        new GraftStreamingWrite(root, fq, schema, queryId, targetFileBytes)
       }
     }
   }
@@ -225,22 +226,22 @@ class GraftWriteBuilder(root: String, fq: String, schema: StructType,
   * first-class `writeStream.format("graft")` sink. Empty epochs
   * commit nothing. */
 class GraftStreamingWrite(root: String, fq: String, schema: StructType,
-    queryId: String)
+    queryId: String, targetFileBytes: Long = 128L << 20)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   private val stagingBase = s"$root/_staging/stream-$queryId"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new GraftStreamingWriterFactory(stagingBase, schema,
-      GraftSource.shippedConf())
+      GraftSource.shippedConf(), targetFileBytes)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val cat = new TableCatalog(spark, root)
     val tag = s"$queryId:$epochId"
-    val staged = messages.collect {
-      case GraftCommitMessage(Some(path)) => new Path(path)
-    }.toSeq
+    val staged = messages.toSeq.collect {
+      case GraftCommitMessage(paths) => paths.map(new Path(_))
+    }.flatten
     if (staged.nonEmpty && !cat.committedEpochs(fq).contains(tag))
       cat.commitStagedFiles(fq, staged, overwrite = false,
         epochTag = Some(tag))
@@ -259,18 +260,20 @@ class GraftStreamingWrite(root: String, fq: String, schema: StructType,
 }
 
 class GraftStreamingWriterFactory(stagingBase: String, schema: StructType,
-    shipped: graft.util.SerializableHadoopConf = null)
+    shipped: graft.util.SerializableHadoopConf = null,
+    targetFileBytes: Long = 128L << 20)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(s"$stagingBase/$epochId", schema, partitionId,
-      taskId, shipped)
+      taskId, shipped, targetFileBytes)
 }
 
 class GraftBatchWrite(root: String, fq: String, schema: StructType,
     overwrite: Boolean,
     replaceWhere: Option[org.apache.spark.sql.Column] = None,
-    partitionCols: Seq[String] = Seq.empty)
+    partitionCols: Seq[String] = Seq.empty,
+    targetFileBytes: Long = 128L << 20)
     extends BatchWrite {
   private val stagingDir = s"$root/_staging/${UUID.randomUUID()}"
 
@@ -280,9 +283,10 @@ class GraftBatchWrite(root: String, fq: String, schema: StructType,
   // re-partitions them later
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     if (partitionCols.isEmpty || replaceWhere.nonEmpty)
-      new GraftDataWriterFactory(stagingDir, schema, GraftSource.shippedConf())
+      new GraftDataWriterFactory(stagingDir, schema, GraftSource.shippedConf(),
+        targetFileBytes)
     else new GraftPartitionedWriterFactory(stagingDir, schema, partitionCols,
-      GraftSource.shippedConf())
+      GraftSource.shippedConf(), targetFileBytes)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -298,9 +302,9 @@ class GraftBatchWrite(root: String, fq: String, schema: StructType,
       cleanup()
       return
     }
-    val staged = messages.collect {
-      case GraftCommitMessage(Some(path)) => new Path(path)
-    }.toSeq
+    val staged = messages.toSeq.collect {
+      case GraftCommitMessage(paths) => paths.map(new Path(_))
+    }.flatten
     replaceWhere match {
       case Some(pred) => // atomic delete+insert, even with 0 new rows
         cat.commitReplaceWhere(fq, staged, pred)
@@ -327,7 +331,10 @@ class GraftBatchWrite(root: String, fq: String, schema: StructType,
   }
 }
 
-case class GraftCommitMessage(path: Option[String]) extends WriterCommitMessage
+/** Staged file paths this task wrote — PLURAL: the writer rolls to a
+  * fresh file at `targetFileBytes` (a hot task no longer emits one
+  * giant file). */
+case class GraftCommitMessage(paths: Seq[String]) extends WriterCommitMessage
 
 /** Partitioned staging: (absolute staged path, hive-relative path —
   * `p=v/part-…`) per file this task wrote. */
@@ -336,11 +343,12 @@ case class GraftPartitionedCommitMessage(files: Seq[(String, String)])
 
 class GraftPartitionedWriterFactory(stagingDir: String, schema: StructType,
     partitionCols: Seq[String],
-    shipped: graft.util.SerializableHadoopConf = null)
+    shipped: graft.util.SerializableHadoopConf = null,
+    targetFileBytes: Long = 128L << 20)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftPartitionedDataWriter(stagingDir, schema, partitionCols,
-      partitionId, taskId, shipped)
+      partitionId, taskId, shipped, targetFileBytes)
 }
 
 /** Routes each row to a per-partition-value staged file in hive
@@ -351,7 +359,8 @@ class GraftPartitionedWriterFactory(stagingDir: String, schema: StructType,
   * task's distinct clustered values (usually 1). */
 class GraftPartitionedDataWriter(stagingDir: String, schema: StructType,
     partitionCols: Seq[String], partitionId: Int, taskId: Long,
-    shipped: graft.util.SerializableHadoopConf = null)
+    shipped: graft.util.SerializableHadoopConf = null,
+    targetFileBytes: Long = 128L << 20)
     extends DataWriter[InternalRow] {
   import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -396,7 +405,7 @@ class GraftPartitionedDataWriter(stagingDir: String, schema: StructType,
     }.mkString("/")
     val w = writers.getOrElseUpdate(rel,
       new GraftDataWriter(s"$stagingDir/$rel", dataSchema, partitionId,
-        taskId, shipped))
+        taskId, shipped, targetFileBytes))
     val vals = new Array[Any](dataIdx.length)
     var j = 0
     while (j < dataIdx.length) {
@@ -410,9 +419,9 @@ class GraftPartitionedDataWriter(stagingDir: String, schema: StructType,
   override def commit(): WriterCommitMessage =
     GraftPartitionedCommitMessage(writers.toSeq.flatMap { case (rel, w) =>
       w.commit() match {
-        case GraftCommitMessage(Some(p)) =>
-          Some((p, s"$rel/${new Path(p).getName}"))
-        case _ => None
+        case GraftCommitMessage(paths) =>
+          paths.map(p => (p, s"$rel/${new Path(p).getName}"))
+        case _ => Nil
       }
     })
 
@@ -421,54 +430,78 @@ class GraftPartitionedDataWriter(stagingDir: String, schema: StructType,
 }
 
 class GraftDataWriterFactory(stagingDir: String, schema: StructType,
-    shipped: graft.util.SerializableHadoopConf = null)
+    shipped: graft.util.SerializableHadoopConf = null,
+    targetFileBytes: Long = 128L << 20)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(stagingDir, schema, partitionId, taskId, shipped)
+    new GraftDataWriter(stagingDir, schema, partitionId, taskId, shipped,
+      targetFileBytes)
 }
 
-/** Streams rows into one staged parquet file, created lazily on the
-  * first row (empty partitions stage nothing). */
+/** Streams rows into staged parquet files, created lazily on the
+  * first row (empty partitions stage nothing) and ROLLED to a fresh
+  * file whenever the in-flight file reaches `targetFileBytes` — a hot
+  * task (or a hot partition value under the clustered partitioned
+  * write) emits a sequence of right-sized files instead of one giant
+  * straggler file that a single downstream task must then scan. */
 class GraftDataWriter(stagingDir: String, schema: StructType,
     partitionId: Int, taskId: Long,
-    shipped: graft.util.SerializableHadoopConf = null)
+    shipped: graft.util.SerializableHadoopConf = null,
+    targetFileBytes: Long = 128L << 20)
     extends DataWriter[InternalRow] {
   // driver's conf when shipped (fs creds/endpoints); classpath
   // defaults only for old direct-construction callers
   private def conf: Configuration =
     if (shipped == null) new Configuration()
     else new Configuration(shipped.value)
-  private val path =
-    new Path(s"$stagingDir/part-$partitionId-$taskId.parquet")
   private val messageType = GraftWriteSchema.toMessageType(schema)
   private var writer: ParquetWriter[Group] = _
   private var factory: SimpleGroupFactory = _
+  private var seq = 0
+  private var curPath: Path = _
+  private val done = scala.collection.mutable.ArrayBuffer.empty[String]
 
   private def ensureOpen(): Unit = if (writer == null) {
-    writer = ExampleParquetWriter.builder(path)
+    curPath = new Path(s"$stagingDir/part-$partitionId-$taskId-$seq.parquet")
+    writer = ExampleParquetWriter.builder(curPath)
       .withConf(conf)
       .withType(messageType)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .build()
-    factory = new SimpleGroupFactory(messageType)
+    if (factory == null) factory = new SimpleGroupFactory(messageType)
   }
+
+  private def rollIfNeeded(): Unit =
+    // getDataSize = flushed + buffered estimate (parquet-mr's own
+    // size accounting — the same signal its block rolling uses)
+    if (writer.getDataSize >= targetFileBytes) {
+      writer.close()
+      done += curPath.toString
+      writer = null
+      seq += 1
+    }
 
   override def write(row: InternalRow): Unit = {
     ensureOpen()
     val g = factory.newGroup()
     GraftWriteSchema.fillGroup(g, row, schema)
     writer.write(g)
+    rollIfNeeded()
   }
 
   override def commit(): WriterCommitMessage = {
-    if (writer != null) { writer.close(); GraftCommitMessage(Some(path.toString)) }
-    else GraftCommitMessage(None)
+    if (writer != null) { writer.close(); done += curPath.toString; writer = null }
+    GraftCommitMessage(done.toSeq)
   }
 
   override def abort(): Unit = {
-    if (writer != null) writer.close()
-    val fs = path.getFileSystem(conf)
-    if (fs.exists(path)) fs.delete(path, false)
+    if (writer != null) { writer.close(); done += curPath.toString }
+    val c = conf
+    done.foreach { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(c)
+      if (fs.exists(hp)) fs.delete(hp, false)
+    }
   }
 
   override def close(): Unit = ()

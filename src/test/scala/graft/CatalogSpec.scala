@@ -351,21 +351,11 @@ class CatalogSpec extends SparkTestBase {
       (1L to 900L).filter(_ % 3 == 0).sum)
     // pruning bites on the evolved slice: grp=A reads old files (their
     // layout has no partitions) + ONLY the A subdir of the new commit.
-    // inputFiles ignores pruning, so count the EXECUTED scans' files.
+    // catalog partitioned reads are connector scans now — count the
+    // scheduled slices (files) of the executed plan.
     def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
       df.collect()
-      import org.apache.spark.sql.execution.SparkPlan
-      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          walk(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          walk(q.plan)
-        case other => other +: other.children.flatMap(walk)
-      }
-      walk(df.queryExecution.executedPlan).collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          f.metrics.get("numFiles").map(_.value).getOrElse(0L)
-      }.sum
+      graft.connector.GraftPlanInspect.scanPartitionsOf(df).toLong
     }
     val total = filesScanned(cat.read(t))
     val pruned = filesScanned(cat.read(t).filter(col("grp") === "A"))

@@ -289,7 +289,7 @@ class ConnectorSpec extends SparkTestBase {
       .map(_.getPath).find(_.getName.endsWith(".parquet")).get
     fs.mkdirs(staged.getParent); fs.rename(part, staged)
     val msg = Array[org.apache.spark.sql.connector.write.WriterCommitMessage](
-      graft.connector.GraftCommitMessage(Some(staged.toString)))
+      graft.connector.GraftCommitMessage(Seq(staged.toString)))
     sw.commit(7L, msg)
     assert(cat.count(t) == 160)
     sw.commit(7L, msg) // replay of epoch 7: tag found, skipped

@@ -70,8 +70,8 @@ class Round7Spec extends SparkTestBase {
     // …then the table moves on before the write commits
     cat.append(t, Seq((99L, 9.9)).toDF("k", "x"))
     val ex = intercept[ConcurrentModificationException] {
-      wb.commit(Array(graft.connector.GraftDeltaMessage(None,
-        Some(stageParquet(Seq((7L, 7.7)).toDF("k", "x")).head.toString))))
+      wb.commit(Array(graft.connector.GraftDeltaMessage(Nil,
+        Seq(stageParquet(Seq((7L, 7.7)).toDF("k", "x")).head.toString))))
     }
     assert(ex.getMessage.contains("row-level scan"))
   }
@@ -361,13 +361,15 @@ class Round7Spec extends SparkTestBase {
       "_gpos needs the row reader's running index")
     assert(withIds.count() == 5000)
 
-    // outstanding DVs force the row path (sorted-pointer skip), and
-    // the masked result is exact
+    // outstanding DVs KEEP the columnar path (round 8): masked batches
+    // wrap their vectors with a survivor map, and the result is exact
     cat.deleteWhereDV(t, col("k") % 10 === 0)
     val masked = graftRead(root, t)
-    assert(!planOf(masked).contains("ColumnarToRow"),
-      "DV'd scan must fall back to the row reader")
+    assert(planOf(masked).contains("ColumnarToRow"),
+      "DV'd scan stays columnar via MaskedColumnVector")
     assert(masked.count() == 4500)
+    val maskedAgg = graftRead(root, t).agg(sum("k")).head().getLong(0)
+    assert(maskedAgg == (1L to 5000L).filterNot(_ % 10 == 0).sum)
 
     // compaction settles the masks → columnar again
     cat.compact(t)
@@ -408,11 +410,11 @@ class Round7Spec extends SparkTestBase {
     assert(rows.map(_._4).sum ==
       (1L to 300L).map(_.toString.length.toLong).sum)
 
-    // a DV flips the SAME nested query to the row reader — the Group
-    // converter handles struct recursion and nested physical pruning
+    // a DV keeps the SAME nested query columnar (round 8): the masked
+    // wrapper's getChild threads the survivor map into struct children
     new TableCatalog(spark, root).deleteWhereDV(t, col("k") % 5 === 0)
     val masked = rd.select(col("k"), col("meta.lang"), col("meta.n"))
-    assert(!planOf(masked).contains("ColumnarToRow"))
+    assert(planOf(masked).contains("ColumnarToRow"))
     assert(masked.count() == 240)
     assert(rd.agg(sum("meta.n")).head().getLong(0) ==
       (1L to 300L).filter(_ % 5 != 0).map(_ * 10).sum)

@@ -218,6 +218,306 @@ class Round8Spec extends SparkTestBase {
     assert(got.filter(_ > 0) == Seq(30L))
   }
 
+  // ---- scan partition sizing (split bigs, coalesce smalls) ----------------
+
+  test("an oversized file splits into multiple scan tasks, rows exact") {
+    val root = tempDir("r8_split")
+    val cat = new TableCatalog(spark, root)
+    val t = "D.S.SPLIT"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 64 * 1024) // many small row groups
+    try {
+      val df = (1L to 120000L).map(i => (i, s"padding_$i$i$i")).toDF("k", "pad")
+      cat.overwrite(t, df.coalesce(1)) // ONE physical file
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+    }
+    assert(cat.dataFilePaths(t).size == 1)
+    withConf("spark.sql.files.maxPartitionBytes" -> "262144",
+        "spark.sql.files.openCostInBytes" -> "16") {
+      val rd = graftRead(root, t)
+      val agg = rd.agg(count(lit(1)).as("n"), sum("k").as("s"))
+      val r = agg.collect()(0)
+      assert(graft.connector.GraftPlanInspect.scanTasksOf(agg) > 1,
+        "one oversized file must split into multiple tasks")
+      assert(r.getLong(0) == 120000L, "no row lost or doubled at split seams")
+      assert(r.getLong(1) == (1L to 120000L).sum)
+    }
+  }
+
+  test("many tiny files coalesce into few scan tasks") {
+    val root = tempDir("r8_pack")
+    val cat = new TableCatalog(spark, root)
+    val t = "D.S.PACK"
+    cat.overwrite(t, (1L to 2000L).toDF("k").repartition(20)) // 20 tiny files
+    assert(cat.dataFilePaths(t).size == 20)
+    withConf("spark.sql.files.openCostInBytes" -> "16") {
+      val rd = graftRead(root, t)
+      val agg = rd.agg(count(lit(1)).as("n"), sum("k").as("s"))
+      val r = agg.collect()(0)
+      val tasks = graft.connector.GraftPlanInspect.scanTasksOf(agg)
+      val slices = graft.connector.GraftPlanInspect.scanPartitionsOf(agg)
+      assert(slices == 20, "every file still scheduled (as slices)")
+      assert(tasks < 20, s"tiny files must bin-pack, got $tasks tasks")
+      assert(r.getLong(0) == 2000L && r.getLong(1) == (1L to 2000L).sum)
+    }
+  }
+
+  test("DV'd files stay columnar AND pack; masked values exact") {
+    val root = tempDir("r8_dvcol")
+    val cat = new TableCatalog(spark, root)
+    val t = "D.S.DVCOL"
+    cat.overwrite(t, (1L to 10000L).map(i => (i, i * 2.5, s"v$i"))
+      .toDF("k", "x", "s").repartition(12))
+    cat.deleteWhereDV(t, col("k") % 7 === 0)
+    withConf("spark.sql.files.openCostInBytes" -> "16") {
+      val rd = graftRead(root, t)
+      val agg = rd.agg(count(lit(1)).as("n"), sum("k").as("sk"),
+        sum("x").as("sx"))
+      val r = agg.collect()(0)
+      assert(agg.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        "DV'd scan must stay on the vectorized path")
+      val tasks = graft.connector.GraftPlanInspect.scanTasksOf(agg)
+      assert(tasks < 12, "DV'd files still bin-pack")
+      val live = (1L to 10000L).filterNot(_ % 7 == 0)
+      assert(r.getLong(0) == live.size.toLong)
+      assert(r.getLong(1) == live.sum)
+      assert(math.abs(r.getDouble(2) - live.map(_ * 2.5).sum) < 1e-6)
+      // string + per-row reads through the masked wrapper stay exact
+      assert(rd.filter(col("k") === 7L).count() == 0)
+      assert(rd.filter(col("k") === 8L).select("s").as[String].head() == "v8")
+    }
+  }
+
+  // ---- O(1)-plan partitioned catalog reads ---------------------------------
+
+  test("partitioned catalog read plans ONE scan node regardless of chain length") {
+    val root = tempDir("r8_o1plan")
+    val cat = new TableCatalog(spark, root)
+    val t = "D.S.O1PLAN"
+    cat.overwritePartitioned(t, Seq((1L, "a")).toDF("k", "p"), Seq("p"))
+    (2 to 20).foreach { i => // 20-commit chain
+      cat.append(t, Seq((i.toLong, if (i % 2 == 0) "a" else "b")).toDF("k", "p"))
+    }
+    def scanNodes(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      import org.apache.spark.sql.execution.SparkPlan
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case other => other +: other.children.flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan).count {
+        case _: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => true
+        case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+        case _ => false
+      }
+    }
+    val df = cat.read(t)
+    assert(scanNodes(df) == 1,
+      "20-commit partitioned chain must plan exactly one scan node")
+    assert(df.count() == 20)
+    assert(cat.read(t).filter(col("p") === "a").count() == 11)
+    // DV masks keep the single-scan shape (applied inside the reader)
+    cat.deleteWhereDV(t, col("k") % 4 === 0)
+    val masked = cat.read(t)
+    assert(scanNodes(masked) == 1)
+    assert(masked.count() == 20 - 5)
+    // time travel through the connector keeps history exact
+    // (v18 = the overwrite + 18 appends = 19 rows)
+    assert(cat.readVersion(t, 18).count() == 19)
+  }
+
+  private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
+    val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  // ---- SQL schema evolution (ALTER TABLE ADD COLUMNS) ----------------------
+
+  test("ALTER TABLE ADD COLUMNS: old rows NULL, appends carry, conflicts rejected") {
+    val root = tempDir("r8_alter")
+    val cname = "galter_" + root.replaceAll("[^A-Za-z0-9]", "").takeRight(10)
+    spark.conf.set(s"spark.sql.catalog.$cname", "graft.connector.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cname.root", root)
+    (1L to 10L).map(i => (i, s"n$i")).toDF("k", "name")
+      .createOrReplaceTempView("r8_alter_src")
+    spark.sql(s"CREATE TABLE $cname.d.s.ev AS SELECT * FROM r8_alter_src")
+    spark.sql(s"ALTER TABLE $cname.d.s.ev ADD COLUMNS (note STRING, score DOUBLE)")
+    // schema evolved; old rows read NULL
+    val afterAlter = spark.sql(s"SELECT * FROM $cname.d.s.ev")
+    assert(afterAlter.columns.toSeq == Seq("k", "name", "note", "score"))
+    assert(afterAlter.filter(col("note").isNull && col("score").isNull)
+      .count() == 10)
+    // append WITH the new columns through SQL
+    spark.sql(s"INSERT INTO $cname.d.s.ev VALUES (11, 'n11', 'fresh', 9.5)")
+    val evolved = spark.sql(
+      s"SELECT count(*) AS n, count(note) AS with_note, sum(score) AS s " +
+        s"FROM $cname.d.s.ev").head()
+    assert(evolved.getLong(0) == 11 && evolved.getLong(1) == 1)
+    assert(evolved.getDouble(2) == 9.5)
+    assert(spark.sql(s"SELECT k FROM $cname.d.s.ev WHERE note = 'fresh'")
+      .as[Long].head() == 11L)
+    // catalog API exposes the declared column too
+    val cat = new TableCatalog(spark, root)
+    assert(cat.read("d.s.ev").columns.toSeq ==
+      Seq("k", "name", "note", "score"))
+    assert(cat.read("d.s.ev").filter(col("note").isNotNull).count() == 1)
+    // duplicate add is rejected
+    val ex = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cname.d.s.ev ADD COLUMNS (name STRING)")
+    }
+    assert(ex.getMessage.contains("already exists") ||
+      Option(ex.getCause).exists(_.getMessage.contains("already exists")))
+    // other ALTER shapes stay unsupported, loudly
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cname.d.s.ev DROP COLUMN name")
+    }
+    // the ALTER bumped a metadata version: time travel still exact
+    assert(cat.version("d.s.ev").get >= 2)
+  }
+
+  // ---- change data feed ----------------------------------------------------
+
+  test("batch change feed: per-commit inserts/deletes, SQL @changes identifier") {
+    val root = tempDir("r8_cdf")
+    val cat = new TableCatalog(spark, root)
+    val t = "D.S.CDF"
+    cat.overwrite(t, (1L to 100L).toDF("k").repartition(2)) // v0: creation
+    cat.append(t, (101L to 120L).toDF("k"))                 // v1: insert
+    cat.deleteWhereDV(t, col("k") % 10 === 0)               // v2: DV delete
+    cat.append(t, (201L to 210L).toDF("k"))                 // v3: insert
+    val cdf = spark.read.format("graft")
+      .option("root", root).option("table", t)
+      .option("readChangeFeed", "true").load()
+    assert(cdf.columns.toSeq == Seq("k", "_change_type", "_commit_version"))
+    val byType = cdf.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("insert" -> 130L, "delete" -> 12L))
+    // deletes carry the DV commit's version and the masked rows' values
+    val dels = cdf.filter(col("_change_type") === "delete")
+    assert(dels.select("_commit_version").distinct()
+      .as[Int].collect().toSeq == Seq(2))
+    assert(dels.select("k").as[Long].collect().sorted.toSeq ==
+      (1L to 120L).filter(_ % 10 == 0).toSeq)
+    // reconstruction: inserts minus deletes == the live table
+    val ins = cdf.filter(col("_change_type") === "insert")
+      .select("k")
+    val state = ins.exceptAll(dels.select("k"))
+    assert(state.as[Long].collect().sorted.toSeq ==
+      cat.read(t).as[Long].collect().sorted.toSeq)
+    // SQL surface: the @changes(a,b) identifier resolves the feed
+    val cname = "gcdf_" + root.replaceAll("[^A-Za-z0-9]", "").takeRight(10)
+    spark.conf.set(s"spark.sql.catalog.$cname", "graft.connector.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cname.root", root)
+    val viaSql = spark.sql(
+      s"SELECT _change_type, count(*) AS n FROM $cname.D.S.`CDF@changes(0,3)` " +
+        "GROUP BY 1").as[(String, Long)].collect().toMap
+    assert(viaSql == Map("insert" -> 130L, "delete" -> 12L))
+    // bounded range: only v1's commit
+    val v1only = spark.read.format("graft")
+      .option("root", root).option("table", t)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("endingVersion", "1").load()
+    assert(v1only.select("k").as[Long].collect().sorted.toSeq ==
+      (101L to 120L).toSeq)
+    // rewrite commits fail loudly (not silently wrong)
+    cat.compact(t)
+    val afterRewrite = spark.read.format("graft")
+      .option("root", root).option("table", t)
+      .option("readChangeFeed", "true").load()
+    val ex = intercept[Exception] { afterRewrite.count() }
+    def msgs(e: Throwable): String = {
+      var cur = e; val sb = new StringBuilder
+      while (cur != null) { sb.append(cur.getMessage).append(' '); cur = cur.getCause }
+      sb.toString
+    }
+    assert(msgs(ex).contains("rewrote"))
+  }
+
+  test("streaming change feed: appends arrive as inserts, DV commits as deletes") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tempDir("r8_cdfstream")
+    val cat = new TableCatalog(spark, root)
+    val t = "D.S.CDFSTR"
+    cat.overwrite(t, (1L to 50L).toDF("k").coalesce(1)) // v0
+    val ckpt = s"$root/ckpt"
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("root", root).option("table", t)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0").load()
+        .writeStream.format("parquet")
+        .option("path", s"$root/sink")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000); ()
+    }
+    drain() // v0 as inserts
+    cat.append(t, (51L to 60L).toDF("k").coalesce(1)) // v1
+    cat.deleteWhereDV(t, col("k") % 5 === 0)          // v2 (DV commit)
+    drain() // v1 inserts + v2 deletes
+    val sink = spark.read.parquet(s"$root/sink")
+    val byType = sink.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("insert" -> 60L, "delete" -> 12L),
+      s"got $byType")
+    assert(sink.filter(col("_change_type") === "delete")
+      .select("k").as[Long].collect().sorted.toSeq ==
+      (1L to 60L).filter(_ % 5 == 0).toSeq)
+    assert(sink.filter(col("_change_type") === "delete")
+      .select("_commit_version").distinct().as[Int].collect().toSeq == Seq(2))
+  }
+
+  // ---- target file size on write ------------------------------------------
+
+  test("partitioned DSv2 write rolls the hot value into multiple sized files") {
+    val root = tempDir("r8_roll")
+    val t = "D.S.ROLL"
+    // heavy skew: one partition value holds ~all the rows — the
+    // clustered distribution routes them to ONE task, which must roll
+    val df = ((1L to 20000L).map(i => (i, "hot", "x" * 50)) ++
+      (1L to 10L).map(i => (i, "cold", "y"))).toDF("k", "p", "pad")
+    df.write.format("graft").option("root", root).option("table", t)
+      .option("partitions", "p").option("targetFileSize", "65536")
+      .mode("overwrite").save()
+    val cat = new TableCatalog(spark, root)
+    val files = cat.dataFilePaths(t)
+    val hot = files.filter(_.contains("/p=hot/"))
+    assert(hot.size >= 2,
+      s"hot partition value must roll at 64k, got ${hot.size} file(s)")
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // rolled files are right-sized: nothing grossly over target
+    hot.foreach { f =>
+      assert(fs.getFileStatus(new Path(f)).getLen < 4L * 65536,
+        s"rolled file far exceeds target: $f")
+    }
+    assert(cat.read(t).count() == 20010)
+    assert(graftRead(root, t).filter(col("p") === "hot").count() == 20000)
+    assert(graftRead(root, t).filter(col("p") === "cold").count() == 10)
+  }
+
+  test("unpartitioned DSv2 write rolls at targetFileSize, rows intact") {
+    val root = tempDir("r8_rollflat")
+    val t = "D.S.ROLLFLAT"
+    (1L to 30000L).map(i => (i, "pad" * 20)).toDF("k", "pad").coalesce(1)
+      .write.format("graft").option("root", root).option("table", t)
+      .option("targetFileSize", "65536").mode("overwrite").save()
+    val cat = new TableCatalog(spark, root)
+    assert(cat.dataFilePaths(t).size >= 2, "single task must roll files")
+    assert(cat.read(t).count() == 30000)
+    assert(graftRead(root, t).agg(sum("k")).head().getLong(0) ==
+      (1L to 30000L).sum)
+  }
+
   // ---- OCC conflict RESOLUTION (rebase for commuting commits) -------------
 
   test("rebase helper commits on an advanced head when inputs are untouched") {
