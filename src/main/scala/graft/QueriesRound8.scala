@@ -176,6 +176,50 @@ object QueriesRound8 {
       s.sql(s"""SELECT n_regionkey, count(*) AS n,
                CAST(count(tier) AS BIGINT) AS n_tier
              FROM $cname.d.s.nat GROUP BY n_regionkey""")
+    }),
+
+    // ---- STORAGE-PARTITIONED JOIN: two graft tables hive-partitioned
+    //      on the join key report KeyGroupedPartitioning (opt-in via
+    //      spark.graft.preserveDataGrouping, Iceberg's shape), so the
+    //      equi-join plans with ZERO shuffle and ZERO broadcast on
+    //      either side — the co-located fact-fact join at 100 TB
+    //      without pre-bucketing. zero_shuffle (no exchange in any
+    //      join subtree) is hashed evidence; values match the oracle's
+    //      plain join. ----
+    "q257_spj" -> ((s, dir) => {
+      val work = graft.Scratch.dir("graft_spj")
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      cat.overwritePartitioned("D.S.SPJFACT",
+        li.repartition(col("l_returnflag")), Seq("l_returnflag"))
+      cat.overwritePartitioned("D.S.SPJDIM",
+        li.groupBy("l_returnflag").agg(count(lit(1)).as("flag_rows"))
+          .repartition(col("l_returnflag")), Seq("l_returnflag"))
+      val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.graft.preserveDataGrouping",
+        "spark.sql.autoBroadcastJoinThreshold")
+      val olds = keys.map(k => k -> s.conf.getOption(k))
+      s.conf.set(keys(0), "true"); s.conf.set(keys(1), "true")
+      s.conf.set(keys(2), "-1")
+      try {
+        def rd(t: String) = s.read.format("graft")
+          .option("root", work).option("table", t).load()
+        val j = rd("D.S.SPJFACT").join(rd("D.S.SPJDIM"), "l_returnflag")
+        val agg = j.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+              .as("sum_qty"),
+            max("flag_rows").as("flag_rows"))
+        val rows = agg.collect()
+        val zeroShuffle = graft.connector.GraftPlanInspect.joinExchangeFree(agg)
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1),
+            agg.schema)
+          .withColumn("zero_shuffle", lit(zeroShuffle))
+      } finally olds.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
     }))
 
   val oracles: Map[String, String] = Map(
@@ -209,5 +253,14 @@ object QueriesRound8 {
              AS BIGINT) AS n,
            CAST(count(*) FILTER (WHERE n_nationkey < 5) AS BIGINT) AS n_tier
          FROM nation
+         GROUP BY 1""",
+
+    "q257_spj" ->
+      """SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS flag_rows,
+           TRUE AS zero_shuffle
+         FROM lineitem
          GROUP BY 1""")
 }

@@ -1793,10 +1793,25 @@ class TableCatalog(spark: SparkSession, root: String,
   /** Full schema of a PARTITIONED version — Spark's partition
     * discovery recovers the path-encoded columns and their inferred
     * types (int/long/decimal/date/string cascade), unioned across the
-    * chain's layouts. Driver-side footer/listing work only; no job. */
+    * chain's layouts. Driver-side footer/listing work only; no job —
+    * and cached per version (a chain's schema is immutable once
+    * committed), so repeated connector loads of one snapshot resolve
+    * without re-running discovery. */
   private[graft] def partitionedSchemaAt(fq: String, v: Int)
       : org.apache.spark.sql.types.StructType =
-    readPartitionedDirs(chainDirs(fq, v), mergeSchema = true).schema
+    TableCatalog.cachedValue(fs, versionDir(fq, v), s"pschema:$v") {
+      readPartitionedDirs(chainDirs(fq, v), mergeSchema = true).schema
+    }.getOrElse(
+      readPartitionedDirs(chainDirs(fq, v), mergeSchema = true).schema)
+
+  /** Footer schema of one representative data file, cached by file
+    * status (files are immutable) — the unpartitioned chain-schema
+    * union reads each version's footer ONCE process-wide. */
+  private[graft] def footerSchemaOf(path: String)
+      : org.apache.spark.sql.types.StructType =
+    TableCatalog.cachedValue(fs, new Path(path), "footer") {
+      spark.read.parquet(path).schema
+    }.getOrElse(spark.read.parquet(path).schema)
 
   /** Per data file of a (possibly partitioned) version: the qualified
     * path and the `col=value` pairs parsed from its path segments
@@ -1834,12 +1849,44 @@ class TableCatalog(spark: SparkSession, root: String,
       .collect { case (f, c, bits) if c == column => f -> bits }.toMap
 
   /** Byte sizes of a version's data files, keyed like `_STATS`
-    * (scheme-less path) — drives the connector's size estimate and the
-    * planner's broadcast decisions. */
+    * (scheme-less path) — drives the connector's size estimate, task
+    * sizing and the planner's broadcast decisions. One `listStatus`
+    * per PARENT DIRECTORY (not a HEAD per file — on an object store a
+    * 10k-file chain is 10k fewer RPCs per planned query), cached by
+    * the version dir's status (data files are immutable; a new commit
+    * plans against a new version number). */
   private[graft] def fileSizesAt(fq: String, v: Int): Map[String, Long] =
-    dataFiles(fq, v).map { p =>
-      fs.makeQualified(p).toUri.getPath -> fs.getFileStatus(p).getLen
-    }.toMap
+    TableCatalog.cachedValue(fs, versionDir(fq, v), s"sizes:$v") {
+      val files = dataFiles(fq, v)
+      val wanted = files.map(p => fs.makeQualified(p).toUri.getPath).toSet
+      files.groupBy(_.getParent).flatMap { case (dir, _) =>
+        fs.listStatus(dir).filter(_.isFile).toSeq.flatMap { st =>
+          val key = fs.makeQualified(st.getPath).toUri.getPath
+          if (wanted(key)) Some(key -> st.getLen) else None
+        }
+      }
+    }.getOrElse(Map.empty)
+
+  /** Outstanding DV row indexes per addressed file at version v —
+    * the connector's mask-planning input. Each immutable DV sidecar
+    * parses ONCE process-wide (status-keyed cache); repeated query
+    * planning over a masked table re-reads nothing. */
+  private[graft] def dvPairsByFile(fq: String, v: Int)
+      : Map[String, Array[Long]] = {
+    val dvs = dvFiles(fq, v)
+    if (dvs.isEmpty) return Map.empty
+    val conf = spark.sparkContext.hadoopConfiguration
+    val perSidecar: Seq[Map[String, Array[Long]]] = dvs.flatMap { p =>
+      TableCatalog.cachedValue(fs, p, "dvpairs") {
+        graft.connector.GraftParquetIO.readDvPairs(Seq(p.toString), conf)
+          .groupBy { case (f, _) => new Path(f).toUri.getPath }
+          .map { case (f, ps) => f -> ps.map(_._2).toArray }
+      }
+    }
+    perSidecar.flatten.groupBy(_._1).map { case (f, seqs) =>
+      f -> seqs.flatMap(_._2).distinct.sorted.toArray
+    }
+  }
 
   private[graft] def bloomMayContain(bits: Array[Long], value: String): Boolean =
     bloomBitPositions(bloomHash(value), bits.length).forall(pos =>
@@ -1914,7 +1961,7 @@ class TableCatalog(spark: SparkSession, root: String,
     * carry the prior chain as directories. */
   private[graft] def commitStagedPartitioned(fq: String,
       staged: Seq[(Path, String)], pcols: Seq[String],
-      overwrite: Boolean): Unit = {
+      overwrite: Boolean, epochTag: Option[String] = None): Unit = {
     require(staged.nonEmpty, s"no data files staged for $fq")
     require(pcols.nonEmpty, "partition columns required")
     val prior = if (overwrite) None else currentVersion(fq)
@@ -1941,10 +1988,22 @@ class TableCatalog(spark: SparkSession, root: String,
         val dvs = dvFiles(fq, head)
         if (dvs.nonEmpty) writeDvManifest(dir, dvs)
       }
+      // streaming-sink idempotency, same two-layer contract as
+      // commitStagedFiles: in-dir tag commits atomically …
+      epochTag.foreach { tag =>
+        val out = fs.create(new Path(dir, "_EPOCH"), true)
+        try out.write(tag.getBytes("UTF-8")) finally out.close()
+      }
     }
     if (overwrite) commitVersion(fq, dir => write(dir, -1))
     else // staged partitioned appends are blind appends: rebase
       commitRebase(fq, prior.getOrElse(-1), Nil, Nil, write)
+    // … and the vacuum-proof table-level marker lands after
+    epochTag.foreach { tag =>
+      val d = epochsDir(fq)
+      fs.mkdirs(d)
+      fs.create(new Path(d, encodeEpochTag(tag)), true).close()
+    }
   }
 
   // ---- declared schema extensions (SQL ALTER TABLE ADD COLUMNS) ----------

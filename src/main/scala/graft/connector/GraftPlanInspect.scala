@@ -29,7 +29,7 @@ object GraftPlanInspect {
   def scanPartitionsOf(df: DataFrame): Int =
     findScan(df.queryExecution.executedPlan)
       .map(_.partitions.map(_.map {
-        case g: GraftFilesPartition => g.slices.size
+        case g: GraftSlicesHolder => g.slices.size
         case _ => 1
       }.sum).sum).getOrElse(-1)
 
@@ -51,6 +51,30 @@ object GraftPlanInspect {
   def hasRuntimeFiltersOf(df: DataFrame): Boolean =
     findScan(df.queryExecution.executedPlan)
       .exists(_.runtimeFilters.nonEmpty)
+
+  /** Storage-partitioned-join evidence: the executed plan contains at
+    * least one join whose subtree has NEITHER a shuffle NOR a
+    * broadcast exchange — the co-partitioned scans satisfied the
+    * join's distribution directly (Spark's SPJ). */
+  def joinExchangeFree(df: DataFrame): Boolean = {
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: walk(a.executedPlan)
+      case q: QueryStageExec => q +: walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val joins = walk(df.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    joins.nonEmpty && joins.forall { j =>
+      walk(j).drop(1).forall {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          false
+        case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike =>
+          false
+        case _ => true
+      }
+    }
+  }
 
   /** Sum of the EXECUTED parquet scans' `numFiles` metrics — the
     * partition-pruning evidence for hive-layout catalog reads

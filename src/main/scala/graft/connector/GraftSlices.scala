@@ -26,9 +26,27 @@ case class GraftSlice(path: String, start: Long, length: Long,
     partValues: Seq[(String, Option[String])] = Seq.empty,
     keepOnly: Boolean = false)
 
+/** Marker for scan tasks whose work is a set of slices — the readers
+  * dispatch on this, so new partition shapes (keyed, packed) share
+  * one reader implementation. */
+trait GraftSlicesHolder { def slices: Seq[GraftSlice] }
+
 /** One scan task: a bin-packed set of slices (Spark's
   * smalls-coalesced / bigs-split file partition model). */
-case class GraftFilesPartition(slices: Seq[GraftSlice]) extends InputPartition
+case class GraftFilesPartition(slices: Seq[GraftSlice])
+  extends InputPartition with GraftSlicesHolder
+
+/** STORAGE-PARTITIONED-JOIN task: every slice of ONE partition key,
+  * tagged with the key row ([[HasPartitionKey]]) — what lets Spark
+  * group two co-partitioned graft tables' scans by key and plan their
+  * equi-join with ZERO exchange (`spark.sql.sources.v2.bucketing
+  * .enabled`). */
+case class GraftKeyedPartition(slices: Seq[GraftSlice],
+    key: org.apache.spark.sql.catalyst.InternalRow)
+  extends org.apache.spark.sql.connector.read.HasPartitionKey
+  with GraftSlicesHolder {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+}
 
 /** Sizes scan tasks the way Spark's own file source does, so task
   * count tracks BYTES, not file count — at 100 TB the difference

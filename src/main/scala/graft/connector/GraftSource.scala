@@ -413,7 +413,8 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
     skipChangeCommits: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None) extends Scan
-    with SupportsRuntimeFiltering with SupportsReportStatistics {
+    with SupportsRuntimeFiltering with SupportsReportStatistics
+    with SupportsReportPartitioning {
 
   /** Real size/row estimates from commit metadata (file lengths +
     * `_STATS` row counts of the files SURVIVING filter elimination) —
@@ -440,12 +441,86 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
 
   @volatile private var runtimeFilters: Array[Filter] = Array.empty
 
+  /** STORAGE-PARTITIONED JOIN (opt-in via
+    * `spark.sql.sources.v2.bucketing.enabled`): when the table is
+    * hive-partitioned and every surviving file path-encodes every
+    * partition column, the scan plans ONE partition per partition KEY
+    * ([[GraftKeyedPartition]]) and reports [[KeyGroupedPartitioning]]
+    * — two graft tables co-partitioned on the join keys then join
+    * with ZERO exchange on either side (Spark's SPJ), the
+    * co-located-join story for 100 TB fact-fact joins without
+    * bucketing. Trade in SPJ mode: parallelism = key count and the
+    * scan opts out of runtime (DPP) filtering so the reported and
+    * planned partition counts always agree — which is why it takes an
+    * EXPLICIT `spark.graft.preserveDataGrouping=true` on top of
+    * Spark's `spark.sql.sources.v2.bucketing.enabled` (true by
+    * default in Spark 4), exactly Iceberg's preserve-data-grouping
+    * opt-in shape. None = normal slicing. */
+  private lazy val spjPlan: Option[(Seq[String], Array[InputPartition])] = {
+    val spark = SparkSession.active
+    val enabled = spark.conf
+      .getOption("spark.sql.sources.v2.bucketing.enabled")
+      .forall(_.toBoolean) &&
+      spark.conf.getOption("spark.graft.preserveDataGrouping")
+        .exists(_.toBoolean)
+    if (!enabled || aggResult.isDefined) None
+    else {
+      val c = cat; val v = liveVersion
+      if (!c.isPartitionedAt(fq, v)) None
+      else {
+        val pcols = c.partitionColumnsAt(fq, v)
+        val types = pcols.map(pc => tableSchema.fields.find(_.name == pc))
+        val surv = surviving(c, v)
+        val fullyEncoded = surv.nonEmpty && surv.forall { case (_, pvs) =>
+          val m = pvs.toMap; pcols.forall(m.contains)
+        }
+        if (!fullyEncoded || types.exists(_.isEmpty)) None
+        else {
+          val dvs = dvByFile(c, v)
+          val sizes = c.fileSizesAt(fq, v)
+          def key(p: String) = new Path(p).toUri.getPath
+          val groups = surv.groupBy { case (_, pvs) =>
+            val m = pvs.toMap; pcols.map(m(_))
+          }
+          val parts = groups.toSeq.sortBy(_._1.toString)
+            .map { case (rawKey, files) =>
+              val keyRow = new GenericInternalRow(
+                rawKey.zip(types.map(_.get.dataType)).map {
+                  case (raw, dt) => GraftPartitions.castValue(raw, dt)
+                }.toArray[Any])
+              GraftKeyedPartition(files.map { case (p, pvs) =>
+                GraftSlice(p, 0L,
+                  math.max(sizes.getOrElse(key(p), 0L), 1L),
+                  dvs.getOrElse(key(p), Array.empty[Long]), pvs)
+              }, keyRow): InputPartition
+            }
+          Some((pcols, parts.toArray))
+        }
+      }
+    }
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjPlan match {
+      case Some((pcols, parts)) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            pcols.map(c => org.apache.spark.sql.connector.expressions
+              .Expressions.identity(c): Expression).toArray, parts.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
+
   // only columns present in the scan OUTPUT: the optimizer resolves
   // these against the PRUNED schema, and naming a pruned-away column
   // crashes PartitionPruning's ref resolution. (Join keys are always
-  // in the output, so nothing filterable is lost.) None in agg mode.
+  // in the output, so nothing filterable is lost.) None in agg mode,
+  // and none in SPJ mode (see spjPlan — runtime pruning would desync
+  // the reported key-grouped partition count).
   override def filterAttributes(): Array[NamedReference] =
-    if (aggResult.isDefined) Array.empty
+    if (aggResult.isDefined || spjPlan.isDefined) Array.empty
     else required.fieldNames.map(
       org.apache.spark.sql.connector.expressions.Expressions.column)
   override def filter(filters: Array[Filter]): Unit =
@@ -489,17 +564,11 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
   }
 
   /** DV row indexes per surviving file, loaded driver-side (sidecars
-    * are deletes-sized — the Delta "DVs ride the commit log" cost). */
-  private def dvByFile(c: TableCatalog, v: Int): Map[String, Array[Long]] = {
-    val dvPaths = c.dvFilePathsAt(fq, v)
-    if (dvPaths.isEmpty) Map.empty
-    else {
-      val conf = SparkSession.active.sparkContext.hadoopConfiguration
-      GraftParquetIO.readDvPairs(dvPaths, conf)
-        .groupBy { case (f, _) => new Path(f).toUri.getPath }
-        .map { case (f, ps) => f -> ps.map(_._2).distinct.sorted.toArray }
-    }
-  }
+    * are deletes-sized — the Delta "DVs ride the commit log" cost);
+    * parsed once per immutable sidecar via the catalog's status-keyed
+    * cache. */
+  private def dvByFile(c: TableCatalog, v: Int): Map[String, Array[Long]] =
+    c.dvPairsByFile(fq, v)
 
   override def toBatch: Batch = new Batch {
     // planned at invocation time, not scan-build time: runtime filters
@@ -512,7 +581,7 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
     private lazy val parts: Array[InputPartition] =
       aggResult match {
         case Some((_, values)) => Array(GraftAggPartition(values))
-        case None =>
+        case None => spjPlan.map(_._2).getOrElse {
           val c = cat; val v = liveVersion
           val dvs = dvByFile(c, v)
           val sizes = c.fileSizesAt(fq, v)
@@ -526,6 +595,7 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
           // `_gpos` scans never byte-split: the synthesized row index
           // is file-relative.
           GraftSource.planSlices(inputs, splitAllowed = !metaRequested)
+        }
       }
     override def planInputPartitions(): Array[InputPartition] = parts
     override def createReaderFactory(): PartitionReaderFactory = {
@@ -568,8 +638,8 @@ class GraftReaderFactory(schema: StructType, limit: Int,
         override def get(): InternalRow = new GenericInternalRow(values.clone())
         override def close(): Unit = ()
       }
-      case GraftFilesPartition(slices) =>
-        new GraftRowReader(slices, schema, limit, filters, hadoopConf)
+      case h: GraftSlicesHolder =>
+        new GraftRowReader(h.slices, schema, limit, filters, hadoopConf)
     }
 
   // scan-wide flag (computed over ALL planned partitions), so every
@@ -579,8 +649,8 @@ class GraftReaderFactory(schema: StructType, limit: Int,
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     p match {
-      case GraftFilesPartition(slices) =>
-        new GraftColumnarReader(slices, schema, limit, filters, hadoopConf)
+      case h: GraftSlicesHolder =>
+        new GraftColumnarReader(h.slices, schema, limit, filters, hadoopConf)
       case other => throw new IllegalStateException(
         s"columnar read of non-file partition $other")
     }
@@ -750,7 +820,7 @@ object GraftSource {
           vdir.findFirstMatchIn(p).map(_.group(1))
             .getOrElse(new Path(p).getParent.toString)
         val reps = files.groupBy(owner).toSeq.sortBy(_._1).map(_._2.min)
-        reps.map(p => spark.read.parquet(p).schema).reduce { (a, b) =>
+        reps.map(p => cat.footerSchemaOf(p)).reduce { (a, b) =>
           val merged = scala.collection.mutable.ArrayBuffer(a.fields: _*)
           b.fields.foreach { f =>
             merged.find(_.name == f.name) match {
@@ -962,15 +1032,7 @@ class GraftMicroBatchStream(root: String, fq: String, required: StructType,
     // initial snapshot applies current DV masks; later batches carry
     // none (enforced unchanged above)
     val dvs: Map[String, Array[Long]] =
-      if (vs >= 0) Map.empty
-      else {
-        val dvPaths = c.dvFilePathsAt(fq, ve)
-        if (dvPaths.isEmpty) Map.empty
-        else GraftParquetIO.readDvPairs(dvPaths,
-            SparkSession.active.sparkContext.hadoopConfiguration)
-          .groupBy { case (f, _) => new Path(f).toUri.getPath }
-          .map { case (f, ps) => f -> ps.map(_._2).distinct.sorted.toArray }
-      }
+      if (vs >= 0) Map.empty else c.dvPairsByFile(fq, ve)
     // hive-partitioned tables stream too: each delivered file carries
     // its path-encoded partition values (the batch readers' contract)
     val partVals: Map[String, Seq[(String, Option[String])]] =
@@ -980,14 +1042,10 @@ class GraftMicroBatchStream(root: String, fq: String, required: StructType,
     // the same stats/bloom elimination the batch scan runs: a filtered
     // stream (readStream.filter ...) never schedules new files whose
     // stats prove them irrelevant
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val sizes = c.fileSizesAt(fq, ve)
     val inputs = FileSkipping.surviving(c, fq, ve, newFiles, skipFilters.toSeq)
       .map { p =>
-        val hp = new Path(p)
-        val bytes =
-          try hp.getFileSystem(conf).getFileStatus(hp).getLen
-          catch { case _: java.io.IOException => 0L }
-        GraftSlicePlanner.FileInput(p, bytes,
+        GraftSlicePlanner.FileInput(p, sizes.getOrElse(key(p), 0L),
           dvs.getOrElse(key(p), Array.empty[Long]),
           partVals.getOrElse(key(p), Seq.empty))
       }

@@ -210,9 +210,8 @@ class GraftWriteBuilder(root: String, fq: String, schema: StructType,
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
         require(!overwrite,
           "graft streaming sink supports OutputMode.Append only")
-        require(partitionCols.isEmpty,
-          "graft streaming sink targets unpartitioned tables")
-        new GraftStreamingWrite(root, fq, schema, queryId, targetFileBytes)
+        new GraftStreamingWrite(root, fq, schema, queryId, targetFileBytes,
+          partitionCols)
       }
     }
   }
@@ -224,27 +223,40 @@ class GraftWriteBuilder(root: String, fq: String, schema: StructType,
   * commit and checkpoint ack) detects its own tag and skips —
   * exactly-once into the table, the foreachBatch+txn pattern as a
   * first-class `writeStream.format("graft")` sink. Empty epochs
-  * commit nothing. */
+  * commit nothing. Hive-partitioned targets stream too: executors
+  * route rows to per-value staged files and the epoch commit adopts
+  * them into the partitioned chain. */
 class GraftStreamingWrite(root: String, fq: String, schema: StructType,
-    queryId: String, targetFileBytes: Long = 128L << 20)
+    queryId: String, targetFileBytes: Long = 128L << 20,
+    partitionCols: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   private val stagingBase = s"$root/_staging/stream-$queryId"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new GraftStreamingWriterFactory(stagingBase, schema,
-      GraftSource.shippedConf(), targetFileBytes)
+      GraftSource.shippedConf(), targetFileBytes, partitionCols)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val cat = new TableCatalog(spark, root)
     val tag = s"$queryId:$epochId"
-    val staged = messages.toSeq.collect {
-      case GraftCommitMessage(paths) => paths.map(new Path(_))
-    }.flatten
-    if (staged.nonEmpty && !cat.committedEpochs(fq).contains(tag))
-      cat.commitStagedFiles(fq, staged, overwrite = false,
-        epochTag = Some(tag))
+    if (partitionCols.nonEmpty) {
+      val staged = messages.toSeq.collect {
+        case GraftPartitionedCommitMessage(files) =>
+          files.map { case (p, rel) => (new Path(p), rel) }
+      }.flatten
+      if (staged.nonEmpty && !cat.committedEpochs(fq).contains(tag))
+        cat.commitStagedPartitioned(fq, staged, partitionCols,
+          overwrite = false, epochTag = Some(tag))
+    } else {
+      val staged = messages.toSeq.collect {
+        case GraftCommitMessage(paths) => paths.map(new Path(_))
+      }.flatten
+      if (staged.nonEmpty && !cat.committedEpochs(fq).contains(tag))
+        cat.commitStagedFiles(fq, staged, overwrite = false,
+          epochTag = Some(tag))
+    }
     cleanupEpoch(epochId)
   }
 
@@ -261,12 +273,16 @@ class GraftStreamingWrite(root: String, fq: String, schema: StructType,
 
 class GraftStreamingWriterFactory(stagingBase: String, schema: StructType,
     shipped: graft.util.SerializableHadoopConf = null,
-    targetFileBytes: Long = 128L << 20)
+    targetFileBytes: Long = 128L << 20,
+    partitionCols: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(s"$stagingBase/$epochId", schema, partitionId,
-      taskId, shipped, targetFileBytes)
+    if (partitionCols.isEmpty)
+      new GraftDataWriter(s"$stagingBase/$epochId", schema, partitionId,
+        taskId, shipped, targetFileBytes)
+    else new GraftPartitionedDataWriter(s"$stagingBase/$epochId", schema,
+      partitionCols, partitionId, taskId, shipped, targetFileBytes)
 }
 
 class GraftBatchWrite(root: String, fq: String, schema: StructType,

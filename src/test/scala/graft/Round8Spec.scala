@@ -341,6 +341,89 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  // ---- partitioned streaming sink -----------------------------------------
+
+  test("streaming sink writes hive-partitioned tables, exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tempDir("r8_psink")
+    val t = "D.S.PSINK"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    def drain(): Unit = {
+      val q = ms.toDF().toDF("k", "p").writeStream.format("graft")
+        .option("root", root).option("table", t)
+        .option("partitions", "p")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000); ()
+    }
+    ms.addData((1L, "a"), (2L, "b"), (3L, "a"))
+    drain()
+    val cat = new TableCatalog(spark, root)
+    assert(cat.read(t).count() == 3)
+    // hive layout on disk, partition column path-encoded
+    val files = cat.dataFilePaths(t)
+    assert(files.nonEmpty && files.forall(_.contains("/p=")))
+    // second epoch appends into the same layout, carrying the chain
+    ms.addData((4L, "b"), (5L, "c"))
+    drain()
+    assert(cat.read(t).count() == 5)
+    assert(cat.read(t).filter(col("p") === "a").count() == 2)
+    // partition pruning bites on the streamed layout
+    val pruned = cat.read(t).filter(col("p") === "c")
+    assert(pruned.collect().map(_.getAs[Long]("k")).toSeq == Seq(5L))
+    assert(graft.connector.GraftPlanInspect.scanPartitionsOf(pruned) <
+      files.size)
+    // epoch replay is idempotent (the crash-between-commit-and-ack case)
+    val epochs = cat.committedEpochs(t)
+    assert(epochs.nonEmpty)
+  }
+
+  // ---- storage-partitioned joins ------------------------------------------
+
+  test("co-partitioned graft tables join with zero exchange (SPJ)") {
+    val root = tempDir("r8_spj")
+    val cat = new TableCatalog(spark, root)
+    val fact = (1L to 4000L).map(i => (i, (i % 8).toInt, i * 1.5))
+      .toDF("k", "p", "x")
+    val dim = (0 until 8).map(i => (i, s"name_$i")).toDF("p", "pname")
+    cat.overwritePartitioned("D.S.SPJF", fact.repartition(col("p")), Seq("p"))
+    cat.overwritePartitioned("D.S.SPJD", dim.repartition(col("p")), Seq("p"))
+    withConf("spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.graft.preserveDataGrouping" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val a = graftRead(root, "D.S.SPJF")
+      val b = graftRead(root, "D.S.SPJD")
+      val j = a.join(b, "p")
+      val rows = j.collect()
+      assert(rows.length == 4000)
+      assert(graft.connector.GraftPlanInspect.joinExchangeFree(j),
+        "co-partitioned join must plan without shuffle or broadcast:\n" +
+          j.queryExecution.executedPlan.toString)
+      // genuinely KEY-GROUPED, not one-big-partition-satisfies-all:
+      // one join partition per partition value
+      assert(j.rdd.getNumPartitions == 8,
+        s"expected 8 key-grouped partitions, got ${j.rdd.getNumPartitions}")
+      // values exact through the keyed partitions
+      val sums = j.groupBy("pname").agg(sum("k").as("s"))
+        .as[(String, Long)].collect().toMap
+      val expect = (1L to 4000L).groupBy(i => s"name_${i % 8}")
+        .view.mapValues(_.sum).toMap
+      assert(sums == expect)
+    }
+    // without the grouping opt-in (and packing defeated so each side
+    // really has many partitions), the same join shuffles — SPJ was
+    // the difference
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.files.maxPartitionBytes" -> "1",
+        "spark.sql.files.openCostInBytes" -> "0") {
+      val j2 = graftRead(root, "D.S.SPJF").join(graftRead(root, "D.S.SPJD"), "p")
+      j2.collect()
+      assert(!graft.connector.GraftPlanInspect.joinExchangeFree(j2))
+    }
+  }
+
   // ---- SQL schema evolution (ALTER TABLE ADD COLUMNS) ----------------------
 
   test("ALTER TABLE ADD COLUMNS: old rows NULL, appends carry, conflicts rejected") {
