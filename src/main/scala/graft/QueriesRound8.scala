@@ -220,6 +220,45 @@ object QueriesRound8 {
         case (k, Some(v)) => s.conf.set(k, v)
         case (k, None)    => s.conf.unset(k)
       }
+    }),
+
+    // ---- PARTITIONED STREAMING SINK: exactly-once streaming ingest
+    //      lands DIRECTLY in the hive-partitioned layout (executors
+    //      stage per-value files; the epoch commit adopts them with
+    //      the same two-layer epoch-tag idempotency as the flat
+    //      sink) — no flat landing table + repartition hop, and the
+    //      very next query partition-prunes the streamed data.
+    //      Evidence: exactly_once (sink count == source relation) and
+    //      pruned (a one-value filter schedules fewer files than the
+    //      layout holds). ----
+    "q258_stream_partitioned_sink" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val work = graft.Scratch.dir("graft_psink")
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val t = "D.S.PSINK"
+      val q = graft.streaming.EventStream.readStream(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .writeStream.format("graft")
+        .option("root", work).option("table", t)
+        .option("partitions", "event_type")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      val exactlyOnce = cat.count(t) == table(s, dir, "events").count()
+      val files = cat.dataFilePaths(t)
+      val hiveLayout = files.nonEmpty && files.forall(_.contains("/event_type="))
+      val one = cat.read(t).filter(col("event_type") === "click")
+      one.collect()
+      val pruned =
+        graft.connector.GraftPlanInspect.scanPartitionsOf(one) < files.size
+      cat.read(t)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 3))).cast("double")
+            .as("sum_value"))
+        .withColumn("exactly_once", lit(exactlyOnce))
+        .withColumn("hive_layout", lit(hiveLayout))
+        .withColumn("pruned", lit(pruned))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -262,5 +301,11 @@ object QueriesRound8 {
            count(*) AS flag_rows,
            TRUE AS zero_shuffle
          FROM lineitem
-         GROUP BY 1""")
+         GROUP BY 1""",
+
+    "q258_stream_partitioned_sink" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value,
+           TRUE AS exactly_once, TRUE AS hive_layout, TRUE AS pruned
+         FROM events GROUP BY event_type""")
 }

@@ -455,7 +455,16 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
     * EXPLICIT `spark.graft.preserveDataGrouping=true` on top of
     * Spark's `spark.sql.sources.v2.bucketing.enabled` (true by
     * default in Spark 4), exactly Iceberg's preserve-data-grouping
-    * opt-in shape. None = normal slicing. */
+    * opt-in shape. None = normal slicing.
+    *
+    * SKEW: under `spark.sql.sources.v2.bucketing
+    * .partiallyClusteredDistribution.enabled` (+ pushPartValues) a
+    * HOT key's files chunk into multiple keyed partitions sized by
+    * the normal byte model — Spark replicates the small side over the
+    * chunks instead of grouping them back, so one hot partition value
+    * no longer caps the join at one task. Without that conf the
+    * chunks would be regrouped anyway, so plan one partition per key
+    * and keep the plan minimal. */
   private lazy val spjPlan: Option[(Seq[String], Array[InputPartition])] = {
     val spark = SparkSession.active
     val enabled = spark.conf
@@ -482,17 +491,37 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
           val groups = surv.groupBy { case (_, pvs) =>
             val m = pvs.toMap; pcols.map(m(_))
           }
+          val partiallyClustered = spark.conf.getOption(
+            "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+            .exists(_.toBoolean)
+          // hot-key chunk target from the GLOBAL byte model (per-key
+          // totals would over-split small keys)
+          val (maxPB, openCost, par) = GraftSource.sliceKnobs()
+          val totalBytes = surv.map { case (p, _) =>
+            sizes.getOrElse(key(p), 0L) + openCost }.sum
+          val maxSplit = math.min(maxPB,
+            math.max(openCost, totalBytes / math.max(1, par)))
           val parts = groups.toSeq.sortBy(_._1.toString)
-            .map { case (rawKey, files) =>
+            .flatMap { case (rawKey, files) =>
               val keyRow = new GenericInternalRow(
                 rawKey.zip(types.map(_.get.dataType)).map {
                   case (raw, dt) => GraftPartitions.castValue(raw, dt)
                 }.toArray[Any])
-              GraftKeyedPartition(files.map { case (p, pvs) =>
-                GraftSlice(p, 0L,
+              val inputs = files.map { case (p, pvs) =>
+                GraftSlicePlanner.FileInput(p,
                   math.max(sizes.getOrElse(key(p), 0L), 1L),
                   dvs.getOrElse(key(p), Array.empty[Long]), pvs)
-              }, keyRow): InputPartition
+              }
+              if (!partiallyClustered)
+                Seq(GraftKeyedPartition(inputs.map(f =>
+                  GraftSlice(f.path, 0L, f.bytes, f.dvRows, f.partValues)),
+                  keyRow): InputPartition)
+              else GraftSlicePlanner.plan(inputs,
+                  maxPartitionBytes = maxSplit, openCostInBytes = openCost,
+                  minPartitions = 1)
+                .map { case p: GraftFilesPartition =>
+                  GraftKeyedPartition(p.slices, keyRow): InputPartition
+                }
             }
           Some((pcols, parts.toArray))
         }
@@ -787,16 +816,23 @@ object GraftSource {
     * `FilePartition` model uses. */
   private[connector] def planSlices(inputs: Seq[GraftSlicePlanner.FileInput],
       splitAllowed: Boolean): Array[InputPartition] = {
+    val (maxPB, openCost, par) = sliceKnobs()
+    GraftSlicePlanner.plan(inputs,
+      maxPartitionBytes = maxPB, openCostInBytes = openCost,
+      minPartitions = par, splitAllowed = splitAllowed)
+  }
+
+  /** The session's task-sizing knobs: (maxPartitionBytes,
+    * openCostInBytes, default parallelism). */
+  private[connector] def sliceKnobs(): (Long, Long, Int) = {
     val spark = SparkSession.active
     def bytesConf(k: String, dflt: Long): Long =
       spark.conf.getOption(k)
         .map(v => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
         .getOrElse(dflt)
-    GraftSlicePlanner.plan(inputs,
-      maxPartitionBytes = bytesConf("spark.sql.files.maxPartitionBytes", 128L << 20),
-      openCostInBytes = bytesConf("spark.sql.files.openCostInBytes", 4L << 20),
-      minPartitions = spark.sparkContext.defaultParallelism,
-      splitAllowed = splitAllowed)
+    (bytesConf("spark.sql.files.maxPartitionBytes", 128L << 20),
+      bytesConf("spark.sql.files.openCostInBytes", 4L << 20),
+      spark.sparkContext.defaultParallelism)
   }
 
   /** Table schema for a connector read: ONE representative footer per

@@ -424,6 +424,46 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("SPJ skew: hot key chunks under partially-clustered distribution") {
+    val root = tempDir("r8_spjskew")
+    val cat = new TableCatalog(spark, root)
+    // key 0 is HOT: ~32× the rows of the others, spread over many files
+    val fact = (1L to 40000L).map { i =>
+      val p = if (i % 10 < 8) 0 else (i % 10).toInt - 7
+      (i, p, i * 1.5)
+    }.toDF("k", "p", "x")
+    val dim = (0 until 3).map(i => (i, s"name_$i")).toDF("p", "pname")
+    cat.overwritePartitioned("D.S.SKF",
+      fact.repartition(col("p"), pmod(col("k"), lit(16))), Seq("p"))
+    cat.overwritePartitioned("D.S.SKD", dim.repartition(col("p")), Seq("p"))
+    withConf("spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.graft.preserveDataGrouping" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        // force a tiny chunk target so the hot key splits at test scale
+        "spark.sql.files.maxPartitionBytes" -> "16384",
+        "spark.sql.files.openCostInBytes" -> "0") {
+      val j = graftRead(root, "D.S.SKF").join(graftRead(root, "D.S.SKD"), "p")
+      val rows = j.collect()
+      assert(rows.length == 40000)
+      assert(graft.connector.GraftPlanInspect.joinExchangeFree(j),
+        "skewed co-partitioned join must stay exchange-free:\n" +
+          j.queryExecution.executedPlan.toString)
+      // the hot key's chunks were NOT grouped back into one task
+      assert(j.rdd.getNumPartitions > 3,
+        s"expected >3 join partitions (hot key split), got " +
+          s"${j.rdd.getNumPartitions}")
+      // exact values through replicated-dim/split-fact partitions
+      val sums = j.groupBy("pname").agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap
+      val expect = (1L to 40000L).groupBy { i =>
+        val p = if (i % 10 < 8) 0 else (i % 10).toInt - 7; s"name_$p"
+      }.view.mapValues(_.size.toLong).toMap
+      assert(sums == expect)
+    }
+  }
+
   // ---- SQL schema evolution (ALTER TABLE ADD COLUMNS) ----------------------
 
   test("ALTER TABLE ADD COLUMNS: old rows NULL, appends carry, conflicts rejected") {
