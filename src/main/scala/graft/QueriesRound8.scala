@@ -222,6 +222,66 @@ object QueriesRound8 {
       }
     }),
 
+    // ---- BUCKETED TABLES: identity partitioning on a join key stops
+    //      working when the key is high-cardinality (a dir per value);
+    //      bucket(n, key) — Iceberg's bucket transform — is the 100 TB
+    //      co-location story. Rows hash into n hive dirs via
+    //      pmod(murmur3_42(key), n); the scan reports the bucket
+    //      TRANSFORM (resolved by the catalog's V2 `bucket` function),
+    //      so two tables bucketed the same way equi-join with ZERO
+    //      exchange at ANY key cardinality (zero_shuffle hashed). A
+    //      point predicate on the key hashes to ONE bucket dir —
+    //      bucket_pruned proves the scan opened 1/n of the layout
+    //      before stats even ran. ----
+    "q259_bucketed_join" -> ((s, dir) => {
+      val work = graft.Scratch.dir("graft_bkt")
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      cat.overwriteBucketed("D.S.BKTFACT", li, "l_orderkey", 8)
+      cat.overwriteBucketed("D.S.BKTDIM", o, "o_orderkey", 8)
+      // SQL-catalog reads: the bucket TRANSFORM resolves against the
+      // relation's FunctionCatalog — only catalog-loaded relations
+      // carry one, so SPJ over bucketed layouts is a catalog surface
+      val cname = "gbkt_" + work.replaceAll("[^A-Za-z0-9]", "").takeRight(12)
+      s.conf.set(s"spark.sql.catalog.$cname", "graft.connector.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cname.root", work)
+      val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.graft.preserveDataGrouping",
+        "spark.sql.autoBroadcastJoinThreshold")
+      val olds = keys.map(k => k -> s.conf.getOption(k))
+      s.conf.set(keys(0), "true"); s.conf.set(keys(1), "true")
+      s.conf.set(keys(2), "-1")
+      try {
+        def rd(t: String) = s.read.table(s"$cname.D.S.$t")
+        val j = rd("BKTFACT")
+          .join(rd("BKTDIM"), col("l_orderkey") === col("o_orderkey"))
+        val agg = j.groupBy((col("l_orderkey") % 5).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+              .as("sum_qty"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+              .as("sum_price"))
+        val rows = agg.collect()
+        val zeroShuffle = graft.connector.GraftPlanInspect.joinExchangeFree(agg)
+        // key lookup opens ONE bucket's files, not the whole layout
+        val total = cat.dataFilePaths("D.S.BKTFACT").size
+        val point = rd("BKTFACT").filter(col("l_orderkey") === 1L)
+        point.collect()
+        val pruned =
+          graft.connector.GraftPlanInspect.scanPartitionsOf(point) < total
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1),
+            agg.schema)
+          .withColumn("zero_shuffle", lit(zeroShuffle))
+          .withColumn("bucket_pruned", lit(pruned))
+      } finally olds.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    }),
+
     // ---- PARTITIONED STREAMING SINK: exactly-once streaming ingest
     //      lands DIRECTLY in the hive-partitioned layout (executors
     //      stage per-value files; the epoch commit adopts them with
@@ -301,6 +361,17 @@ object QueriesRound8 {
            count(*) AS flag_rows,
            TRUE AS zero_shuffle
          FROM lineitem
+         GROUP BY 1""",
+
+    "q259_bucketed_join" ->
+      """SELECT l_orderkey % 5 AS bucket,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           TRUE AS zero_shuffle,
+           TRUE AS bucket_pruned
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1""",
 
     "q258_stream_partitioned_sink" ->

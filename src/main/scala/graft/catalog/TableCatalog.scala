@@ -905,6 +905,71 @@ class TableCatalog(spark: SparkSession, root: String,
       writePartitions(dir, partitionCols)
     })
 
+  // ---- BUCKETED layout (Iceberg's bucket transform) ----------------------
+  // Identity partitioning on a 100 TB fact table's JOIN KEY is
+  // unrealistic (cardinality = key count); bucket(n, key) is the real
+  // co-location story: rows hash into n hive dirs, the scan reports
+  // the bucket TRANSFORM, and two tables bucketed the same way
+  // equi-join with zero exchange (SPJ) at ANY key cardinality. The
+  // synthetic `gbucket` column is path-only (no leading underscore:
+  // hive listings treat `_`-prefixed paths as HIDDEN) — filtered from
+  // every read
+  // schema. Bucket id = floorMod(murmur3(key, seed 42), n), i.e.
+  // exactly Spark's `pmod(hash(key), n)`, and the SQL catalog's
+  // `bucket` V2 function computes the same — the writer's routing and
+  // the planner's transform can never disagree.
+
+  private[graft] val BucketCol = "gbucket"
+
+  private def bucketed(df: DataFrame, bucketCol: String, n: Int): DataFrame = {
+    require(n > 0, s"numBuckets must be positive, got $n")
+    require(df.columns.contains(bucketCol),
+      s"bucket column $bucketCol not in ${df.columns.mkString(",")}")
+    df.withColumn(BucketCol, pmod(hash(col(bucketCol)), lit(n)))
+  }
+
+  private def writeBucketSpec(dir: Path, bucketCol: String, n: Int): Unit = {
+    val out = fs.create(new Path(dir, "_BUCKETSPEC"), true)
+    try out.write(s"$bucketCol,$n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Bucket spec in effect at version v: the NEWEST `_BUCKETSPEC` in
+    * the chain (the overwrite that established the layout; appends
+    * carry it by chain reference). */
+  private[graft] def bucketSpecAt(fq: String, v: Int): Option[(String, Int)] =
+    chainDirs(fq, v).reverseIterator.map(d => new Path(d, "_BUCKETSPEC"))
+      .find(fs.exists).map { p =>
+        val in = fs.open(p)
+        val text = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+        val Array(c, n) = text.split(","): @unchecked
+        (c, n.toInt)
+      }
+
+  /** Overwrite as a BUCKETED table: hive layout on `bucket(n,
+    * bucketCol)`, one commit. */
+  def overwriteBucketed(fq: String, df: DataFrame, bucketCol: String,
+      numBuckets: Int): Unit = {
+    val withB = bucketed(df, bucketCol, numBuckets)
+    commitVersion(fq, dir => {
+      withB.repartition(col(BucketCol)).write.mode(SaveMode.Overwrite)
+        .partitionBy(BucketCol).parquet(dir.toString)
+      writePartitions(dir, Seq(BucketCol))
+      writeBucketSpec(dir, bucketCol, numBuckets)
+    })
+  }
+
+  /** O(delta) append into the bucketed layout — rows route by the
+    * SAME hash as the original overwrite (spec rides the chain). */
+  def appendBucketed(fq: String, df: DataFrame): Unit = {
+    val v = currentVersion(fq).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $fq"))
+    val (c, n) = bucketSpecAt(fq, v).getOrElse(throw
+      new IllegalArgumentException(s"$fq is not bucketed — use append"))
+    append(fq, bucketed(df, c, n))
+  }
+
   /** TRUNCATE: keep schema, zero rows (layout preserved). */
   def truncate(fq: String): Unit = {
     val v = currentVersion(fq).getOrElse(

@@ -1,0 +1,58 @@
+package graft.connector
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types._
+
+/** The catalog's V2 `bucket` function — what lets Spark RESOLVE the
+  * bucket transform that [[GraftScan]] reports for bucketed tables
+  * (`V2ExpressionUtils` looks `bucket` up on the relation's
+  * `FunctionCatalog`) and so plan storage-partitioned joins over
+  * them. Bucket id = floorMod(murmur3(value, seed 42), n) — BIT-FOR-
+  * BIT the writer's routing expression `pmod(hash(col), n)` (Spark's
+  * `hash` is murmur3 seed 42 and skips nulls, leaving the seed), so
+  * a side shuffled INTO the layout by this function
+  * (`spark.sql.sources.v2.bucketing.shuffle.enabled`) co-locates
+  * exactly with rows the writer placed. */
+object GraftBucketFunction extends UnboundFunction {
+
+  /** Bucket id of an EXTERNAL (pushed-filter literal) value — the
+    * scan's bucket-pruning hash, same bits as `produceResult`. */
+  def bucketIdOf(value: Any, dt: DataType, n: Int): Int = {
+    val h =
+      if (value == null) 42
+      else org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToCatalyst(value), dt, 42L).toInt
+    java.lang.Math.floorMod(h, n)
+  }
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(numBuckets, col): graft's hive-layout bucket id " +
+      "(floorMod(murmur3_42(col), numBuckets))"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket expects (numBuckets, col), got ${inputType.simpleString}")
+    require(inputType.fields(0).dataType == IntegerType,
+      s"numBuckets must be INT, got ${inputType.fields(0).dataType}")
+    val dt = inputType.fields(1).dataType
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = s"graft.bucket(${dt.sql})"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): Integer = {
+        val n = input.getInt(0)
+        // null key: Spark's hash() leaves the seed untouched
+        val h =
+          if (input.isNullAt(1)) 42
+          else org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+            .hash(input.get(1, dt), dt, 42L).toInt
+        Integer.valueOf(java.lang.Math.floorMod(h, n))
+      }
+    }
+  }
+}

@@ -34,10 +34,24 @@ import graft.catalog.TableCatalog
   * which is also the reference pipeline's create-on-first-write
   * semantics. */
 class GraftCatalog extends V2TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var root: String = _
+
+  // ---- FunctionCatalog: the V2 `bucket` function -----------------------
+  // Required for storage-partitioned joins over BUCKETED tables:
+  // Spark resolves the bucket transform a scan reports against the
+  // RELATION's function catalog — i.e. this one.
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket" && ident.namespace().isEmpty)
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -69,10 +83,13 @@ class GraftCatalog extends V2TableCatalog
     val v = version.orElse(cat.version(fq)).getOrElse(
       throw new NoSuchTableException(fq.split('.').toSeq))
     val pcols = cat.partitionColumnsAt(fq, v)
+    val bucketSpec =
+      if (pcols == Seq(cat.BucketCol)) cat.bucketSpecAt(fq, v) else None
     val opts = base ++
       version.map(x => "version" -> x.toString) ++
       (if (pcols.nonEmpty) Some("partitions" -> pcols.mkString(","))
-       else None)
+       else None) ++
+      bucketSpec.map { case (c, n) => "bucketSpec" -> s"$c,$n" }
     val files = cat.dataFilePathsAt(fq, v)
     val schema =
       if (files.isEmpty) new StructType()

@@ -188,7 +188,11 @@ class GraftTable(schema: StructType, options: Map[String, String])
       maxFilesPerTrigger = opt("maxFilesPerTrigger").map(_.toInt),
       maxBytesPerTrigger = opt("maxBytesPerTrigger").map(_.toLong))
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(opt("bucketSpec").isEmpty,
+      s"${name()} is bucketed — write through " +
+        "TableCatalog.appendBucketed/overwriteBucketed (bucket routing " +
+        "is a catalog-side transform)")
     new GraftWriteBuilder(opt("root").get, opt("table").get, info.schema(),
       tableSchema = schema, queryId = info.queryId(),
       partitionCols = opt("partitions")
@@ -196,12 +200,19 @@ class GraftTable(schema: StructType, options: Map[String, String])
       targetFileBytes = opt("targetFileSize")
         .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
         .getOrElse(128L << 20))
+  }
 
   override def partitioning(): Array[Transform] =
-    opt("partitions").map(_.split(',').toSeq.filter(_.nonEmpty))
-      .getOrElse(Seq.empty)
-      .map(c => org.apache.spark.sql.connector.expressions.Expressions
-        .identity(c): Transform).toArray
+    opt("bucketSpec").map { s =>
+      val Array(c, n) = s.split(','): @unchecked
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .bucket(n.toInt, c): Transform)
+    }.getOrElse {
+      opt("partitions").map(_.split(',').toSeq.filter(_.nonEmpty))
+        .getOrElse(Seq.empty)
+        .map(c => org.apache.spark.sql.connector.expressions.Expressions
+          .identity(c): Transform).toArray
+    }
 }
 
 class GraftScanBuilder(tableSchema: StructType, root: String, fq: String,
@@ -465,7 +476,8 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
     * no longer caps the join at one task. Without that conf the
     * chunks would be regrouped anyway, so plan one partition per key
     * and keep the plan minimal. */
-  private lazy val spjPlan: Option[(Seq[String], Array[InputPartition])] = {
+  private lazy val spjPlan
+      : Option[(Array[Expression], Array[InputPartition])] = {
     val spark = SparkSession.active
     val enabled = spark.conf
       .getOption("spark.sql.sources.v2.bucketing.enabled")
@@ -478,7 +490,19 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
       if (!c.isPartitionedAt(fq, v)) None
       else {
         val pcols = c.partitionColumnsAt(fq, v)
-        val types = pcols.map(pc => tableSchema.fields.find(_.name == pc))
+        // bucket(n, col) layout: the key is the synthetic bucket id
+        // (int), reported as a bucket TRANSFORM the SQL catalog's V2
+        // `bucket` function resolves — SPJ at any key cardinality
+        val bucketSpec =
+          if (pcols == Seq(c.BucketCol))
+            c.bucketSpecAt(fq, v)
+              .filter { case (bc, _) => tableSchema.fieldNames.contains(bc) }
+          else None
+        val types: Seq[Option[org.apache.spark.sql.types.DataType]] =
+          if (bucketSpec.isDefined)
+            Seq(Some(org.apache.spark.sql.types.IntegerType))
+          else pcols.map(pc =>
+            tableSchema.fields.find(_.name == pc).map(_.dataType))
         val surv = surviving(c, v)
         val fullyEncoded = surv.nonEmpty && surv.forall { case (_, pvs) =>
           val m = pvs.toMap; pcols.forall(m.contains)
@@ -504,7 +528,7 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
           val parts = groups.toSeq.sortBy(_._1.toString)
             .flatMap { case (rawKey, files) =>
               val keyRow = new GenericInternalRow(
-                rawKey.zip(types.map(_.get.dataType)).map {
+                rawKey.zip(types.map(_.get)).map {
                   case (raw, dt) => GraftPartitions.castValue(raw, dt)
                 }.toArray[Any])
               val inputs = files.map { case (p, pvs) =>
@@ -523,7 +547,15 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
                   GraftKeyedPartition(p.slices, keyRow): InputPartition
                 }
             }
-          Some((pcols, parts.toArray))
+          val transforms: Array[Expression] = bucketSpec match {
+            case Some((bc, n)) =>
+              Array(org.apache.spark.sql.connector.expressions
+                .Expressions.bucket(n, bc): Expression)
+            case None =>
+              pcols.map(pc => org.apache.spark.sql.connector.expressions
+                .Expressions.identity(pc): Expression).toArray
+          }
+          Some((transforms, parts.toArray))
         }
       }
     }
@@ -532,11 +564,9 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     spjPlan match {
-      case Some((pcols, parts)) =>
+      case Some((transforms, parts)) =>
         new org.apache.spark.sql.connector.read.partitioning
-          .KeyGroupedPartitioning(
-            pcols.map(c => org.apache.spark.sql.connector.expressions
-              .Expressions.identity(c): Expression).toArray, parts.length)
+          .KeyGroupedPartitioning(transforms, parts.length)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(0)
@@ -587,9 +617,39 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
           active.forall(f => GraftPartitions.mayMatch(pv, tableSchema, f))
         }
       }
+    // BUCKET pruning: a point predicate on the bucket SOURCE column
+    // maps to the one hive dir that can hold it — a key lookup on a
+    // bucket(n, k) table opens 1/n of the files before stats even run
+    val afterBucket = {
+      val spec =
+        if (afterPart.nonEmpty && c.isPartitionedAt(fq, v) &&
+            c.partitionColumnsAt(fq, v) == Seq(c.BucketCol))
+          c.bucketSpecAt(fq, v)
+        else None
+      spec.flatMap { case (bc, n) =>
+        val dt = tableSchema.fields.find(_.name == bc).map(_.dataType)
+        dt.flatMap { t =>
+          val idSets = active.collect {
+            case EqualTo(a, value) if a == bc =>
+              Set(GraftBucketFunction.bucketIdOf(value, t, n))
+            case EqualNullSafe(a, value) if a == bc =>
+              Set(GraftBucketFunction.bucketIdOf(value, t, n))
+            case In(a, values) if a == bc =>
+              values.map(GraftBucketFunction.bucketIdOf(_, t, n)).toSet
+          }
+          if (idSets.isEmpty) None
+          else Some(idSets.reduce(_ intersect _))
+        }
+      } match {
+        case Some(ids) => afterPart.filter { case (_, pvs) =>
+          pvs.toMap.get(c.BucketCol).flatten.forall(s => ids(s.toInt))
+        }
+        case None => afterPart
+      }
+    }
     val kept = FileSkipping
-      .surviving(c, fq, v, afterPart.map(_._1), active).toSet
-    afterPart.filter(fp => kept(fp._1))
+      .surviving(c, fq, v, afterBucket.map(_._1), active).toSet
+    afterBucket.filter(fp => kept(fp._1))
   }
 
   /** DV row indexes per surviving file, loaded driver-side (sidecars
@@ -875,7 +935,7 @@ object GraftSource {
     // after the footer union; files predating the declaration read
     // them as null. A data file later carrying the name with a
     // DIFFERENT type fails loudly here, like any footer conflict.
-    cat.declaredColumns(fq).foldLeft(base) { (acc, f) =>
+    val declared = cat.declaredColumns(fq).foldLeft(base) { (acc, f) =>
       acc.fields.find(_.name.equalsIgnoreCase(f.name)) match {
         case Some(e) if e.dataType == f.dataType => acc
         case Some(e) => throw new IllegalStateException(
@@ -885,6 +945,9 @@ object GraftSource {
         case None => StructType(acc.fields :+ f)
       }
     }
+    // the synthetic bucket-routing column is a LAYOUT detail, never a
+    // logical column
+    StructType(declared.fields.filterNot(_.name == cat.BucketCol))
   }
 }
 

@@ -464,6 +464,54 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("bucketed tables: SPJ on the bucket transform at any key cardinality") {
+    val root = tempDir("r8_bucket")
+    val cat = new TableCatalog(spark, root)
+    // high-cardinality join key: identity partitioning would need 2000
+    // dirs; bucket(8, k) needs 8
+    val fact = (1L to 2000L).map(i => (i, i * 1.5)).toDF("k", "x")
+    val dim = (1L to 2000L by 4).map(i => (i, s"d_$i")).toDF("dk", "dname")
+    cat.overwriteBucketed("d.s.bf", fact, "k", 8)
+    cat.overwriteBucketed("d.s.bd", dim, "dk", 8)
+    // the synthetic routing column is a layout detail, not a column
+    assert(!cat.read("d.s.bf").columns.contains("gbucket"))
+    spark.conf.set("spark.sql.catalog.gc_bkt", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gc_bkt.root", root)
+    withConf("spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.graft.preserveDataGrouping" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(
+        """SELECT k, x, dname FROM gc_bkt.d.s.bf JOIN gc_bkt.d.s.bd
+           ON k = dk""")
+      val rows = j.collect()
+      assert(rows.length == 500)
+      assert(graft.connector.GraftPlanInspect.joinExchangeFree(j),
+        "bucket-co-partitioned join must plan without exchange:\n" +
+          j.queryExecution.executedPlan.toString)
+      assert(j.rdd.getNumPartitions == 8)
+      // appends route by the SAME hash — co-location survives growth
+      cat.appendBucketed("d.s.bf", Seq((2001L, 9.0)).toDF("k", "x"))
+      cat.appendBucketed("d.s.bd", Seq((2001L, "d_2001")).toDF("dk", "dname"))
+      val j2 = spark.sql(
+        """SELECT k, x, dname FROM gc_bkt.d.s.bf JOIN gc_bkt.d.s.bd
+           ON k = dk""")
+      assert(j2.collect().length == 501)
+      assert(graft.connector.GraftPlanInspect.joinExchangeFree(j2))
+      // mixed bucket counts must NOT silently co-locate
+      cat.overwriteBucketed("d.s.bd16", dim, "dk", 16)
+      val j3 = spark.sql(
+        """SELECT k, x, dname FROM gc_bkt.d.s.bf JOIN gc_bkt.d.s.bd16
+           ON k = dk""")
+      assert(j3.collect().length == 500)
+      assert(!graft.connector.GraftPlanInspect.joinExchangeFree(j3))
+    }
+    // plain append without the routing column fails loudly, keeping
+    // the layout honest
+    intercept[Exception] {
+      cat.append("d.s.bf", Seq((3000L, 1.0)).toDF("k", "x"))
+    }
+  }
+
   // ---- SQL schema evolution (ALTER TABLE ADD COLUMNS) ----------------------
 
   test("ALTER TABLE ADD COLUMNS: old rows NULL, appends carry, conflicts rejected") {
