@@ -463,7 +463,7 @@ class TableCatalog(spark: SparkSession, root: String,
       val files = dataFiles(fq, v)
       val surviving = statSurvivors(files, column, lo, hi)
       if (surviving.isEmpty) return read(fq).filter(pred).limit(0)
-      return readPartitionedSubset(fq, v, surviving).filter(pred)
+      return dropRouting(readPartitionedSubset(fq, v, surviving).filter(pred))
     }
     val files = dataFiles(fq, v)
     if (files.isEmpty)
@@ -604,8 +604,8 @@ class TableCatalog(spark: SparkSession, root: String,
     case Some(v) if partitionColsOf(fq, v).nonEmpty =>
       // per-version partition discovery (bare leaf files would silently
       // drop the partition columns), schema union across the chain
-      maskDvPos(readPartitionedDirs(chainDirs(fq, v), mergeSchema = true,
-        withRowPos = true), dvFiles(fq, v))
+      dropRouting(maskDvPos(readPartitionedDirs(chainDirs(fq, v),
+        mergeSchema = true, withRowPos = true), dvFiles(fq, v)))
     case Some(v) =>
       val files = dataFiles(fq, v)
       if (files.isEmpty) spark.read.parquet(versionDir(fq, v).toString)
@@ -847,7 +847,7 @@ class TableCatalog(spark: SparkSession, root: String,
             // version dir; prior data rides along as whole directories
             df.write.mode(SaveMode.Overwrite)
               .partitionBy(pcols: _*).parquet(dir.toString)
-            writePartitions(dir, pcols)
+            writeLayout(fq, head, dir, pcols)
             writeManifest(dir, chainDirs(fq, head))
           } else {
             df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
@@ -933,11 +933,14 @@ class TableCatalog(spark: SparkSession, root: String,
     try out.write(s"$bucketCol,$n".getBytes("UTF-8")) finally out.close()
   }
 
-  /** Bucket spec in effect at version v: the NEWEST `_BUCKETSPEC` in
-    * the chain (the overwrite that established the layout; appends
-    * carry it by chain reference). */
+  /** Bucket spec in effect at version v: the NEWEST `_BUCKETSPEC`
+    * reachable from the chain. Chain entries may be leaf partition
+    * dirs (COW update/merge carry `v_NNNNNN/gbucket=k`), so each
+    * entry resolves to its owning VERSION dir first — the spec lives
+    * at the version root, next to `_PARTITIONS`. */
   private[graft] def bucketSpecAt(fq: String, v: Int): Option[(String, Int)] =
-    chainDirs(fq, v).reverseIterator.map(d => new Path(d, "_BUCKETSPEC"))
+    chainDirs(fq, v).reverseIterator
+      .map(d => new Path(versionAncestor(d), "_BUCKETSPEC"))
       .find(fs.exists).map { p =>
         val in = fs.open(p)
         val text = try new String(
@@ -946,6 +949,36 @@ class TableCatalog(spark: SparkSession, root: String,
         val Array(c, n) = text.split(","): @unchecked
         (c, n.toInt)
       }
+
+  /** Record version `v`'s layout into a freshly committed dir:
+    * `_PARTITIONS` always, plus `_BUCKETSPEC` when the layout is
+    * bucketed — a compaction/COW commit may start a chain that no
+    * longer references the dir that established the spec, and a
+    * bucketed table that loses its spec silently stops routing,
+    * pruning and SPJ-ing. Every mutator that preserves an existing
+    * layout commits through this, not bare [[writePartitions]]. */
+  private def writeLayout(fq: String, v: Int, dir: Path,
+      pcols: Seq[String]): Unit = {
+    writePartitions(dir, pcols)
+    if (pcols == Seq(BucketCol))
+      bucketSpecAt(fq, v).foreach { case (c, n) => writeBucketSpec(dir, c, n) }
+  }
+
+  /** Re-derive the synthetic routing column before a partitioned
+    * write when v's layout is bucketed — `gbucket` is DERIVED, never
+    * authoritative: an UPDATE may reassign the bucket source column,
+    * a MERGE source doesn't carry the routing column at all, and a
+    * compaction frame reads through the logical schema (which hides
+    * it). Identity layouts pass through untouched. */
+  private def reroute(fq: String, v: Int, df: DataFrame): DataFrame =
+    if (partitionColsOf(fq, v) != Seq(BucketCol)) df
+    else bucketSpecAt(fq, v) match {
+      case Some((c, n)) => bucketed(df.drop(BucketCol), c, n)
+      case None => df
+    }
+
+  /** The synthetic routing column never reaches a caller. */
+  private def dropRouting(df: DataFrame): DataFrame = df.drop(BucketCol)
 
   /** Overwrite as a BUCKETED table: hive layout on `bucket(n,
     * bucketCol)`, one commit. */
@@ -978,7 +1011,7 @@ class TableCatalog(spark: SparkSession, root: String,
     val empty = read(fq).limit(0)
     commitVersionFrom(fq, v, dir => {
       empty.write.mode(SaveMode.Overwrite).parquet(dir.toString)
-      if (pcols.nonEmpty) writePartitions(dir, pcols)
+      if (pcols.nonEmpty) writeLayout(fq, v, dir, pcols)
     })
   }
 
@@ -1032,13 +1065,17 @@ class TableCatalog(spark: SparkSession, root: String,
       val dvs = dvFiles(fq, v)
       val cur = maskDvPos(
         readPartitionedDirs(hitDirs, withRowPos = true), dvs)
-      val updated = assignments.foldLeft(cur) { case (d, (c, value)) =>
-        d.withColumn(c, when(where, value).otherwise(col(c)))
-      }
+      // reroute: an assignment may change the bucket source column —
+      // the replacement row must land in its NEW bucket dir, or later
+      // bucket pruning would wrongly skip it (wrong results, not perf)
+      val updated = reroute(fq, v, assignments.foldLeft(cur) {
+        case (d, (c, value)) =>
+          d.withColumn(c, when(where, value).otherwise(col(c)))
+      })
       commitVersionFrom(fq, v, dir => {
         updated.write.mode(SaveMode.Overwrite)
           .partitionBy(pcols: _*).parquet(dir.toString)
-        writePartitions(dir, pcols)
+        writeLayout(fq, v, dir, pcols)
         if (carriedDirs.nonEmpty) writeManifest(dir, carriedDirs)
         if (carriedDirs.nonEmpty && dvs.nonEmpty) writeDvManifest(dir, dvs)
       })
@@ -1092,7 +1129,7 @@ class TableCatalog(spark: SparkSession, root: String,
       commitVersionFrom(fq, v, dir => {
         kept.write.mode(SaveMode.Overwrite)
           .partitionBy(pcols: _*).parquet(dir.toString)
-        writePartitions(dir, pcols)
+        writeLayout(fq, v, dir, pcols)
         if (carriedDirs.nonEmpty) writeManifest(dir, carriedDirs)
         if (carriedDirs.nonEmpty && dvs.nonEmpty) writeDvManifest(dir, dvs)
       })
@@ -1149,7 +1186,7 @@ class TableCatalog(spark: SparkSession, root: String,
         commitRebase(fq, v, dataFiles(fq, v), dvs, (dir, head) => {
           fs.mkdirs(dir)
           newDv.write.mode(SaveMode.Overwrite).parquet(dvDir(dir).toString)
-          writePartitions(dir, pcolsDv)
+          writeLayout(fq, v, dir, pcolsDv)
           writeManifest(dir, chainDirs(fq, head))
           val headDvs = dvFiles(fq, head)
           if (headDvs.nonEmpty) writeDvManifest(dir, headDvs)
@@ -1210,16 +1247,19 @@ class TableCatalog(spark: SparkSession, root: String,
         if (hit.count() == 0) return
         val newDv = hit.select(col("__fp").as("file"),
           col("__ri").as("row_index"))
-        val updated = assignments.foldLeft(hit.drop("__fp", "__ri")) {
-          case (d, (c, value)) => d.withColumn(c, value)
-        }
+        // reroute: see updateWhere — a reassigned bucket source column
+        // must re-route its replacement row to the new bucket dir
+        val updated = reroute(fq, v,
+          assignments.foldLeft(hit.drop("__fp", "__ri")) {
+            case (d, (c, value)) => d.withColumn(c, value)
+          })
         // rebase across commuting winners (blind appends) — the MoR
         // delete+reinsert stays valid while our scanned files live
         commitRebase(fq, v, dataFiles(fq, v), dvs, (dir, head) => {
           updated.write.mode(SaveMode.Overwrite)
             .partitionBy(pcolsDv: _*).parquet(dir.toString)
           newDv.write.mode(SaveMode.Overwrite).parquet(dvDir(dir).toString)
-          writePartitions(dir, pcolsDv)
+          writeLayout(fq, v, dir, pcolsDv)
           writeManifest(dir, chainDirs(fq, head))
           val headDvs = dvFiles(fq, head)
           if (headDvs.nonEmpty) writeDvManifest(dir, headDvs)
@@ -1297,11 +1337,15 @@ class TableCatalog(spark: SparkSession, root: String,
               if (hitDirs.isEmpty) src.limit(0) // no overlap: partitioned append
               else maskDvPos(
                 readPartitionedDirs(hitDirs, withRowPos = true), dvs)
-            val merged = graft.operators.MergeOps.upsert(base, src, keys)
+            // bucketed: the source frame never carries the routing
+            // column — upsert on the LOGICAL columns, then reroute the
+            // whole merged frame (derived column, recompute is exact)
+            val merged = reroute(fq, v, graft.operators.MergeOps
+              .upsert(base.drop(BucketCol), src, keys))
             commitVersionFrom(fq, v, dir => {
               merged.write.mode(SaveMode.Overwrite)
                 .partitionBy(pcols: _*).parquet(dir.toString)
-              writePartitions(dir, pcols)
+              writeLayout(fq, v, dir, pcols)
               if (carriedDirs.nonEmpty) writeManifest(dir, carriedDirs)
               if (carriedDirs.nonEmpty && dvs.nonEmpty) writeDvManifest(dir, dvs)
             })
@@ -1421,12 +1465,15 @@ class TableCatalog(spark: SparkSession, root: String,
     }
     if (pcols.nonEmpty) {
       // co-locate rows of each partition before the partitioned write
-      // so each partition directory compacts to ~one file
-      val df = read(fq).repartition(parts, pcols.map(col): _*)
+      // so each partition directory compacts to ~one file. Bucketed
+      // layouts re-derive the routing column first (the logical read
+      // hides it) — compaction is also what re-buckets inline-landed
+      // row-level-operation replacements back into the hive layout.
+      val df = reroute(fq, v, read(fq)).repartition(parts, pcols.map(col): _*)
       commitRebase(fq, v, readFiles, readDvs, (dir, head) => {
         df.write.mode(SaveMode.Overwrite)
           .partitionBy(pcols: _*).parquet(dir.toString)
-        writePartitions(dir, pcols)
+        writeLayout(fq, v, dir, pcols)
         carryDelta(dir, head)
       })
     } else {
@@ -1463,7 +1510,10 @@ class TableCatalog(spark: SparkSession, root: String,
     require(!zorderCols.exists(zpcols.contains),
       "z-order columns must be data columns (partition pruning already " +
         "clusters the partition columns)")
-    val df = read(fq)
+    // bucketed layouts z-cluster WITHIN buckets — re-derive the
+    // routing column (hidden from the logical read) so the range
+    // partitioning below can lead with it
+    val df = reroute(fq, zv, read(fq))
     val (bits, scaled): (Int, Seq[Column]) =
       if (rankBased) {
         val probs = (1 until 256).map(_ / 256.0).toArray
@@ -1523,7 +1573,7 @@ class TableCatalog(spark: SparkSession, root: String,
       commitRebase(fq, zv, readFiles, readDvs, (dir, head) => {
         clustered.write.mode(SaveMode.Overwrite)
           .partitionBy(zpcols: _*).parquet(dir.toString)
-        writePartitions(dir, zpcols)
+        writeLayout(fq, zv, dir, zpcols)
         carryDelta(dir, head)
       })
     else commitRebase(fq, zv, readFiles, readDvs, (dir, head) => {
@@ -1705,7 +1755,7 @@ class TableCatalog(spark: SparkSession, root: String,
     }
     if (surviving.isEmpty) read(fq).filter(pred).limit(0)
     else if (pcols.nonEmpty) // bloom-pruned partitioned point lookup
-      readPartitionedSubset(fq, v, surviving).filter(pred)
+      dropRouting(readPartitionedSubset(fq, v, surviving).filter(pred))
     else maskDv(spark.read.parquet(surviving.map(_.toString): _*),
       dvFiles(fq, v)).filter(pred)
   }
@@ -1740,7 +1790,7 @@ class TableCatalog(spark: SparkSession, root: String,
     val dvs = dvFiles(src, v)
     commitVersion(dst, dir => {
       fs.mkdirs(dir)
-      if (pcols.nonEmpty) writePartitions(dir, pcols)
+      if (pcols.nonEmpty) writeLayout(src, v, dir, pcols)
       writeManifest(dir, carried)
       if (dvs.nonEmpty) writeDvManifest(dir, dvs)
     })
@@ -2117,7 +2167,7 @@ class TableCatalog(spark: SparkSession, root: String,
     commitVersionFrom(fq, v, dir => {
       fs.mkdirs(dir)
       if (pcols.nonEmpty) {
-        writePartitions(dir, pcols)
+        writeLayout(fq, v, dir, pcols)
         writeManifest(dir, chainDirs(fq, v))
       } else writeManifest(dir, dataFiles(fq, v))
       if (dvs.nonEmpty) writeDvManifest(dir, dvs)
@@ -2150,7 +2200,7 @@ class TableCatalog(spark: SparkSession, root: String,
         commitVersionFrom(fq, v, dir => {
           fs.mkdirs(dir)
           if (live.nonEmpty) {
-            writePartitions(dir, live)
+            writeLayout(fq, v, dir, live)
             writeManifest(dir, chainDirs(fq, v))
           } else writeManifest(dir, dataFiles(fq, v))
           if (dvs.nonEmpty) writeDvManifest(dir, dvs)
@@ -2203,7 +2253,7 @@ class TableCatalog(spark: SparkSession, root: String,
       }
       newDv.foreach(_.write.mode(SaveMode.Overwrite)
         .parquet(dvDir(dir).toString))
-      if (pcols.nonEmpty) writePartitions(dir, pcols)
+      if (pcols.nonEmpty) writeLayout(fq, v, dir, pcols)
       writeManifest(dir, carried)
       if (dvs.nonEmpty) writeDvManifest(dir, dvs)
     })
@@ -2258,7 +2308,7 @@ class TableCatalog(spark: SparkSession, root: String,
             throw new IllegalStateException(s"failed to adopt staged DV $f")
         }
       }
-      if (pcols.nonEmpty) writePartitions(dir, pcols)
+      if (pcols.nonEmpty) writeLayout(fq, v, dir, pcols)
       writeManifest(dir, carried)
       if (dvs.nonEmpty) writeDvManifest(dir, dvs)
     })

@@ -512,6 +512,73 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("bucketed layout survives COW update, merge, MoR delete, compact, truncate") {
+    val root = tempDir("r8_bucket_life")
+    val cat = new TableCatalog(spark, root)
+    val fact = (1L to 1000L).map(i => (i, i * 2.0)).toDF("k", "x")
+    val dim = (1L to 1000L by 10).map(i => (i, s"d_$i")).toDF("dk", "dname")
+    cat.overwriteBucketed("d.s.lf", fact, "k", 4)
+    cat.overwriteBucketed("d.s.ld", dim, "dk", 4)
+    def files() = cat.dataFilePaths("d.s.lf")
+    def pointScan(key: Long): Int = {
+      val df = cat.read("d.s.lf").filter(col("k") === key)
+      df.collect()
+      graft.connector.GraftPlanInspect.scanPartitionsOf(df)
+    }
+    // COW update REASSIGNING the bucket key: the replacement row must
+    // re-route to its NEW bucket dir or bucket pruning silently loses it
+    cat.updateWhere("d.s.lf", Map("k" -> lit(5000L)), col("k") === 7L)
+    assert(cat.read("d.s.lf").filter(col("k") === 5000L).count() == 1,
+      "re-keyed row must be visible through bucket pruning")
+    assert(cat.read("d.s.lf").filter(col("k") === 7L).count() == 0)
+    assert(files().forall(_.contains("/gbucket=")), "layout stays bucketed")
+    // MERGE: source has no routing column; updates + NEW keys both route
+    cat.merge("d.s.lf",
+      Seq((5000L, -1.0), (9999L, 42.0)).toDF("k", "x"), Seq("k"))
+    assert(cat.read("d.s.lf").filter(col("k") === 9999L).count() == 1)
+    assert(cat.read("d.s.lf").filter(col("k") === 5000L)
+      .select("x").as[Double].head() == -1.0)
+    assert(files().forall(_.contains("/gbucket=")))
+    // MoR DV delete keeps the spec live
+    cat.deleteWhereDV("d.s.lf", col("k") % 100 === 0)
+    assert(cat.read("d.s.lf").count() == 990) // 1001 - (100..1000 + 5000)
+    // appends still route (spec resolvable through the mutated chain)
+    cat.appendBucketed("d.s.lf", Seq((100L, 1.0)).toDF("k", "x"))
+    assert(cat.read("d.s.lf").count() == 991)
+    // COMPACT: fresh chain must re-derive routing AND carry the spec;
+    // SPJ with the untouched dim stays exchange-free afterwards
+    cat.compact("d.s.lf")
+    assert(files().forall(_.contains("/gbucket=")))
+    assert(cat.read("d.s.lf").count() == 991)
+    val total = files().size
+    assert(pointScan(41L) < total, "point lookup must open one bucket")
+    spark.conf.set("spark.sql.catalog.gc_blife", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gc_blife.root", root)
+    withConf("spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.graft.preserveDataGrouping" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(
+        "SELECT k, x, dname FROM gc_blife.d.s.lf JOIN gc_blife.d.s.ld ON k = dk")
+      // dim keys are 1,11,…,991 (≡1 mod 10): none deleted or re-keyed
+      assert(j.collect().length == 100)
+      assert(graft.connector.GraftPlanInspect.joinExchangeFree(j),
+        "post-compaction bucketed join must stay exchange-free:\n" +
+          j.queryExecution.executedPlan.toString)
+    }
+    // the synthetic column never leaks through any read surface
+    assert(!cat.read("d.s.lf").columns.contains("gbucket"))
+    assert(!cat.readMergedSchema("d.s.lf").columns.contains("gbucket"))
+    assert(!cat.readBetween("d.s.lf", "x", 0.0, 10.0).columns.contains("gbucket"))
+    // TRUNCATE keeps the layout: appendBucketed still routes after
+    cat.truncate("d.s.lf")
+    assert(cat.read("d.s.lf").count() == 0)
+    cat.appendBucketed("d.s.lf", Seq((1L, 1.0)).toDF("k", "x"))
+    assert(cat.read("d.s.lf").count() == 1)
+    // truncate's zero-row schema marker sits at the version root; the
+    // appended data itself must land bucketed
+    assert(files().exists(_.contains("/gbucket=")))
+  }
+
   // ---- SQL schema evolution (ALTER TABLE ADD COLUMNS) ----------------------
 
   test("ALTER TABLE ADD COLUMNS: old rows NULL, appends carry, conflicts rejected") {
