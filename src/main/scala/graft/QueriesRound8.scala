@@ -282,6 +282,105 @@ object QueriesRound8 {
       }
     }),
 
+    // ---- COMPOSITE LAYOUT: PARTITIONED BY (flag, bucket(4, key)) —
+    //      the canonical 100 TB fact layout: coarse identity pruning
+    //      AND key co-location in ONE layout. A join on (flag, key)
+    //      between two tables laid out the same way plans with zero
+    //      exchange (zero_shuffle hashed); a (flag, key) point
+    //      predicate prunes the identity partition FIRST, then hashes
+    //      into the one bucket dir inside it (composed_prune hashed:
+    //      point scan < flag-only scan < full layout). ----
+    "q260_composite_layout" -> ((s, dir) => {
+      val work = graft.Scratch.dir("graft_comp")
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val li = table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_quantity"))
+      val dm = li.groupBy(col("l_returnflag").as("rflag"),
+          col("l_orderkey").as("rkey"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      cat.overwriteBucketed("D.S.COMPFACT", li, "l_orderkey", 4,
+        partitionCols = Seq("l_returnflag"))
+      cat.overwriteBucketed("D.S.COMPDIM", dm, "rkey", 4,
+        partitionCols = Seq("rflag"))
+      val cname = "gcomp_" + work.replaceAll("[^A-Za-z0-9]", "").takeRight(12)
+      s.conf.set(s"spark.sql.catalog.$cname", "graft.connector.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cname.root", work)
+      val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.graft.preserveDataGrouping",
+        "spark.sql.autoBroadcastJoinThreshold")
+      val olds = keys.map(k => k -> s.conf.getOption(k))
+      s.conf.set(keys(0), "true"); s.conf.set(keys(1), "true")
+      s.conf.set(keys(2), "-1")
+      try {
+        def rd(t: String) = s.read.table(s"$cname.D.S.$t")
+        val j = rd("COMPFACT").join(rd("COMPDIM"),
+          col("l_returnflag") === col("rflag") &&
+            col("l_orderkey") === col("rkey"))
+        val agg = j.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+              .as("sum_qty"),
+            max("cnt").as("max_cnt"))
+        val rows = agg.collect()
+        val zeroShuffle = graft.connector.GraftPlanInspect.joinExchangeFree(agg)
+        val total = cat.dataFilePaths("D.S.COMPFACT").size
+        def scanned(df: org.apache.spark.sql.DataFrame) = {
+          df.collect(); graft.connector.GraftPlanInspect.scanPartitionsOf(df)
+        }
+        val flagScan = scanned(
+          rd("COMPFACT").filter(col("l_returnflag") === "R"))
+        val pointScan = scanned(rd("COMPFACT")
+          .filter(col("l_returnflag") === "R" && col("l_orderkey") === 1L))
+        val composedPrune = pointScan < flagScan && flagScan < total
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1),
+            agg.schema)
+          .withColumn("zero_shuffle", lit(zeroShuffle))
+          .withColumn("composed_prune", lit(composedPrune))
+      } finally olds.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    }),
+
+    // ---- SQL BUCKET DDL: `CREATE TABLE … PARTITIONED BY (bucket(8,
+    //      key))` (Iceberg's DDL shape) — the DSv2 writer routes each
+    //      row to its bucket dir EXECUTOR-SIDE with the same murmur3
+    //      as the catalog writer and the V2 `bucket` function, so a
+    //      SQL-only client gets the co-located layout end-to-end:
+    //      CTAS + INSERT INTO land bucketed (bucketed_files hashed),
+    //      and a key point-lookup opens ~1/8 of the layout
+    //      (bucket_pruned hashed). ----
+    "q261_sql_bucket_ddl" -> ((s, dir) => {
+      val work = graft.Scratch.dir("graft_sqlbkt")
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val cname = "gsqlb_" + work.replaceAll("[^A-Za-z0-9]", "").takeRight(12)
+      s.conf.set(s"spark.sql.catalog.$cname", "graft.connector.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cname.root", work)
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .createOrReplaceTempView("q261_src")
+      s.sql(s"""CREATE TABLE $cname.d.s.ob
+               PARTITIONED BY (bucket(8, o_orderkey))
+               AS SELECT * FROM q261_src WHERE o_orderkey % 2 = 0""")
+      s.sql(s"""INSERT INTO $cname.d.s.ob
+               SELECT * FROM q261_src WHERE o_orderkey % 2 = 1""")
+      val files = cat.dataFilePaths("d.s.ob")
+      val bucketed = files.count(_.contains("/gbucket=")) >= 8 &&
+        files.forall(p =>
+          p.contains("/gbucket=") || p.matches(".*/v_\\d{6}/[^/]+$"))
+      val point = s.sql(
+        s"SELECT * FROM $cname.d.s.ob WHERE o_orderkey = 32")
+      point.collect()
+      val pruned = graft.connector.GraftPlanInspect.scanPartitionsOf(point) <
+        files.count(_.contains("/gbucket="))
+      s.sql(s"""SELECT o_orderkey % 4 AS grp, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+             FROM $cname.d.s.ob GROUP BY 1""")
+        .withColumn("bucketed_files", lit(bucketed))
+        .withColumn("bucket_pruned", lit(pruned))
+    }),
+
     // ---- PARTITIONED STREAMING SINK: exactly-once streaming ingest
     //      lands DIRECTLY in the hive-partitioned layout (executors
     //      stage per-value files; the epoch commit adopts them with
@@ -361,6 +460,30 @@ object QueriesRound8 {
            count(*) AS flag_rows,
            TRUE AS zero_shuffle
          FROM lineitem
+         GROUP BY 1""",
+
+    "q261_sql_bucket_ddl" ->
+      """SELECT o_orderkey % 4 AS grp,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           TRUE AS bucketed_files,
+           TRUE AS bucket_pruned
+         FROM orders
+         GROUP BY 1""",
+
+    "q260_composite_layout" ->
+      """SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           max(cnt) AS max_cnt,
+           TRUE AS zero_shuffle,
+           TRUE AS composed_prune
+         FROM lineitem
+         JOIN (SELECT l_returnflag AS rflag, l_orderkey AS rkey,
+                 count(*) AS cnt
+               FROM lineitem GROUP BY 1, 2) d
+           ON l_returnflag = rflag AND l_orderkey = rkey
          GROUP BY 1""",
 
     "q259_bucketed_join" ->

@@ -919,7 +919,7 @@ class TableCatalog(spark: SparkSession, root: String,
   // `bucket` V2 function computes the same — the writer's routing and
   // the planner's transform can never disagree.
 
-  private[graft] val BucketCol = "gbucket"
+  private[graft] def BucketCol: String = TableCatalog.BucketCol
 
   private def bucketed(df: DataFrame, bucketCol: String, n: Int): DataFrame = {
     require(n > 0, s"numBuckets must be positive, got $n")
@@ -960,7 +960,7 @@ class TableCatalog(spark: SparkSession, root: String,
   private def writeLayout(fq: String, v: Int, dir: Path,
       pcols: Seq[String]): Unit = {
     writePartitions(dir, pcols)
-    if (pcols == Seq(BucketCol))
+    if (pcols.lastOption.contains(BucketCol))
       bucketSpecAt(fq, v).foreach { case (c, n) => writeBucketSpec(dir, c, n) }
   }
 
@@ -971,7 +971,7 @@ class TableCatalog(spark: SparkSession, root: String,
     * compaction frame reads through the logical schema (which hides
     * it). Identity layouts pass through untouched. */
   private def reroute(fq: String, v: Int, df: DataFrame): DataFrame =
-    if (partitionColsOf(fq, v) != Seq(BucketCol)) df
+    if (!partitionColsOf(fq, v).lastOption.contains(BucketCol)) df
     else bucketSpecAt(fq, v) match {
       case Some((c, n)) => bucketed(df.drop(BucketCol), c, n)
       case None => df
@@ -981,14 +981,21 @@ class TableCatalog(spark: SparkSession, root: String,
   private def dropRouting(df: DataFrame): DataFrame = df.drop(BucketCol)
 
   /** Overwrite as a BUCKETED table: hive layout on `bucket(n,
-    * bucketCol)`, one commit. */
+    * bucketCol)`, one commit. `partitionCols` prepends IDENTITY
+    * partitions — the canonical 100 TB fact layout
+    * `PARTITIONED BY (date, bucket(n, key))`: coarse time pruning AND
+    * key co-location in one layout (the bucket transform always
+    * routes LAST, within each identity partition). */
   def overwriteBucketed(fq: String, df: DataFrame, bucketCol: String,
-      numBuckets: Int): Unit = {
+      numBuckets: Int, partitionCols: Seq[String] = Nil): Unit = {
+    require(!partitionCols.contains(bucketCol),
+      s"bucket column $bucketCol cannot also be an identity partition")
     val withB = bucketed(df, bucketCol, numBuckets)
+    val layout = partitionCols :+ BucketCol
     commitVersion(fq, dir => {
-      withB.repartition(col(BucketCol)).write.mode(SaveMode.Overwrite)
-        .partitionBy(BucketCol).parquet(dir.toString)
-      writePartitions(dir, Seq(BucketCol))
+      withB.repartition(layout.map(col): _*).write.mode(SaveMode.Overwrite)
+        .partitionBy(layout: _*).parquet(dir.toString)
+      writePartitions(dir, layout)
       writeBucketSpec(dir, bucketCol, numBuckets)
     })
   }
@@ -2076,7 +2083,8 @@ class TableCatalog(spark: SparkSession, root: String,
     * carry the prior chain as directories. */
   private[graft] def commitStagedPartitioned(fq: String,
       staged: Seq[(Path, String)], pcols: Seq[String],
-      overwrite: Boolean, epochTag: Option[String] = None): Unit = {
+      overwrite: Boolean, epochTag: Option[String] = None,
+      bucketSpec: Option[(String, Int)] = None): Unit = {
     require(staged.nonEmpty, s"no data files staged for $fq")
     require(pcols.nonEmpty, "partition columns required")
     val prior = if (overwrite) None else currentVersion(fq)
@@ -2095,6 +2103,7 @@ class TableCatalog(spark: SparkSession, root: String,
           throw new IllegalStateException(s"failed to adopt staged file $f")
       }
       writePartitions(dir, pcols)
+      bucketSpec.foreach { case (c, n) => writeBucketSpec(dir, c, n) }
       if (!overwrite && head >= 0) {
         require(partitionColsOf(fq, head) == pcols,
           s"partitioned append layout [${pcols.mkString(",")}] does not " +
@@ -2191,7 +2200,7 @@ class TableCatalog(spark: SparkSession, root: String,
     * paths). */
   private[graft] def commitEmptyVersion(fq: String,
       schema: org.apache.spark.sql.types.StructType, overwrite: Boolean,
-      pcols: Seq[String]): Unit = {
+      pcols: Seq[String], bucketSpec: Option[(String, Int)] = None): Unit = {
     val prior = if (overwrite) None else currentVersion(fq)
     prior match {
       case Some(v) => // empty append: carry everything forward
@@ -2212,6 +2221,7 @@ class TableCatalog(spark: SparkSession, root: String,
           empty.repartition(1).write.mode(SaveMode.Overwrite)
             .parquet(dir.toString)
           if (pcols.nonEmpty) writePartitions(dir, pcols)
+          bucketSpec.foreach { case (c, n) => writeBucketSpec(dir, c, n) }
         })
     }
   }
@@ -2401,6 +2411,11 @@ class TableCatalog(spark: SparkSession, root: String,
 }
 
 object TableCatalog {
+
+  /** The synthetic bucket-routing column's path name (no leading
+    * underscore: hive listings treat `_`-prefixed paths as hidden).
+    * A layout detail — filtered from every logical schema. */
+  private[graft] val BucketCol = "gbucket"
 
   // ---- sidecar parse cache ------------------------------------------------
   // statsFor/stringStatsFor/bloomEntries re-read and re-parse their

@@ -18,12 +18,19 @@ object GraftBucketFunction extends UnboundFunction {
 
   /** Bucket id of an EXTERNAL (pushed-filter literal) value — the
     * scan's bucket-pruning hash, same bits as `produceResult`. */
-  def bucketIdOf(value: Any, dt: DataType, n: Int): Int = {
+  def bucketIdOf(value: Any, dt: DataType, n: Int): Int =
+    bucketIdInternal(
+      if (value == null) null
+      else org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToCatalyst(value), dt, n)
+
+  /** Bucket id of a Catalyst-INTERNAL value — the executor-side
+    * routing hash the DSv2 partitioned writer uses. */
+  def bucketIdInternal(value: Any, dt: DataType, n: Int): Int = {
     val h =
       if (value == null) 42
       else org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
-        .hash(org.apache.spark.sql.catalyst.CatalystTypeConverters
-          .convertToCatalyst(value), dt, 42L).toInt
+        .hash(value, dt, 42L).toInt
     java.lang.Math.floorMod(h, n)
   }
 

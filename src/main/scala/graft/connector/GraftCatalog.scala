@@ -28,14 +28,15 @@ import graft.catalog.TableCatalog
   * `db.schema.table` layout. Every read/write capability of
   * [[GraftSource]] rides along unchanged (file skipping, DV masking,
   * aggregate pushdown, runtime filtering, staged commits) because
-  * `loadTable` returns the same [[GraftTable]]. CREATE TABLE is lazy —
-  * the first committed write materializes v0 (the CTAS/INSERT flow);
-  * a bare CREATE with no subsequent write leaves nothing to read,
-  * which is also the reference pipeline's create-on-first-write
-  * semantics. */
+  * `loadTable` returns the same [[GraftTable]]. CTAS/RTAS stage
+  * (`StagingTableCatalog`) and their DATA write commits v0 in one
+  * commit — time travel to v0 reads the CTAS snapshot; a bare
+  * CREATE TABLE commits a schema-only empty v0 so a later INSERT
+  * INTO resolves the table. */
 class GraftCatalog extends V2TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -84,7 +85,8 @@ class GraftCatalog extends V2TableCatalog
       throw new NoSuchTableException(fq.split('.').toSeq))
     val pcols = cat.partitionColumnsAt(fq, v)
     val bucketSpec =
-      if (pcols == Seq(cat.BucketCol)) cat.bucketSpecAt(fq, v) else None
+      if (pcols.lastOption.contains(cat.BucketCol)) cat.bucketSpecAt(fq, v)
+      else None
     val opts = base ++
       version.map(x => "version" -> x.toString) ++
       (if (pcols.nonEmpty) Some("partitions" -> pcols.mkString(","))
@@ -157,23 +159,103 @@ class GraftCatalog extends V2TableCatalog
     tableFor(fq, Some(candidates.map(_._1).max))
   }
 
+  /** Resolve DDL transforms into the catalog layout: identity
+    * partitioning → hive layout; `PARTITIONED BY (…, bucket(n, col))`
+    * → bucketed layout (Iceberg's DDL shape), the bucket transform
+    * always routing last. Returns (identity cols, bucket spec). */
+  private def resolveLayout(schema: StructType, partitions: Array[Transform])
+      : (Seq[String], Option[(String, Int)]) = {
+    val (bucketTs, identTs) = partitions.toSeq.partition(_.name == "bucket")
+    require(bucketTs.length <= 1,
+      s"graft SQL catalog supports at most one bucket transform, got " +
+        bucketTs.mkString(", "))
+    val pcols = identTs.map { t =>
+      require(t.name == "identity" && t.references.length == 1,
+        s"graft SQL catalog supports identity and bucket partitioning " +
+          s"only, got $t")
+      t.references.head.fieldNames.mkString(".")
+    }
+    val bucketSpec = bucketTs.headOption.map { t =>
+      val n = t.arguments.collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value.toString.toInt
+      }.getOrElse(throw new IllegalArgumentException(
+        s"bucket transform missing numBuckets literal: $t"))
+      require(t.references.length == 1,
+        s"bucket transform takes one column, got $t")
+      val c = t.references.head.fieldNames.mkString(".")
+      require(schema.fieldNames.contains(c),
+        s"bucket column $c not in schema ${schema.fieldNames.mkString(",")}")
+      require(!pcols.contains(c),
+        s"bucket column $c cannot also be an identity partition")
+      (c, n)
+    }
+    (pcols, bucketSpec)
+  }
+
+  private def createOptions(fq: String, pcols: Seq[String],
+      bucketSpec: Option[(String, Int)]): Map[String, String] = {
+    val layout = pcols ++ bucketSpec.map(_ => cat.BucketCol)
+    Map("root" -> root, "table" -> fq) ++
+      (if (layout.nonEmpty) Some("partitions" -> layout.mkString(","))
+       else None) ++
+      bucketSpec.map { case (c, n) => "bucketSpec" -> s"$c,$n" }
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val fq = fqOf(ident)
     if (cat.exists(fq))
       throw new TableAlreadyExistsException(
         (ident.namespace() :+ ident.name()).toSeq)
-    // identity partitioning → hive layout on the first committed write
-    val pcols = partitions.toSeq.map { t =>
-      require(t.name == "identity" && t.references.length == 1,
-        s"graft SQL catalog supports identity partitioning only, got $t")
-      t.references.head.fieldNames.mkString(".")
-    }
-    // lazy create: the first committed write materializes v0 (CTAS /
-    // INSERT flow) — matches the engine's create-on-first-write model
-    new GraftTable(schema, Map("root" -> root, "table" -> fq) ++
-      (if (pcols.nonEmpty) Some("partitions" -> pcols.mkString(","))
-       else None))
+    val (pcols, bucketSpec) = resolveLayout(schema, partitions)
+    // durable create: a schema-only v0 commits immediately so a later
+    // INSERT INTO resolves the table without any prior write. CTAS
+    // does NOT come through here — it stages (stageCreate) and its
+    // data write commits v0 directly, Delta's single-commit shape.
+    cat.commitEmptyVersion(fq, schema, overwrite = true,
+      pcols ++ bucketSpec.map(_ => cat.BucketCol), bucketSpec)
+    tableFor(fq, None)
+  }
+
+  // ---- StagingTableCatalog: single-commit CTAS / RTAS -------------------
+  // CREATE TABLE AS SELECT stages the table and the DATA write commits
+  // v0 (time travel to v0 reads the CTAS snapshot, not an empty
+  // marker); REPLACE TABLE AS SELECT overwrites in one commit. Nothing
+  // is materialized until the write commits — an aborted CTAS leaves
+  // no table behind.
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val fq = fqOf(ident)
+    if (cat.exists(fq))
+      throw new TableAlreadyExistsException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    val (pcols, bucketSpec) = resolveLayout(schema, partitions)
+    new StagedGraftTable(schema, createOptions(fq, pcols, bucketSpec),
+      replace = false, onAbort = () => if (cat.exists(fq)) cat.drop(fq))
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val fq = fqOf(ident)
+    if (!cat.exists(fq))
+      throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
+    val (pcols, bucketSpec) = resolveLayout(schema, partitions)
+    new StagedGraftTable(schema, createOptions(fq, pcols, bucketSpec),
+      replace = true, onAbort = () => ())
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val fq = fqOf(ident)
+    val existed = cat.exists(fq)
+    val (pcols, bucketSpec) = resolveLayout(schema, partitions)
+    new StagedGraftTable(schema, createOptions(fq, pcols, bucketSpec),
+      replace = true,
+      onAbort = () => if (!existed && cat.exists(fq)) cat.drop(fq))
   }
 
   /** SQL schema evolution: `ALTER TABLE t ADD COLUMNS (c TYPE, …)` —
@@ -357,4 +439,26 @@ class GraftCatalog extends V2TableCatalog
       }
     }
   }
+}
+
+/** CTAS/RTAS staged table: the DATA write itself commits the table
+  * version (v0 for create, an overwrite commit for replace), so
+  * `commitStagedChanges` is a no-op and `abortStagedChanges` drops an
+  * orphaned create — time travel to v0 reads the CTAS snapshot, and a
+  * failed CTAS leaves nothing behind. */
+class StagedGraftTable(schema: org.apache.spark.sql.types.StructType,
+    options: Map[String, String], replace: Boolean, onAbort: () => Unit)
+    extends GraftTable(schema, options)
+    with org.apache.spark.sql.connector.catalog.StagedTable {
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val b = super.newWriteBuilder(info)
+    if (replace)
+      b.asInstanceOf[org.apache.spark.sql.connector.write.SupportsTruncate]
+        .truncate()
+    else b
+  }
+  override def commitStagedChanges(): Unit = ()
+  override def abortStagedChanges(): Unit = onAbort()
 }

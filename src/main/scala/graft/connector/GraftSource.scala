@@ -189,30 +189,43 @@ class GraftTable(schema: StructType, options: Map[String, String])
       maxBytesPerTrigger = opt("maxBytesPerTrigger").map(_.toLong))
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    require(opt("bucketSpec").isEmpty,
-      s"${name()} is bucketed — write through " +
-        "TableCatalog.appendBucketed/overwriteBucketed (bucket routing " +
-        "is a catalog-side transform)")
+    // bucketed layouts: the writer routes each row to its bucket dir
+    // executor-side (same murmur3 as the catalog writer and the V2
+    // `bucket` function) — identity partitions path-encode, the
+    // synthetic routing column never enters the logical schema
+    val bucketSpec = opt("bucketSpec").map { s =>
+      val Array(c, n) = s.split(','): @unchecked
+      (c, n.toInt)
+    }
     new GraftWriteBuilder(opt("root").get, opt("table").get, info.schema(),
       tableSchema = schema, queryId = info.queryId(),
       partitionCols = opt("partitions")
-        .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty),
+        .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+        .filterNot(_ == graft.catalog.TableCatalog.BucketCol),
       targetFileBytes = opt("targetFileSize")
         .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
-        .getOrElse(128L << 20))
+        .getOrElse(128L << 20),
+      bucketSpec = bucketSpec)
   }
 
-  override def partitioning(): Array[Transform] =
-    opt("bucketSpec").map { s =>
-      val Array(c, n) = s.split(','): @unchecked
-      Array(org.apache.spark.sql.connector.expressions.Expressions
-        .bucket(n.toInt, c): Transform)
-    }.getOrElse {
-      opt("partitions").map(_.split(',').toSeq.filter(_.nonEmpty))
-        .getOrElse(Seq.empty)
-        .map(c => org.apache.spark.sql.connector.expressions.Expressions
+  override def partitioning(): Array[Transform] = {
+    val pcols = opt("partitions").map(_.split(',').toSeq.filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+    opt("bucketSpec") match {
+      case Some(s) =>
+        // the synthetic routing column renders as the bucket TRANSFORM
+        // (always last in the layout); identity partitions lead
+        val Array(c, n) = s.split(','): @unchecked
+        (pcols.filterNot(_ == graft.catalog.TableCatalog.BucketCol)
+          .map(p => org.apache.spark.sql.connector.expressions.Expressions
+            .identity(p): Transform) :+
+          (org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(n.toInt, c): Transform)).toArray
+      case None =>
+        pcols.map(c => org.apache.spark.sql.connector.expressions.Expressions
           .identity(c): Transform).toArray
     }
+  }
 }
 
 class GraftScanBuilder(tableSchema: StructType, root: String, fq: String,
@@ -492,17 +505,22 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
         val pcols = c.partitionColumnsAt(fq, v)
         // bucket(n, col) layout: the key is the synthetic bucket id
         // (int), reported as a bucket TRANSFORM the SQL catalog's V2
-        // `bucket` function resolves — SPJ at any key cardinality
+        // `bucket` function resolves — SPJ at any key cardinality.
+        // Composite layouts (identity partitions + bucket) key on
+        // (identity values…, bucket id) in layout order.
         val bucketSpec =
-          if (pcols == Seq(c.BucketCol))
+          if (pcols.lastOption.contains(c.BucketCol))
             c.bucketSpecAt(fq, v)
               .filter { case (bc, _) => tableSchema.fieldNames.contains(bc) }
           else None
         val types: Seq[Option[org.apache.spark.sql.types.DataType]] =
-          if (bucketSpec.isDefined)
-            Seq(Some(org.apache.spark.sql.types.IntegerType))
-          else pcols.map(pc =>
-            tableSchema.fields.find(_.name == pc).map(_.dataType))
+          pcols.map { pc =>
+            if (pc == c.BucketCol)
+              if (bucketSpec.isDefined)
+                Some(org.apache.spark.sql.types.IntegerType)
+              else None // bucket layout with an unresolvable spec: no SPJ
+            else tableSchema.fields.find(_.name == pc).map(_.dataType)
+          }
         val surv = surviving(c, v)
         val fullyEncoded = surv.nonEmpty && surv.forall { case (_, pvs) =>
           val m = pvs.toMap; pcols.forall(m.contains)
@@ -547,14 +565,16 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
                   GraftKeyedPartition(p.slices, keyRow): InputPartition
                 }
             }
-          val transforms: Array[Expression] = bucketSpec match {
-            case Some((bc, n)) =>
-              Array(org.apache.spark.sql.connector.expressions
-                .Expressions.bucket(n, bc): Expression)
-            case None =>
-              pcols.map(pc => org.apache.spark.sql.connector.expressions
-                .Expressions.identity(pc): Expression).toArray
-          }
+          val transforms: Array[Expression] = pcols.map { pc =>
+            bucketSpec match {
+              case Some((bc, n)) if pc == c.BucketCol =>
+                org.apache.spark.sql.connector.expressions
+                  .Expressions.bucket(n, bc): Expression
+              case _ =>
+                org.apache.spark.sql.connector.expressions
+                  .Expressions.identity(pc): Expression
+            }
+          }.toArray
           Some((transforms, parts.toArray))
         }
       }
@@ -604,10 +624,19 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
     * (join-pushed) filters (missing sidecar ⇒ keep — advisory). */
   private def surviving(c: TableCatalog, v: Int)
       : Seq[(String, Seq[(String, Option[String])])] = {
-    val all: Seq[(String, Seq[(String, Option[String])])] =
+    val all0: Seq[(String, Seq[(String, Option[String])])] =
       if (c.isPartitionedAt(fq, v)) c.filePartitionValuesAt(fq, v)
       else c.dataFilePathsAt(fq, v)
         .map(_ -> Seq.empty[(String, Option[String])])
+    // KNOWN-zero-row files (truncate / CREATE schema markers, empty
+    // commits) plan no task — and, sitting at the version ROOT with no
+    // partition path, would otherwise poison the fully-encoded check
+    // that gates storage-partitioned joins on the whole scan
+    val zstats = c.statsByPath(fq, v)
+    val all = all0.filter { case (p, _) =>
+      !zstats.get(new Path(p).toUri.getPath)
+        .flatMap(_.get("__rows")).map(_._1.toLong).contains(0L)
+    }
     val active = (skipFilters ++ runtimeFilters).toSeq
     val afterPart =
       if (active.isEmpty) all
@@ -623,7 +652,7 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
     val afterBucket = {
       val spec =
         if (afterPart.nonEmpty && c.isPartitionedAt(fq, v) &&
-            c.partitionColumnsAt(fq, v) == Seq(c.BucketCol))
+            c.partitionColumnsAt(fq, v).lastOption.contains(c.BucketCol))
           c.bucketSpecAt(fq, v)
         else None
       spec.flatMap { case (bc, n) =>

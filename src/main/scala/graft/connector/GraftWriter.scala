@@ -137,7 +137,8 @@ object GraftWriteSchema {
 class GraftWriteBuilder(root: String, fq: String, schema: StructType,
     tableSchema: StructType, queryId: String = "",
     partitionCols: Seq[String] = Seq.empty,
-    targetFileBytes: Long = 128L << 20)
+    targetFileBytes: Long = 128L << 20,
+    bucketSpec: Option[(String, Int)] = None)
     extends WriteBuilder with SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var overwrite = false
@@ -191,27 +192,33 @@ class GraftWriteBuilder(root: String, fq: String, schema: StructType,
     new Write with RequiresDistributionAndOrdering {
       // cluster incoming rows by partition value so each partition
       // directory receives ~one file per occupied task, not one per
-      // (task × partition) — the dynamic-partition-write shuffle
+      // (task × partition) — the dynamic-partition-write shuffle.
+      // Bucketed layouts cluster by the bucket SOURCE column's
+      // identity (finer than the bucket id, so every row of one key
+      // still lands in one task; no V2-function resolution needed on
+      // the write side — a task holds at most numBuckets open writers)
       override def requiredDistribution()
-          : org.apache.spark.sql.connector.distributions.Distribution =
-        if (partitionCols.isEmpty)
+          : org.apache.spark.sql.connector.distributions.Distribution = {
+        val cluster = partitionCols ++ bucketSpec.map(_._1)
+        if (cluster.isEmpty)
           org.apache.spark.sql.connector.distributions.Distributions.unspecified()
         else org.apache.spark.sql.connector.distributions.Distributions.clustered(
-          partitionCols.toArray.map(c =>
+          cluster.toArray.map(c =>
             org.apache.spark.sql.connector.expressions.Expressions.identity(c)
               : org.apache.spark.sql.connector.expressions.Expression))
+      }
       override def requiredOrdering()
           : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
         Array.empty
       override def toBatch: BatchWrite =
         new GraftBatchWrite(root, fq, schema, overwrite, replaceWhere,
-          partitionCols, targetFileBytes)
+          partitionCols, targetFileBytes, bucketSpec)
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
         require(!overwrite,
           "graft streaming sink supports OutputMode.Append only")
         new GraftStreamingWrite(root, fq, schema, queryId, targetFileBytes,
-          partitionCols)
+          partitionCols, bucketSpec)
       }
     }
   }
@@ -228,27 +235,29 @@ class GraftWriteBuilder(root: String, fq: String, schema: StructType,
   * them into the partitioned chain. */
 class GraftStreamingWrite(root: String, fq: String, schema: StructType,
     queryId: String, targetFileBytes: Long = 128L << 20,
-    partitionCols: Seq[String] = Seq.empty)
+    partitionCols: Seq[String] = Seq.empty,
+    bucketSpec: Option[(String, Int)] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   private val stagingBase = s"$root/_staging/stream-$queryId"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new GraftStreamingWriterFactory(stagingBase, schema,
-      GraftSource.shippedConf(), targetFileBytes, partitionCols)
+      GraftSource.shippedConf(), targetFileBytes, partitionCols, bucketSpec)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val cat = new TableCatalog(spark, root)
     val tag = s"$queryId:$epochId"
-    if (partitionCols.nonEmpty) {
+    if (partitionCols.nonEmpty || bucketSpec.nonEmpty) {
+      val layout = partitionCols ++ bucketSpec.map(_ => TableCatalog.BucketCol)
       val staged = messages.toSeq.collect {
         case GraftPartitionedCommitMessage(files) =>
           files.map { case (p, rel) => (new Path(p), rel) }
       }.flatten
       if (staged.nonEmpty && !cat.committedEpochs(fq).contains(tag))
-        cat.commitStagedPartitioned(fq, staged, partitionCols,
-          overwrite = false, epochTag = Some(tag))
+        cat.commitStagedPartitioned(fq, staged, layout,
+          overwrite = false, epochTag = Some(tag), bucketSpec = bucketSpec)
     } else {
       val staged = messages.toSeq.collect {
         case GraftCommitMessage(paths) => paths.map(new Path(_))
@@ -274,47 +283,52 @@ class GraftStreamingWrite(root: String, fq: String, schema: StructType,
 class GraftStreamingWriterFactory(stagingBase: String, schema: StructType,
     shipped: graft.util.SerializableHadoopConf = null,
     targetFileBytes: Long = 128L << 20,
-    partitionCols: Seq[String] = Seq.empty)
+    partitionCols: Seq[String] = Seq.empty,
+    bucketSpec: Option[(String, Int)] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    if (partitionCols.isEmpty)
+    if (partitionCols.isEmpty && bucketSpec.isEmpty)
       new GraftDataWriter(s"$stagingBase/$epochId", schema, partitionId,
         taskId, shipped, targetFileBytes)
     else new GraftPartitionedDataWriter(s"$stagingBase/$epochId", schema,
-      partitionCols, partitionId, taskId, shipped, targetFileBytes)
+      partitionCols, partitionId, taskId, shipped, targetFileBytes, bucketSpec)
 }
 
 class GraftBatchWrite(root: String, fq: String, schema: StructType,
     overwrite: Boolean,
     replaceWhere: Option[org.apache.spark.sql.Column] = None,
     partitionCols: Seq[String] = Seq.empty,
-    targetFileBytes: Long = 128L << 20)
+    targetFileBytes: Long = 128L << 20,
+    bucketSpec: Option[(String, Int)] = None)
     extends BatchWrite {
   private val stagingDir = s"$root/_staging/${UUID.randomUUID()}"
+  private def layoutCols =
+    partitionCols ++ bucketSpec.map(_ => TableCatalog.BucketCol)
 
   // REPLACE WHERE on a partitioned table stages FLAT: the replacement
   // files land inline in the version dir (partition column as
   // payload), exactly like row-level-op inserts — compaction
   // re-partitions them later
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    if (partitionCols.isEmpty || replaceWhere.nonEmpty)
+    if ((partitionCols.isEmpty && bucketSpec.isEmpty) || replaceWhere.nonEmpty)
       new GraftDataWriterFactory(stagingDir, schema, GraftSource.shippedConf(),
         targetFileBytes)
     else new GraftPartitionedWriterFactory(stagingDir, schema, partitionCols,
-      GraftSource.shippedConf(), targetFileBytes)
+      GraftSource.shippedConf(), targetFileBytes, bucketSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val cat = new TableCatalog(spark, root)
-    if (partitionCols.nonEmpty && replaceWhere.isEmpty) {
+    if ((partitionCols.nonEmpty || bucketSpec.nonEmpty) && replaceWhere.isEmpty) {
       val staged = messages.collect {
         case GraftPartitionedCommitMessage(files) =>
           files.map { case (p, rel) => (new Path(p), rel) }
       }.toSeq.flatten
       if (staged.isEmpty) // empty input still COMMITS a version
-        cat.commitEmptyVersion(fq, schema, overwrite, partitionCols)
-      else cat.commitStagedPartitioned(fq, staged, partitionCols, overwrite)
+        cat.commitEmptyVersion(fq, schema, overwrite, layoutCols, bucketSpec)
+      else cat.commitStagedPartitioned(fq, staged, layoutCols, overwrite,
+        bucketSpec = bucketSpec)
       cleanup()
       return
     }
@@ -360,11 +374,12 @@ case class GraftPartitionedCommitMessage(files: Seq[(String, String)])
 class GraftPartitionedWriterFactory(stagingDir: String, schema: StructType,
     partitionCols: Seq[String],
     shipped: graft.util.SerializableHadoopConf = null,
-    targetFileBytes: Long = 128L << 20)
+    targetFileBytes: Long = 128L << 20,
+    bucketSpec: Option[(String, Int)] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftPartitionedDataWriter(stagingDir, schema, partitionCols,
-      partitionId, taskId, shipped, targetFileBytes)
+      partitionId, taskId, shipped, targetFileBytes, bucketSpec)
 }
 
 /** Routes each row to a per-partition-value staged file in hive
@@ -376,13 +391,19 @@ class GraftPartitionedWriterFactory(stagingDir: String, schema: StructType,
 class GraftPartitionedDataWriter(stagingDir: String, schema: StructType,
     partitionCols: Seq[String], partitionId: Int, taskId: Long,
     shipped: graft.util.SerializableHadoopConf = null,
-    targetFileBytes: Long = 128L << 20)
+    targetFileBytes: Long = 128L << 20,
+    bucketSpec: Option[(String, Int)] = None)
     extends DataWriter[InternalRow] {
   import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 
   private val pIdx = partitionCols.map(schema.fieldIndex)
   private val pFields = pIdx.map(schema(_))
+  // the bucket SOURCE column stays in the payload (it is a logical
+  // column); only its derived bucket id path-encodes
+  private val bucketAt = bucketSpec.map { case (c, n) =>
+    val i = schema.fieldIndex(c); (i, schema(i).dataType, n)
+  }
   private val dataIdx = schema.fields.indices
     .filterNot(i => pIdx.contains(i)).toArray
   private val dataSchema = StructType(dataIdx.map(schema(_)))
@@ -416,9 +437,16 @@ class GraftPartitionedDataWriter(stagingDir: String, schema: StructType,
   }
 
   override def write(row: InternalRow): Unit = {
-    val rel = pIdx.zip(pFields).map { case (i, f) =>
+    val segs = pIdx.zip(pFields).map { case (i, f) =>
       s"${ExternalCatalogUtils.escapePathName(f.name)}=${render(row, i, f)}"
-    }.mkString("/")
+    } ++ bucketAt.map { case (i, dt, n) =>
+      // executor-side routing, BIT-FOR-BIT the catalog writer's
+      // pmod(hash(col), n) — see GraftBucketFunction
+      val id = GraftBucketFunction.bucketIdInternal(
+        if (row.isNullAt(i)) null else row.get(i, dt), dt, n)
+      s"${TableCatalog.BucketCol}=$id"
+    }
+    val rel = segs.mkString("/")
     val w = writers.getOrElseUpdate(rel,
       new GraftDataWriter(s"$stagingDir/$rel", dataSchema, partitionId,
         taskId, shipped, targetFileBytes))

@@ -512,6 +512,111 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("SQL DDL: CREATE TABLE PARTITIONED BY (bucket(n, k)) routes DSv2 writes") {
+    val root = tempDir("r8_sqlbucket")
+    val cat = new TableCatalog(spark, root)
+    spark.conf.set("spark.sql.catalog.gc_sqlb", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gc_sqlb.root", root)
+    spark.sql(
+      """CREATE TABLE gc_sqlb.d.s.sb (k BIGINT, x DOUBLE)
+         PARTITIONED BY (bucket(4, k))""")
+    (1L to 400L).map(i => (i, i * 1.0)).toDF("k", "x")
+      .createOrReplaceTempView("sb_src")
+    spark.sql("INSERT INTO gc_sqlb.d.s.sb SELECT * FROM sb_src")
+    // rows landed in hive bucket dirs, routed by the SAME hash as the
+    // catalog writer; the key column stays in the payload (the only
+    // non-bucketed file is CREATE's zero-row schema marker at v0)
+    val files = cat.dataFilePaths("d.s.sb")
+    assert(files.count(_.contains("/gbucket=")) == 4)
+    val back = spark.sql("SELECT * FROM gc_sqlb.d.s.sb")
+    assert(back.count() == 400)
+    assert(!back.columns.contains("gbucket"))
+    // a second INSERT appends into the same layout
+    spark.sql("INSERT INTO gc_sqlb.d.s.sb VALUES (401, 1.0), (402, 2.0)")
+    assert(spark.sql("SELECT count(*) AS n FROM gc_sqlb.d.s.sb")
+      .head().getLong(0) == 402)
+    // SQL-written buckets co-locate with CATALOG-written buckets: the
+    // routing hashes are bit-for-bit identical, so SPJ composes
+    cat.overwriteBucketed("d.s.sbdim",
+      (1L to 400L by 4).map(i => (i, s"d_$i")).toDF("dk", "dname"), "dk", 4)
+    withConf("spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.graft.preserveDataGrouping" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(
+        "SELECT k, x, dname FROM gc_sqlb.d.s.sb JOIN gc_sqlb.d.s.sbdim ON k = dk")
+      assert(j.collect().length == 100)
+      assert(graft.connector.GraftPlanInspect.joinExchangeFree(j),
+        "SQL-written and catalog-written buckets must co-locate:\n" +
+          j.queryExecution.executedPlan.toString)
+    }
+    // composite DDL via CTAS: identity + bucket in one layout
+    spark.sql(
+      """CREATE TABLE gc_sqlb.d.s.sbc
+         PARTITIONED BY (day, bucket(2, k))
+         AS SELECT CAST(k % 3 AS INT) AS day, k, x FROM sb_src""")
+    val cfiles = cat.dataFilePaths("d.s.sbc")
+      .filterNot(_.matches(".*/v_\\d{6}/[^/]+$")) // CREATE's v0 marker
+    assert(cfiles.nonEmpty &&
+      cfiles.forall(p => p.contains("/day=") && p.contains("/gbucket=")))
+    assert(spark.sql("SELECT count(*) AS n FROM gc_sqlb.d.s.sbc")
+      .head().getLong(0) == 400)
+    // bucket pruning engages on the SQL-written layout too
+    val point = spark.sql("SELECT * FROM gc_sqlb.d.s.sb WHERE k = 7")
+    point.collect()
+    assert(graft.connector.GraftPlanInspect.scanPartitionsOf(point)
+      < cat.dataFilePaths("d.s.sb").size)
+  }
+
+  test("composite layout: identity partitions + bucket transform (date + key)") {
+    val root = tempDir("r8_composite")
+    val cat = new TableCatalog(spark, root)
+    // the canonical 100 TB fact layout: PARTITIONED BY (day, bucket(4, k))
+    val fact = (1L to 1200L)
+      .map(i => (s"2024-0${(i % 3) + 1}", i, i * 1.0)).toDF("day", "k", "x")
+    val dim = (1L to 1200L by 6)
+      .map(i => (s"2024-0${(i % 3) + 1}", i, s"d_$i")).toDF("day", "dk", "dname")
+    cat.overwriteBucketed("d.s.cf", fact, "k", 4, partitionCols = Seq("day"))
+    cat.overwriteBucketed("d.s.cd", dim.withColumnRenamed("day", "dday"),
+      "dk", 4, partitionCols = Seq("dday"))
+    val files = cat.dataFilePaths("d.s.cf")
+    assert(files.forall(p => p.contains("/day=") && p.contains("/gbucket=")),
+      "both layout levels must encode in the path")
+    assert(!cat.read("d.s.cf").columns.contains("gbucket"))
+    spark.conf.set("spark.sql.catalog.gc_comp", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gc_comp.root", root)
+    withConf("spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.graft.preserveDataGrouping" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // join on BOTH layout levels: zero exchange on either side
+      val j = spark.sql(
+        """SELECT day, k, x, dname FROM gc_comp.d.s.cf JOIN gc_comp.d.s.cd
+           ON day = dday AND k = dk""")
+      assert(j.collect().length == 200)
+      assert(graft.connector.GraftPlanInspect.joinExchangeFree(j),
+        "composite-co-partitioned join must plan without exchange:\n" +
+          j.queryExecution.executedPlan.toString)
+    }
+    // pruning composes: identity partition first, then the bucket dir
+    val dayOnly = cat.read("d.s.cf").filter(col("day") === "2024-02")
+    dayOnly.collect()
+    val dayScan = graft.connector.GraftPlanInspect.scanPartitionsOf(dayOnly)
+    assert(dayScan < files.size, "day filter must prune partitions")
+    val point = cat.read("d.s.cf")
+      .filter(col("day") === "2024-02" && col("k") === 7L)
+    point.collect()
+    assert(graft.connector.GraftPlanInspect.scanPartitionsOf(point) < dayScan,
+      "key filter must prune to one bucket within the day partition")
+    // lifecycle: MoR delete + compaction keep BOTH layout levels
+    cat.deleteWhereDV("d.s.cf", col("k") % 400 === 0)
+    cat.compact("d.s.cf")
+    assert(cat.dataFilePaths("d.s.cf")
+      .forall(p => p.contains("/day=") && p.contains("/gbucket=")))
+    assert(cat.read("d.s.cf").count() == 1197)
+    cat.appendBucketed("d.s.cf",
+      Seq(("2024-02", 5000L, 1.0)).toDF("day", "k", "x"))
+    assert(cat.read("d.s.cf").count() == 1198)
+  }
+
   test("bucketed layout survives COW update, merge, MoR delete, compact, truncate") {
     val root = tempDir("r8_bucket_life")
     val cat = new TableCatalog(spark, root)
