@@ -2218,8 +2218,14 @@ class TableCatalog(spark: SparkSession, root: String,
         val empty = spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
         commitVersion(fq, dir => {
+          // bucketed layouts: the marker lands INSIDE a bucket dir so
+          // every chain scan sees the same column set (the routing
+          // column is path-typed on data files; a rootless marker
+          // would union 4-vs-5 columns in the partitioned read)
+          val target = bucketSpec
+            .map(_ => new Path(dir, s"$BucketCol=0")).getOrElse(dir)
           empty.repartition(1).write.mode(SaveMode.Overwrite)
-            .parquet(dir.toString)
+            .parquet(target.toString)
           if (pcols.nonEmpty) writePartitions(dir, pcols)
           bucketSpec.foreach { case (c, n) => writeBucketSpec(dir, c, n) }
         })

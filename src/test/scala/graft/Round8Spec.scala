@@ -512,6 +512,48 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("one-sided shuffle SPJ: unbucketed side shuffles INTO the bucket layout") {
+    val root = tempDir("r8_oneside")
+    val cat = new TableCatalog(spark, root)
+    cat.overwriteBucketed("d.s.osf",
+      (1L to 2000L).map(i => (i, i * 1.5)).toDF("k", "x"), "k", 8)
+    spark.conf.set("spark.sql.catalog.gc_os", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gc_os.root", root)
+    // the dim side is a PLAIN relation (no graft layout at all)
+    (1L to 2000L by 4).map(i => (i, s"d_$i")).toDF("dk", "dname")
+      .createOrReplaceTempView("os_dim")
+    withConf("spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.graft.preserveDataGrouping" -> "true",
+        "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(
+        "SELECT k, x, dname FROM gc_os.d.s.osf JOIN os_dim ON k = dk")
+      assert(j.collect().length == 500)
+      // the FACT side must scan in place (no exchange above its scan);
+      // the dim side shuffles into the bucket function's partitioning
+      val plan = j.queryExecution.executedPlan.toString
+      val factShuffled = {
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+        import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        def hasScanUnderShuffle(p: org.apache.spark.sql.execution.SparkPlan,
+            underShuffle: Boolean): Boolean = p match {
+          case _: BatchScanExec => underShuffle
+          case s: ShuffleExchangeLike =>
+            s.children.exists(hasScanUnderShuffle(_, underShuffle = true))
+          case other =>
+            other.children.exists(hasScanUnderShuffle(_, underShuffle)) ||
+              (other.subqueries ++ other.innerChildren.collect {
+                case sp: org.apache.spark.sql.execution.SparkPlan => sp
+              }).exists(hasScanUnderShuffle(_, underShuffle))
+        }
+        hasScanUnderShuffle(
+          j.queryExecution.executedPlan, underShuffle = false)
+      }
+      assert(!factShuffled,
+        s"bucketed fact side must not shuffle under one-sided SPJ:\n$plan")
+    }
+  }
+
   test("SQL DDL: CREATE TABLE PARTITIONED BY (bucket(n, k)) routes DSv2 writes") {
     val root = tempDir("r8_sqlbucket")
     val cat = new TableCatalog(spark, root)
@@ -524,10 +566,10 @@ class Round8Spec extends SparkTestBase {
       .createOrReplaceTempView("sb_src")
     spark.sql("INSERT INTO gc_sqlb.d.s.sb SELECT * FROM sb_src")
     // rows landed in hive bucket dirs, routed by the SAME hash as the
-    // catalog writer; the key column stays in the payload (the only
-    // non-bucketed file is CREATE's zero-row schema marker at v0)
+    // catalog writer; the key column stays in the payload (CREATE's
+    // zero-row schema marker also sits inside a bucket dir)
     val files = cat.dataFilePaths("d.s.sb")
-    assert(files.count(_.contains("/gbucket=")) == 4)
+    assert(files.nonEmpty && files.forall(_.contains("/gbucket=")))
     val back = spark.sql("SELECT * FROM gc_sqlb.d.s.sb")
     assert(back.count() == 400)
     assert(!back.columns.contains("gbucket"))
@@ -565,6 +607,22 @@ class Round8Spec extends SparkTestBase {
     point.collect()
     assert(graft.connector.GraftPlanInspect.scanPartitionsOf(point)
       < cat.dataFilePaths("d.s.sb").size)
+    // SQL DML rides the same MoR machinery on bucketed tables:
+    // DELETE masks via DVs, UPDATE's replacement rows land inline and
+    // compaction re-buckets them back into the layout
+    spark.sql("DELETE FROM gc_sqlb.d.s.sb WHERE k = 5")
+    assert(spark.sql("SELECT count(*) AS n FROM gc_sqlb.d.s.sb")
+      .head().getLong(0) == 401)
+    spark.sql("UPDATE gc_sqlb.d.s.sb SET x = -1.0 WHERE k = 6")
+    assert(spark.sql("SELECT x FROM gc_sqlb.d.s.sb WHERE k = 6")
+      .head().getDouble(0) == -1.0)
+    cat.compact("d.s.sb")
+    assert(cat.dataFilePaths("d.s.sb").forall(_.contains("/gbucket=")),
+      "compaction must re-bucket inline-landed SQL UPDATE replacements")
+    assert(spark.sql("SELECT count(*) AS n FROM gc_sqlb.d.s.sb")
+      .head().getLong(0) == 401)
+    assert(spark.sql("SELECT x FROM gc_sqlb.d.s.sb WHERE k = 6")
+      .head().getDouble(0) == -1.0)
   }
 
   test("composite layout: identity partitions + bucket transform (date + key)") {
