@@ -293,15 +293,15 @@ object QueriesRound8 {
     "q260_composite_layout" -> ((s, dir) => {
       val work = graft.Scratch.dir("graft_comp")
       val cat = new graft.catalog.TableCatalog(s, work)
-      val li = table(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_orderkey"), col("l_quantity"))
-      val dm = li.groupBy(col("l_returnflag").as("rflag"),
-          col("l_orderkey").as("rkey"))
+      val o = table(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_custkey"), col("o_totalprice"))
+      val dm = o.groupBy(col("o_orderpriority").as("rprio"),
+          col("o_custkey").as("rkey"))
         .agg(count(lit(1)).cast("long").as("cnt"))
-      cat.overwriteBucketed("D.S.COMPFACT", li, "l_orderkey", 4,
-        partitionCols = Seq("l_returnflag"))
+      cat.overwriteBucketed("D.S.COMPFACT", o, "o_custkey", 4,
+        partitionCols = Seq("o_orderpriority"))
       cat.overwriteBucketed("D.S.COMPDIM", dm, "rkey", 4,
-        partitionCols = Seq("rflag"))
+        partitionCols = Seq("rprio"))
       val cname = "gcomp_" + work.replaceAll("[^A-Za-z0-9]", "").takeRight(12)
       s.conf.set(s"spark.sql.catalog.$cname", "graft.connector.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cname.root", work)
@@ -314,12 +314,12 @@ object QueriesRound8 {
       try {
         def rd(t: String) = s.read.table(s"$cname.D.S.$t")
         val j = rd("COMPFACT").join(rd("COMPDIM"),
-          col("l_returnflag") === col("rflag") &&
-            col("l_orderkey") === col("rkey"))
-        val agg = j.groupBy("l_returnflag")
+          col("o_orderpriority") === col("rprio") &&
+            col("o_custkey") === col("rkey"))
+        val agg = j.groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"),
-            sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
-              .as("sum_qty"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+              .as("sum_price"),
             max("cnt").as("max_cnt"))
         val rows = agg.collect()
         val zeroShuffle = graft.connector.GraftPlanInspect.joinExchangeFree(agg)
@@ -328,9 +328,10 @@ object QueriesRound8 {
           df.collect(); graft.connector.GraftPlanInspect.scanPartitionsOf(df)
         }
         val flagScan = scanned(
-          rd("COMPFACT").filter(col("l_returnflag") === "R"))
+          rd("COMPFACT").filter(col("o_orderpriority") === "1-URGENT"))
         val pointScan = scanned(rd("COMPFACT")
-          .filter(col("l_returnflag") === "R" && col("l_orderkey") === 1L))
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_custkey") === 1L))
         val composedPrune = pointScan < flagScan && flagScan < total
         s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1),
             agg.schema)
@@ -473,17 +474,18 @@ object QueriesRound8 {
          GROUP BY 1""",
 
     "q260_composite_layout" ->
-      """SELECT l_returnflag,
+      """SELECT o_orderpriority,
            count(*) AS n,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
            max(cnt) AS max_cnt,
            TRUE AS zero_shuffle,
            TRUE AS composed_prune
-         FROM lineitem
-         JOIN (SELECT l_returnflag AS rflag, l_orderkey AS rkey,
+         FROM orders
+         JOIN (SELECT o_orderpriority AS rprio, o_custkey AS rkey,
                  count(*) AS cnt
-               FROM lineitem GROUP BY 1, 2) d
-           ON l_returnflag = rflag AND l_orderkey = rkey
+               FROM orders GROUP BY 1, 2) d
+           ON o_orderpriority = rprio AND o_custkey = rkey
          GROUP BY 1""",
 
     "q259_bucketed_join" ->
