@@ -44,22 +44,56 @@ object GraftBucketFunction extends UnboundFunction {
       s"bucket expects (numBuckets, col), got ${inputType.simpleString}")
     require(inputType.fields(0).dataType == IntegerType,
       s"numBuckets must be INT, got ${inputType.fields(0).dataType}")
-    val dt = inputType.fields(1).dataType
-    new ScalarFunction[Integer] {
-      override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
-      override def resultType(): DataType = IntegerType
-      override def name(): String = "bucket"
-      override def canonicalName(): String = s"graft.bucket(${dt.sql})"
-      override def isResultNullable: Boolean = false
-      override def produceResult(input: InternalRow): Integer = {
-        val n = input.getInt(0)
-        // null key: Spark's hash() leaves the seed untouched
-        val h =
-          if (input.isNullAt(1)) 42
-          else org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
-            .hash(input.get(1, dt), dt, 42L).toInt
-        Integer.valueOf(java.lang.Math.floorMod(h, n))
-      }
+    inputType.fields(1).dataType match {
+      // common join-key types carry a MAGIC `invoke` (named PUBLIC
+      // classes — commons' getMatchingAccessibleMethod ignores
+      // methods declared only on non-public/anonymous classes):
+      // Spark compiles it as a codegen'd Invoke instead of boxing
+      // every row through produceResult — the hot path when the
+      // planner shuffles a 100 TB unbucketed side INTO the bucket
+      // layout (one-sided SPJ). Null keys can't reach invoke there
+      // (equi-joins filter isnotnull before the exchange); the
+      // produceResult fallback keeps the writer's null routing.
+      case LongType    => new BucketLong
+      case IntegerType => new BucketInt
+      case StringType  => new BucketString
+      case dt          => new BucketBound(dt) // produceResult only
+    }
+  }
+
+  class BucketLong extends BucketBound(LongType) {
+    def invoke(n: Int, v: Long): Int = java.lang.Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(v, LongType, 42L).toInt, n)
+  }
+  class BucketInt extends BucketBound(IntegerType) {
+    def invoke(n: Int, v: Int): Int = java.lang.Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(v, IntegerType, 42L).toInt, n)
+  }
+  class BucketString extends BucketBound(StringType) {
+    def invoke(n: Int, v: org.apache.spark.unsafe.types.UTF8String): Int =
+      java.lang.Math.floorMod(
+        org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+          .hash(v, StringType, 42L).toInt, n)
+  }
+
+  /** Bound `bucket` for one key type; subclasses add the typed magic
+    * `invoke`. produceResult stays the null-handling fallback. */
+  class BucketBound(dt: DataType) extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = s"graft.bucket(${dt.sql})"
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): Integer = {
+      val n = input.getInt(0)
+      // null key: Spark's hash() leaves the seed untouched
+      val h =
+        if (input.isNullAt(1)) 42
+        else org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+          .hash(input.get(1, dt), dt, 42L).toInt
+      Integer.valueOf(java.lang.Math.floorMod(h, n))
     }
   }
 }

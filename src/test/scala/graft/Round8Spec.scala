@@ -512,6 +512,33 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("RTAS: REPLACE TABLE AS SELECT overwrites in one commit") {
+    val root = tempDir("r8_rtas")
+    spark.conf.set("spark.sql.catalog.gc_rtas", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gc_rtas.root", root)
+    (1L to 50L).map(i => (i, i * 1.0)).toDF("k", "x")
+      .createOrReplaceTempView("rtas_src")
+    spark.sql("CREATE TABLE gc_rtas.d.s.rt AS SELECT * FROM rtas_src")
+    assert(spark.sql("SELECT count(*) AS n FROM gc_rtas.d.s.rt")
+      .head().getLong(0) == 50)
+    spark.sql(
+      "REPLACE TABLE gc_rtas.d.s.rt AS SELECT k, x * 2 AS x FROM rtas_src WHERE k <= 10")
+    assert(spark.sql("SELECT count(*) AS n, CAST(sum(x) AS DOUBLE) AS s " +
+      "FROM gc_rtas.d.s.rt").head().getDouble(1) == (1 to 10).map(_ * 2.0).sum)
+    // the pre-replace snapshot stays time-travelable
+    assert(spark.sql("SELECT count(*) AS n FROM gc_rtas.d.s.rt VERSION AS OF 0")
+      .head().getLong(0) == 50)
+    // CREATE OR REPLACE works whether or not the table exists
+    spark.sql(
+      "CREATE OR REPLACE TABLE gc_rtas.d.s.rt2 AS SELECT * FROM rtas_src")
+    assert(spark.sql("SELECT count(*) AS n FROM gc_rtas.d.s.rt2")
+      .head().getLong(0) == 50)
+    spark.sql(
+      "CREATE OR REPLACE TABLE gc_rtas.d.s.rt2 AS SELECT * FROM rtas_src WHERE k <= 5")
+    assert(spark.sql("SELECT count(*) AS n FROM gc_rtas.d.s.rt2")
+      .head().getLong(0) == 5)
+  }
+
   test("one-sided shuffle SPJ: unbucketed side shuffles INTO the bucket layout") {
     val root = tempDir("r8_oneside")
     val cat = new TableCatalog(spark, root)
