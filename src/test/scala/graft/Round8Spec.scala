@@ -512,6 +512,35 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("bucketed tables: change feed and streaming reads hide the routing column") {
+    val root = tempDir("r8_bktcdf")
+    val cat = new TableCatalog(spark, root)
+    cat.overwriteBucketed("d.s.bc",
+      (1L to 300L).map(i => (i, i * 1.0)).toDF("k", "x"), "k", 4)
+    cat.appendBucketed("d.s.bc", Seq((301L, 9.0)).toDF("k", "x"))
+    cat.deleteWhereDV("d.s.bc", col("k") % 50 === 0)
+    // batch change feed reconstructs the live table, no gbucket leak
+    val cdf = spark.read.format("graft")
+      .option("root", root).option("table", "d.s.bc")
+      .option("readChangeFeed", "true").load()
+    assert(!cdf.columns.contains("gbucket"))
+    val ins = cdf.filter(col("_change_type") === "insert").select("k", "x")
+    val dels = cdf.filter(col("_change_type") === "delete").select("k", "x")
+    val state = ins.exceptAll(dels)
+    assert(state.count() == cat.read("d.s.bc").count())
+    // streaming read over the bucketed chain delivers exactly-once
+    val sink = tempDir("r8_bktcdf_sink")
+    val q = spark.readStream.format("graft")
+      .option("root", root).option("table", "d.s.bc").load()
+      .writeStream.format("parquet")
+      .option("path", s"$sink/out").option("checkpointLocation", s"$sink/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(s"$sink/out")
+    assert(!out.columns.contains("gbucket"))
+    assert(out.count() == cat.read("d.s.bc").count())
+  }
+
   test("RTAS: REPLACE TABLE AS SELECT overwrites in one commit") {
     val root = tempDir("r8_rtas")
     spark.conf.set("spark.sql.catalog.gc_rtas", "graft.connector.GraftCatalog")
