@@ -541,6 +541,34 @@ class Round8Spec extends SparkTestBase {
     assert(out.count() == cat.read("d.s.bc").count())
   }
 
+  test("plain CREATE with composite layout: INSERT, DELETE, chain union") {
+    val root = tempDir("r8_compcreate")
+    val cat = new TableCatalog(spark, root)
+    spark.conf.set("spark.sql.catalog.gc_cc", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gc_cc.root", root)
+    spark.sql(
+      """CREATE TABLE gc_cc.d.s.cc (day INT, k BIGINT, x DOUBLE)
+         PARTITIONED BY (day, bucket(2, k))""")
+    (1L to 200L).map(i => ((i % 3).toInt, i, i * 1.0)).toDF("day", "k", "x")
+      .createOrReplaceTempView("cc_src")
+    spark.sql("INSERT INTO gc_cc.d.s.cc SELECT * FROM cc_src")
+    assert(spark.sql("SELECT count(*) AS n FROM gc_cc.d.s.cc")
+      .head().getLong(0) == 200)
+    // the marker's inline identity column unions with path-encoded
+    // data files in the catalog's internal chain reads (DELETE probes)
+    spark.sql("DELETE FROM gc_cc.d.s.cc WHERE k % 40 = 0")
+    assert(spark.sql("SELECT count(*) AS n FROM gc_cc.d.s.cc")
+      .head().getLong(0) == 195)
+    assert(cat.read("d.s.cc").count() == 195)
+    // both layout levels survive another insert and a compact
+    spark.sql("INSERT INTO gc_cc.d.s.cc VALUES (0, 500, 1.0)")
+    cat.compact("d.s.cc")
+    assert(spark.sql("SELECT count(*) AS n FROM gc_cc.d.s.cc")
+      .head().getLong(0) == 196)
+    assert(cat.dataFilePaths("d.s.cc")
+      .forall(p => p.contains("/day=") && p.contains("/gbucket=")))
+  }
+
   test("RTAS: REPLACE TABLE AS SELECT overwrites in one commit") {
     val root = tempDir("r8_rtas")
     spark.conf.set("spark.sql.catalog.gc_rtas", "graft.connector.GraftCatalog")
