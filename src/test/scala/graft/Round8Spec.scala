@@ -569,6 +569,42 @@ class Round8Spec extends SparkTestBase {
       .forall(p => p.contains("/day=") && p.contains("/gbucket=")))
   }
 
+  test("streaming sink into a bucketed table routes epochs to bucket dirs") {
+    val root = tempDir("r8_bktstream")
+    val cat = new TableCatalog(spark, root)
+    spark.conf.set("spark.sql.catalog.gc_bs", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gc_bs.root", root)
+    spark.sql(
+      """CREATE TABLE gc_bs.d.s.bs (k BIGINT, x DOUBLE)
+         PARTITIONED BY (bucket(4, k))""")
+    // source: a small file-backed stream
+    val srcDir = tempDir("r8_bktstream_src")
+    (1L to 200L).map(i => (i, i * 1.0)).toDF("k", "x")
+      .repartition(2).write.mode("overwrite").parquet(srcDir)
+    val q = spark.readStream
+      .schema("k BIGINT, x DOUBLE").parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", s"$root/_ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("gc_bs.d.s.bs")
+    q.awaitTermination(120000)
+    assert(spark.sql("SELECT count(*) AS n FROM gc_bs.d.s.bs")
+      .head().getLong(0) == 200)
+    // epoch files landed bucketed, same hash as every other writer
+    assert(cat.dataFilePaths("d.s.bs").forall(_.contains("/gbucket=")))
+    withConf("spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.graft.preserveDataGrouping" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      cat.overwriteBucketed("d.s.bsdim",
+        (1L to 200L by 2).map(i => (i, s"d_$i")).toDF("dk", "dname"), "dk", 4)
+      val j = spark.sql(
+        "SELECT k, x, dname FROM gc_bs.d.s.bs JOIN gc_bs.d.s.bsdim ON k = dk")
+      assert(j.collect().length == 100)
+      assert(graft.connector.GraftPlanInspect.joinExchangeFree(j),
+        "stream-written buckets must co-locate with catalog-written ones")
+    }
+  }
+
   test("RTAS: REPLACE TABLE AS SELECT overwrites in one commit") {
     val root = tempDir("r8_rtas")
     spark.conf.set("spark.sql.catalog.gc_rtas", "graft.connector.GraftCatalog")
