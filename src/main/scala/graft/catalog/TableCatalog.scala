@@ -682,17 +682,17 @@ class TableCatalog(spark: SparkSession, root: String,
     // second sweeper renaming OUR fresh claim away and recreating);
     // re-verified immediately before the pointer swap in commitClaimed
     val writerId = java.util.UUID.randomUUID().toString
+    def ownsClaim(): Boolean =
+      try {
+        val in = fs.open(claim)
+        val tag = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+        tag == writerId
+      } catch { case _: java.io.IOException => false }
     try {
       val out = fs.create(claim, true)
       try out.write(writerId.getBytes("UTF-8")) finally out.close()
-      def ownsClaim(): Boolean =
-        try {
-          val in = fs.open(claim)
-          val tag = try new String(
-            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-          finally in.close()
-          tag == writerId
-        } catch { case _: java.io.IOException => false }
       if (!ownsClaim()) throw new java.util.ConcurrentModificationException(
         s"commit claim for $fq v$next stolen by a concurrent sweeper — " +
           "rerun the operation")
@@ -702,7 +702,13 @@ class TableCatalog(spark: SparkSession, root: String,
         if (!ownsClaim()) throw new java.util.ConcurrentModificationException(
           s"commit claim for $fq v$next stolen before pointer swap — " +
             "rerun the operation"))
-    } finally fs.delete(claim, false)
+    } finally {
+      // release ONLY a claim we still own: after a detected steal the
+      // THIEF owns this path — an unconditional delete would re-open
+      // the version slot to a third writer while the thief may already
+      // be past its final verifyOwner check (double commit of v_next)
+      if (ownsClaim()) fs.delete(claim, false)
+    }
   }
 
   /** Commit with Delta-style conflict RESOLUTION for COMMUTING pairs:
@@ -1433,6 +1439,33 @@ class TableCatalog(spark: SparkSession, root: String,
     removed.map(_.getName)
   }
 
+  /** After a maintenance rebase onto `head`, carry the commuting
+    * winners' delta into a rewrite commit that otherwise materializes
+    * snapshot `snapV`: their new data files (or chain dirs), AND any
+    * NEW deletion-vector sidecars. [[commitRebase]]'s validation
+    * guarantees those new DVs address only non-read-set (delta)
+    * files — without carrying them, a delete that raced a compaction
+    * would silently RESURRECT its masked rows in the compacted
+    * version (the data rides along, the mask is dropped). */
+  private def carryRebaseDelta(fq: String, snapV: Int, head: Int,
+      dir: Path, readFiles: Seq[Path], readDvs: Seq[Path],
+      partitioned: Boolean): Unit = if (head != snapV) {
+    if (partitioned || partitionColsOf(fq, head).nonEmpty) {
+      val known = chainDirs(fq, snapV).map(_.toString).toSet
+      val delta = chainDirs(fq, head).filterNot(p => known(p.toString))
+      if (delta.nonEmpty) writeManifest(dir, delta)
+    } else {
+      val known = readFiles.map(p => fs.makeQualified(p).toString).toSet
+      val delta = dataFiles(fq, head)
+        .filterNot(p => known(fs.makeQualified(p).toString))
+      if (delta.nonEmpty) writeManifest(dir, delta)
+    }
+    val knownDvs = readDvs.map(p => fs.makeQualified(p).toString).toSet
+    val newDvs = dvFiles(fq, head)
+      .filterNot(p => knownDvs(fs.makeQualified(p).toString))
+    if (newDvs.nonEmpty) writeDvManifest(dir, newDvs)
+  }
+
   /** OPTIMIZE-style compaction: rewrite the manifest chain's many
     * small files into `ceil(bytes / targetFileBytes)` right-sized
     * files and start a fresh chain. O(delta) appends make ingest
@@ -1458,18 +1491,8 @@ class TableCatalog(spark: SparkSession, root: String,
     // or newly MASKED any of v's files still aborts (not commuting).
     val readFiles = dataFiles(fq, v)
     val readDvs = dvFiles(fq, v)
-    def carryDelta(dir: Path, head: Int): Unit = if (head != v) {
-      if (partitionColsOf(fq, head).nonEmpty || pcols.nonEmpty) {
-        val known = chainDirs(fq, v).map(_.toString).toSet
-        val delta = chainDirs(fq, head).filterNot(p => known(p.toString))
-        if (delta.nonEmpty) writeManifest(dir, delta)
-      } else {
-        val known = readFiles.map(p => fs.makeQualified(p).toString).toSet
-        val delta = dataFiles(fq, head)
-          .filterNot(p => known(fs.makeQualified(p).toString))
-        if (delta.nonEmpty) writeManifest(dir, delta)
-      }
-    }
+    def carryDelta(dir: Path, head: Int): Unit =
+      carryRebaseDelta(fq, v, head, dir, readFiles, readDvs, pcols.nonEmpty)
     if (pcols.nonEmpty) {
       // co-locate rows of each partition before the partitioned write
       // so each partition directory compacts to ~one file. Bucketed
@@ -1564,18 +1587,8 @@ class TableCatalog(spark: SparkSession, root: String,
     // un-clustered until the next cycle) — see commitRebase
     val readFiles = dataFiles(fq, zv)
     val readDvs = dvFiles(fq, zv)
-    def carryDelta(dir: Path, head: Int): Unit = if (head != zv) {
-      if (zpcols.nonEmpty) {
-        val known = chainDirs(fq, zv).map(_.toString).toSet
-        val delta = chainDirs(fq, head).filterNot(p => known(p.toString))
-        if (delta.nonEmpty) writeManifest(dir, delta)
-      } else {
-        val known = readFiles.map(p => fs.makeQualified(p).toString).toSet
-        val delta = dataFiles(fq, head)
-          .filterNot(p => known(fs.makeQualified(p).toString))
-        if (delta.nonEmpty) writeManifest(dir, delta)
-      }
-    }
+    def carryDelta(dir: Path, head: Int): Unit =
+      carryRebaseDelta(fq, zv, head, dir, readFiles, readDvs, zpcols.nonEmpty)
     if (zpcols.nonEmpty)
       commitRebase(fq, zv, readFiles, readDvs, (dir, head) => {
         clustered.write.mode(SaveMode.Overwrite)
@@ -1977,8 +1990,8 @@ class TableCatalog(spark: SparkSession, root: String,
     * 10k-file chain is 10k fewer RPCs per planned query), cached by
     * the version dir's status (data files are immutable; a new commit
     * plans against a new version number). */
-  private[graft] def fileSizesAt(fq: String, v: Int): Map[String, Long] =
-    TableCatalog.cachedValue(fs, versionDir(fq, v), s"sizes:$v") {
+  private[graft] def fileSizesAt(fq: String, v: Int): Map[String, Long] = {
+    def compute: Map[String, Long] = {
       val files = dataFiles(fq, v)
       val wanted = files.map(p => fs.makeQualified(p).toUri.getPath).toSet
       files.groupBy(_.getParent).flatMap { case (dir, _) =>
@@ -1987,7 +2000,13 @@ class TableCatalog(spark: SparkSession, root: String,
           if (wanted(key)) Some(key -> st.getLen) else None
         }
       }
-    }.getOrElse(Map.empty)
+    }
+    // a cache MISS (version dir status probe failed) must still answer
+    // with real sizes: planners treat a missing entry as whole-file,
+    // and an empty map here would degrade every scheduled slice
+    TableCatalog.cachedValue(fs, versionDir(fq, v), s"sizes:$v")(compute)
+      .getOrElse(compute)
+  }
 
   /** Outstanding DV row indexes per addressed file at version v —
     * the connector's mask-planning input. Each immutable DV sidecar

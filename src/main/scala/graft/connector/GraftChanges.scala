@@ -83,8 +83,10 @@ object GraftChanges {
         def consts(t: String) = Seq(
           (ChangeType, Some(t)), (CommitVersion, Some(v.toString)))
         adds.foreach { p =>
+          // missing size ⇒ whole file (a (0,1) range holds no
+          // row-group midpoint and would silently decode nothing)
           out += GraftSlice(p, 0L,
-            math.max(sizes.getOrElse(key(p), 0L), 1L), Array.empty[Long],
+            sizes.getOrElse(key(p), Long.MaxValue), Array.empty[Long],
             partVals.getOrElse(key(p), Seq.empty) ++ consts("insert"))
         }
         if (dvNew.nonEmpty) {
@@ -95,7 +97,7 @@ object GraftChanges {
             .foreach { case (f, pairs) =>
               cur.find(p => key(p) == f).foreach { orig => // live files only
                 out += GraftSlice(orig, 0L,
-                  math.max(sizes.getOrElse(f, 0L), 1L),
+                  sizes.getOrElse(f, Long.MaxValue),
                   pairs.map(_._2).distinct.sorted.toArray,
                   partVals.getOrElse(f, Seq.empty) ++ consts("delete"),
                   keepOnly = true)

@@ -79,10 +79,16 @@ object GraftSlicePlanner {
     val maxSplit = math.min(maxPartitionBytes,
       math.max(openCostInBytes, bytesPerCore))
     val slices: Seq[GraftSlice] = files.flatMap { f =>
+      // bytes <= 0 = size UNKNOWN (a planner metadata miss): schedule
+      // the WHOLE file (range end Long.MaxValue covers every row-group
+      // midpoint) — a (0,1) range would contain no midpoint and
+      // silently decode zero rows
+      val unknown = f.bytes <= 0L
       val splittable = splitAllowed && f.dvRows.isEmpty && !f.keepOnly &&
-        f.bytes > maxSplit
+        !unknown && f.bytes > maxSplit
       if (!splittable)
-        Seq(GraftSlice(f.path, 0L, math.max(f.bytes, 1L), f.dvRows,
+        Seq(GraftSlice(f.path, 0L,
+          if (unknown) Long.MaxValue else f.bytes, f.dvRows,
           f.partValues, f.keepOnly))
       else (0L until f.bytes by maxSplit).map(off =>
         GraftSlice(f.path, off, math.min(maxSplit, f.bytes - off),
@@ -94,7 +100,9 @@ object GraftSlicePlanner {
     val bins = scala.collection.mutable.ArrayBuffer
       .empty[(scala.collection.mutable.ArrayBuffer[GraftSlice], Long)]
     ordered.foreach { s =>
-      val sz = s.length + openCostInBytes
+      val sz = // unknown-size whole-file slices fill a bin alone
+        if (s.length >= Long.MaxValue - openCostInBytes) Long.MaxValue
+        else s.length + openCostInBytes
       bins.indexWhere { case (_, used) =>
         used + sz <= maxSplit + openCostInBytes
       } match {

@@ -550,17 +550,24 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
                   case (raw, dt) => GraftPartitions.castValue(raw, dt)
                 }.toArray[Any])
               val inputs = files.map { case (p, pvs) =>
-                GraftSlicePlanner.FileInput(p,
-                  math.max(sizes.getOrElse(key(p), 0L), 1L),
+                GraftSlicePlanner.FileInput(p, sizes.getOrElse(key(p), 0L),
                   dvs.getOrElse(key(p), Array.empty[Long]), pvs)
               }
               if (!partiallyClustered)
                 Seq(GraftKeyedPartition(inputs.map(f =>
-                  GraftSlice(f.path, 0L, f.bytes, f.dvRows, f.partValues)),
+                  GraftSlice(f.path, 0L,
+                    if (f.bytes <= 0L) Long.MaxValue else f.bytes,
+                    f.dvRows, f.partValues)),
                   keyRow): InputPartition)
               else GraftSlicePlanner.plan(inputs,
                   maxPartitionBytes = maxSplit, openCostInBytes = openCost,
-                  minPartitions = 1)
+                  // row-id (_gfile/_gpos) scans must never byte-split:
+                  // the reader synthesizes SLICE-relative row indexes,
+                  // and a sub-range would corrupt the DV address space
+                  // a row-level operation commits against
+                  minPartitions = 1, splitAllowed =
+                    !required.fieldNames.exists(n =>
+                      n == GraftSource.RowIdFile || n == GraftSource.RowIdPos))
                 .map { case p: GraftFilesPartition =>
                   GraftKeyedPartition(p.slices, keyRow): InputPartition
                 }
