@@ -39,6 +39,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 class TableCatalog(spark: SparkSession, root: String,
     staleClaimMs: Long = 15L * 60 * 1000) {
+  import TableCatalog.{SchemaAction, AddAction, RenameAction, DropAction,
+    ResetAction, ActionName, LegacyActionName}
 
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -453,6 +455,8 @@ class TableCatalog(spark: SparkSession, root: String,
     val v = currentVersion(fq).getOrElse(
       throw new IllegalArgumentException(s"table not found: $fq"))
     val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
+    val m = columnMappingAt(fq, v) // `_STATS` sidecars key by the
+    val physCol = m.physical(column) // PHYSICAL column name
     val pcols = partitionColsOf(fq, v)
     if (pcols.nonEmpty) {
       // partition pruning covers partition-column ranges; for DATA
@@ -461,17 +465,19 @@ class TableCatalog(spark: SparkSession, root: String,
       if (pcols.contains(column))
         return readPartitionedChain(fq, v).filter(pred)
       val files = dataFiles(fq, v)
-      val surviving = statSurvivors(files, column, lo, hi)
+      val surviving = statSurvivors(files, physCol, lo, hi)
       if (surviving.isEmpty) return read(fq).filter(pred).limit(0)
-      return dropRouting(readPartitionedSubset(fq, v, surviving).filter(pred))
+      return dropRouting(toLogical(
+        readPartitionedSubset(fq, v, surviving), m).filter(pred))
     }
     val files = dataFiles(fq, v)
     if (files.isEmpty)
-      return spark.read.parquet(versionDir(fq, v).toString).filter(pred)
-    val surviving = statSurvivors(files, column, lo, hi)
+      return toLogical(spark.read.parquet(versionDir(fq, v).toString), m)
+        .filter(pred)
+    val surviving = statSurvivors(files, physCol, lo, hi)
     if (surviving.isEmpty) read(fq).filter(pred).limit(0)
-    else maskDv(spark.read.parquet(surviving.map(_.toString): _*),
-      dvFiles(fq, v)).filter(pred)
+    else toLogical(maskDv(spark.read.parquet(surviving.map(_.toString): _*),
+      dvFiles(fq, v)), m).filter(pred)
   }
 
   /** METADATA-ONLY `COUNT(*)` of the live version: the sum of the
@@ -551,21 +557,24 @@ class TableCatalog(spark: SparkSession, root: String,
 
   def read(fq: String): DataFrame = currentVersion(fq) match {
     case Some(v) if partitionColsOf(fq, v).nonEmpty =>
-      readPartitionedChain(fq, v) // connector scan: declared cols included
+      readPartitionedChain(fq, v) // connector scan: mapping + declared
+      // columns applied in chainSchema / the reader
     case Some(v) =>
+      val m = columnMappingAt(fq, v)
       val files = dataFiles(fq, v)
-      val declared = declaredColumns(fq)
-      val df =
+      val df0 =
         if (files.isEmpty) // truncated table: schema-only marker dir
           spark.read.parquet(versionDir(fq, v).toString)
-        else if (declared.nonEmpty) // evolved: footers are heterogeneous
+        else if (m.adds.nonEmpty) // evolved: footers are heterogeneous
           maskDv(spark.read.option("mergeSchema", "true")
             .parquet(files.map(_.toString): _*), dvFiles(fq, v))
         else readMaskedFiles(fq, v, files)
+      // dropped columns hidden, renamed columns exposed logically
+      val df = toLogical(df0, m)
       // declared (ALTER ADD COLUMNS) columns no file carries yet read
       // as typed nulls
       val have = df.columns.map(_.toLowerCase).toSet
-      declared.filterNot(f => have(f.name.toLowerCase))
+      m.adds.map(_._2).filterNot(f => have(f.name.toLowerCase))
         .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
     case None => throw new IllegalArgumentException(s"table not found: $fq")
   }
@@ -584,9 +593,20 @@ class TableCatalog(spark: SparkSession, root: String,
       throw new IllegalArgumentException(s"$fq version $version not retained")
     if (partitionColsOf(fq, version).nonEmpty)
       return readPartitionedChain(fq, version)
+    // VERSION-SCOPED mapping: time travel sees the column names (and
+    // declared columns) of its day, not today's
+    val m = columnMappingAt(fq, version)
     val files = dataFiles(fq, version)
-    if (files.isEmpty) spark.read.parquet(dir.toString)
-    else readMaskedFiles(fq, version, files) // each version sees ITS masks
+    val df0 =
+      if (files.isEmpty) spark.read.parquet(dir.toString)
+      else if (m.adds.nonEmpty)
+        maskDv(spark.read.option("mergeSchema", "true")
+          .parquet(files.map(_.toString): _*), dvFiles(fq, version))
+      else readMaskedFiles(fq, version, files) // each version sees ITS masks
+    val df = toLogical(df0, m)
+    val have = df.columns.map(_.toLowerCase).toSet
+    m.adds.map(_._2).filterNot(f => have(f.name.toLowerCase))
+      .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
   }
 
   /** The live committed version number (None = table absent). */
@@ -604,13 +624,15 @@ class TableCatalog(spark: SparkSession, root: String,
     case Some(v) if partitionColsOf(fq, v).nonEmpty =>
       // per-version partition discovery (bare leaf files would silently
       // drop the partition columns), schema union across the chain
-      dropRouting(maskDvPos(readPartitionedDirs(chainDirs(fq, v),
-        mergeSchema = true, withRowPos = true), dvFiles(fq, v)))
+      toLogical(dropRouting(maskDvPos(readPartitionedDirs(chainDirs(fq, v),
+        mergeSchema = true, withRowPos = true), dvFiles(fq, v))),
+        columnMappingAt(fq, v))
     case Some(v) =>
       val files = dataFiles(fq, v)
       if (files.isEmpty) spark.read.parquet(versionDir(fq, v).toString)
-      else maskDv(spark.read.option("mergeSchema", "true")
-        .parquet(files.map(_.toString): _*), dvFiles(fq, v))
+      else toLogical(maskDv(spark.read.option("mergeSchema", "true")
+        .parquet(files.map(_.toString): _*), dvFiles(fq, v)),
+        columnMappingAt(fq, v))
     case None => throw new IllegalArgumentException(s"table not found: $fq")
   }
 
@@ -848,24 +870,31 @@ class TableCatalog(spark: SparkSession, root: String,
           val pcols = partitionColsOf(fq, head)
           val dvs = dvFiles(fq, head) // outstanding masks stay valid:
           // the files they address are carried unmodified
+          // data files always carry PHYSICAL names (column mapping)
+          val pdf = toPhysical(df, columnMappingAt(fq, head))
           if (pcols.nonEmpty) {
             // partitioned chain: the delta lands partitioned in the new
             // version dir; prior data rides along as whole directories
-            df.write.mode(SaveMode.Overwrite)
+            pdf.write.mode(SaveMode.Overwrite)
               .partitionBy(pcols: _*).parquet(dir.toString)
             writeLayout(fq, head, dir, pcols)
             writeManifest(dir, chainDirs(fq, head))
           } else {
-            df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+            pdf.write.mode(SaveMode.Overwrite).parquet(dir.toString)
             writeManifest(dir, dataFiles(fq, head))
           }
           if (dvs.nonEmpty) writeDvManifest(dir, dvs)
         }
       })
 
-  /** Overwrite = drop + recreate with df's schema (unpartitioned). */
+  /** Overwrite = drop + recreate with df's schema (unpartitioned).
+    * Starts a fresh chain under the caller's own column names — any
+    * prior rename/drop mapping is reset from this version on. */
   def overwrite(fq: String, df: DataFrame): Unit =
-    commitVersion(fq, dir => df.write.mode(SaveMode.Overwrite).parquet(dir.toString))
+    commitVersion(fq, dir => {
+      df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+      resetSchemaActions(fq, dir)
+    })
 
   /** PARTITION EVOLUTION (Iceberg-style): append `df` under a NEW
     * hive layout without rewriting a byte of prior data — the new
@@ -889,8 +918,9 @@ class TableCatalog(spark: SparkSession, root: String,
     // path applies them per-scan before its layout union
     val dvs = dvFiles(fq, v)
     val carried = chainDirs(fq, v)
+    val pdf = toPhysical(df, columnMappingAt(fq, v))
     commitVersionFrom(fq, v, dir => {
-      df.write.mode(SaveMode.Overwrite)
+      pdf.write.mode(SaveMode.Overwrite)
         .partitionBy(partitionCols: _*).parquet(dir.toString)
       writePartitions(dir, partitionCols)
       writeManifest(dir, carried)
@@ -909,6 +939,7 @@ class TableCatalog(spark: SparkSession, root: String,
       df.write.mode(SaveMode.Overwrite)
         .partitionBy(partitionCols: _*).parquet(dir.toString)
       writePartitions(dir, partitionCols)
+      resetSchemaActions(fq, dir)
     })
 
   // ---- BUCKETED layout (Iceberg's bucket transform) ----------------------
@@ -1003,6 +1034,7 @@ class TableCatalog(spark: SparkSession, root: String,
         .partitionBy(layout: _*).parquet(dir.toString)
       writePartitions(dir, layout)
       writeBucketSpec(dir, bucketCol, numBuckets)
+      resetSchemaActions(fq, dir)
     })
   }
 
@@ -1016,12 +1048,13 @@ class TableCatalog(spark: SparkSession, root: String,
     append(fq, bucketed(df, c, n))
   }
 
-  /** TRUNCATE: keep schema, zero rows (layout preserved). */
+  /** TRUNCATE: keep schema, zero rows (layout preserved). The marker
+    * file carries PHYSICAL names like every data file. */
   def truncate(fq: String): Unit = {
     val v = currentVersion(fq).getOrElse(
       throw new IllegalArgumentException(s"table not found: $fq"))
     val pcols = partitionColsOf(fq, v)
-    val empty = read(fq).limit(0)
+    val empty = toPhysical(read(fq).limit(0), columnMappingAt(fq, v))
     commitVersionFrom(fq, v, dir => {
       empty.write.mode(SaveMode.Overwrite).parquet(dir.toString)
       if (pcols.nonEmpty) writeLayout(fq, v, dir, pcols)
@@ -1031,8 +1064,9 @@ class TableCatalog(spark: SparkSession, root: String,
   /** Split a version's files into (files containing rows matching
     * `pred`, untouched files). Parquet footer min/max stats prune the
     * probe scan; comparison is by path, robust to URI qualification. */
-  private def touchedFiles(files: Seq[Path], pred: Column): (Seq[Path], Seq[Path]) = {
-    val hit = spark.read.parquet(files.map(_.toString): _*)
+  private def touchedFiles(files: Seq[Path], pred: Column,
+      m: TableCatalog.ColumnMapping): (Seq[Path], Seq[Path]) = {
+    val hit = toLogical(spark.read.parquet(files.map(_.toString): _*), m)
       .filter(pred)
       .select(input_file_name().as("f")).distinct()
       .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
@@ -1065,9 +1099,12 @@ class TableCatalog(spark: SparkSession, root: String,
   def updateWhere(fq: String, assignments: Map[String, Column], where: Column): Unit = {
     val v = currentVersion(fq).getOrElse(
       throw new IllegalArgumentException(s"table not found: $fq"))
+    val m = columnMappingAt(fq, v) // probe + rewrite run on the
+    // LOGICAL view; the rewritten files land under physical names
     val pcols = partitionColsOf(fq, v)
     if (pcols.nonEmpty) {
-      val probe = readPartitionedDirs(chainDirs(fq, v), withFileCol = Some("__file"))
+      val probe = toLogical(readPartitionedDirs(chainDirs(fq, v),
+        withFileCol = Some("__file")), m)
       val hitFiles = probe.filter(where).select(col("__file")).distinct()
         .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
       if (hitFiles.isEmpty) return // no matching rows: current version stands
@@ -1076,15 +1113,15 @@ class TableCatalog(spark: SparkSession, root: String,
       // masked must not resurrect); carried dirs keep their masks via
       // the DV manifest, entries addressing rewritten files go inert
       val dvs = dvFiles(fq, v)
-      val cur = maskDvPos(
-        readPartitionedDirs(hitDirs, withRowPos = true), dvs)
+      val cur = toLogical(maskDvPos(
+        readPartitionedDirs(hitDirs, withRowPos = true), dvs), m)
       // reroute: an assignment may change the bucket source column —
       // the replacement row must land in its NEW bucket dir, or later
       // bucket pruning would wrongly skip it (wrong results, not perf)
-      val updated = reroute(fq, v, assignments.foldLeft(cur) {
+      val updated = toPhysical(reroute(fq, v, assignments.foldLeft(cur) {
         case (d, (c, value)) =>
           d.withColumn(c, when(where, value).otherwise(col(c)))
-      })
+      }), m)
       commitVersionFrom(fq, v, dir => {
         updated.write.mode(SaveMode.Overwrite)
           .partitionBy(pcols: _*).parquet(dir.toString)
@@ -1099,15 +1136,16 @@ class TableCatalog(spark: SparkSession, root: String,
     // single-file tables have nothing to prune — skip the probe job
     val (hit, carried) =
       if (files.size == 1) (files, Seq.empty[Path])
-      else touchedFiles(files, where)
+      else touchedFiles(files, where, m)
     if (hit.isEmpty) return // no matching rows anywhere: current version stands
     // the rewrite must read THROUGH outstanding DV masks, or rows a
     // prior merge-on-read delete masked would resurrect in the rewrite
     val dvs = dvFiles(fq, v)
-    val cur = maskDv(spark.read.parquet(hit.map(_.toString): _*), dvs)
-    val updated = assignments.foldLeft(cur) { case (d, (c, value)) =>
+    val cur = toLogical(
+      maskDv(spark.read.parquet(hit.map(_.toString): _*), dvs), m)
+    val updated = toPhysical(assignments.foldLeft(cur) { case (d, (c, value)) =>
       d.withColumn(c, when(where, value).otherwise(col(c)))
-    }
+    }, m)
     commitVersionFrom(fq, v, dir => {
       updated.write.mode(SaveMode.Overwrite).parquet(dir.toString)
       if (carried.nonEmpty) writeManifest(dir, carried)
@@ -1129,16 +1167,19 @@ class TableCatalog(spark: SparkSession, root: String,
   def deleteWhere(fq: String, where: Column): Unit = {
     val v = currentVersion(fq).getOrElse(
       throw new IllegalArgumentException(s"table not found: $fq"))
+    val m = columnMappingAt(fq, v) // logical probe, physical rewrite
     val pcols = partitionColsOf(fq, v)
     if (pcols.nonEmpty) {
-      val probe = readPartitionedDirs(chainDirs(fq, v), withFileCol = Some("__file"))
+      val probe = toLogical(readPartitionedDirs(chainDirs(fq, v),
+        withFileCol = Some("__file")), m)
       val hitFiles = probe.filter(where).select(col("__file")).distinct()
         .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
       if (hitFiles.isEmpty) return
       val (hitDirs, carriedDirs) = touchedPartitionDirs(fq, v, hitFiles)
       val dvs = dvFiles(fq, v) // see updateWhere: rewrite through masks
-      val kept = maskDvPos(
-        readPartitionedDirs(hitDirs, withRowPos = true), dvs).filter(!where)
+      val kept = toPhysical(toLogical(maskDvPos(
+        readPartitionedDirs(hitDirs, withRowPos = true), dvs), m)
+        .filter(!where), m)
       commitVersionFrom(fq, v, dir => {
         kept.write.mode(SaveMode.Overwrite)
           .partitionBy(pcols: _*).parquet(dir.toString)
@@ -1152,11 +1193,12 @@ class TableCatalog(spark: SparkSession, root: String,
     if (files.isEmpty) return
     val (hit, carried) =
       if (files.size == 1) (files, Seq.empty[Path])
-      else touchedFiles(files, where)
+      else touchedFiles(files, where, m)
     if (hit.isEmpty) return
     val dvs = dvFiles(fq, v) // see updateWhere: read through the masks
-    val kept = maskDv(spark.read.parquet(hit.map(_.toString): _*), dvs)
-      .filter(!where)
+    val kept = toPhysical(toLogical(
+      maskDv(spark.read.parquet(hit.map(_.toString): _*), dvs), m)
+      .filter(!where), m)
     commitVersionFrom(fq, v, dir => {
       kept.write.mode(SaveMode.Overwrite).parquet(dir.toString)
       if (carried.nonEmpty) writeManifest(dir, carried)
@@ -1182,12 +1224,14 @@ class TableCatalog(spark: SparkSession, root: String,
   def deleteWhereDV(fq: String, where: Column): Unit = {
     val v = currentVersion(fq).getOrElse(
       throw new IllegalArgumentException(s"table not found: $fq"))
+    val mDv = columnMappingAt(fq, v) // predicate binds to the logical view
     val pcolsDv = partitionColsOf(fq, v)
     if (pcolsDv.nonEmpty) {
       val dvs = dvFiles(fq, v)
       val carried = chainDirs(fq, v)
-      val newDv = maskDvPos(
-          readPartitionedDirs(carried, withRowPos = true), dvs, keepPos = true)
+      val newDv = toLogical(maskDvPos(
+          readPartitionedDirs(carried, withRowPos = true), dvs, keepPos = true),
+          mDv)
         .filter(where)
         .select(col("__fp").as("file"), col("__ri").as("row_index"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1216,8 +1260,8 @@ class TableCatalog(spark: SparkSession, root: String,
     // sidecar write below reads the cache — the data files are read
     // exactly once per mutation, not once per downstream action.
     // (already-masked rows are excluded, so re-deleting is a no-op)
-    val newDv = maskDv(spark.read.parquet(files.map(_.toString): _*),
-        dvs, keepPos = true)
+    val newDv = toLogical(maskDv(spark.read.parquet(files.map(_.toString): _*),
+        dvs, keepPos = true), mDv)
       .filter(where)
       .select(col("__fp").as("file"), col("__ri").as("row_index"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1248,12 +1292,14 @@ class TableCatalog(spark: SparkSession, root: String,
       where: Column): Unit = {
     val v = currentVersion(fq).getOrElse(
       throw new IllegalArgumentException(s"table not found: $fq"))
+    val mDv = columnMappingAt(fq, v) // logical view in, physical out
     val pcolsDv = partitionColsOf(fq, v)
     if (pcolsDv.nonEmpty) {
       val dvs = dvFiles(fq, v)
       val carried = chainDirs(fq, v)
-      val hit = maskDvPos(
-          readPartitionedDirs(carried, withRowPos = true), dvs, keepPos = true)
+      val hit = toLogical(maskDvPos(
+          readPartitionedDirs(carried, withRowPos = true), dvs, keepPos = true),
+          mDv)
         .filter(where)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -1262,10 +1308,10 @@ class TableCatalog(spark: SparkSession, root: String,
           col("__ri").as("row_index"))
         // reroute: see updateWhere — a reassigned bucket source column
         // must re-route its replacement row to the new bucket dir
-        val updated = reroute(fq, v,
+        val updated = toPhysical(reroute(fq, v,
           assignments.foldLeft(hit.drop("__fp", "__ri")) {
             case (d, (c, value)) => d.withColumn(c, value)
-          })
+          }), mDv)
         // rebase across commuting winners (blind appends) — the MoR
         // delete+reinsert stays valid while our scanned files live
         commitRebase(fq, v, dataFiles(fq, v), dvs, (dir, head) => {
@@ -1289,16 +1335,16 @@ class TableCatalog(spark: SparkSession, root: String,
     // sidecar write AND the replacement-data write below each read the
     // cache — previously three separate jobs re-read every candidate
     // file (at 100 TB: three scans of the touched files instead of one).
-    val hit = maskDv(spark.read.parquet(files.map(_.toString): _*),
-        dvs, keepPos = true)
+    val hit = toLogical(maskDv(spark.read.parquet(files.map(_.toString): _*),
+        dvs, keepPos = true), mDv)
       .filter(where)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (hit.count() == 0) return
       val newDv = hit.select(col("__fp").as("file"), col("__ri").as("row_index"))
-      val updated = assignments.foldLeft(hit.drop("__fp", "__ri")) {
+      val updated = toPhysical(assignments.foldLeft(hit.drop("__fp", "__ri")) {
         case (d, (c, value)) => d.withColumn(c, value) // `where` already applied
-      }
+      }, mDv)
       // rebase across commuting winners (see partitioned branch)
       commitRebase(fq, v, files, dvs, (dir, head) => {
         updated.write.mode(SaveMode.Overwrite).parquet(dir.toString)
@@ -1329,6 +1375,7 @@ class TableCatalog(spark: SparkSession, root: String,
     currentVersion(fq) match {
       case None => overwrite(fq, source)
       case Some(v) =>
+        val m = columnMappingAt(fq, v) // keys/source bind logically
         val pcols = partitionColsOf(fq, v)
         if (pcols.nonEmpty) {
           // partitioned: rewrite only leaf partition dirs whose rows
@@ -1338,8 +1385,8 @@ class TableCatalog(spark: SparkSession, root: String,
           val src = source.cache()
           try {
             val keySet = src.select(keys.map(col): _*).distinct()
-            val probe = readPartitionedDirs(chainDirs(fq, v),
-                withFileCol = Some("__file"))
+            val probe = toLogical(readPartitionedDirs(chainDirs(fq, v),
+                withFileCol = Some("__file")), m)
               .select(keys.map(col) :+ col("__file"): _*)
             val hitFiles = probe.join(keySet, keys, "left_semi")
               .select(col("__file")).distinct()
@@ -1348,13 +1395,13 @@ class TableCatalog(spark: SparkSession, root: String,
             val dvs = dvFiles(fq, v) // merge through outstanding masks
             val base =
               if (hitDirs.isEmpty) src.limit(0) // no overlap: partitioned append
-              else maskDvPos(
-                readPartitionedDirs(hitDirs, withRowPos = true), dvs)
+              else toLogical(maskDvPos(
+                readPartitionedDirs(hitDirs, withRowPos = true), dvs), m)
             // bucketed: the source frame never carries the routing
             // column — upsert on the LOGICAL columns, then reroute the
             // whole merged frame (derived column, recompute is exact)
-            val merged = reroute(fq, v, graft.operators.MergeOps
-              .upsert(base.drop(BucketCol), src, keys))
+            val merged = toPhysical(reroute(fq, v, graft.operators.MergeOps
+              .upsert(base.drop(BucketCol), src, keys)), m)
             commitVersionFrom(fq, v, dir => {
               merged.write.mode(SaveMode.Overwrite)
                 .partitionBy(pcols: _*).parquet(dir.toString)
@@ -1373,7 +1420,8 @@ class TableCatalog(spark: SparkSession, root: String,
             // input_file_name() must bind to the scan BEFORE the join
             // (it is per-source)
             val keySet = src.select(keys.map(col): _*).distinct()
-            val target = spark.read.parquet(files.map(_.toString): _*)
+            val target = toLogical(
+              spark.read.parquet(files.map(_.toString): _*), m)
               .select(keys.map(col) :+ input_file_name().as("__file"): _*)
             target.join(keySet, keys, "left_semi")
               .select(col("__file")).distinct()
@@ -1384,8 +1432,10 @@ class TableCatalog(spark: SparkSession, root: String,
           val dvs = dvFiles(fq, v) // see updateWhere: merge through masks
           val base =
             if (hit.isEmpty) src.limit(0) // no overlap: plain append of source
-            else maskDv(spark.read.parquet(hit.map(_.toString): _*), dvs)
-          val merged = graft.operators.MergeOps.upsert(base, src, keys)
+            else toLogical(
+              maskDv(spark.read.parquet(hit.map(_.toString): _*), dvs), m)
+          val merged = toPhysical(
+            graft.operators.MergeOps.upsert(base, src, keys), m)
           commitVersionFrom(fq, v, dir => {
             merged.write.mode(SaveMode.Overwrite).parquet(dir.toString)
             if (carried.nonEmpty) writeManifest(dir, carried)
@@ -1472,10 +1522,20 @@ class TableCatalog(spark: SparkSession, root: String,
     * cheap but accumulate files; periodic compaction restores scan
     * efficiency (row-group locality, fewer tasks, fewer footers) —
     * the standard small-file remedy on a 100 TB lakehouse. */
-  def compact(fq: String, targetFileBytes: Long = 128L << 20): Unit = {
-    val v = currentVersion(fq).getOrElse(
-      throw new IllegalArgumentException(s"table not found: $fq"))
-    val (nFiles, bytes) = fileStats(fq)
+  def compact(fq: String, targetFileBytes: Long = 128L << 20): Unit =
+    compactFrom(fq, currentVersion(fq).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $fq")),
+      targetFileBytes)
+
+  /** [[compact]] pinned to an explicit snapshot version — the rebase
+    * path a racing-writers test drives deterministically (a real
+    * compaction reads the head, then racers land while it rewrites). */
+  private[graft] def compactFrom(fq: String, v: Int,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    val (nFiles, bytes) = {
+      val files = dataFiles(fq, v)
+      (files.size, files.map(p => fs.getFileStatus(p).getLen).sum)
+    }
     // a single-file table still compacts when DV masks are outstanding:
     // compaction is what materializes merge-on-read deletes (read(fq)
     // below is DV-masked; the fresh chain carries no DV manifest)
@@ -1493,13 +1553,17 @@ class TableCatalog(spark: SparkSession, root: String,
     val readDvs = dvFiles(fq, v)
     def carryDelta(dir: Path, head: Int): Unit =
       carryRebaseDelta(fq, v, head, dir, readFiles, readDvs, pcols.nonEmpty)
+    // compaction reads the LOGICAL view (dropped columns' bytes retire
+    // here — the mapping's erasure clock) and writes PHYSICAL names
+    val cm = columnMappingAt(fq, v)
     if (pcols.nonEmpty) {
       // co-locate rows of each partition before the partitioned write
       // so each partition directory compacts to ~one file. Bucketed
       // layouts re-derive the routing column first (the logical read
       // hides it) — compaction is also what re-buckets inline-landed
       // row-level-operation replacements back into the hive layout.
-      val df = reroute(fq, v, read(fq)).repartition(parts, pcols.map(col): _*)
+      val df = toPhysical(reroute(fq, v, readVersion(fq, v)), cm)
+        .repartition(parts, pcols.map(col): _*)
       commitRebase(fq, v, readFiles, readDvs, (dir, head) => {
         df.write.mode(SaveMode.Overwrite)
           .partitionBy(pcols: _*).parquet(dir.toString)
@@ -1507,7 +1571,7 @@ class TableCatalog(spark: SparkSession, root: String,
         carryDelta(dir, head)
       })
     } else {
-      val df = read(fq).repartition(parts)
+      val df = toPhysical(readVersion(fq, v), cm).repartition(parts)
       commitRebase(fq, v, readFiles, readDvs, (dir, head) => {
         df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
         carryDelta(dir, head)
@@ -1578,10 +1642,10 @@ class TableCatalog(spark: SparkSession, root: String,
     val (_, bytes) = fileStats(fq)
     val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val rangeCols = zpcols.map(col) :+ col("__z")
-    val clustered = df.withColumn("__z", morton)
+    val clustered = toPhysical(df.withColumn("__z", morton)
       .repartitionByRange(parts, rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
-      .drop("__z")
+      .drop("__z"), columnMappingAt(fq, zv))
     // same conflict RESOLUTION as compact: a z-order rewrite commutes
     // with concurrent blind appends (their delta rides by manifest,
     // un-clustered until the next cycle) — see commitRebase
@@ -1684,9 +1748,12 @@ class TableCatalog(spark: SparkSession, root: String,
     require(!partitionColsOf(fq, v).contains(column),
       s"$column is a partition column — partition pruning already " +
         "answers its point lookups exactly")
+    // the index keys by PHYSICAL name (what the data files carry) —
+    // probes translate the same way, so renames never stale the index
+    val colPhys = columnMappingAt(fq, v).physical(column)
     val files = dataFiles(fq, v)
     val have: Set[String] = files.map(versionAncestor).distinct
-      .flatMap(bloomEntries).collect { case (f, c, _) if c == column => f }
+      .flatMap(bloomEntries).collect { case (f, c, _) if c == colPhys => f }
       .toSet
     val missing = files.filterNot(p => have(fs.makeQualified(p).toUri.getPath))
     if (missing.isEmpty) return 0
@@ -1703,7 +1770,7 @@ class TableCatalog(spark: SparkSession, root: String,
     val nh = BloomHashes
     val built = spark.read.parquet(missing.map(_.toString): _*)
       .select(col("_metadata.file_path").as("f"),
-        xxhash64(col(column).cast("string")).as("h"))
+        xxhash64(col(colPhys).cast("string")).as("h"))
       .as[(String, Long)]
       .map { case (f, h) => (new Path(f).toUri.getPath, h) } // drop scheme
       .groupByKey(_._1)
@@ -1724,8 +1791,8 @@ class TableCatalog(spark: SparkSession, root: String,
     built.toSeq.groupBy { case (f, _) => versionAncestor(new Path(f)) }
       .foreach { case (dir, entries) =>
         val keep = bloomEntries(dir).filterNot { case (f, c, _) =>
-          c == column && entries.exists(_._1 == f) }
-        val all = keep ++ entries.map { case (f, b) => (f, column, b) }
+          c == colPhys && entries.exists(_._1 == f) }
+        val all = keep ++ entries.map { case (f, b) => (f, colPhys, b) }
         val lines = all.sortBy(t => (t._1, t._2)).map { case (f, c, bits) =>
           val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
           bits.foreach(bb.putLong)
@@ -1756,6 +1823,8 @@ class TableCatalog(spark: SparkSession, root: String,
     val v = currentVersion(fq).getOrElse(
       throw new IllegalArgumentException(s"table not found: $fq"))
     val pred = col(column) === lit(value)
+    val m = columnMappingAt(fq, v)
+    val physCol = m.physical(column) // `_BLOOMS` key by physical name
     val pcols = partitionColsOf(fq, v)
     if (pcols.contains(column)) // partition pruning answers exactly
       return readPartitionedChain(fq, v).filter(pred)
@@ -1763,7 +1832,7 @@ class TableCatalog(spark: SparkSession, root: String,
     if (files.isEmpty) return read(fq).filter(pred)
     val blooms: Map[String, Array[Long]] =
       files.map(versionAncestor).distinct.flatMap(bloomEntries)
-        .collect { case (f, c, bits) if c == column => f -> bits }.toMap
+        .collect { case (f, c, bits) if c == physCol => f -> bits }.toMap
     val h = bloomHash(String.valueOf(value))
     val surviving = files.filter { p =>
       blooms.get(fs.makeQualified(p).toUri.getPath) match {
@@ -1775,9 +1844,10 @@ class TableCatalog(spark: SparkSession, root: String,
     }
     if (surviving.isEmpty) read(fq).filter(pred).limit(0)
     else if (pcols.nonEmpty) // bloom-pruned partitioned point lookup
-      dropRouting(readPartitionedSubset(fq, v, surviving).filter(pred))
-    else maskDv(spark.read.parquet(surviving.map(_.toString): _*),
-      dvFiles(fq, v)).filter(pred)
+      dropRouting(toLogical(
+        readPartitionedSubset(fq, v, surviving), m).filter(pred))
+    else toLogical(maskDv(spark.read.parquet(surviving.map(_.toString): _*),
+      dvFiles(fq, v)), m).filter(pred)
   }
 
   // ---- zero-copy shallow clone --------------------------------------------
@@ -1813,6 +1883,39 @@ class TableCatalog(spark: SparkSession, root: String,
       if (pcols.nonEmpty) writeLayout(src, v, dir, pcols)
       writeManifest(dir, carried)
       if (dvs.nonEmpty) writeDvManifest(dir, dvs)
+      // schema actions (declared columns, renames, drops) at or below
+      // the cloned version travel with the clone — its files carry the
+      // source's PHYSICAL names, so the mapping must ride along. The
+      // clone's history RESTARTS at v0, so every carried action is
+      // re-declared at version 0 (actions the source declared AFTER
+      // the cloned version stay behind).
+      val sd = schemasDir(src)
+      if (fs.exists(sd)) {
+        val carriedActions = fs.listStatus(sd).filter(_.isFile)
+          .map(_.getPath).sortBy(_.getName).filter { p =>
+            p.getName match {
+              case ActionName(ver, _, _) => ver.toInt <= v
+              case LegacyActionName(_)   => true
+              case _ => false
+            }
+          }
+        if (carriedActions.nonEmpty) {
+          val dd = schemasDir(dst)
+          fs.mkdirs(dd)
+          carriedActions.zipWithIndex.foreach { case (p, i) =>
+            val kind = p.getName match {
+              case ActionName(_, _, k) => k
+              case _ => "add.json"
+            }
+            val in = fs.open(p)
+            val bytes = try org.apache.commons.io.IOUtils.toByteArray(in)
+            finally in.close()
+            val out = fs.create(
+              new Path(dd, f"v000000_$i%06d.$kind"), true)
+            try out.write(bytes) finally out.close()
+          }
+        }
+      }
     })
   }
 
@@ -2067,7 +2170,8 @@ class TableCatalog(spark: SparkSession, root: String,
         try out.write(tag.getBytes("UTF-8")) finally out.close()
       }
     }
-    if (overwrite) commitVersion(fq, dir => write(dir, -1))
+    if (overwrite) commitVersion(fq, dir => {
+      write(dir, -1); resetSchemaActions(fq, dir) })
     else // staged appends are BLIND appends: rebase across winners
       commitRebase(fq, prior.getOrElse(-1), Nil, Nil, write)
     // durable replay marker OUTSIDE the version dirs: vacuum/maintain
@@ -2138,7 +2242,8 @@ class TableCatalog(spark: SparkSession, root: String,
         try out.write(tag.getBytes("UTF-8")) finally out.close()
       }
     }
-    if (overwrite) commitVersion(fq, dir => write(dir, -1))
+    if (overwrite) commitVersion(fq, dir => {
+      write(dir, -1); resetSchemaActions(fq, dir) })
     else // staged partitioned appends are blind appends: rebase
       commitRebase(fq, prior.getOrElse(-1), Nil, Nil, write)
     // … and the vacuum-proof table-level marker lands after
@@ -2149,47 +2254,139 @@ class TableCatalog(spark: SparkSession, root: String,
     }
   }
 
-  // ---- declared schema extensions (SQL ALTER TABLE ADD COLUMNS) ----------
-  // A table's schema is the UNION of its files' footers; a column with
-  // no data yet cannot live in any footer, so ALTER TABLE ADD COLUMNS
-  // declares it in an append-only table-level `_SCHEMAS/` sidecar
-  // (vacuum-proof, like `_EPOCHS/`) and bumps the version (a metadata
-  // commit — streams observe a no-file-change commit). Readers expose
-  // declared columns as typed nulls until data carrying them lands;
-  // a later file carrying a declared name with a DIFFERENT type fails
-  // loudly at planning (same contract as footer conflicts).
+  // ---- declared schema extensions + COLUMN MAPPING (_SCHEMAS/) -----------
+  // ALTER TABLE ADD / RENAME / DROP COLUMN are METADATA commits,
+  // recorded as append-only action files in the table-level `_SCHEMAS/`
+  // sidecar (vacuum-proof, like `_EPOCHS/`). Files are named
+  // `v<declaringVersion>_<seq>.<kind>` and readers fold only actions
+  // declared AT OR BELOW the version being read — time travel sees the
+  // schema of its day, and an ALTER that crashed after the sidecar
+  // write but before the pointer swap declares at a version that never
+  // committed and stays invisible. Kinds:
+  //  - `add.json`  — StructType JSON; a field's metadata may carry
+  //    "graft.physical" = the parquet column name backing it (a FRESH
+  //    physical when the logical name was used before: re-adding a
+  //    dropped name must not resurrect old bytes);
+  //  - `rename`    — `<physical>\t<newLogicalName>`: logical-only
+  //    rename, zero data rewritten (Delta's column-mapping name mode
+  //    — at 100 TB a rename MUST NOT touch data);
+  //  - `drop`      — `<physical>`: the column leaves the logical
+  //    schema; its bytes persist in old files until a rewrite
+  //    (compaction physically retires them — the erasure clock);
+  //  - `reset`     — an OVERWRITE started a fresh chain whose files
+  //    carry the caller's names: prior actions no longer apply.
+  // Reads remap physical→logical; writes remap logical→physical.
+  // Partition and bucket-source columns cannot rename or drop — their
+  // names are burned into paths and layout specs. Legacy `NNNNNN.json`
+  // files (pre-versioning) read as adds declared at version 0.
 
   private def schemasDir(fq: String) = new Path(tableDir(fq), "_SCHEMAS")
 
-  /** Declared extension columns, in declaration order. */
-  private[graft] def declaredColumns(fq: String)
-      : Seq[org.apache.spark.sql.types.StructField] = {
+  /** All schema actions in declaration order (filename order — legacy
+    * adds sort first: digits < 'v'). Immutable files parse once
+    * process-wide. */
+  private def schemaActions(fq: String): Seq[SchemaAction] = {
     val d = schemasDir(fq)
     if (!fs.exists(d)) return Nil
     fs.listStatus(d).filter(_.isFile).map(_.getPath).sortBy(_.getName)
       .toSeq.flatMap { p =>
-        val in = fs.open(p)
-        val json = try new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-        finally in.close()
-        org.apache.spark.sql.types.DataType.fromJson(json)
-          .asInstanceOf[org.apache.spark.sql.types.StructType].fields.toSeq
+        def parse(kind: String, ver: Int): Option[SchemaAction] =
+          TableCatalog.cachedParse(fs, p, "schemaAction") { text =>
+            kind match {
+              case "add.json" => AddAction(ver,
+                org.apache.spark.sql.types.DataType.fromJson(text)
+                  .asInstanceOf[org.apache.spark.sql.types.StructType]
+                  .fields.toSeq)
+              case "rename" =>
+                val Array(ph, to) = text.split("\t", 2): @unchecked
+                RenameAction(ver, ph, to)
+              case "drop" => DropAction(ver, text.trim)
+              case _ => ResetAction(ver)
+            }
+          }
+        p.getName match {
+          case ActionName(ver, _, kind) => parse(kind, ver.toInt)
+          case LegacyActionName(_)      => parse("add.json", 0)
+          case _ => None
+        }
       }
   }
 
-  /** ALTER TABLE ADD COLUMNS: declare new nullable columns without
-    * touching a data byte — existing rows read them as NULL, the next
-    * append may carry them (the SQL face of [[appendEvolving]]).
-    * Same-name columns (footer or declared) are rejected. */
-  def alterAddColumns(fq: String,
-      cols: org.apache.spark.sql.types.StructType): Unit = {
-    require(cols.nonEmpty, "no columns to add")
-    val v = currentVersion(fq).getOrElse(
-      throw new IllegalArgumentException(s"table not found: $fq"))
-    val existing = graft.connector.GraftSource
-      .chainSchema(spark, this, fq, v).fieldNames.map(_.toLowerCase).toSet
-    cols.fields.foreach(f => require(!existing(f.name.toLowerCase),
-      s"column ${f.name} already exists in $fq"))
+  /** Column-mapping state of version `atV`: the fold of all actions
+    * declared at or below it. */
+  private[graft] def columnMappingAt(fq: String, atV: Int)
+      : TableCatalog.ColumnMapping = {
+    val adds = scala.collection.mutable.LinkedHashMap
+      .empty[String, org.apache.spark.sql.types.StructField]
+    val logical = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val dropped = scala.collection.mutable.LinkedHashSet.empty[String]
+    schemaActions(fq).filter(_.version <= atV).foreach {
+      case AddAction(_, fields) => fields.foreach { f =>
+        val phys = TableCatalog.physicalNameOf(f)
+        adds(phys) = f
+        if (phys != f.name) logical(phys) = f.name else logical.remove(phys)
+        dropped -= phys
+      }
+      case RenameAction(_, ph, to) =>
+        if (ph == to) logical.remove(ph) else logical(ph) = to
+        adds.get(ph).foreach(f => adds(ph) = f.copy(name = to))
+      case DropAction(_, ph) =>
+        dropped += ph; adds.remove(ph); logical.remove(ph)
+      case ResetAction(_) =>
+        adds.clear(); logical.clear(); dropped.clear()
+    }
+    TableCatalog.ColumnMapping(logical.toMap, dropped.toSet, adds.toSeq)
+  }
+
+  /** Declared extension columns visible at version `atV`, under their
+    * CURRENT logical names. */
+  private[graft] def declaredColumns(fq: String, atV: Int)
+      : Seq[org.apache.spark.sql.types.StructField] =
+    columnMappingAt(fq, atV).adds.map(_._2)
+
+  /** Physical→logical view of a frame: hidden (dropped) physicals
+    * removed, renamed physicals exposed under their logical names.
+    * Columns outside the mapping (`__fp`/`__ri`, routing, probe
+    * columns) pass through untouched. */
+  private def toLogical(df: DataFrame,
+      m: TableCatalog.ColumnMapping): DataFrame =
+    if (m.isIdentity) df
+    else {
+      val have = df.columns.toSet
+      val d = m.dropped.intersect(have).foldLeft(df)(_.drop(_))
+      m.logicalOf.filter { case (p, _) => have(p) }
+        .foldLeft(d) { case (acc, (p, l)) => acc.withColumnRenamed(p, l) }
+    }
+
+  /** Logical→physical — the write-side inverse of [[toLogical]]:
+    * every data file always carries PHYSICAL names. */
+  private def toPhysical(df: DataFrame,
+      m: TableCatalog.ColumnMapping): DataFrame =
+    if (m.isIdentity) df
+    else m.physicalOf.filter { case (l, _) => df.columns.contains(l) }
+      .foldLeft(df) { case (acc, (l, p)) => acc.withColumnRenamed(l, p) }
+
+  private def writeSchemaAction(fq: String, declaringVersion: Int,
+      kind: String, content: String): Unit = {
+    val d = schemasDir(fq)
+    fs.mkdirs(d)
+    val seq = fs.listStatus(d).count(_.isFile)
+    val out = fs.create(
+      new Path(d, f"v$declaringVersion%06d_$seq%06d.$kind"), true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** An OVERWRITE starts a fresh chain whose files carry the caller's
+    * own column names — void any prior mapping/declaration state from
+    * this version on (earlier versions keep theirs: actions are
+    * version-scoped). Called INSIDE the overwrite's commit lambda. */
+  private def resetSchemaActions(fq: String, dir: Path): Unit =
+    if (schemaActions(fq).nonEmpty)
+      writeSchemaAction(fq, dir.getName.stripPrefix("v_").toInt, "reset", "")
+
+  /** Metadata-only commit: carry the whole chain (data, DVs, layout)
+    * unchanged; `extra(newVersion)` rides atomically with it. */
+  private def commitMetadata(fq: String, v: Int)(extra: Int => Unit): Unit = {
     val pcols = partitionColsOf(fq, v)
     val dvs = dvFiles(fq, v)
     commitVersionFrom(fq, v, dir => {
@@ -2199,13 +2396,90 @@ class TableCatalog(spark: SparkSession, root: String,
         writeManifest(dir, chainDirs(fq, v))
       } else writeManifest(dir, dataFiles(fq, v))
       if (dvs.nonEmpty) writeDvManifest(dir, dvs)
-      // the declaration rides the commit (table-level, vacuum-proof)
-      val d = schemasDir(fq)
-      fs.mkdirs(d)
-      val seq = fs.listStatus(d).count(_.isFile)
-      val out = fs.create(new Path(d, f"$seq%06d.json"), true)
-      try out.write(cols.json.getBytes("UTF-8")) finally out.close()
+      extra(v + 1)
     })
+  }
+
+  /** ALTER TABLE ADD COLUMNS: declare new nullable columns without
+    * touching a data byte — existing rows read them as NULL, the next
+    * append may carry them (the SQL face of [[appendEvolving]]).
+    * Same-name columns (footer or declared) are rejected. A logical
+    * name that was EVER used as a physical in this chain (a dropped
+    * column, a rename source) gets a fresh physical name — re-adding
+    * must not resurrect old data. */
+  def alterAddColumns(fq: String,
+      cols: org.apache.spark.sql.types.StructType): Unit = {
+    require(cols.nonEmpty, "no columns to add")
+    val v = currentVersion(fq).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $fq"))
+    val existing = graft.connector.GraftSource
+      .chainSchema(spark, this, fq, v).fieldNames.map(_.toLowerCase).toSet
+    cols.fields.foreach(f => require(!existing(f.name.toLowerCase),
+      s"column ${f.name} already exists in $fq"))
+    val m = columnMappingAt(fq, v)
+    val usedPhysicals: Set[String] =
+      (graft.connector.GraftSource.physicalChainSchema(spark, this, fq, v)
+        .fieldNames.toSeq ++ m.dropped ++ m.adds.map(_._1) ++
+        m.logicalOf.keys).map(_.toLowerCase).toSet
+    val next = v + 1
+    val tagged = cols.fields.map { f =>
+      if (!usedPhysicals(f.name.toLowerCase)) f
+      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putString(TableCatalog.PhysicalKey, f"${f.name}_g$next%06d")
+        .build())
+    }
+    commitMetadata(fq, v)(nv => writeSchemaAction(fq, nv, "add.json",
+      org.apache.spark.sql.types.StructType(tagged).json))
+  }
+
+  /** ALTER TABLE RENAME COLUMN — pure metadata, zero bytes rewritten:
+    * reads remap the old files' physical name to the new logical name
+    * (Delta column-mapping name mode). Partition and bucket-source
+    * columns are rejected (path- and spec-encoded). */
+  def alterRenameColumn(fq: String, from: String, to: String): Unit = {
+    val v = currentVersion(fq).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $fq"))
+    val schema = graft.connector.GraftSource.chainSchema(spark, this, fq, v)
+    val actual = schema.fieldNames.find(_.equalsIgnoreCase(from)).getOrElse(
+      throw new IllegalArgumentException(s"column $from does not exist in $fq"))
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"column $to already exists in $fq")
+    require(!partitionColsOf(fq, v).exists(_.equalsIgnoreCase(from)),
+      s"cannot rename partition column $from (path-encoded)")
+    bucketSpecAt(fq, v).foreach { case (c, _) =>
+      require(!c.equalsIgnoreCase(from),
+        s"cannot rename bucket source column $from (layout-encoded)") }
+    val phys = columnMappingAt(fq, v).physical(actual)
+    commitMetadata(fq, v)(nv =>
+      writeSchemaAction(fq, nv, "rename", s"$phys\t$to"))
+  }
+
+  /** ALTER TABLE DROP COLUMN(S) — pure metadata: the columns leave the
+    * logical schema immediately; their bytes persist in existing files
+    * until a rewrite (compaction reads the logical view, so it
+    * physically retires them). */
+  def alterDropColumns(fq: String, names: Seq[String]): Unit = {
+    require(names.nonEmpty, "no columns to drop")
+    val v = currentVersion(fq).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $fq"))
+    val schema = graft.connector.GraftSource.chainSchema(spark, this, fq, v)
+    val actuals = names.map(n =>
+      schema.fieldNames.find(_.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(s"column $n does not exist in $fq")))
+    require(schema.fieldNames.length > actuals.length,
+      s"cannot drop every column of $fq")
+    val pcols = partitionColsOf(fq, v)
+    actuals.foreach { n =>
+      require(!pcols.exists(_.equalsIgnoreCase(n)),
+        s"cannot drop partition column $n (path-encoded)")
+      bucketSpecAt(fq, v).foreach { case (c, _) =>
+        require(!c.equalsIgnoreCase(n),
+          s"cannot drop bucket source column $n (layout-encoded)") }
+    }
+    val m = columnMappingAt(fq, v)
+    commitMetadata(fq, v)(nv =>
+      actuals.foreach(n => writeSchemaAction(fq, nv, "drop", m.physical(n))))
   }
 
   /** DSv2 EMPTY write (zero staged files): still commits a version —
@@ -2247,6 +2521,7 @@ class TableCatalog(spark: SparkSession, root: String,
             .parquet(target.toString)
           if (pcols.nonEmpty) writePartitions(dir, pcols)
           bucketSpec.foreach { case (c, n) => writeBucketSpec(dir, c, n) }
+          if (overwrite) resetSchemaActions(fq, dir)
         })
     }
   }
@@ -2267,15 +2542,16 @@ class TableCatalog(spark: SparkSession, root: String,
     // hive-partitioned targets mask via the layout-union read and land
     // the replacement files INLINE (partition column as payload, like
     // a pre-evolution chain entry) — compaction re-partitions later
+    val m = columnMappingAt(fq, v) // the predicate binds logically
     val newDv =
       if (files.isEmpty) None
-      else if (pcols.nonEmpty) Some(maskDvPos(
+      else if (pcols.nonEmpty) Some(toLogical(maskDvPos(
           readPartitionedDirs(chainDirs(fq, v), withRowPos = true),
-          dvs, keepPos = true)
+          dvs, keepPos = true), m)
         .filter(where)
         .select(col("__fp").as("file"), col("__ri").as("row_index")))
-      else Some(maskDv(spark.read.parquet(files.map(_.toString): _*),
-          dvs, keepPos = true)
+      else Some(toLogical(maskDv(spark.read.parquet(files.map(_.toString): _*),
+          dvs, keepPos = true), m)
         .filter(where)
         .select(col("__fp").as("file"), col("__ri").as("row_index")))
     val carried: Seq[Path] =
@@ -2441,6 +2717,45 @@ object TableCatalog {
     * underscore: hive listings treat `_`-prefixed paths as hidden).
     * A layout detail — filtered from every logical schema. */
   private[graft] val BucketCol = "gbucket"
+
+  /** Logical↔physical column mapping of one table version.
+    * `logicalOf` holds only physicals whose logical name DIFFERS;
+    * `dropped` physicals are hidden from reads; `adds` are the
+    * declared (ALTER ADD) columns as (physical name, field under its
+    * CURRENT logical name). */
+  private[graft] final case class ColumnMapping(
+      logicalOf: Map[String, String],
+      dropped: Set[String],
+      adds: Seq[(String, org.apache.spark.sql.types.StructField)]) {
+    def isIdentity: Boolean = logicalOf.isEmpty && dropped.isEmpty
+    lazy val physicalOf: Map[String, String] =
+      logicalOf.map { case (p, l) => l -> p }
+    def physical(logical: String): String =
+      physicalOf.getOrElse(logical, logical)
+  }
+
+  /** StructField metadata key carrying a declared column's parquet
+    * (physical) name when it differs from the logical name. */
+  private[graft] val PhysicalKey = "graft.physical"
+
+  private[catalog] sealed trait SchemaAction { def version: Int }
+  private[catalog] final case class AddAction(version: Int,
+      fields: Seq[org.apache.spark.sql.types.StructField]) extends SchemaAction
+  private[catalog] final case class RenameAction(version: Int,
+      physical: String, to: String) extends SchemaAction
+  private[catalog] final case class DropAction(version: Int,
+      physical: String) extends SchemaAction
+  private[catalog] final case class ResetAction(version: Int)
+      extends SchemaAction
+
+  private[catalog] val ActionName =
+    """v(\d{6})_(\d{6})\.(add\.json|rename|drop|reset)""".r
+  private[catalog] val LegacyActionName = """(\d{6})\.json""".r
+
+  private[graft] def physicalNameOf(
+      f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
 
   // ---- sidecar parse cache ------------------------------------------------
   // statsFor/stringStatsFor/bloomEntries re-read and re-parse their

@@ -41,6 +41,34 @@ private[connector] object FilterColumns {
     if (legs.exists(_.isEmpty)) None
     else Some(legs.flatten.reduceOption(_ && _).getOrElse(lit(true)))
   }
+
+  /** Rewrite attribute names through a logical→physical map (column
+    * mapping): `_STATS`/`_BLOOMS` sidecars and parquet footers key by
+    * the PHYSICAL column name, so pushed filters must translate before
+    * they drive file or row-group elimination. Unknown filter shapes
+    * pass through untouched (they are only ever used advisorily). */
+  def mapAttrs(f: Filter, m: Map[String, String]): Filter = {
+    if (m.isEmpty) return f
+    def n(a: String) = m.getOrElse(a, a)
+    f match {
+      case EqualTo(a, v)            => EqualTo(n(a), v)
+      case EqualNullSafe(a, v)      => EqualNullSafe(n(a), v)
+      case GreaterThan(a, v)        => GreaterThan(n(a), v)
+      case GreaterThanOrEqual(a, v) => GreaterThanOrEqual(n(a), v)
+      case LessThan(a, v)           => LessThan(n(a), v)
+      case LessThanOrEqual(a, v)    => LessThanOrEqual(n(a), v)
+      case In(a, vs)                => In(n(a), vs)
+      case IsNull(a)                => IsNull(n(a))
+      case IsNotNull(a)             => IsNotNull(n(a))
+      case StringStartsWith(a, v)   => StringStartsWith(n(a), v)
+      case StringEndsWith(a, v)     => StringEndsWith(n(a), v)
+      case StringContains(a, v)     => StringContains(n(a), v)
+      case And(l, r) => And(mapAttrs(l, m), mapAttrs(r, m))
+      case Or(l, r)  => Or(mapAttrs(l, m), mapAttrs(r, m))
+      case Not(x)    => Not(mapAttrs(x, m))
+      case other     => other
+    }
+  }
 }
 
 /** Planning-time file elimination shared by the connector's batch scan

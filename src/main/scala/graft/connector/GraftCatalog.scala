@@ -258,26 +258,48 @@ class GraftCatalog extends V2TableCatalog
       onAbort = () => if (!existed && cat.exists(fq)) cat.drop(fq))
   }
 
-  /** SQL schema evolution: `ALTER TABLE t ADD COLUMNS (c TYPE, …)` —
-    * declares the columns in the catalog's `_SCHEMAS/` sidecar and
-    * commits a metadata version; old rows read NULL, the next INSERT
-    * carries them, same-name/type-conflicting adds are rejected (the
-    * SQL face of the connector's union-schema evolution). Other ALTER
-    * shapes stay unsupported. */
+  /** SQL schema evolution — all METADATA commits, zero data rewritten:
+    *  - `ALTER TABLE t ADD COLUMNS (c TYPE, …)`: declares the columns
+    *    in the `_SCHEMAS/` sidecar; old rows read NULL, the next
+    *    INSERT carries them; same-name adds are rejected;
+    *  - `ALTER TABLE t RENAME COLUMN a TO b`: logical rename via the
+    *    column-mapping layer (Delta name-mode shape) — old files'
+    *    physical column reads back as `b`;
+    *  - `ALTER TABLE t DROP COLUMN c`: the column leaves the logical
+    *    schema; its bytes retire at the next compaction. Re-adding
+    *    the same name maps to a FRESH physical column — old data
+    *    never resurrects.
+    * Other ALTER shapes stay unsupported. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val fq = fqOf(ident)
     if (!cat.exists(fq))
       throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
+    changes.foreach {
+      case c: TableChange.AddColumn => require(c.fieldNames().length == 1,
+        s"graft ALTER TABLE: nested column add unsupported " +
+          s"(${c.fieldNames().mkString(".")})")
+      case c: TableChange.RenameColumn => require(c.fieldNames().length == 1,
+        s"graft ALTER TABLE: nested column rename unsupported " +
+          s"(${c.fieldNames().mkString(".")})")
+      case c: TableChange.DeleteColumn => require(c.fieldNames().length == 1,
+        s"graft ALTER TABLE: nested column drop unsupported " +
+          s"(${c.fieldNames().mkString(".")})")
+      case other => throw new UnsupportedOperationException(
+        "graft SQL catalog: only ADD / RENAME / DROP COLUMN are " +
+          s"supported (got $other)")
+    }
     val adds = changes.collect { case a: TableChange.AddColumn => a }
-    require(adds.size == changes.size,
-      "graft SQL catalog: only ALTER TABLE ADD COLUMNS is supported " +
-        s"(got ${changes.filterNot(_.isInstanceOf[TableChange.AddColumn])})")
-    adds.foreach(a => require(a.fieldNames().length == 1,
-      s"graft ALTER TABLE: nested column add unsupported " +
-        s"(${a.fieldNames().mkString(".")})"))
-    cat.alterAddColumns(fq, StructType(adds.map(a =>
-      org.apache.spark.sql.types.StructField(
-        a.fieldNames().head, a.dataType(), nullable = true))))
+    if (adds.nonEmpty)
+      cat.alterAddColumns(fq, StructType(adds.map(a =>
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames().head, a.dataType(), nullable = true))))
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        cat.alterRenameColumn(fq, r.fieldNames().head, r.newName())
+      case d: TableChange.DeleteColumn =>
+        cat.alterDropColumns(fq, Seq(d.fieldNames().head))
+      case _ => ()
+    }
     loadTable(ident)
   }
 

@@ -153,9 +153,13 @@ class GraftCdfScan(root: String, fq: String, out: StructType,
         .map(s => GraftFilesPartition(Seq(s)): InputPartition).toArray
     }
     override def planInputPartitions(): Array[InputPartition] = parts
-    override def createReaderFactory(): PartitionReaderFactory =
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val c = cat
+      val physOf = c.version(fq)
+        .map(v => c.columnMappingAt(fq, v).physicalOf).getOrElse(Map.empty)
       new GraftReaderFactory(out, -1, Array.empty,
-        columnar = true, GraftSource.shippedConf())
+        columnar = true, GraftSource.shippedConf(), physOf)
+    }
   }
 
   /** Streaming change feed: offsets are commit versions; batch
@@ -210,11 +214,15 @@ class GraftCdfMicroBatchStream(root: String, fq: String, out: StructType,
       .map(s => GraftFilesPartition(Seq(s)): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
     // row reader: the micro-batch exec path stays row-based like the
     // main graft stream (keepOnly masks work in both readers)
+    val c = cat
+    val physOf = c.version(fq)
+      .map(v => c.columnMappingAt(fq, v).physicalOf).getOrElse(Map.empty)
     new GraftReaderFactory(out, -1, Array.empty,
-      columnar = false, GraftSource.shippedConf())
+      columnar = false, GraftSource.shippedConf(), physOf)
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }

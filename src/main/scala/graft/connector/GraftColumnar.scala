@@ -47,7 +47,8 @@ import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
   * filters stay residual, the connector's standing contract). */
 class GraftColumnarReader(slices: Seq[GraftSlice], schema: StructType,
     limit: Int, filters: Array[Filter] = Array.empty,
-    hadoopConf: Configuration = new Configuration())
+    hadoopConf: Configuration = new Configuration(),
+    physOf: Map[String, String] = Map.empty)
     extends PartitionReader[ColumnarBatch] {
 
   private var sliceIdx = -1
@@ -73,7 +74,10 @@ class GraftColumnarReader(slices: Seq[GraftSlice], schema: StructType,
     val partMap = cur.partValues.toMap
     val dataFields = schema.fields.filterNot(f => partMap.contains(f.name))
     val partFields = schema.fields.filter(f => partMap.contains(f.name))
-    val dataSchema = StructType(dataFields)
+    // column mapping: request by PHYSICAL name (what the file carries);
+    // the decoded vectors are positional, so the logical order holds
+    val dataSchema = StructType(dataFields.map(f =>
+      physOf.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
     val dataIdx = dataFields.map(_.name).zipWithIndex.toMap
     val partIdx = partFields.map(_.name).zipWithIndex.toMap
     outPerm = schema.fields.map(f => dataIdx.get(f.name)

@@ -70,9 +70,19 @@ class GraftDeltaBatchWrite(root: String, fq: String, rowSchema: StructType,
   private val stagingDir =
     s"$root/_staging/delta-${java.util.UUID.randomUUID()}"
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-    new GraftDeltaWriterFactory(stagingDir, rowSchema,
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    // column mapping: the replacement-row files carry PHYSICAL names
+    // (rows are positional; renaming the schema is the translation)
+    val cat = new TableCatalog(SparkSession.active, root)
+    val physicalOf = scanVersion
+      .map(v => cat.columnMappingAt(fq, v).physicalOf).getOrElse(Map.empty)
+    val physSchema =
+      if (physicalOf.isEmpty) rowSchema
+      else StructType(rowSchema.fields.map(f =>
+        physicalOf.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
+    new GraftDeltaWriterFactory(stagingDir, physSchema,
       GraftSource.shippedConf())
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dvStaged = messages.toSeq.collect {

@@ -352,8 +352,11 @@ class GraftScanBuilder(tableSchema: StructType, root: String, fq: String,
       GraftPartitions.extreme(raws, dt, wantMin)
     }
 
+    // `_STATS` key by PHYSICAL column name (column mapping)
+    val physOf = c.columnMappingAt(fq, v).physicalOf
     def colBounds(name: String): Option[(BigDecimal, BigDecimal)] = {
-      val per = files.map(p => fileStats(p).get.get(name))
+      val phys = physOf.getOrElse(name, name)
+      val per = files.map(p => fileStats(p).get.get(phys))
       if (per.exists(_.isEmpty)) None
       else Some((per.flatten.map(_._1).min, per.flatten.map(_._2).max))
     }
@@ -625,6 +628,12 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
   private def liveVersion: Int = versionOpt.orElse(cat.version(fq)).getOrElse(
     throw new IllegalArgumentException(s"graft table not found: $fq"))
 
+  /** Column mapping of the scanned version: pushed filters and the
+    * readers' requested schemas translate logical→physical through
+    * this (sidecars and parquet footers know only physical names). */
+  private lazy val physOf: Map[String, String] =
+    cat.columnMappingAt(fq, liveVersion).physicalOf
+
   /** Files (with their path-encoded partition values) surviving BOTH
     * exact partition-value pruning and stats/bloom elimination, under
     * the conjunction of compile-time skip filters AND runtime
@@ -645,6 +654,7 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
         .flatMap(_.get("__rows")).map(_._1.toLong).contains(0L)
     }
     val active = (skipFilters ++ runtimeFilters).toSeq
+      .map(FilterColumns.mapAttrs(_, physOf))
     val afterPart =
       if (active.isEmpty) all
       else all.filter { case (_, pvs) =>
@@ -731,8 +741,9 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
       // survivor map (MaskedColumnVector) instead of dropping the
       // whole scan to the boxed row reader.
       val columnar = columnarEnabled && aggResult.isEmpty && !metaRequested
-      new GraftReaderFactory(out, limit, skipFilters ++ runtimeFilters,
-        columnar, GraftSource.shippedConf())
+      new GraftReaderFactory(out, limit,
+        (skipFilters ++ runtimeFilters).map(FilterColumns.mapAttrs(_, physOf)),
+        columnar, GraftSource.shippedConf(), physOf)
     }
   }
 
@@ -748,7 +759,8 @@ case class GraftAggPartition(values: Array[Any]) extends InputPartition
 
 class GraftReaderFactory(schema: StructType, limit: Int,
     filters: Array[Filter] = Array.empty, columnar: Boolean = false,
-    conf: graft.util.SerializableHadoopConf = null)
+    conf: graft.util.SerializableHadoopConf = null,
+    physOf: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   // null only when constructed by old callers/tests: executor falls
   // back to classpath defaults, exactly the pre-propagation behavior
@@ -764,7 +776,8 @@ class GraftReaderFactory(schema: StructType, limit: Int,
         override def close(): Unit = ()
       }
       case h: GraftSlicesHolder =>
-        new GraftRowReader(h.slices, schema, limit, filters, hadoopConf)
+        new GraftRowReader(h.slices, schema, limit, filters, hadoopConf,
+          physOf)
     }
 
   // scan-wide flag (computed over ALL planned partitions), so every
@@ -775,7 +788,8 @@ class GraftReaderFactory(schema: StructType, limit: Int,
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     p match {
       case h: GraftSlicesHolder =>
-        new GraftColumnarReader(h.slices, schema, limit, filters, hadoopConf)
+        new GraftColumnarReader(h.slices, schema, limit, filters, hadoopConf,
+          physOf)
       case other => throw new IllegalStateException(
         s"columnar read of non-file partition $other")
     }
@@ -796,7 +810,8 @@ class GraftReaderFactory(schema: StructType, limit: Int,
   * (Spark still applies every residual filter either way). */
 class GraftRowReader(slices: Seq[GraftSlice], schema: StructType,
     limit: Int, filters: Array[Filter] = Array.empty,
-    hadoopConf: Configuration = new Configuration())
+    hadoopConf: Configuration = new Configuration(),
+    physOf: Map[String, String] = Map.empty)
     extends PartitionReader[InternalRow] {
   import GraftSource.{RowIdFile, RowIdPos}
 
@@ -804,6 +819,12 @@ class GraftRowReader(slices: Seq[GraftSlice], schema: StructType,
   private val isMeta: Array[Boolean] =
     schema.fields.map(f => f.name == RowIdFile || f.name == RowIdPos)
   private val anyMeta = isMeta.exists(identity)
+  // column mapping: parquet lookups use PHYSICAL names; the output
+  // row order stays the (logical) schema's — purely positional
+  private val physFields: Array[org.apache.spark.sql.types.StructField] =
+    schema.fields.map(f =>
+      physOf.get(f.name).map(p => f.copy(name = p)).getOrElse(f))
+  private val physSchema = StructType(physFields)
 
   private var sliceIdx = -1
   private var cur: GraftSlice = _
@@ -829,7 +850,7 @@ class GraftRowReader(slices: Seq[GraftSlice], schema: StructType,
         GraftPartitions.castValue(rv, f.dataType): Any)
     }
     plainRow = !anyMeta && !partConst.exists(_.isDefined)
-    val dataSchema = StructType(schema.fields.zipWithIndex
+    val dataSchema = StructType(physFields.zipWithIndex
       .collect { case (f, i) if !isMeta(i) && partConst(i).isEmpty => f })
     val conf = hadoopConf // driver's conf, shipped (fs creds/endpoints)
     val pred =
@@ -871,7 +892,7 @@ class GraftRowReader(slices: Seq[GraftSlice], schema: StructType,
   }
 
   override def get(): InternalRow = {
-    if (plainRow) return GraftParquetIO.toInternalRow(current, schema)
+    if (plainRow) return GraftParquetIO.toInternalRow(current, physSchema)
     val vals = new Array[Any](schema.length)
     var i = 0
     while (i < schema.length) {
@@ -882,7 +903,7 @@ class GraftRowReader(slices: Seq[GraftSlice], schema: StructType,
           else rowIdx
         } else partConst(i) match {
           case Some(c) => c // per-slice synthesized constant
-          case None => GraftParquetIO.valueOf(current, schema(i))
+          case None => GraftParquetIO.valueOf(current, physFields(i))
         }
       i += 1
     }
@@ -940,50 +961,66 @@ object GraftSource {
     * fails loudly at planning time instead of erroring mid-scan or
     * silently omitting columns newer than an arbitrary first file.
     * Cost: O(chain versions) footer reads, driver-side. */
+  /** PHYSICAL schema of a version's chain: the footer union (one
+    * representative footer per owning version dir) plus declared
+    * (ALTER ADD) columns under their PHYSICAL names — before any
+    * column-mapping rename/drop is applied. */
+  private[graft] def physicalChainSchema(spark: SparkSession,
+      cat: graft.catalog.TableCatalog, fq: String, v: Int): StructType =
+    if (cat.isPartitionedAt(fq, v)) cat.partitionedSchemaAt(fq, v)
+    else {
+      val files = cat.dataFilePathsAt(fq, v)
+      require(files.nonEmpty, s"graft table $fq v$v has no data files")
+      val vdir = "(.*/v_\\d{6})/".r
+      def owner(p: String): String =
+        vdir.findFirstMatchIn(p).map(_.group(1))
+          .getOrElse(new Path(p).getParent.toString)
+      val reps = files.groupBy(owner).toSeq.sortBy(_._1).map(_._2.min)
+      reps.map(p => cat.footerSchemaOf(p)).reduce { (a, b) =>
+        val merged = scala.collection.mutable.ArrayBuffer(a.fields: _*)
+        b.fields.foreach { f =>
+          merged.find(_.name == f.name) match {
+            case Some(e) =>
+              if (e.dataType != f.dataType) throw new IllegalStateException(
+                s"graft table $fq: column ${f.name} has conflicting types " +
+                  s"across the chain (${e.dataType.simpleString} vs " +
+                  s"${f.dataType.simpleString}) — compact the table first")
+            case None => merged += f
+          }
+        }
+        StructType(merged.toSeq)
+      }
+    }
+
   private[graft] def chainSchema(spark: SparkSession,
       cat: graft.catalog.TableCatalog, fq: String, v: Int): StructType = {
-    val base: StructType =
-      if (cat.isPartitionedAt(fq, v)) cat.partitionedSchemaAt(fq, v)
-      else {
-        val files = cat.dataFilePathsAt(fq, v)
-        require(files.nonEmpty, s"graft table $fq v$v has no data files")
-        val vdir = "(.*/v_\\d{6})/".r
-        def owner(p: String): String =
-          vdir.findFirstMatchIn(p).map(_.group(1))
-            .getOrElse(new Path(p).getParent.toString)
-        val reps = files.groupBy(owner).toSeq.sortBy(_._1).map(_._2.min)
-        reps.map(p => cat.footerSchemaOf(p)).reduce { (a, b) =>
-          val merged = scala.collection.mutable.ArrayBuffer(a.fields: _*)
-          b.fields.foreach { f =>
-            merged.find(_.name == f.name) match {
-              case Some(e) =>
-                if (e.dataType != f.dataType) throw new IllegalStateException(
-                  s"graft table $fq: column ${f.name} has conflicting types " +
-                    s"across the chain (${e.dataType.simpleString} vs " +
-                    s"${f.dataType.simpleString}) — compact the table first")
-              case None => merged += f
-            }
-          }
-          StructType(merged.toSeq)
-        }
-      }
-    // DECLARED extension columns (ALTER TABLE ADD COLUMNS): appended
-    // after the footer union; files predating the declaration read
-    // them as null. A data file later carrying the name with a
-    // DIFFERENT type fails loudly here, like any footer conflict.
-    val declared = cat.declaredColumns(fq).foldLeft(base) { (acc, f) =>
-      acc.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+    val base = physicalChainSchema(spark, cat, fq, v)
+    val mapping = cat.columnMappingAt(fq, v)
+    // DECLARED extension columns (ALTER TABLE ADD COLUMNS): merged by
+    // PHYSICAL name after the footer union; files predating the
+    // declaration read them as null. A data file later carrying the
+    // physical name with a DIFFERENT type fails loudly here, like any
+    // footer conflict.
+    val declared = mapping.adds.foldLeft(base) { case (acc, (phys, f)) =>
+      acc.fields.find(_.name.equalsIgnoreCase(phys)) match {
         case Some(e) if e.dataType == f.dataType => acc
         case Some(e) => throw new IllegalStateException(
           s"graft table $fq: declared column ${f.name} " +
             s"(${f.dataType.simpleString}) conflicts with data files' " +
             s"${e.dataType.simpleString} — drop or compact first")
-        case None => StructType(acc.fields :+ f)
+        case None => StructType(acc.fields :+
+          StructField(phys, f.dataType, nullable = true))
       }
     }
+    // COLUMN MAPPING: dropped physicals leave the logical schema,
+    // renamed physicals surface under their logical names
+    val logical = StructType(declared.fields
+      .filterNot(f => mapping.dropped.contains(f.name))
+      .map(f => mapping.logicalOf.get(f.name)
+        .map(l => f.copy(name = l)).getOrElse(f)))
     // the synthetic bucket-routing column is a LAYOUT detail, never a
     // logical column
-    StructType(declared.fields.filterNot(_.name == cat.BucketCol))
+    StructType(logical.fields.filterNot(_.name == cat.BucketCol))
   }
 }
 
@@ -1176,9 +1213,12 @@ class GraftMicroBatchStream(root: String, fq: String, required: StructType,
         .map { case (p, pvs) => key(p) -> pvs }.toMap
     // the same stats/bloom elimination the batch scan runs: a filtered
     // stream (readStream.filter ...) never schedules new files whose
-    // stats prove them irrelevant
+    // stats prove them irrelevant. Filters translate logical→physical
+    // (column mapping) before consulting the sidecars.
     val sizes = c.fileSizesAt(fq, ve)
-    val inputs = FileSkipping.surviving(c, fq, ve, newFiles, skipFilters.toSeq)
+    val mapped = skipFilters.toSeq.map(
+      FilterColumns.mapAttrs(_, c.columnMappingAt(fq, ve).physicalOf))
+    val inputs = FileSkipping.surviving(c, fq, ve, newFiles, mapped)
       .map { p =>
         GraftSlicePlanner.FileInput(p, sizes.getOrElse(key(p), 0L),
           dvs.getOrElse(key(p), Array.empty[Long]),
@@ -1190,9 +1230,14 @@ class GraftMicroBatchStream(root: String, fq: String, required: StructType,
     GraftSource.planSlices(inputs, splitAllowed = true)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, limit, skipFilters,
-      conf = GraftSource.shippedConf())
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val c = cat
+    val physOf = c.version(fq)
+      .map(v => c.columnMappingAt(fq, v).physicalOf).getOrElse(Map.empty)
+    new GraftReaderFactory(required, limit,
+      skipFilters.map(FilterColumns.mapAttrs(_, physOf)),
+      conf = GraftSource.shippedConf(), physOf = physOf)
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }

@@ -169,10 +169,21 @@ class GraftWriteBuilder(root: String, fq: String, schema: StructType,
     // files into the live chain, so it checks like an append.
     // Partition columns compare by NAME only: path-encoding narrows
     // their read-back type (e.g. a long CTAS value re-infers as int).
+    // COLUMN MAPPING: appends into a mapped chain stage files under
+    // PHYSICAL names (the InternalRows are positional — renaming the
+    // schema fields is the whole translation). Overwrites start a
+    // fresh chain under the caller's own names (the commit resets the
+    // mapping), so they stage verbatim.
+    var writeSchema = schema
     if (!overwrite) {
       val spark = SparkSession.active
       val cat = new TableCatalog(spark, root)
       cat.version(fq).foreach { v =>
+        val physicalOf = cat.columnMappingAt(fq, v).physicalOf
+        if (physicalOf.nonEmpty)
+          writeSchema = org.apache.spark.sql.types.StructType(
+            schema.fields.map(f => physicalOf.get(f.name)
+              .map(p => f.copy(name = p)).getOrElse(f)))
         val files = cat.dataFilePathsAt(fq, v)
         if (files.nonEmpty) {
           val existing = GraftSource.chainSchema(spark, cat, fq, v)
@@ -211,13 +222,13 @@ class GraftWriteBuilder(root: String, fq: String, schema: StructType,
           : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
         Array.empty
       override def toBatch: BatchWrite =
-        new GraftBatchWrite(root, fq, schema, overwrite, replaceWhere,
+        new GraftBatchWrite(root, fq, writeSchema, overwrite, replaceWhere,
           partitionCols, targetFileBytes, bucketSpec)
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
         require(!overwrite,
           "graft streaming sink supports OutputMode.Append only")
-        new GraftStreamingWrite(root, fq, schema, queryId, targetFileBytes,
+        new GraftStreamingWrite(root, fq, writeSchema, queryId, targetFileBytes,
           partitionCols, bucketSpec)
       }
     }

@@ -898,9 +898,10 @@ class Round8Spec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("already exists") ||
       Option(ex.getCause).exists(_.getMessage.contains("already exists")))
-    // other ALTER shapes stay unsupported, loudly
+    // other ALTER shapes stay unsupported, loudly (RENAME/DROP COLUMN
+    // are supported since the column-mapping layer — see Round9Spec)
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cname.d.s.ev DROP COLUMN name")
+      spark.sql(s"ALTER TABLE $cname.d.s.ev ALTER COLUMN k TYPE STRING")
     }
     // the ALTER bumped a metadata version: time travel still exact
     assert(cat.version("d.s.ev").get >= 2)
