@@ -527,16 +527,113 @@ class TableCatalog(spark: SparkSession, root: String,
 
   /** Data files of a version: its own part files plus everything its
     * manifest references. Partitioned versions resolve recursively
-    * through partition subdirectories across the chain. */
+    * through partition subdirectories across the chain; unpartitioned
+    * versions resolve version-directory REFERENCES recursively — see
+    * [[resolvedFlatFiles]]. */
   private def dataFiles(fq: String, v: Int): Seq[Path] = {
     if (partitionColsOf(fq, v).nonEmpty)
       return chainDirs(fq, v).filter(fs.exists(_)).flatMap(listFilesRecursive)
-    val dir = versionDir(fq, v)
-    val own = fs.listStatus(dir).filter(_.isFile)
-      .map(_.getPath)
-      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
-      .toSeq
-    manifestEntries(dir) ++ own
+    resolvedFlatFiles(fq, v)
+  }
+
+  // ---- O(delta) flat-chain commit metadata --------------------------------
+  // A flat (unpartitioned) commit's `_MANIFEST` may reference the
+  // PRIOR VERSION DIRECTORY instead of relisting every live file: one
+  // line per commit, however many files the table holds — without
+  // this, every streaming epoch into a 100 TB table rewrites ~100 MB
+  // of manifest (the O(live-files) metadata trap; Delta bounds it the
+  // same way with delta log entries). Resolution walks the reference
+  // chain: R(v) = (R(ref) ∪ fileEntries(v)) \ tombstones(v) ∪ own(v),
+  // where `_TOMBSTONES` lists the files a copy-on-write rewrite
+  // retired (O(touched), Delta's remove actions). Legacy manifests
+  // (explicit file lists) resolve unchanged; each version's resolved
+  // set caches process-wide against its immutable manifest.
+
+  private def tombstonesPath(dir: Path) = new Path(dir, "_TOMBSTONES")
+
+  private def writeTombstones(dir: Path, retired: Seq[Path]): Unit = {
+    val out = fs.create(tombstonesPath(dir), true)
+    try out.write(retired.map(p => fs.makeQualified(p).toUri.getPath)
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def tombstonesOf(dir: Path): Set[String] =
+    TableCatalog.cachedParse(fs, tombstonesPath(dir), "tombs") { text =>
+      text.split("\n").toSet.filter(_.nonEmpty)
+    }.getOrElse(Set.empty)
+
+  /** Is this manifest entry a version-directory reference of THIS
+    * table (vs a plain data-file path)? */
+  private def dirRefVersion(fq: String, e: Path): Option[Int] =
+    if (e.getName.matches("v_\\d{6}") &&
+        fs.makeQualified(e.getParent).toUri.getPath ==
+          fs.makeQualified(tableDir(fq)).toUri.getPath)
+      Some(e.getName.stripPrefix("v_").toInt)
+    else None
+
+  /** Iteratively resolve a flat version's data-file set (a deep chain
+    * must not recurse the stack), caching each level against its
+    * immutable manifest. */
+  private def resolvedFlatFiles(fq: String, v: Int): Seq[Path] = {
+    def cached(ver: Int): Option[Seq[Path]] =
+      TableCatalog.cachedPeek[Seq[Path]](fs,
+        manifestPath(versionDir(fq, ver)), "flatResolved")
+    def ownOf(dir: Path): Seq[Path] =
+      fs.listStatus(dir).filter(_.isFile).map(_.getPath)
+        .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+        .toSeq
+    // walk references down until a cached level (or the chain base)
+    var levels = List.empty[(Int, Seq[Path], Set[String])]
+    var base: Seq[Path] = Nil
+    var cur = v
+    var walking = true
+    while (walking) {
+      cached(cur) match {
+        case Some(files) => base = files; walking = false
+        case None =>
+          val dir = versionDir(fq, cur)
+          val entries = manifestEntries(dir)
+          val (refs, fileEntries) =
+            entries.partition(e => dirRefVersion(fq, e).isDefined)
+          levels = (cur, ownOf(dir) ++ fileEntries, tombstonesOf(dir)) :: levels
+          refs.headOption.flatMap(dirRefVersion(fq, _)) match {
+            case Some(prev) => cur = prev
+            case None       => walking = false
+          }
+      }
+    }
+    // fold back up, caching each fully-resolved level
+    var files = base
+    levels.foreach { case (ver, adds, tombs) =>
+      files =
+        (if (tombs.isEmpty) files
+         else files.filterNot(p => tombs(fs.makeQualified(p).toUri.getPath))) ++
+          adds
+      TableCatalog.cachedPut(fs, manifestPath(versionDir(fq, ver)),
+        "flatResolved", files)
+    }
+    files
+  }
+
+  /** Version-dir names on v's flat reference chain (v included) — the
+    * dirs a pruner must RETAIN even when they hold no data files of
+    * their own: breaking one reference link breaks every later
+    * version's resolution. Empty for partitioned versions (their
+    * manifests carry every chain dir explicitly, which the prune's
+    * ancestor check already protects). */
+  private def flatChainDirNames(fq: String, v: Int): Set[String] = {
+    if (partitionColsOf(fq, v).nonEmpty) return Set.empty
+    val names = scala.collection.mutable.Set.empty[String]
+    var cur = Some(v): Option[Int]
+    while (cur.isDefined) {
+      val dir = versionDir(fq, cur.get)
+      names += dir.getName
+      cur =
+        if (!fs.exists(dir)) None
+        else manifestEntries(dir).flatMap(dirRefVersion(fq, _)).headOption
+    }
+    names.toSet
   }
 
   /** Partitioned chain read WITH the version's DV masks applied —
@@ -841,12 +938,19 @@ class TableCatalog(spark: SparkSession, root: String,
       (if (next > 0 && fs.exists(versionDir(fq, next - 1)))
         dataFiles(fq, next - 1) ++ dvFiles(fq, next - 1) else Nil))
       .map(p => fs.makeQualified(p).toString).toSet
+    // flat dir-reference chains: every LINK dir must survive, even
+    // one holding no data files of its own (a metadata commit) —
+    // deleting it would break every later version's resolution
+    val linkDirs = flatChainDirNames(fq, next) ++
+      (if (next > 0 && fs.exists(versionDir(fq, next - 1)))
+        flatChainDirNames(fq, next - 1) else Set.empty)
     // one listing of the table dir (not an existence probe per historic
     // version number — O(live dirs) however long the commit history)
     fs.listStatus(tableDir(fq)).filter(_.isDirectory)
       .map(_.getPath)
       .filter(p => p.getName.matches("v_\\d{6}") &&
-        p.getName.stripPrefix("v_").toInt < next - 1)
+        p.getName.stripPrefix("v_").toInt < next - 1 &&
+        !linkDirs.contains(p.getName))
       .foreach { p =>
         val old = fs.makeQualified(p).toString
         val referenced = live.exists(lp => lp == old || lp.startsWith(old + "/"))
@@ -881,7 +985,9 @@ class TableCatalog(spark: SparkSession, root: String,
             writeManifest(dir, chainDirs(fq, head))
           } else {
             pdf.write.mode(SaveMode.Overwrite).parquet(dir.toString)
-            writeManifest(dir, dataFiles(fq, head))
+            // O(delta) metadata: ONE dir-reference line however many
+            // files the chain holds (resolution walks the chain)
+            writeManifest(dir, Seq(versionDir(fq, head)))
           }
           if (dvs.nonEmpty) writeDvManifest(dir, dvs)
         }
@@ -917,7 +1023,12 @@ class TableCatalog(spark: SparkSession, root: String,
     // outstanding DV masks ride along: the partition-granular read
     // path applies them per-scan before its layout union
     val dvs = dvFiles(fq, v)
-    val carried = chainDirs(fq, v)
+    // a FLAT source chain carries resolved FILES (its dir-reference
+    // manifests mean nothing to the partition-granular reader); an
+    // already-partitioned chain carries its directories
+    val carried: Seq[Path] =
+      if (partitionColsOf(fq, v).nonEmpty) chainDirs(fq, v)
+      else dataFiles(fq, v)
     val pdf = toPhysical(df, columnMappingAt(fq, v))
     commitVersionFrom(fq, v, dir => {
       pdf.write.mode(SaveMode.Overwrite)
@@ -1148,7 +1259,12 @@ class TableCatalog(spark: SparkSession, root: String,
     }, m)
     commitVersionFrom(fq, v, dir => {
       updated.write.mode(SaveMode.Overwrite).parquet(dir.toString)
-      if (carried.nonEmpty) writeManifest(dir, carried)
+      if (carried.nonEmpty) {
+        // O(touched) metadata: reference the prior version, tombstone
+        // only the rewritten files (Delta's remove-action shape)
+        writeManifest(dir, Seq(versionDir(fq, v)))
+        writeTombstones(dir, hit)
+      }
       // carry masks for the carried files; entries addressing rewritten
       // files no longer match any chain path and are inert
       if (carried.nonEmpty && dvs.nonEmpty) writeDvManifest(dir, dvs)
@@ -1201,7 +1317,10 @@ class TableCatalog(spark: SparkSession, root: String,
       .filter(!where), m)
     commitVersionFrom(fq, v, dir => {
       kept.write.mode(SaveMode.Overwrite).parquet(dir.toString)
-      if (carried.nonEmpty) writeManifest(dir, carried)
+      if (carried.nonEmpty) { // prior-version reference + tombstones
+        writeManifest(dir, Seq(versionDir(fq, v)))
+        writeTombstones(dir, hit)
+      }
       if (carried.nonEmpty && dvs.nonEmpty) writeDvManifest(dir, dvs)
     })
   }
@@ -1273,7 +1392,7 @@ class TableCatalog(spark: SparkSession, root: String,
       commitRebase(fq, v, files, dvs, (dir, head) => {
         fs.mkdirs(dir)
         newDv.write.mode(SaveMode.Overwrite).parquet(dvDir(dir).toString)
-        writeManifest(dir, dataFiles(fq, head))
+        writeManifest(dir, Seq(versionDir(fq, head))) // O(1) reference
         val headDvs = dvFiles(fq, head)
         if (headDvs.nonEmpty) writeDvManifest(dir, headDvs)
       })
@@ -1349,7 +1468,7 @@ class TableCatalog(spark: SparkSession, root: String,
       commitRebase(fq, v, files, dvs, (dir, head) => {
         updated.write.mode(SaveMode.Overwrite).parquet(dir.toString)
         newDv.write.mode(SaveMode.Overwrite).parquet(dvDir(dir).toString)
-        writeManifest(dir, dataFiles(fq, head))
+        writeManifest(dir, Seq(versionDir(fq, head))) // O(1) reference
         val headDvs = dvFiles(fq, head)
         if (headDvs.nonEmpty) writeDvManifest(dir, headDvs)
       })
@@ -1438,7 +1557,10 @@ class TableCatalog(spark: SparkSession, root: String,
             graft.operators.MergeOps.upsert(base, src, keys), m)
           commitVersionFrom(fq, v, dir => {
             merged.write.mode(SaveMode.Overwrite).parquet(dir.toString)
-            if (carried.nonEmpty) writeManifest(dir, carried)
+            if (carried.nonEmpty) { // reference + tombstones, O(touched)
+              writeManifest(dir, Seq(versionDir(fq, v)))
+              writeTombstones(dir, hit)
+            }
             if (carried.nonEmpty && dvs.nonEmpty) writeDvManifest(dir, dvs)
           })
         } finally src.unpersist()
@@ -1482,7 +1604,10 @@ class TableCatalog(spark: SparkSession, root: String,
     val reachable = retained.flatMap(v =>
         (dataFiles(fq, v) ++ dvFiles(fq, v))
           .map(p => versionAncestor(p).getName)).toSet ++
-      retained.map(v => f"v_$v%06d")
+      retained.map(v => f"v_$v%06d") ++
+      // flat dir-reference LINK dirs (metadata commits hold no data
+      // files but carry the chain) stay reachable
+      retained.flatMap(v => flatChainDirNames(fq, v))
     val removed = (0 until cutoff).map(v => versionDir(fq, v))
       .filter(d => fs.exists(d) && !reachable.contains(d.getName))
     removed.foreach(d => fs.delete(d, true))
@@ -1940,10 +2065,20 @@ class TableCatalog(spark: SparkSession, root: String,
     * partitioned tables (partition pruning limits those scans). */
   def readChanges(fq: String, fromV: Int, toV: Int): DataFrame = {
     require(fromV <= toV, s"fromV $fromV > toV $toV")
-    val cols = readVersion(fq, toV).columns
-      .filterNot(_ == "_change_type").map(col).toSeq
+    val toSchema = readVersion(fq, toV).schema
+      .filterNot(_.name == "_change_type")
+    val cols = toSchema.map(f => col(f.name))
+    val mTo = columnMappingAt(fq, toV)
+    // candidate frames are RAW file scans: surface them under the
+    // logical view and fill declared columns older files don't carry
+    def align(df: DataFrame): DataFrame = {
+      val l = toLogical(df, mTo)
+      val have = l.columns.map(_.toLowerCase).toSet
+      toSchema.filterNot(f => have(f.name.toLowerCase))
+        .foldLeft(l)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    }
     def tag(df: DataFrame, t: String) =
-      df.select(cols: _*).withColumn("_change_type", lit(t))
+      align(df).select(cols: _*).withColumn("_change_type", lit(t))
     if (partitionColsOf(fq, fromV).nonEmpty ||
         partitionColsOf(fq, toV).nonEmpty) {
       val o = readVersion(fq, fromV); val n = readVersion(fq, toV)
@@ -1979,13 +2114,13 @@ class TableCatalog(spark: SparkSession, root: String,
       if (removed.isEmpty) None
       else Some(maskDv(spark.read.parquet(removed.map(_.toString): _*), dvA))
     val candDel = (removedDeletes.toSeq ++ survivorDeletes.toSeq)
-      .map(_.select(cols: _*)).reduceOption(_.unionByName(_))
+      .map(d => align(d).select(cols: _*)).reduceOption(_.unionByName(_))
     (candIns, candDel) match {
       case (None, None) => tag(readVersion(fq, toV), "insert").limit(0)
       case (Some(i), None) => tag(i, "insert")
       case (None, Some(d)) => tag(d, "delete")
       case (Some(i), Some(d)) =>
-        val ip = i.select(cols: _*)
+        val ip = align(i).select(cols: _*)
         tag(ip.exceptAll(d), "insert").unionByName(tag(d.exceptAll(ip), "delete"))
     }
   }
@@ -2158,7 +2293,9 @@ class TableCatalog(spark: SparkSession, root: String,
       if (!overwrite && head >= 0) {
         require(partitionColsOf(fq, head).isEmpty,
           s"DSv2 write targets unpartitioned tables; $fq is hive-partitioned")
-        writeManifest(dir, dataFiles(fq, head))
+        // O(delta): one reference line per epoch/commit — a streaming
+        // sink must not rewrite O(live files) of manifest per epoch
+        writeManifest(dir, Seq(versionDir(fq, head)))
         val dvs = dvFiles(fq, head)
         if (dvs.nonEmpty) writeDvManifest(dir, dvs)
       }
@@ -2394,7 +2531,7 @@ class TableCatalog(spark: SparkSession, root: String,
       if (pcols.nonEmpty) {
         writeLayout(fq, v, dir, pcols)
         writeManifest(dir, chainDirs(fq, v))
-      } else writeManifest(dir, dataFiles(fq, v))
+      } else writeManifest(dir, Seq(versionDir(fq, v)))
       if (dvs.nonEmpty) writeDvManifest(dir, dvs)
       extra(v + 1)
     })
@@ -2504,7 +2641,7 @@ class TableCatalog(spark: SparkSession, root: String,
           if (live.nonEmpty) {
             writeLayout(fq, v, dir, live)
             writeManifest(dir, chainDirs(fq, v))
-          } else writeManifest(dir, dataFiles(fq, v))
+          } else writeManifest(dir, Seq(versionDir(fq, v)))
           if (dvs.nonEmpty) writeDvManifest(dir, dvs)
         })
       case None => // overwrite/create: schema-only zero-row version
@@ -2554,8 +2691,8 @@ class TableCatalog(spark: SparkSession, root: String,
           dvs, keepPos = true), m)
         .filter(where)
         .select(col("__fp").as("file"), col("__ri").as("row_index")))
-    val carried: Seq[Path] =
-      if (pcols.nonEmpty) chainDirs(fq, v) else files
+    val carried: Seq[Path] = // flat chains: ONE dir-reference line
+      if (pcols.nonEmpty) chainDirs(fq, v) else Seq(versionDir(fq, v))
     commitVersionFrom(fq, v, dir => {
       fs.mkdirs(dir)
       staged.foreach { f =>
@@ -2603,8 +2740,8 @@ class TableCatalog(spark: SparkSession, root: String,
     // entry — the layout-union read path resolves both); compaction
     // re-partitions the replacements into the hive layout later
     val pcols = partitionColsOf(fq, v)
-    val carried: Seq[Path] =
-      if (pcols.nonEmpty) chainDirs(fq, v) else dataFiles(fq, v)
+    val carried: Seq[Path] = // flat chains: ONE dir-reference line
+      if (pcols.nonEmpty) chainDirs(fq, v) else Seq(versionDir(fq, v))
     val dvs = dvFiles(fq, v)
     commitVersionFrom(fq, v, dir => {
       fs.mkdirs(dir)
@@ -2811,6 +2948,27 @@ object TableCatalog {
     if (metaCache.size > 8192) metaCache.clear()
     metaCache.put(key, v)
     Some(v)
+  }
+
+  /** Non-computing cache probe (None = absent file OR no entry). */
+  private[catalog] def cachedPeek[T <: AnyRef](fs: FileSystem, p: Path,
+      kind: String): Option[T] = {
+    if (!fs.exists(p)) return None
+    val st = fs.getFileStatus(p)
+    val key = (fs.makeQualified(p).toString, kind,
+      st.getModificationTime, st.getLen)
+    Option(metaCache.get(key)).map(_.asInstanceOf[T])
+  }
+
+  /** Store a value under a file's current status key. */
+  private[catalog] def cachedPut[T <: AnyRef](fs: FileSystem, p: Path,
+      kind: String, value: T): Unit = {
+    if (!fs.exists(p)) return
+    val st = fs.getFileStatus(p)
+    val key = (fs.makeQualified(p).toString, kind,
+      st.getModificationTime, st.getLen)
+    if (metaCache.size > 8192) metaCache.clear()
+    metaCache.put(key, value)
   }
 
   /** Undo Spark's hive-path escaping (%XX) in partition segments. */

@@ -448,6 +448,7 @@ class GraftCatalog extends V2TableCatalog
       // `_STATS`/`_BLOOMS` sidecars key by absolute path too — retarget
       // them as well or skipping/fastCount would silently deactivate
       if (p.getName == "_MANIFEST" || p.getName == "_DVMANIFEST" ||
+          p.getName == "_TOMBSTONES" ||
           p.getName == "_STATS" || p.getName.startsWith("_BLOOMS")) {
         val in = fs.open(p)
         val text = try new String(

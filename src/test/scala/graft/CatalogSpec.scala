@@ -112,10 +112,11 @@ class CatalogSpec extends SparkTestBase {
     cat.updateWhere(t, Map("IS_NEW" -> lit(0)), col("id") === 100)
     val v2 = new java.io.File(s"$root/d/s/pruned/v_000002")
     assert(v2.isDirectory && new java.io.File(v2, "_MANIFEST").exists)
-    // untouched v0 data files are carried by reference, not rewritten
-    val manifest = scala.io.Source.fromFile(new java.io.File(v2, "_MANIFEST"))
-      .getLines().mkString("\n")
-    assert(v0.forall(manifest.contains))
+    // untouched v0 data files are carried by reference (a prior-dir
+    // manifest line + tombstones — O(touched) metadata), not rewritten
+    val live = cat.dataFilePaths(t)
+    assert(v0.forall(name => live.exists(_.endsWith(name))))
+    assert(partNames("v_000000") == v0) // physically untouched
     val rows = cat.read(t).as[(Int, Int)].collect().toMap
     assert(rows(100) == 0 && rows(101) == 0 && rows(0) == 1 && rows.size == 102)
     // no-match predicate is a no-op: no new version directory
@@ -140,9 +141,10 @@ class CatalogSpec extends SparkTestBase {
     // only the delta file rewrote; v0 files carried by manifest
     val v2 = new java.io.File(s"$root/d/s/del/v_000002")
     assert(v2.isDirectory && new java.io.File(v2, "_MANIFEST").exists)
-    val manifest = scala.io.Source.fromFile(new java.io.File(v2, "_MANIFEST"))
-      .getLines().mkString("\n")
-    assert(v0.forall(manifest.contains))
+    // carried by reference (prior-dir line + tombstones), not rewritten
+    val live = cat.dataFilePaths(t)
+    assert(v0.forall(name => live.exists(_.endsWith(name))))
+    assert(partNames("v_000000") == v0)
     val ids = cat.read(t).select("id").as[Int].collect().toSet
     assert(!ids.contains(100) && ids.contains(101) && ids.size == 101)
     // erased subject still present in the RETAINED prior version (the

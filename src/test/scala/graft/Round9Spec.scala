@@ -170,6 +170,60 @@ class Round9Spec extends SparkTestBase {
     assert(cat.read("d.s.dst").columns.toSeq == Seq("k", "z"))
   }
 
+  // ---- O(delta) flat-chain commit metadata --------------------------------
+
+  test("flat append manifests are O(appended files), not O(live files)") {
+    val (cat, root) = freshCat("g9_odelta")
+    val t = "d.s.big"
+    cat.overwrite(t, Seq((0L, "seed")).toDF("k", "v"))
+    (1 to 40).foreach(i => cat.append(t, Seq((i.toLong, s"r$i")).toDF("k", "v")))
+    // the table now holds 41 files; the LAST commit's manifest must
+    // reference ONE prior version dir, not relist 40 file paths
+    val v = cat.version(t).get
+    val mf = new java.io.File(s"$root/d/s/big/v_${"%06d".format(v)}/_MANIFEST")
+    assert(mf.exists)
+    val lines = scala.io.Source.fromFile(mf).getLines().toSeq
+    assert(lines.length == 1,
+      s"manifest should be one dir reference, got ${lines.length} lines")
+    assert(lines.head.endsWith(f"v_${v - 1}%06d"))
+    // resolution still sees every row
+    assert(cat.read(t).count() == 41)
+    assert(cat.dataFilePaths(t).length == 41)
+    // a COW update tombstones only the touched file
+    cat.updateWhere(t, Map("v" -> lit("hit")), $"k" === 7L)
+    val v2 = cat.version(t).get
+    val tomb = new java.io.File(s"$root/d/s/big/v_${"%06d".format(v2)}/_TOMBSTONES")
+    assert(tomb.exists)
+    assert(scala.io.Source.fromFile(tomb).getLines().count(_.nonEmpty) == 1)
+    assert(cat.read(t).count() == 41)
+    assert(cat.read(t).filter($"v" === "hit").count() == 1)
+    // DV delete + a metadata (ALTER) commit keep the chain resolvable
+    cat.deleteWhereDV(t, $"k" === 3L)
+    cat.alterAddColumns(t, StructType(Seq(StructField("note", StringType))))
+    assert(cat.read(t).count() == 40)
+    // time travel + changes still track through the reference chain
+    assert(cat.readVersion(t, v).count() == 41)
+    val changes = cat.readChanges(t, v, cat.version(t).get)
+    assert(changes.filter($"_change_type" === "delete").count() >= 1)
+  }
+
+  test("link dirs of a dir-reference chain survive prune and vacuum") {
+    val (cat, _) = freshCat("g9_links")
+    val t = "d.s.lnk"
+    cat.overwrite(t, Seq((1L, "a")).toDF("k", "v"))     // v0: data
+    cat.alterAddColumns(t,                               // v1: METADATA only
+      StructType(Seq(StructField("extra", StringType))))
+    cat.append(t, Seq((2L, "b")).toDF("k", "v"))         // v2 refs v1 refs v0
+    cat.append(t, Seq((3L, "c")).toDF("k", "v"))         // v3
+    cat.append(t, Seq((4L, "d")).toDF("k", "v"))         // v4 — prune ran
+    // v1 holds no data files but is a chain LINK — it must survive
+    // the commit-time pruner and vacuum or v2+ resolution breaks
+    assert(cat.readVersion(t, 4).count() == 4)
+    cat.vacuum(t, keepVersions = 2)
+    assert(cat.read(t).count() == 4)
+    assert(cat.read(t).columns.contains("extra"))
+  }
+
   // ---- maintenance rebase: concurrent DV carriage (ADVICE high) ----------
 
   test("compact rebasing over a concurrent append+delete keeps the mask") {
