@@ -298,9 +298,20 @@ class TableCatalog(spark: SparkSession, root: String,
         .empty[String, (BigDecimal, BigDecimal)]
       val sacc = scala.collection.mutable.LinkedHashMap
         .empty[String, (Array[Byte], Array[Byte])] // raw min/max bytes
+      // per-ROW-GROUP bounds of multi-group files: `g:`/`gs:` lines
+      // keyed by the group's byte range, so slice planning can drop
+      // non-matching ranges INSIDE a big file (a sorted 10 GB file
+      // must not scan every byte for a point-range predicate)
+      val rgLines = scala.collection.mutable.ArrayBuffer.empty[String]
+      var nBlocks = 0
       val rd = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       try {
+        nBlocks = rd.getFooter.getBlocks.size()
         rd.getFooter.getBlocks.forEach { blk =>
+          val rgAcc = scala.collection.mutable.LinkedHashMap
+            .empty[String, (BigDecimal, BigDecimal)]
+          val rgSacc = scala.collection.mutable.LinkedHashMap
+            .empty[String, (Array[Byte], Array[Byte])]
           blk.getColumns.forEach { cc =>
             val pt = cc.getPrimitiveType
             val ann = pt.getLogicalTypeAnnotation
@@ -331,6 +342,7 @@ class TableCatalog(spark: SparkSession, root: String,
                   case Some((a, b)) => acc(name) = (a.min(mn), b.max(mx))
                   case None => acc(name) = (mn, mx)
                 }
+                rgAcc(name) = (mn, mx)
               } else if (isString) {
                 // parquet string stats order UNSIGNED lexicographic =
                 // UTF8String order; accumulate raw, truncate at write
@@ -344,8 +356,22 @@ class TableCatalog(spark: SparkSession, root: String,
                     if (TableCatalog.compareBytes(mx, b) > 0) mx else b)
                   case None => sacc(name) = (mn, mx)
                 }
+                rgSacc(name) = (mn, mx)
               }
             }
+          }
+          // one `g:`/`gs:` line per (row group, column), byte-range
+          // keyed: `g:<start>:<len>:<col>` — emitted only for
+          // multi-group files (a single group IS the file)
+          val start = blk.getStartingPos
+          val len = blk.getCompressedSize
+          rgLines ++= rgAcc.map { case (c, (mn, mx)) =>
+            s"$key\tg:$start:$len:$c\t$mn\t$mx" }
+          rgLines ++= rgSacc.map { case (c, (mn, mx)) =>
+            val lo = b64.encodeToString(TableCatalog.truncLower(mn))
+            val hi = TableCatalog.truncUpper(mx)
+              .map(b64.encodeToString).getOrElse("*")
+            s"$key\tgs:$start:$len:$c\t$lo\t$hi"
           }
         }
         // pseudo-column: the file's exact row count (powers fastCount)
@@ -359,7 +385,8 @@ class TableCatalog(spark: SparkSession, root: String,
           val hi = TableCatalog.truncUpper(mx)
             .map(b64.encodeToString).getOrElse("*") // * = unbounded
           s"$key\ts:$c\t$lo\t$hi"
-        }
+        } ++
+        (if (nBlocks > 1) rgLines.toSeq else Nil)
     }
     if (lines.nonEmpty) {
       val out = fs.create(statsPath(dir), true)
@@ -375,7 +402,10 @@ class TableCatalog(spark: SparkSession, root: String,
       TableCatalog.cachedParse(fs, statsPath(dir), "stats") { text =>
         text.split("\n").toSeq.filter(_.nonEmpty).flatMap { ln =>
           val Array(f, c, mn, mx) = ln.split("\t", 4)
-          if (c.startsWith("s:")) None // string bounds: stringStatsFor
+          // s: string bounds → stringStatsFor; g:/gs: row-group
+          // bounds → rowGroupStatsFor
+          if (c.startsWith("s:") || c.startsWith("g:") ||
+              c.startsWith("gs:")) None
           else Some((f, c, BigDecimal(mn), BigDecimal(mx)))
         }
       }.getOrElse(Nil)
@@ -918,8 +948,15 @@ class TableCatalog(spark: SparkSession, root: String,
     // crash recovery: a commit that died after writing data but before
     // the pointer swap leaves a partial v_next dir the pointer never
     // referenced — clear it, or this commit would fail on the existing
-    // path (or silently absorb the orphan's files into its manifest)
+    // path (or silently absorb the orphan's files into its manifest).
+    // The crashed attempt's CDC log entry must clear too, or a
+    // different operation re-committing this version number would
+    // serve the ORPHAN's change rows to the feed.
     if (fs.exists(dir)) fs.delete(dir, true)
+    val staleCdc = new Path(cdcLogDir(fq), dir.getName)
+    if (fs.exists(staleCdc)) fs.delete(staleCdc, true)
+    val staleCdcEmpty = new Path(cdcLogDir(fq), s"${dir.getName}._EMPTY")
+    if (fs.exists(staleCdcEmpty)) fs.delete(staleCdcEmpty, false)
     withMicrosTimestamps { write(dir) }
     try harvestStats(dir) catch { case _: Exception => () } // advisory
     verifyOwner() // claim still ours? (stale-claim sweeper race)
@@ -1172,6 +1209,53 @@ class TableCatalog(spark: SparkSession, root: String,
     })
   }
 
+  // ---- CDC sidecars: the change feed survives rewrites --------------------
+  // A REWRITE commit (COW update/delete/merge, compaction) is not
+  // per-commit reconstructable from its file diff — carried rows
+  // appear as remove+add. The mutators therefore record their row
+  // changes at commit time into a per-version `_CDCLOG/v_NNNNNN/`
+  // parquet sidecar (the rows are already in hand — O(touched rows),
+  // Delta's change-data-file shape); compaction (a true no-op
+  // change-wise) drops a `v_NNNNNN._EMPTY` marker. The feed serves a
+  // CDC-recorded commit from the log alone — it needs NEITHER the
+  // commit's version dir nor its predecessor, so the commit-time
+  // pruner retiring rewritten version dirs never severs the feed.
+  // Explicit [[vacuum]] retention is the feed horizon (Delta's
+  // model): entries older than the cutoff retire with their
+  // versions. CDC files carry PHYSICAL column names plus
+  // `_change_type`, so the CDF readers' logical→physical translation
+  // applies to them exactly as to data files.
+
+  private def cdcLogDir(fq: String) = new Path(tableDir(fq), "_CDCLOG")
+
+  /** Record a commit's row changes; `dir` is the version dir being
+    * committed (its NAME keys the log entry). */
+  private def writeCdc(fq: String, dir: Path, changes: DataFrame): Unit =
+    changes.write.mode(SaveMode.Overwrite)
+      .parquet(new Path(cdcLogDir(fq), dir.getName).toString)
+
+  private def writeCdcEmpty(fq: String, dir: Path): Unit = {
+    fs.mkdirs(cdcLogDir(fq))
+    fs.create(new Path(cdcLogDir(fq), s"${dir.getName}._EMPTY"), true).close()
+  }
+
+  /** CDC record of a commit: Some(files with sizes) when the commit
+    * recorded its row changes (empty = a no-op rewrite, e.g.
+    * compaction), None when it predates CDC recording or its entry
+    * was vacuumed. */
+  private[graft] def cdcFilesAt(fq: String, v: Int)
+      : Option[Seq[(String, Long)]] = {
+    val d = new Path(cdcLogDir(fq), f"v_$v%06d")
+    if (fs.exists(d))
+      Some(fs.listStatus(d).filter(_.isFile)
+        .filterNot(st => st.getPath.getName.startsWith("_") ||
+          st.getPath.getName.startsWith("."))
+        .map(st => (fs.makeQualified(st.getPath).toString, st.getLen)).toSeq)
+    else if (fs.exists(new Path(cdcLogDir(fq), f"v_$v%06d._EMPTY")))
+      Some(Nil)
+    else None
+  }
+
   /** Split a version's files into (files containing rows matching
     * `pred`, untouched files). Parquet footer min/max stats prune the
     * probe scan; comparison is by path, robust to URI qualification. */
@@ -1233,9 +1317,17 @@ class TableCatalog(spark: SparkSession, root: String,
         case (d, (c, value)) =>
           d.withColumn(c, when(where, value).otherwise(col(c)))
       }), m)
+      // CDC: the touched rows are in hand — record pre-image deletes +
+      // post-image inserts so the change feed survives this rewrite
+      val changed = dropRouting(cur).filter(where)
+      val cdc = changed.withColumn("_change_type", lit("delete"))
+        .unionByName(assignments.foldLeft(changed) { case (d, (c, value)) =>
+          d.withColumn(c, value) // rows already filtered: unconditional
+        }.withColumn("_change_type", lit("insert")))
       commitVersionFrom(fq, v, dir => {
         updated.write.mode(SaveMode.Overwrite)
           .partitionBy(pcols: _*).parquet(dir.toString)
+        writeCdc(fq, dir, toPhysical(cdc, m))
         writeLayout(fq, v, dir, pcols)
         if (carriedDirs.nonEmpty) writeManifest(dir, carriedDirs)
         if (carriedDirs.nonEmpty && dvs.nonEmpty) writeDvManifest(dir, dvs)
@@ -1257,8 +1349,15 @@ class TableCatalog(spark: SparkSession, root: String,
     val updated = toPhysical(assignments.foldLeft(cur) { case (d, (c, value)) =>
       d.withColumn(c, when(where, value).otherwise(col(c)))
     }, m)
+    // CDC: pre-image deletes + post-image inserts (O(touched rows))
+    val changed = cur.filter(where)
+    val cdc = changed.withColumn("_change_type", lit("delete"))
+      .unionByName(assignments.foldLeft(changed) { case (d, (c, value)) =>
+        d.withColumn(c, value)
+      }.withColumn("_change_type", lit("insert")))
     commitVersionFrom(fq, v, dir => {
       updated.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+      writeCdc(fq, dir, toPhysical(cdc, m))
       if (carried.nonEmpty) {
         // O(touched) metadata: reference the prior version, tombstone
         // only the rewritten files (Delta's remove-action shape)
@@ -1293,12 +1392,16 @@ class TableCatalog(spark: SparkSession, root: String,
       if (hitFiles.isEmpty) return
       val (hitDirs, carriedDirs) = touchedPartitionDirs(fq, v, hitFiles)
       val dvs = dvFiles(fq, v) // see updateWhere: rewrite through masks
-      val kept = toPhysical(toLogical(maskDvPos(
+      val hitRows = toLogical(maskDvPos(
         readPartitionedDirs(hitDirs, withRowPos = true), dvs), m)
-        .filter(!where), m)
+      val kept = toPhysical(hitRows.filter(!where), m)
+      // CDC: the erased rows, recorded at commit time
+      val cdc = dropRouting(hitRows).filter(where)
+        .withColumn("_change_type", lit("delete"))
       commitVersionFrom(fq, v, dir => {
         kept.write.mode(SaveMode.Overwrite)
           .partitionBy(pcols: _*).parquet(dir.toString)
+        writeCdc(fq, dir, toPhysical(cdc, m))
         writeLayout(fq, v, dir, pcols)
         if (carriedDirs.nonEmpty) writeManifest(dir, carriedDirs)
         if (carriedDirs.nonEmpty && dvs.nonEmpty) writeDvManifest(dir, dvs)
@@ -1312,11 +1415,14 @@ class TableCatalog(spark: SparkSession, root: String,
       else touchedFiles(files, where, m)
     if (hit.isEmpty) return
     val dvs = dvFiles(fq, v) // see updateWhere: read through the masks
-    val kept = toPhysical(toLogical(
+    val hitRows = toLogical(
       maskDv(spark.read.parquet(hit.map(_.toString): _*), dvs), m)
-      .filter(!where), m)
+    val kept = toPhysical(hitRows.filter(!where), m)
+    val cdc = hitRows.filter(where) // the erased rows
+      .withColumn("_change_type", lit("delete"))
     commitVersionFrom(fq, v, dir => {
       kept.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+      writeCdc(fq, dir, toPhysical(cdc, m))
       if (carried.nonEmpty) { // prior-version reference + tombstones
         writeManifest(dir, Seq(versionDir(fq, v)))
         writeTombstones(dir, hit)
@@ -1521,9 +1627,19 @@ class TableCatalog(spark: SparkSession, root: String,
             // whole merged frame (derived column, recompute is exact)
             val merged = toPhysical(reroute(fq, v, graft.operators.MergeOps
               .upsert(base.drop(BucketCol), src, keys)), m)
+            // CDC when files rewrote: matched pre-images out, every
+            // source row in (upsert = delete+insert for matches, plain
+            // insert for new keys). A no-overlap merge is a pure
+            // append — the feed's file diff already reconstructs it.
+            val cdcOpt =
+              if (hitDirs.isEmpty) None
+              else Some(base.drop(BucketCol).join(keySet, keys, "left_semi")
+                .withColumn("_change_type", lit("delete"))
+                .unionByName(src.withColumn("_change_type", lit("insert"))))
             commitVersionFrom(fq, v, dir => {
               merged.write.mode(SaveMode.Overwrite)
                 .partitionBy(pcols: _*).parquet(dir.toString)
+              cdcOpt.foreach(c => writeCdc(fq, dir, toPhysical(c, m)))
               writeLayout(fq, v, dir, pcols)
               if (carriedDirs.nonEmpty) writeManifest(dir, carriedDirs)
               if (carriedDirs.nonEmpty && dvs.nonEmpty) writeDvManifest(dir, dvs)
@@ -1555,8 +1671,16 @@ class TableCatalog(spark: SparkSession, root: String,
               maskDv(spark.read.parquet(hit.map(_.toString): _*), dvs), m)
           val merged = toPhysical(
             graft.operators.MergeOps.upsert(base, src, keys), m)
+          // CDC when files rewrote (see the partitioned branch)
+          val cdcOpt =
+            if (hit.isEmpty) None
+            else Some(base
+              .join(src.select(keys.map(col): _*).distinct(), keys, "left_semi")
+              .withColumn("_change_type", lit("delete"))
+              .unionByName(src.withColumn("_change_type", lit("insert"))))
           commitVersionFrom(fq, v, dir => {
             merged.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+            cdcOpt.foreach(c => writeCdc(fq, dir, toPhysical(c, m)))
             if (carried.nonEmpty) { // reference + tombstones, O(touched)
               writeManifest(dir, Seq(versionDir(fq, v)))
               writeTombstones(dir, hit)
@@ -1611,6 +1735,17 @@ class TableCatalog(spark: SparkSession, root: String,
     val removed = (0 until cutoff).map(v => versionDir(fq, v))
       .filter(d => fs.exists(d) && !reachable.contains(d.getName))
     removed.foreach(d => fs.delete(d, true))
+    // the CDC log follows the same retention clock: entries for
+    // versions past the cutoff retire — the feed's history horizon
+    val cdcd = cdcLogDir(fq)
+    if (fs.exists(cdcd))
+      fs.listStatus(cdcd).map(_.getPath)
+        .filter(p => p.getName.take(8) match {
+          case s if s.matches("v_\\d{6}") =>
+            s.stripPrefix("v_").toInt < cutoff
+          case _ => false
+        })
+        .foreach(fs.delete(_, true))
     removed.map(_.getName)
   }
 
@@ -1694,12 +1829,14 @@ class TableCatalog(spark: SparkSession, root: String,
           .partitionBy(pcols: _*).parquet(dir.toString)
         writeLayout(fq, v, dir, pcols)
         carryDelta(dir, head)
+        writeCdcEmpty(fq, dir) // change-wise a no-op: the feed emits nothing
       })
     } else {
       val df = toPhysical(readVersion(fq, v), cm).repartition(parts)
       commitRebase(fq, v, readFiles, readDvs, (dir, head) => {
         df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
         carryDelta(dir, head)
+        writeCdcEmpty(fq, dir) // change-wise a no-op: the feed emits nothing
       })
     }
   }
@@ -1784,10 +1921,12 @@ class TableCatalog(spark: SparkSession, root: String,
           .partitionBy(zpcols: _*).parquet(dir.toString)
         writeLayout(fq, zv, dir, zpcols)
         carryDelta(dir, head)
+        writeCdcEmpty(fq, dir) // no row changes: the feed emits nothing
       })
     else commitRebase(fq, zv, readFiles, readDvs, (dir, head) => {
       clustered.write.mode(SaveMode.Overwrite).parquet(dir.toString)
       carryDelta(dir, head)
+      writeCdcEmpty(fq, dir) // no row changes: the feed emits nothing
     })
   }
 
@@ -2211,6 +2350,45 @@ class TableCatalog(spark: SparkSession, root: String,
   private[graft] def statsByPath(fq: String, v: Int)
       : Map[String, Map[String, (BigDecimal, BigDecimal)]] =
     statsFor(dataFiles(fq, v))
+
+  /** Per-file ROW-GROUP bounds of multi-group files (byte range →
+    * per-column numeric and truncation-safe string bounds) — what
+    * lets slice planning drop non-matching ranges INSIDE a big file.
+    * Files without `g:` entries (single-group, or pre-recording)
+    * simply don't appear — callers fall back to blind byte splits. */
+  private[graft] def rowGroupStatsByPath(fq: String, v: Int)
+      : Map[String, Seq[TableCatalog.RowGroupStat]] = {
+    val b64dec = java.util.Base64.getDecoder
+    val raw = dataFiles(fq, v).map(versionAncestor).distinct.flatMap { dir =>
+      TableCatalog.cachedParse(fs, statsPath(dir), "rgstats") { text =>
+        text.split("\n").toSeq.filter(_.nonEmpty).flatMap { ln =>
+          val Array(f, c, mn, mx) = ln.split("\t", 4)
+          if (c.startsWith("g:")) {
+            val Array(st, len, col) = c.stripPrefix("g:").split(":", 3)
+            Some((f, st.toLong, len.toLong, col,
+              Left((BigDecimal(mn), BigDecimal(mx)))
+                : Either[(BigDecimal, BigDecimal),
+                         (Array[Byte], Option[Array[Byte]])]))
+          } else if (c.startsWith("gs:")) {
+            val Array(st, len, col) = c.stripPrefix("gs:").split(":", 3)
+            Some((f, st.toLong, len.toLong, col,
+              Right((b64dec.decode(mn),
+                if (mx == "*") None else Some(b64dec.decode(mx))))
+                : Either[(BigDecimal, BigDecimal),
+                         (Array[Byte], Option[Array[Byte]])]))
+          } else None
+        }
+      }.getOrElse(Nil)
+    }
+    raw.groupBy(_._1).map { case (f, entries) =>
+      f -> entries.groupBy(e => (e._2, e._3)).toSeq.sortBy(_._1._1)
+        .map { case ((start, len), cols) =>
+          TableCatalog.RowGroupStat(start, len,
+            cols.collect { case (_, _, _, c, Left(b))  => c -> b }.toMap,
+            cols.collect { case (_, _, _, c, Right(b)) => c -> b }.toMap)
+        }
+    }
+  }
 
   private[graft] def stringStatsByPath(fq: String, v: Int)
       : Map[String, Map[String, (Array[Byte], Option[Array[Byte]])]] =
@@ -2874,6 +3052,12 @@ object TableCatalog {
   /** StructField metadata key carrying a declared column's parquet
     * (physical) name when it differs from the logical name. */
   private[graft] val PhysicalKey = "graft.physical"
+
+  /** One row group's byte range and column bounds (numeric exact,
+    * string truncation-safe). */
+  private[graft] final case class RowGroupStat(start: Long, length: Long,
+      numeric: Map[String, (BigDecimal, BigDecimal)],
+      strings: Map[String, (Array[Byte], Option[Array[Byte]])])
 
   private[catalog] sealed trait SchemaAction { def version: Int }
   private[catalog] final case class AddAction(version: Int,

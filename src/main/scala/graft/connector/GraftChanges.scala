@@ -32,9 +32,11 @@ import graft.catalog.TableCatalog
   * entries become `keepOnly` slices over the addressed files (the
   * reader emits exactly the masked rows) — and executors stream the
   * data. No exceptAll, no snapshot diffs, cost O(changed bytes).
-  * Rewrite commits (compact / overwrite / COW update) are NOT
-  * per-commit reconstructable without CDC files: they fail loudly, or
-  * are skipped under `skipChangeCommits=true`;
+  * REWRITE commits serve from the `_CDC/` sidecars the COW mutators
+  * record at commit time (compaction's `_CDC_EMPTY` yields zero
+  * rows), so the feed survives update/delete/merge/compact; only
+  * overwrite/truncate (world-replacing) and pre-CDC rewrites fail
+  * loudly or skip under `skipChangeCommits=true`;
   * [[TableCatalog.readChanges]] remains the net-diff fallback. */
 object GraftChanges {
   val ChangeType = "_change_type"
@@ -53,6 +55,21 @@ object GraftChanges {
     val out = Seq.newBuilder[GraftSlice]
     var v = math.max(vFrom, 0)
     while (v <= vTo) {
+      // CDC-recorded commits (COW update/delete/merge, compaction's
+      // empty marker) serve from the table-level `_CDCLOG/` ALONE —
+      // they need neither their version dir nor its predecessor
+      // retained, so the commit-time pruner retiring rewritten dirs
+      // never severs the feed. skipChangeCommits keeps Delta's
+      // contract (rewrite commits drop even when reconstructable).
+      val cdc = cat.cdcFilesAt(fq, v)
+      if (cdc.isDefined) {
+        if (!skipChangeCommits) cdc.get.foreach { case (p, len) =>
+          // `_change_type` is a DATA column of the sidecar file;
+          // only `_commit_version` synthesizes as a constant
+          out += GraftSlice(p, 0L, math.max(len, 1L), Array.empty[Long],
+            Seq((CommitVersion, Some(v.toString))))
+        }
+      } else {
       if (!cat.versionRetained(fq, v) ||
           (v > 0 && !cat.versionRetained(fq, v - 1)))
         throw new IllegalStateException(
@@ -69,11 +86,14 @@ object GraftChanges {
           .map(key).toSet
       val dvNew = cat.dvFilePathsAt(fq, v).filterNot(p => dvPrev(key(p)))
       if (removed.nonEmpty) {
+        // un-recorded REWRITE: overwrite/truncate (world-replacing)
+        // or a rewrite predating CDC recording
         if (!skipChangeCommits) throw new IllegalStateException(
           s"graft change feed: commit v$v of $fq rewrote file(s) " +
-            "(compact/overwrite/COW) — per-commit changes are not " +
-            "reconstructable; use TableCatalog.readChanges for the net " +
-            "diff, or skipChangeCommits=true to skip rewrite commits")
+            "(overwrite/truncate, or a rewrite predating CDC " +
+            "recording) — per-commit changes are not reconstructable; " +
+            "use TableCatalog.readChanges for the net diff, or " +
+            "skipChangeCommits=true to skip rewrite commits")
       } else {
         val partVals: Map[String, Seq[(String, Option[String])]] =
           if (!cat.isPartitionedAt(fq, v)) Map.empty
@@ -104,6 +124,7 @@ object GraftChanges {
               }
             }
         }
+      }
       }
       v += 1
     }

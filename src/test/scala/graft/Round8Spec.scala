@@ -951,18 +951,28 @@ class Round8Spec extends SparkTestBase {
       .option("startingVersion", "1").option("endingVersion", "1").load()
     assert(v1only.select("k").as[Long].collect().sorted.toSeq ==
       (101L to 120L).toSeq)
-    // rewrite commits fail loudly (not silently wrong)
+    // compaction is change-wise a no-op: since round 9 it records a
+    // `_CDCLOG` empty marker and the feed SURVIVES it with zero
+    // additional change rows (see Round9Spec for the full CDC matrix)
     cat.compact(t)
     val afterRewrite = spark.read.format("graft")
       .option("root", root).option("table", t)
       .option("readChangeFeed", "true").load()
-    val ex = intercept[Exception] { afterRewrite.count() }
+    val byType = afterRewrite.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("insert" -> 130L, "delete" -> 12L))
+    // world-replacing rewrites (overwrite) still fail loudly
+    cat.overwrite(t, (1L to 5L).toDF("k"))
+    val severed = spark.read.format("graft")
+      .option("root", root).option("table", t)
+      .option("readChangeFeed", "true").load()
+    val ex = intercept[Exception] { severed.count() }
     def msgs(e: Throwable): String = {
       var cur = e; val sb = new StringBuilder
       while (cur != null) { sb.append(cur.getMessage).append(' '); cur = cur.getCause }
       sb.toString
     }
-    assert(msgs(ex).contains("rewrote"))
+    assert(msgs(ex).contains("rewrote") || msgs(ex).contains("vacuumed"))
   }
 
   test("streaming change feed: appends arrive as inserts, DV commits as deletes") {

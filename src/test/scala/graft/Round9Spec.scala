@@ -224,6 +224,82 @@ class Round9Spec extends SparkTestBase {
     assert(cat.read(t).columns.contains("extra"))
   }
 
+  // ---- CDC files: the change feed survives rewrites -----------------------
+
+  test("change feed survives COW update/delete/merge/compact via CDC files") {
+    val (cat, root) = freshCat("g9_cdc")
+    val t = "d.s.cdc"
+    val base = (1L to 120L).map(i => (i, i % 7, i * 1.0)).toDF("k", "g", "x")
+    cat.overwrite(t, base.repartition(3))                     // v0 creation
+    cat.updateWhere(t, Map("x" -> lit(-1.0)), $"g" === 3)     // v1 COW update
+    cat.deleteWhere(t, $"k" % 10 === 0)                       // v2 COW delete
+    cat.merge(t, Seq((5L, 5L, 555.0), (500L, 0L, 500.0))
+      .toDF("k", "g", "x"), Seq("k"))                         // v3 COW merge
+    cat.compact(t, targetFileBytes = 1L << 20)                // v4 rewrite
+    val vEnd = cat.version(t).get
+
+    // changes since the creation snapshot: every later commit is
+    // CDC-recorded, so the feed depends on NO retired version dirs
+    // (the feed horizon is vacuum retention, Delta's model)
+    val cdf = spark.read.format("graft")
+      .option("root", root).option("table", t)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").load()
+    // no skipChangeCommits, no exception — and compaction contributes
+    // ZERO change rows
+    val byVersion = cdf.groupBy("_commit_version").count()
+      .as[(Int, Long)].collect().toMap
+    assert(!byVersion.contains(vEnd), "compaction must emit no changes")
+    // update emits pre-image deletes + post-image inserts in pairs
+    assert(cdf.filter($"_commit_version" === 1 &&
+      $"_change_type" === "delete").count() ==
+      cdf.filter($"_commit_version" === 1 &&
+        $"_change_type" === "insert").count())
+    // creation snapshot + feed reconstructs the live table exactly
+    val ins = cdf.filter($"_change_type" === "insert").select("k", "g", "x")
+    val del = cdf.filter($"_change_type" === "delete").select("k", "g", "x")
+    val state = base.unionByName(ins).exceptAll(del)
+    val live = cat.read(t).select("k", "g", "x")
+    assert(state.exceptAll(live).count() == 0)
+    assert(live.exceptAll(state).count() == 0)
+
+    // STREAMING change feed across the same history
+    import org.apache.spark.sql.streaming.Trigger
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = spark.readStream.format("graft")
+      .option("root", root).option("table", t)
+      .option("readChangeFeed", "true").option("startingVersion", "1").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("k", "_change_type").as[(Long, String)]
+          .collect().foreach(got.add); ()
+      }
+      .option("checkpointLocation", s"$root/ckpt_cdc")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = { val b = Seq.newBuilder[(Long, String)]
+      val it = got.iterator(); while (it.hasNext) b += it.next(); b.result() }
+    val batchRows = cdf.select("k", "_change_type").as[(Long, String)]
+      .collect().toSeq
+    assert(streamed.sorted == batchRows.sorted,
+      "streaming CDF must deliver the same change rows as the batch feed")
+  }
+
+  test("overwrite (world-replacing) still severs the feed loudly") {
+    val (cat, root) = freshCat("g9_cdc2")
+    val t = "d.s.sever"
+    cat.overwrite(t, Seq((1L, "a")).toDF("k", "v"))
+    cat.append(t, Seq((2L, "b")).toDF("k", "v"))
+    cat.overwrite(t, Seq((9L, "z")).toDF("k", "v")) // no CDC possible
+    val cdf = spark.read.format("graft")
+      .option("root", root).option("table", t)
+      .option("readChangeFeed", "true").load()
+    val ex = intercept[Exception] { cdf.collect() }
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("rewrote file(s)")))
+  }
+
   // ---- maintenance rebase: concurrent DV carriage (ADVICE high) ----------
 
   test("compact rebasing over a concurrent append+delete keeps the mask") {
