@@ -60,7 +60,8 @@ class Round6OpsSpec extends SparkTestBase {
     cat.vacuum(t, keepVersions = 1)
     // every pre-compaction version dir (data + DV sidecars) is gone
     val dirs = new java.io.File(s"$work/d/s/dv3").listFiles()
-      .filter(_.isDirectory).map(_.getName).toSet
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_.matches("v_\\d{6}")).toSet
     assert(dirs == Set(f"v_${cat.version(t).get}%06d"))
     assert(cat.count(t) == (1 to 500).count(_ % 4 != 2))
   }

@@ -958,9 +958,9 @@ class Round8Spec extends SparkTestBase {
     val afterRewrite = spark.read.format("graft")
       .option("root", root).option("table", t)
       .option("readChangeFeed", "true").load()
-    val byType = afterRewrite.groupBy("_change_type").count()
+    val byTypePostCompact = afterRewrite.groupBy("_change_type").count()
       .as[(String, Long)].collect().toMap
-    assert(byType == Map("insert" -> 130L, "delete" -> 12L))
+    assert(byTypePostCompact == Map("insert" -> 130L, "delete" -> 12L))
     // world-replacing rewrites (overwrite) still fail loudly
     cat.overwrite(t, (1L to 5L).toDF("k"))
     val severed = spark.read.format("graft")
