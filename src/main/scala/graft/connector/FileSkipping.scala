@@ -92,6 +92,84 @@ private[connector] object FileSkipping {
     case _ => None
   }
 
+  /** May an entity (file or row group) whose per-column bounds are
+    * given by `bounds` (numeric, `_STATS` convention) and `sbounds`
+    * (truncation-safe string) satisfy every conjunct in `active`?
+    * `bloomEqual` further tests point values where a bitset exists
+    * (file level only — row groups carry no blooms). Missing bounds
+    * keep the entity: the skipping is advisory. */
+  private def mayMatchBounds(active: Seq[Filter],
+      bounds: String => Option[(BigDecimal, BigDecimal)],
+      sbounds: String => Option[(Array[Byte], Option[Array[Byte]])],
+      bloomEqual: (String, Any) => Boolean): Boolean = {
+    // numerics identity, dates as epoch days, timestamps as epoch
+    // micros — the `_STATS` storage convention
+    def statVal(x: Any): Option[BigDecimal] = TableCatalog.statDecimal(x)
+    /** may the entity hold a string value within [lo, hi]? */
+    def strOverlap(col: String, lo: Option[Array[Byte]],
+        hi: Option[Array[Byte]]): Boolean = sbounds(col) match {
+      case Some((lower, upper)) =>
+        TableCatalog.stringRangeOverlaps(lower, upper, lo, hi)
+      case None => true
+    }
+    def mayEqual(col: String, x: Any): Boolean = {
+      val statOk = (statVal(x), bounds(col)) match {
+        case (Some(v0), Some((mn, mx))) => v0 >= mn && v0 <= mx
+        case _ => strBytes(x) match { // string point ∈ [lower, upper]
+          case Some(b) => strOverlap(col, Some(b), Some(b))
+          case None => true
+        }
+      }
+      statOk && bloomEqual(col, x)
+    }
+    active.forall {
+      case EqualTo(col, x) => mayEqual(col, x)
+      case In(col, xs)     => xs.exists(x => mayEqual(col, x))
+      case GreaterThan(col, x) => (statVal(x), bounds(col)) match {
+        case (Some(v0), Some((_, mx))) => mx > v0
+        case _ => strBytes(x) match {
+          // x < value ⇔ the entity reaches above x: NOT(upper ≤ x);
+          // conservative via overlap with (x, +∞) — upper ≥ max, so
+          // upper < x ⇒ every value < x ⇒ skip is sound (upper = x
+          // keeps the entity: the truncated bound cannot prove strict)
+          case Some(b) => strOverlap(col, Some(b), None)
+          case None => true
+        }
+      }
+      case GreaterThanOrEqual(col, x) => (statVal(x), bounds(col)) match {
+        case (Some(v0), Some((_, mx))) => mx >= v0
+        case _ => strBytes(x) match {
+          case Some(b) => strOverlap(col, Some(b), None)
+          case None => true
+        }
+      }
+      case LessThan(col, x) => (statVal(x), bounds(col)) match {
+        case (Some(v0), Some((mn, _))) => mn < v0
+        case _ => strBytes(x) match {
+          // lower > x ⇒ every value > x ⇒ skip; lower = x keeps
+          case Some(b) => strOverlap(col, None, Some(b))
+          case None => true
+        }
+      }
+      case LessThanOrEqual(col, x) => (statVal(x), bounds(col)) match {
+        case (Some(v0), Some((mn, _))) => mn <= v0
+        case _ => strBytes(x) match {
+          case Some(b) => strOverlap(col, None, Some(b))
+          case None => true
+        }
+      }
+      case StringStartsWith(col, prefix) =>
+        // prefix predicate = range [prefix, successor(prefix)):
+        // the ID-prefixed-key case — skip every entity whose bounds
+        // cannot reach the prefix block
+        val p0 = prefix.getBytes("UTF-8")
+        strOverlap(col, Some(p0),
+          TableCatalog.truncUpper(p0 ++ Array.fill(
+            TableCatalog.StringStatBytes)(0xff.toByte)))
+      case _ => true
+    }
+  }
+
   def surviving(c: TableCatalog, fq: String, v: Int, files: Seq[String],
       filters: Seq[Filter]): Seq[String] = {
     val active = filters.flatMap(flatten)
@@ -107,9 +185,6 @@ private[connector] object FileSkipping {
       bloomCols.map(col => col -> c.bloomsByPath(fq, v, col)).toMap
 
     def key(p: String) = new Path(p).toUri.getPath
-    // numerics identity, dates as epoch days, timestamps as epoch
-    // micros — the `_STATS` storage convention
-    def statVal(x: Any): Option[BigDecimal] = TableCatalog.statDecimal(x)
     def str(x: Any): String = x match {
       case u: org.apache.spark.unsafe.types.UTF8String => u.toString
       case other => String.valueOf(other)
@@ -117,24 +192,8 @@ private[connector] object FileSkipping {
 
     files.filter { p =>
       val st = stats.get(key(p))
-      def bounds(col: String) = st.flatMap(_.get(col))
-      def sbounds(col: String) = sstats.get(key(p)).flatMap(_.get(col))
-      /** may the file hold a string value within [lo, hi]? */
-      def strOverlap(col: String, lo: Option[Array[Byte]],
-          hi: Option[Array[Byte]]): Boolean = sbounds(col) match {
-        case Some((lower, upper)) =>
-          TableCatalog.stringRangeOverlaps(lower, upper, lo, hi)
-        case None => true
-      }
-      def mayEqual(col: String, x: Any): Boolean = {
-        val statOk = (statVal(x), bounds(col)) match {
-          case (Some(v0), Some((mn, mx))) => v0 >= mn && v0 <= mx
-          case _ => strBytes(x) match { // string point ∈ [lower, upper]
-            case Some(b) => strOverlap(col, Some(b), Some(b))
-            case None => true
-          }
-        }
-        val bloomOk = blooms.get(col).flatMap(_.get(key(p))) match {
+      def bloomEqual(col: String, x: Any): Boolean =
+        blooms.get(col).flatMap(_.get(key(p))) match {
           case Some(bits) => x match {
             case _: Byte | _: Short | _: Int | _: Long | _: String |
                  _: org.apache.spark.unsafe.types.UTF8String =>
@@ -143,54 +202,47 @@ private[connector] object FileSkipping {
           }
           case None => true
         }
-        statOk && bloomOk
-      }
-      active.forall {
-        case EqualTo(col, x) => mayEqual(col, x)
-        case In(col, xs)     => xs.exists(x => mayEqual(col, x))
-        case GreaterThan(col, x) => (statVal(x), bounds(col)) match {
-          case (Some(v0), Some((_, mx))) => mx > v0
-          case _ => strBytes(x) match {
-            // x < value ⇔ the file reaches above x: NOT(upper ≤ x);
-            // conservative via overlap with (x, +∞) — upper ≥ max, so
-            // upper < x ⇒ every value < x ⇒ skip is sound (upper = x
-            // keeps the file: the truncated bound cannot prove strict)
-            case Some(b) => strOverlap(col, Some(b), None)
-            case None => true
-          }
-        }
-        case GreaterThanOrEqual(col, x) => (statVal(x), bounds(col)) match {
-          case (Some(v0), Some((_, mx))) => mx >= v0
-          case _ => strBytes(x) match {
-            case Some(b) => strOverlap(col, Some(b), None)
-            case None => true
-          }
-        }
-        case LessThan(col, x) => (statVal(x), bounds(col)) match {
-          case (Some(v0), Some((mn, _))) => mn < v0
-          case _ => strBytes(x) match {
-            // lower > x ⇒ every value > x ⇒ skip; lower = x keeps
-            case Some(b) => strOverlap(col, None, Some(b))
-            case None => true
-          }
-        }
-        case LessThanOrEqual(col, x) => (statVal(x), bounds(col)) match {
-          case (Some(v0), Some((mn, _))) => mn <= v0
-          case _ => strBytes(x) match {
-            case Some(b) => strOverlap(col, None, Some(b))
-            case None => true
-          }
-        }
-        case StringStartsWith(col, prefix) =>
-          // prefix predicate = range [prefix, successor(prefix)):
-          // the ID-prefixed-key case — skip every file whose bounds
-          // cannot reach the prefix block
-          val p0 = prefix.getBytes("UTF-8")
-          strOverlap(col, Some(p0),
-            TableCatalog.truncUpper(p0 ++ Array.fill(
-              TableCatalog.StringStatBytes)(0xff.toByte)))
-        case _ => true
-      }
+      mayMatchBounds(active,
+        col => st.flatMap(_.get(col)),
+        col => sstats.get(key(p)).flatMap(_.get(col)),
+        bloomEqual)
     }
+  }
+
+  /** ROW-GROUP pruning inside multi-group files: for each file whose
+    * `_STATS` carries per-group `g:`/`gs:` bounds AND where at least
+    * one group is provably predicate-free, the coalesced byte windows
+    * of the SURVIVING groups (adjacent survivors merge into one
+    * window). Files absent from the result plan normally — either
+    * single-group, stats-free, or nothing to prune. `Nil` = every
+    * group eliminated: the file schedules no work (sound even after
+    * file-level skipping, which only sees the union bounds). */
+  def rowGroupRanges(c: TableCatalog, fq: String, v: Int,
+      files: Seq[String], filters: Seq[Filter])
+      : Map[String, Seq[(Long, Long)]] = {
+    val active = filters.flatMap(flatten)
+    if (active.isEmpty || files.isEmpty) return Map.empty
+    val rg = c.rowGroupStatsByPath(fq, v)
+    if (rg.isEmpty) return Map.empty
+    def key(p: String) = new Path(p).toUri.getPath
+    files.flatMap { p =>
+      rg.get(key(p)).flatMap { groups =>
+        val kept = groups.filter(g => mayMatchBounds(active,
+          g.numeric.get, g.strings.get, (_, _) => true))
+        if (kept.size == groups.size) None // nothing pruned: plan blind
+        else {
+          // merge byte-adjacent survivors (groups are laid out in
+          // file order; a pruned group's midpoint sits strictly above
+          // the previous survivor's end, so the windows exclude it)
+          val merged = kept.sortBy(_.start)
+            .foldLeft(List.empty[(Long, Long)]) {
+              case ((s0, l0) :: tail, g) if s0 + l0 >= g.start =>
+                (s0, (g.start + g.length) - s0) :: tail
+              case (acc, g) => (g.start, g.length) :: acc
+            }.reverse
+          Some(key(p) -> merged)
+        }
+      }
+    }.toMap
   }
 }

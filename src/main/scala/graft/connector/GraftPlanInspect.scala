@@ -40,6 +40,16 @@ object GraftPlanInspect {
     findScan(df.queryExecution.executedPlan)
       .map(_.partitions.map(_.length).sum).getOrElse(-1)
 
+  /** Total SCHEDULED slice bytes of the executed `df`'s graft scan —
+    * the row-group-skipping evidence: a pruned scan schedules fewer
+    * bytes than the file's physical size. −1 = no graft scan. */
+  def scanSliceBytesOf(df: DataFrame): Long =
+    findScan(df.queryExecution.executedPlan)
+      .map(_.partitions.map(_.map {
+        case g: GraftSlicesHolder => g.slices.map(_.length).sum
+        case _ => 0L
+      }.sum).sum).getOrElse(-1L)
+
   /** Executes `df` (finalizing any adaptive plan), then counts. */
   def scanPartitions(df: DataFrame): Int = {
     df.collect()

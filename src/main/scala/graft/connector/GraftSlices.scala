@@ -66,9 +66,17 @@ case class GraftKeyedPartition(slices: Seq[GraftSlice],
   * DV-masked / keepOnly slices never byte-split (file-relative row
   * addressing) but still pack with their neighbors. */
 object GraftSlicePlanner {
+  /** `ranges` = row-group-pruned byte windows (start, length) that
+    * survived stats elimination INSIDE the file — when present, only
+    * those windows are scheduled (parquet's midpoint rule resolves the
+    * exact row groups). `Some(Nil)` means every group was eliminated:
+    * the file plans NO work at all (possible even after file-level
+    * skipping — a range predicate can fall in the gap between two
+    * groups' bounds while overlapping the file's union bounds). */
   case class FileInput(path: String, bytes: Long, dvRows: Array[Long],
       partValues: Seq[(String, Option[String])] = Seq.empty,
-      keepOnly: Boolean = false)
+      keepOnly: Boolean = false,
+      ranges: Option[Seq[(Long, Long)]] = None)
 
   def plan(files: Seq[FileInput], maxPartitionBytes: Long,
       openCostInBytes: Long, minPartitions: Int,
@@ -84,15 +92,32 @@ object GraftSlicePlanner {
       // midpoint) — a (0,1) range would contain no midpoint and
       // silently decode zero rows
       val unknown = f.bytes <= 0L
-      val splittable = splitAllowed && f.dvRows.isEmpty && !f.keepOnly &&
-        !unknown && f.bytes > maxSplit
-      if (!splittable)
-        Seq(GraftSlice(f.path, 0L,
-          if (unknown) Long.MaxValue else f.bytes, f.dvRows,
-          f.partValues, f.keepOnly))
-      else (0L until f.bytes by maxSplit).map(off =>
-        GraftSlice(f.path, off, math.min(maxSplit, f.bytes - off),
-          Array.empty[Long], f.partValues))
+      // sub-file ranges (row-group pruning or byte splits) are only
+      // sound when the mask/row-id address space is not in play: DV'd,
+      // keepOnly and row-id scans read whole files (file-relative row
+      // numbering)
+      val subRangeable = splitAllowed && f.dvRows.isEmpty && !f.keepOnly &&
+        !unknown
+      f.ranges match {
+        case Some(rs) if subRangeable =>
+          // pre-pruned row-group windows; windows longer than the
+          // split target still split (midpoint rule re-tiles them)
+          rs.flatMap { case (st, ln) =>
+            if (ln <= maxSplit) Seq(GraftSlice(f.path, st, ln,
+              Array.empty[Long], f.partValues))
+            else (0L until ln by maxSplit).map(off =>
+              GraftSlice(f.path, st + off, math.min(maxSplit, ln - off),
+                Array.empty[Long], f.partValues))
+          }
+        case _ =>
+          if (!(subRangeable && f.bytes > maxSplit))
+            Seq(GraftSlice(f.path, 0L,
+              if (unknown) Long.MaxValue else f.bytes, f.dvRows,
+              f.partValues, f.keepOnly))
+          else (0L until f.bytes by maxSplit).map(off =>
+            GraftSlice(f.path, off, math.min(maxSplit, f.bytes - off),
+              Array.empty[Long], f.partValues))
+      }
     }
     // descending first-fit: big slices claim bins first, smalls fill
     // the gaps (Spark sorts the same way before packing)
@@ -103,8 +128,14 @@ object GraftSlicePlanner {
       val sz = // unknown-size whole-file slices fill a bin alone
         if (s.length >= Long.MaxValue - openCostInBytes) Long.MaxValue
         else s.length + openCostInBytes
+      // a bin holding an unknown-size slice is SEALED (used ==
+      // MaxValue), and an unknown-size slice never joins an existing
+      // bin — guarding both sides keeps `used + sz` from overflowing
+      // negative, which would make the fullest bin look infinitely
+      // roomy and collapse the whole scan into one task
       bins.indexWhere { case (_, used) =>
-        used + sz <= maxSplit + openCostInBytes
+        used != Long.MaxValue && sz != Long.MaxValue &&
+          used + sz <= maxSplit + openCostInBytes
       } match {
         case -1 => bins += ((scala.collection.mutable.ArrayBuffer(s), sz))
         case i  => val (buf, used) = bins(i); buf += s; bins(i) = (buf, used + sz)

@@ -721,9 +721,25 @@ class GraftScan(root: String, fq: String, versionOpt: Option[Int],
           val dvs = dvByFile(c, v)
           val sizes = c.fileSizesAt(fq, v)
           def key(p: String) = new Path(p).toUri.getPath
-          val inputs = surviving(c, v).map { case (p, pvs) =>
+          val surv = surviving(c, v)
+          // ROW-GROUP pruning: pushed range/point predicates against
+          // the per-group `g:`/`gs:` bounds drop non-matching byte
+          // windows INSIDE multi-group files — a point range over a
+          // sorted 10 GB file schedules one row group, not 80 splits.
+          // Row-id scans skip this (sub-ranges renumber `_gpos`), as
+          // do DV'd files (the planner falls back to whole-file).
+          val active = (skipFilters ++ runtimeFilters).toSeq
+            .map(FilterColumns.mapAttrs(_, physOf))
+          val rgRanges: Map[String, Seq[(Long, Long)]] =
+            if (metaRequested || active.isEmpty) Map.empty
+            else FileSkipping.rowGroupRanges(c, fq, v,
+              surv.collect { case (p, _)
+                if dvs.getOrElse(key(p), Array.empty[Long]).isEmpty => p },
+              active)
+          val inputs = surv.map { case (p, pvs) =>
             GraftSlicePlanner.FileInput(p, sizes.getOrElse(key(p), 0L),
-              dvs.getOrElse(key(p), Array.empty[Long]), pvs)
+              dvs.getOrElse(key(p), Array.empty[Long]), pvs,
+              ranges = rgRanges.get(key(p)))
           }
           // Spark's own split-size model: task count tracks bytes, not
           // file count (bigs split at row-group seams, smalls coalesce).
