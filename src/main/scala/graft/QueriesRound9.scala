@@ -56,7 +56,7 @@ object QueriesRound9 {
     }),
 
     // ---- CDC FILES: the change feed survives REWRITE commits. COW
-    //      update/delete record their pre/post images into a `_CDC/`
+    //      update/delete record their pre/post images into a `_CDCLOG/`
     //      sidecar at commit time (O(touched rows) — the rows are in
     //      hand anyway); compaction drops `_CDC_EMPTY` (zero change
     //      rows). The feed then reconstructs the live table across

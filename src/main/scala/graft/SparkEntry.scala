@@ -14,7 +14,7 @@ object SparkEntry {
       QueriesPipeline.all ++ QueriesData.all ++ QueriesExtra.all ++
       QueriesMining.all ++ QueriesRound4.all ++ QueriesRound5.all ++
       QueriesRound6.all ++ QueriesConnector.all ++ QueriesRound7.all ++
-      QueriesRound8.all ++ QueriesRound9.all
+      QueriesRound8.all ++ QueriesRound9.all ++ QueriesRound11.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -23,5 +23,5 @@ object SparkEntry {
       QueriesPipeline.oracles ++ OraclesData.all ++ OraclesExtra.all ++
       OraclesMining.all ++ OraclesRound4.all ++ OraclesRound5.all ++
       OraclesRound6.all ++ QueriesConnector.oracles ++ QueriesRound7.oracles ++
-      QueriesRound8.oracles ++ QueriesRound9.oracles
+      QueriesRound8.oracles ++ QueriesRound9.oracles ++ QueriesRound11.oracles
 }

@@ -40,7 +40,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 class TableCatalog(spark: SparkSession, root: String,
     staleClaimMs: Long = 15L * 60 * 1000) {
   import TableCatalog.{SchemaAction, AddAction, RenameAction, DropAction,
-    ResetAction, ActionName, LegacyActionName}
+    ResetAction, ConstraintAddAction, ConstraintDropAction, ActionName,
+    LegacyActionName}
 
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -303,6 +304,14 @@ class TableCatalog(spark: SparkSession, root: String,
       // non-matching ranges INSIDE a big file (a sorted 10 GB file
       // must not scan every byte for a point-range predicate)
       val rgLines = scala.collection.mutable.ArrayBuffer.empty[String]
+      // columns where ANY chunk's statistics were OMITTED by the
+      // writer (parquet-mr drops chunk stats when min+max exceed
+      // 4 KB): their accumulated file bounds would silently exclude
+      // that chunk's values, so the column must publish NO file-level
+      // bounds at all. All-NULL chunks (numNulls set, no values) are
+      // NOT poisonous: nulls can never satisfy the range/equality
+      // conjuncts these bounds eliminate on.
+      val poisoned = scala.collection.mutable.Set.empty[String]
       var nBlocks = 0
       val rd = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       try {
@@ -333,6 +342,8 @@ class TableCatalog(spark: SparkSession, root: String,
             val isString = pt.getPrimitiveTypeName == BINARY &&
               ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
             val st = cc.getStatistics
+            if ((ordered || isString) && (st == null || st.isEmpty))
+              poisoned += cc.getPath.toDotString
             if (st != null && st.hasNonNullValue) {
               val name = cc.getPath.toDotString
               if (ordered) {
@@ -365,6 +376,14 @@ class TableCatalog(spark: SparkSession, root: String,
           // multi-group files (a single group IS the file)
           val start = blk.getStartingPos
           val len = blk.getCompressedSize
+          // unconditional per-group marker (row count): makes EVERY
+          // block representable even when none of its chunks carry
+          // parquet stats (parquet-mr omits chunk statistics for
+          // multi-KB min/max values) — a stats-less group must parse
+          // as bound-free (always kept), not vanish from the map and
+          // get its bytes silently pruned. rowGroupRanges requires
+          // this marker on every group before it prunes at all.
+          rgLines += s"$key\tg:$start:$len:__rows\t${blk.getRowCount}\t${blk.getRowCount}"
           rgLines ++= rgAcc.map { case (c, (mn, mx)) =>
             s"$key\tg:$start:$len:$c\t$mn\t$mx" }
           rgLines ++= rgSacc.map { case (c, (mn, mx)) =>
@@ -379,8 +398,14 @@ class TableCatalog(spark: SparkSession, root: String,
           rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
         acc("__rows") = (rows, rows)
       } finally rd.close()
-      acc.toSeq.map { case (c, (mn, mx)) => s"$key\t$c\t$mn\t$mx" } ++
-        sacc.toSeq.map { case (c, (mn, mx)) =>
+      // per-GROUP lines for a poisoned column stay: each group's own
+      // chunk stats (where present) bound that group's values exactly;
+      // the group whose stats were omitted simply has no line and
+      // parses bound-free (kept) via its `__rows` marker.
+      acc.toSeq.filterNot(e => poisoned(e._1))
+        .map { case (c, (mn, mx)) => s"$key\t$c\t$mn\t$mx" } ++
+        sacc.toSeq.filterNot(e => poisoned(e._1))
+        .map { case (c, (mn, mx)) =>
           val lo = b64.encodeToString(TableCatalog.truncLower(mn))
           val hi = TableCatalog.truncUpper(mx)
             .map(b64.encodeToString).getOrElse("*") // * = unbounded
@@ -593,6 +618,42 @@ class TableCatalog(spark: SparkSession, root: String,
       text.split("\n").toSet.filter(_.nonEmpty)
     }.getOrElse(Set.empty)
 
+  /** Every Nth flat commit writes an EXPLICIT file-list manifest (a
+    * checkpoint — Delta's log-checkpoint shape) instead of the O(1)
+    * back-reference. Cold resolution, `flatChainDirNames`, and prune
+    * then walk O(interval) versions, not O(all versions since the
+    * chain base) — and version dirs whose files are all tombstoned
+    * BEFORE the checkpoint drop off the reference chain entirely, so
+    * vacuum can reclaim them. Tunable per session; <= 0 disables. */
+  private def flatCheckpointInterval: Int =
+    try spark.conf.get("graft.flatCheckpointInterval", "16").toInt
+    catch { case _: NumberFormatException => 16 }
+
+  /** Flat-chain manifest write for a commit based on version `prev`:
+    * normally one back-reference line (+ `_TOMBSTONES` for the files
+    * a copy-on-write rewrite retired); on a checkpoint version the
+    * full resolved file list with the retirees excluded inline
+    * (explicit manifests apply no tombstones — see
+    * [[resolvedFlatFiles]]'s fold, which filters only deeper levels). */
+  private def writeFlatRef(fq: String, dir: Path, prev: Int,
+      retired: Seq[Path] = Nil): Unit = {
+    val vNum = dir.getName.stripPrefix("v_").toInt
+    val interval = flatCheckpointInterval
+    if (interval > 0 && vNum > 0 && vNum % interval == 0) {
+      val gone = retired.map(p => fs.makeQualified(p).toUri.getPath).toSet
+      val explicit = resolvedFlatFiles(fq, prev)
+        .filterNot(p => gone(fs.makeQualified(p).toUri.getPath))
+      // ref line + explicit list: RESOLUTION and vacuum's chain walk
+      // stop here (the list is authoritative), while the commit-time
+      // pruner still walks the ref — history dirs stay time-travelable
+      // until an explicit vacuum reclaims them
+      writeManifest(dir, versionDir(fq, prev) +: explicit)
+    } else {
+      writeManifest(dir, Seq(versionDir(fq, prev)))
+      if (retired.nonEmpty) writeTombstones(dir, retired)
+    }
+  }
+
   /** Is this manifest entry a version-directory reference of THIS
     * table (vs a plain data-file path)? */
   private def dirRefVersion(fq: String, e: Path): Option[Int] =
@@ -627,9 +688,13 @@ class TableCatalog(spark: SparkSession, root: String,
           val (refs, fileEntries) =
             entries.partition(e => dirRefVersion(fq, e).isDefined)
           levels = (cur, ownOf(dir) ++ fileEntries, tombstonesOf(dir)) :: levels
+          // ref + file entries together = a CHECKPOINT: the explicit
+          // list is authoritative (already resolved through the ref),
+          // so resolution stops — the ref line exists for the
+          // commit-time pruner's history walk only
           refs.headOption.flatMap(dirRefVersion(fq, _)) match {
-            case Some(prev) => cur = prev
-            case None       => walking = false
+            case Some(prev) if fileEntries.isEmpty => cur = prev
+            case _ => walking = false
           }
       }
     }
@@ -651,8 +716,17 @@ class TableCatalog(spark: SparkSession, root: String,
     * their own: breaking one reference link breaks every later
     * version's resolution. Empty for partitioned versions (their
     * manifests carry every chain dir explicitly, which the prune's
-    * ancestor check already protects). */
-  private def flatChainDirNames(fq: String, v: Int): Set[String] = {
+    * ancestor check already protects).
+    *
+    * `stopAtCheckpoints`: a checkpoint manifest (ref line + explicit
+    * file list) ends resolution, but its ref line still records the
+    * commit HISTORY. The commit-time pruner walks through checkpoints
+    * (history dirs stay time-travelable between vacuums); an explicit
+    * [[vacuum]] stops at them — that's what lets it reclaim
+    * fully-tombstoned pre-checkpoint dirs under its keepVersions
+    * contract. */
+  private def flatChainDirNames(fq: String, v: Int,
+      stopAtCheckpoints: Boolean = false): Set[String] = {
     if (partitionColsOf(fq, v).nonEmpty) return Set.empty
     val names = scala.collection.mutable.Set.empty[String]
     var cur = Some(v): Option[Int]
@@ -661,7 +735,14 @@ class TableCatalog(spark: SparkSession, root: String,
       names += dir.getName
       cur =
         if (!fs.exists(dir)) None
-        else manifestEntries(dir).flatMap(dirRefVersion(fq, _)).headOption
+        else {
+          val entries = manifestEntries(dir)
+          val (refs, fileEntries) =
+            entries.partition(e => dirRefVersion(fq, e).isDefined)
+          if (stopAtCheckpoints && refs.nonEmpty && fileEntries.nonEmpty)
+            None // checkpoint: resolution needs nothing deeper
+          else refs.flatMap(dirRefVersion(fq, _)).headOption
+        }
     }
     names.toSet
   }
@@ -957,6 +1038,15 @@ class TableCatalog(spark: SparkSession, root: String,
     if (fs.exists(staleCdc)) fs.delete(staleCdc, true)
     val staleCdcEmpty = new Path(cdcLogDir(fq), s"${dir.getName}._EMPTY")
     if (fs.exists(staleCdcEmpty)) fs.delete(staleCdcEmpty, false)
+    // ... and the crashed attempt's `_SCHEMAS` action files: a died
+    // ALTER wrote `v{next}_*` actions the pointer never referenced —
+    // left in place they'd apply to whatever unrelated commit reuses
+    // this version number (an orphan `reset` would wipe the mapping).
+    val staleSchemas = schemasDir(fq)
+    if (fs.exists(staleSchemas))
+      fs.listStatus(staleSchemas).map(_.getPath)
+        .filter(_.getName.startsWith(f"v$next%06d_"))
+        .foreach(fs.delete(_, false))
     withMicrosTimestamps { write(dir) }
     try harvestStats(dir) catch { case _: Exception => () } // advisory
     verifyOwner() // claim still ours? (stale-claim sweeper race)
@@ -1011,8 +1101,10 @@ class TableCatalog(spark: SparkSession, root: String,
           val pcols = partitionColsOf(fq, head)
           val dvs = dvFiles(fq, head) // outstanding masks stay valid:
           // the files they address are carried unmodified
-          // data files always carry PHYSICAL names (column mapping)
-          val pdf = toPhysical(df, columnMappingAt(fq, head))
+          // data files always carry PHYSICAL names (column mapping);
+          // constraints enforce on the logical view, inside the write
+          val pdf = toPhysical(enforceConstraints(fq, head, df),
+            columnMappingAt(fq, head))
           if (pcols.nonEmpty) {
             // partitioned chain: the delta lands partitioned in the new
             // version dir; prior data rides along as whole directories
@@ -1023,8 +1115,9 @@ class TableCatalog(spark: SparkSession, root: String,
           } else {
             pdf.write.mode(SaveMode.Overwrite).parquet(dir.toString)
             // O(delta) metadata: ONE dir-reference line however many
-            // files the chain holds (resolution walks the chain)
-            writeManifest(dir, Seq(versionDir(fq, head)))
+            // files the chain holds (resolution walks the chain);
+            // every Nth version checkpoints the resolved list
+            writeFlatRef(fq, dir, head)
           }
           if (dvs.nonEmpty) writeDvManifest(dir, dvs)
         }
@@ -1057,6 +1150,14 @@ class TableCatalog(spark: SparkSession, root: String,
     require(partitionCols.nonEmpty, "partition columns required")
     val v = currentVersion(fq).getOrElse(
       throw new IllegalArgumentException(s"table not found: $fq"))
+    // a bucketed chain must not silently evolve into a plain layout:
+    // the newest-reachable `_BUCKETSPEC` would still claim the table
+    // bucketed while the new files route nowhere. Re-specs are
+    // rewrites — loud recipe instead of a mixed chain.
+    require(!partitionColsOf(fq, v).lastOption.contains(BucketCol),
+      s"$fq is bucketed — appendEvolvePartitioning would orphan its " +
+        "bucket layout; use appendBucketed to append, or rebucket(...) " +
+        "to change the layout (a rewrite)")
     // outstanding DV masks ride along: the partition-granular read
     // path applies them per-scan before its layout union
     val dvs = dvFiles(fq, v)
@@ -1066,7 +1167,8 @@ class TableCatalog(spark: SparkSession, root: String,
     val carried: Seq[Path] =
       if (partitionColsOf(fq, v).nonEmpty) chainDirs(fq, v)
       else dataFiles(fq, v)
-    val pdf = toPhysical(df, columnMappingAt(fq, v))
+    val pdf = toPhysical(enforceConstraints(fq, v, df),
+      columnMappingAt(fq, v))
     commitVersionFrom(fq, v, dir => {
       pdf.write.mode(SaveMode.Overwrite)
         .partitionBy(partitionCols: _*).parquet(dir.toString)
@@ -1184,6 +1286,21 @@ class TableCatalog(spark: SparkSession, root: String,
       writeBucketSpec(dir, bucketCol, numBuckets)
       resetSchemaActions(fq, dir)
     })
+  }
+
+  /** Change the bucket layout (count and/or key, optionally the
+    * identity partitions) — a REWRITE commit, the only sound re-spec:
+    * a chain mixing two bucket specs would route the same key into
+    * files hashed under different moduli, silently breaking bucket
+    * pruning and storage-partitioned joins. Reads the current
+    * snapshot, rewrites it under the new layout in ONE commit (OCC
+    * like every overwrite); prior versions stay time-travelable under
+    * their own spec (the spec rides each chain). */
+  def rebucket(fq: String, bucketCol: String, numBuckets: Int,
+      partitionCols: Seq[String] = Nil): Unit = {
+    require(currentVersion(fq).isDefined, s"table not found: $fq")
+    overwriteBucketed(fq, dropRouting(read(fq)), bucketCol, numBuckets,
+      partitionCols)
   }
 
   /** O(delta) append into the bucketed layout — rows route by the
@@ -1346,9 +1463,10 @@ class TableCatalog(spark: SparkSession, root: String,
     val dvs = dvFiles(fq, v)
     val cur = toLogical(
       maskDv(spark.read.parquet(hit.map(_.toString): _*), dvs), m)
-    val updated = toPhysical(assignments.foldLeft(cur) { case (d, (c, value)) =>
-      d.withColumn(c, when(where, value).otherwise(col(c)))
-    }, m)
+    val updated = toPhysical(enforceConstraints(fq, v,
+      assignments.foldLeft(cur) { case (d, (c, value)) =>
+        d.withColumn(c, when(where, value).otherwise(col(c)))
+      }), m)
     // CDC: pre-image deletes + post-image inserts (O(touched rows))
     val changed = cur.filter(where)
     val cdc = changed.withColumn("_change_type", lit("delete"))
@@ -1361,8 +1479,7 @@ class TableCatalog(spark: SparkSession, root: String,
       if (carried.nonEmpty) {
         // O(touched) metadata: reference the prior version, tombstone
         // only the rewritten files (Delta's remove-action shape)
-        writeManifest(dir, Seq(versionDir(fq, v)))
-        writeTombstones(dir, hit)
+        writeFlatRef(fq, dir, v, retired = hit)
       }
       // carry masks for the carried files; entries addressing rewritten
       // files no longer match any chain path and are inert
@@ -1423,10 +1540,8 @@ class TableCatalog(spark: SparkSession, root: String,
     commitVersionFrom(fq, v, dir => {
       kept.write.mode(SaveMode.Overwrite).parquet(dir.toString)
       writeCdc(fq, dir, toPhysical(cdc, m))
-      if (carried.nonEmpty) { // prior-version reference + tombstones
-        writeManifest(dir, Seq(versionDir(fq, v)))
-        writeTombstones(dir, hit)
-      }
+      if (carried.nonEmpty) // prior-version reference + tombstones
+        writeFlatRef(fq, dir, v, retired = hit)
       if (carried.nonEmpty && dvs.nonEmpty) writeDvManifest(dir, dvs)
     })
   }
@@ -1498,7 +1613,7 @@ class TableCatalog(spark: SparkSession, root: String,
       commitRebase(fq, v, files, dvs, (dir, head) => {
         fs.mkdirs(dir)
         newDv.write.mode(SaveMode.Overwrite).parquet(dvDir(dir).toString)
-        writeManifest(dir, Seq(versionDir(fq, head))) // O(1) reference
+        writeFlatRef(fq, dir, head) // O(1) reference (Nth: checkpoint)
         val headDvs = dvFiles(fq, head)
         if (headDvs.nonEmpty) writeDvManifest(dir, headDvs)
       })
@@ -1567,14 +1682,15 @@ class TableCatalog(spark: SparkSession, root: String,
     try {
       if (hit.count() == 0) return
       val newDv = hit.select(col("__fp").as("file"), col("__ri").as("row_index"))
-      val updated = toPhysical(assignments.foldLeft(hit.drop("__fp", "__ri")) {
-        case (d, (c, value)) => d.withColumn(c, value) // `where` already applied
-      }, mDv)
+      val updated = toPhysical(enforceConstraints(fq, v,
+        assignments.foldLeft(hit.drop("__fp", "__ri")) {
+          case (d, (c, value)) => d.withColumn(c, value) // `where` applied
+        }), mDv)
       // rebase across commuting winners (see partitioned branch)
       commitRebase(fq, v, files, dvs, (dir, head) => {
         updated.write.mode(SaveMode.Overwrite).parquet(dir.toString)
         newDv.write.mode(SaveMode.Overwrite).parquet(dvDir(dir).toString)
-        writeManifest(dir, Seq(versionDir(fq, head))) // O(1) reference
+        writeFlatRef(fq, dir, head) // O(1) reference (Nth: checkpoint)
         val headDvs = dvFiles(fq, head)
         if (headDvs.nonEmpty) writeDvManifest(dir, headDvs)
       })
@@ -1669,8 +1785,8 @@ class TableCatalog(spark: SparkSession, root: String,
             if (hit.isEmpty) src.limit(0) // no overlap: plain append of source
             else toLogical(
               maskDv(spark.read.parquet(hit.map(_.toString): _*), dvs), m)
-          val merged = toPhysical(
-            graft.operators.MergeOps.upsert(base, src, keys), m)
+          val merged = toPhysical(enforceConstraints(fq, v,
+            graft.operators.MergeOps.upsert(base, src, keys)), m)
           // CDC when files rewrote (see the partitioned branch)
           val cdcOpt =
             if (hit.isEmpty) None
@@ -1681,10 +1797,8 @@ class TableCatalog(spark: SparkSession, root: String,
           commitVersionFrom(fq, v, dir => {
             merged.write.mode(SaveMode.Overwrite).parquet(dir.toString)
             cdcOpt.foreach(c => writeCdc(fq, dir, toPhysical(c, m)))
-            if (carried.nonEmpty) { // reference + tombstones, O(touched)
-              writeManifest(dir, Seq(versionDir(fq, v)))
-              writeTombstones(dir, hit)
-            }
+            if (carried.nonEmpty) // reference + tombstones, O(touched)
+              writeFlatRef(fq, dir, v, retired = hit)
             if (carried.nonEmpty && dvs.nonEmpty) writeDvManifest(dir, dvs)
           })
         } finally src.unpersist()
@@ -1731,7 +1845,8 @@ class TableCatalog(spark: SparkSession, root: String,
       retained.map(v => f"v_$v%06d") ++
       // flat dir-reference LINK dirs (metadata commits hold no data
       // files but carry the chain) stay reachable
-      retained.flatMap(v => flatChainDirNames(fq, v))
+      retained.flatMap(v =>
+        flatChainDirNames(fq, v, stopAtCheckpoints = true))
     val removed = (0 until cutoff).map(v => versionDir(fq, v))
       .filter(d => fs.exists(d) && !reachable.contains(d.getName))
     removed.foreach(d => fs.delete(d, true))
@@ -2472,8 +2587,9 @@ class TableCatalog(spark: SparkSession, root: String,
         require(partitionColsOf(fq, head).isEmpty,
           s"DSv2 write targets unpartitioned tables; $fq is hive-partitioned")
         // O(delta): one reference line per epoch/commit — a streaming
-        // sink must not rewrite O(live files) of manifest per epoch
-        writeManifest(dir, Seq(versionDir(fq, head)))
+        // sink must not rewrite O(live files) of manifest per epoch;
+        // every Nth epoch checkpoints so cold reads stay O(interval)
+        writeFlatRef(fq, dir, head)
         val dvs = dvFiles(fq, head)
         if (dvs.nonEmpty) writeDvManifest(dir, dvs)
       }
@@ -2616,6 +2732,13 @@ class TableCatalog(spark: SparkSession, root: String,
                 val Array(ph, to) = text.split("\t", 2): @unchecked
                 RenameAction(ver, ph, to)
               case "drop" => DropAction(ver, text.trim)
+              case "addnn" =>
+                val Array(nm, ph) = text.split("\t", 2): @unchecked
+                ConstraintAddAction(ver, nm, "notnull", ph)
+              case "addck" =>
+                val Array(nm, ex) = text.split("\t", 2): @unchecked
+                ConstraintAddAction(ver, nm, "check", ex)
+              case "dropct" => ConstraintDropAction(ver, text.trim)
               case _ => ResetAction(ver)
             }
           }
@@ -2649,6 +2772,7 @@ class TableCatalog(spark: SparkSession, root: String,
         dropped += ph; adds.remove(ph); logical.remove(ph)
       case ResetAction(_) =>
         adds.clear(); logical.clear(); dropped.clear()
+      case _: ConstraintAddAction | _: ConstraintDropAction => ()
     }
     TableCatalog.ColumnMapping(logical.toMap, dropped.toSet, adds.toSeq)
   }
@@ -2667,19 +2791,31 @@ class TableCatalog(spark: SparkSession, root: String,
       m: TableCatalog.ColumnMapping): DataFrame =
     if (m.isIdentity) df
     else {
-      val have = df.columns.toSet
-      val d = m.dropped.intersect(have).foldLeft(df)(_.drop(_))
-      m.logicalOf.filter { case (p, _) => have(p) }
-        .foldLeft(d) { case (acc, (p, l)) => acc.withColumnRenamed(p, l) }
+      // ONE projection, not a withColumnRenamed fold: a swap-shaped
+      // mapping (physical a→logical b, physical b→logical a) makes a
+      // sequential fold collide — the first rename creates a duplicate
+      // of a name still live as a physical, and the second renames
+      // BOTH. A single select aliases every column independently.
+      import org.apache.spark.sql.functions.{col => fcol}
+      val cols = df.columns.toSeq.collect {
+        case c if !m.dropped.contains(c) =>
+          fcol(s"`$c`").as(m.logicalOf.getOrElse(c, c))
+      }
+      df.select(cols: _*)
     }
 
   /** Logical→physical — the write-side inverse of [[toLogical]]:
-    * every data file always carries PHYSICAL names. */
+    * every data file always carries PHYSICAL names. Same
+    * single-projection shape (swap-safe). */
   private def toPhysical(df: DataFrame,
       m: TableCatalog.ColumnMapping): DataFrame =
     if (m.isIdentity) df
-    else m.physicalOf.filter { case (l, _) => df.columns.contains(l) }
-      .foldLeft(df) { case (acc, (l, p)) => acc.withColumnRenamed(l, p) }
+    else {
+      import org.apache.spark.sql.functions.{col => fcol}
+      df.select(df.columns.toSeq.map { c =>
+        fcol(s"`$c`").as(m.physicalOf.getOrElse(c, c))
+      }: _*)
+    }
 
   private def writeSchemaAction(fq: String, declaringVersion: Int,
       kind: String, content: String): Unit = {
@@ -2709,7 +2845,7 @@ class TableCatalog(spark: SparkSession, root: String,
       if (pcols.nonEmpty) {
         writeLayout(fq, v, dir, pcols)
         writeManifest(dir, chainDirs(fq, v))
-      } else writeManifest(dir, Seq(versionDir(fq, v)))
+      } else writeFlatRef(fq, dir, v)
       if (dvs.nonEmpty) writeDvManifest(dir, dvs)
       extra(v + 1)
     })
@@ -2765,7 +2901,12 @@ class TableCatalog(spark: SparkSession, root: String,
     bucketSpecAt(fq, v).foreach { case (c, _) =>
       require(!c.equalsIgnoreCase(from),
         s"cannot rename bucket source column $from (layout-encoded)") }
-    val phys = columnMappingAt(fq, v).physical(actual)
+    val m0 = columnMappingAt(fq, v)
+    constraintsAt(fq, v).filter(_.kind == "check").foreach { c =>
+      require(!constraintMentions(c, actual, m0),
+        s"cannot rename $from: CHECK constraint ${c.name} references it — " +
+          "drop the constraint first (alterDropConstraint)") }
+    val phys = m0.physical(actual)
     commitMetadata(fq, v)(nv =>
       writeSchemaAction(fq, nv, "rename", s"$phys\t$to"))
   }
@@ -2793,8 +2934,135 @@ class TableCatalog(spark: SparkSession, root: String,
           s"cannot drop bucket source column $n (layout-encoded)") }
     }
     val m = columnMappingAt(fq, v)
+    constraintsAt(fq, v).foreach { c =>
+      actuals.foreach { n =>
+        require(!constraintMentions(c, n, m),
+          s"cannot drop column $n: constraint ${c.name} references it — " +
+            s"drop the constraint first (alterDropConstraint)") }
+    }
     commitMetadata(fq, v)(nv =>
       actuals.foreach(n => writeSchemaAction(fq, nv, "drop", m.physical(n))))
+  }
+
+  // ---- table CONSTRAINTS (NOT NULL / CHECK) -------------------------------
+  // Stored as `_SCHEMAS/` actions (version-scoped, vacuum-proof,
+  // overwrite-reset — exactly the column-mapping machinery), enforced
+  // per row INSIDE the write pass (a raise_error branch grafted onto a
+  // written column — no second validation scan; Delta's invariant
+  // shape). NOT NULL binds to the PHYSICAL name so it survives
+  // renames; CHECK text references LOGICAL names, so renames/drops of
+  // referenced columns are rejected until the constraint is dropped.
+
+  /** Constraints in effect at version `atV` (declaration order). */
+  private[graft] def constraintsAt(fq: String, atV: Int)
+      : Seq[TableCatalog.Constraint] = {
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[String, TableCatalog.Constraint]
+    schemaActions(fq).filter(_.version <= atV).foreach {
+      case ConstraintAddAction(_, nm, kind, arg) =>
+        acc(nm) = TableCatalog.Constraint(nm, kind, arg)
+      case ConstraintDropAction(_, nm) => acc.remove(nm)
+      case ResetAction(_) => acc.clear()
+      case _ => ()
+    }
+    acc.values.toSeq
+  }
+
+  /** Does constraint `c` reference LOGICAL column `logical`? NOT NULL
+    * compares through the mapping; CHECK matches the identifier in the
+    * expression text (word-boundary, case-insensitive — conservative:
+    * a false positive only makes a rename/drop ask for an explicit
+    * constraint drop first). */
+  private def constraintMentions(c: TableCatalog.Constraint,
+      logical: String, m: TableCatalog.ColumnMapping): Boolean =
+    c.kind match {
+      case "notnull" =>
+        m.logicalOf.getOrElse(c.arg, c.arg).equalsIgnoreCase(logical)
+      case _ => ("(?i)(^|[^A-Za-z0-9_`])" +
+        java.util.regex.Pattern.quote(logical) + "($|[^A-Za-z0-9_])").r
+        .findFirstIn(c.arg).isDefined
+    }
+
+  /** ALTER TABLE ALTER COLUMN SET NOT NULL: existing rows must already
+    * satisfy it (one validation scan at DDL time); subsequent writes
+    * enforce per row. */
+  def alterAddNotNull(fq: String, column: String): Unit = {
+    val v = currentVersion(fq).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $fq"))
+    val schema = graft.connector.GraftSource.chainSchema(spark, this, fq, v)
+    val actual = schema.fieldNames.find(_.equalsIgnoreCase(column)).getOrElse(
+      throw new IllegalArgumentException(s"column $column does not exist in $fq"))
+    val name = s"nn_${actual.toLowerCase}"
+    require(!constraintsAt(fq, v).exists(_.name == name),
+      s"constraint $name already exists on $fq")
+    require(read(fq).filter(col(s"`$actual`").isNull).limit(1).count() == 0,
+      s"cannot add NOT NULL on $fq.$actual: existing rows hold nulls")
+    val phys = columnMappingAt(fq, v).physical(actual)
+    commitMetadata(fq, v)(nv =>
+      writeSchemaAction(fq, nv, "addnn", s"$name\t$phys"))
+  }
+
+  /** ALTER TABLE ADD CONSTRAINT name CHECK (expr): `expr` is a SQL
+    * boolean over the table's LOGICAL columns; rows where it evaluates
+    * FALSE are rejected (NULL = unknown passes — SQL semantics).
+    * Existing rows are validated once at DDL time. */
+  def alterAddCheck(fq: String, name: String, expr: String): Unit = {
+    val v = currentVersion(fq).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $fq"))
+    require(!constraintsAt(fq, v).exists(_.name == name),
+      s"constraint $name already exists on $fq")
+    val violated = read(fq)
+      .filter(org.apache.spark.sql.functions.expr(expr) === lit(false))
+      .limit(1).count()
+    require(violated == 0,
+      s"cannot add CHECK $name on $fq: existing rows violate ($expr)")
+    commitMetadata(fq, v)(nv =>
+      writeSchemaAction(fq, nv, "addck", s"$name\t$expr"))
+  }
+
+  def alterDropConstraint(fq: String, name: String): Unit = {
+    val v = currentVersion(fq).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $fq"))
+    require(constraintsAt(fq, v).exists(_.name == name),
+      s"no constraint $name on $fq")
+    commitMetadata(fq, v)(nv => writeSchemaAction(fq, nv, "dropct", name))
+  }
+
+  /** Wraps a LOGICAL-named frame so that WRITING it evaluates every
+    * constraint per row inside the write pass itself: each enforced
+    * column's value routes through a `when(violation, raise_error)`
+    * branch — the value is written, so column pruning cannot elide the
+    * check, and no second validation scan runs. */
+  private def enforceConstraints(fq: String, v: Int,
+      df: DataFrame): DataFrame = {
+    val cs = constraintsAt(fq, v)
+    if (cs.isEmpty) return df
+    val m = columnMappingAt(fq, v)
+    cs.foldLeft(df) { (acc, c) =>
+      c.kind match {
+        case "notnull" =>
+          val logical = m.logicalOf.getOrElse(c.arg, c.arg)
+          acc.columns.find(_.equalsIgnoreCase(logical)) match {
+            case Some(cn) =>
+              val t = acc.schema(cn).dataType
+              acc.withColumn(cn, when(col(s"`$cn`").isNull,
+                raise_error(lit(s"NOT NULL constraint ${c.name} violated: " +
+                  s"$fq.$logical is null")).cast(t))
+                .otherwise(col(s"`$cn`")))
+            case None => throw new IllegalArgumentException(
+              s"write to $fq must carry NOT NULL column $logical")
+          }
+        case _ => // check: anchor on the first column so the branch is
+          // evaluated for every written row
+          val anchor = acc.columns.head
+          val t = acc.schema(anchor).dataType
+          acc.withColumn(anchor,
+            when(org.apache.spark.sql.functions.expr(c.arg) === lit(false),
+              raise_error(lit(s"CHECK constraint ${c.name} violated " +
+                s"(${c.arg})")).cast(t))
+            .otherwise(col(s"`$anchor`")))
+      }
+    }
   }
 
   /** DSv2 EMPTY write (zero staged files): still commits a version —
@@ -2819,7 +3087,7 @@ class TableCatalog(spark: SparkSession, root: String,
           if (live.nonEmpty) {
             writeLayout(fq, v, dir, live)
             writeManifest(dir, chainDirs(fq, v))
-          } else writeManifest(dir, Seq(versionDir(fq, v)))
+          } else writeFlatRef(fq, dir, v)
           if (dvs.nonEmpty) writeDvManifest(dir, dvs)
         })
       case None => // overwrite/create: schema-only zero-row version
@@ -3068,9 +3336,19 @@ object TableCatalog {
       physical: String) extends SchemaAction
   private[catalog] final case class ResetAction(version: Int)
       extends SchemaAction
+  private[catalog] final case class ConstraintAddAction(version: Int,
+      name: String, kind: String, arg: String) extends SchemaAction
+  private[catalog] final case class ConstraintDropAction(version: Int,
+      name: String) extends SchemaAction
+
+  /** A table constraint: `kind` is "notnull" (`arg` = the PHYSICAL
+    * column name — rename-stable) or "check" (`arg` = a SQL boolean
+    * expression over LOGICAL column names). */
+  private[graft] final case class Constraint(name: String, kind: String,
+      arg: String)
 
   private[catalog] val ActionName =
-    """v(\d{6})_(\d{6})\.(add\.json|rename|drop|reset)""".r
+    """v(\d{6})_(\d{6})\.(add\.json|rename|drop|reset|addnn|addck|dropct)""".r
   private[catalog] val LegacyActionName = """(\d{6})\.json""".r
 
   private[graft] def physicalNameOf(

@@ -227,17 +227,28 @@ private[connector] object FileSkipping {
     def key(p: String) = new Path(p).toUri.getPath
     files.flatMap { p =>
       rg.get(key(p)).flatMap { groups =>
+        // Only prune when EVERY recorded group carries the `__rows`
+        // marker harvestStats writes unconditionally per block of a
+        // multi-group file. Marker-era stats are complete (a block
+        // with no stats-eligible chunks still parses, bound-free ⇒
+        // kept); marker-less entries are legacy harvests where a
+        // stats-less block is simply ABSENT from the map — pruning
+        // against those would silently drop its bytes. Plan blind.
+        val complete = groups.forall(_.numeric.contains("__rows"))
         val kept = groups.filter(g => mayMatchBounds(active,
           g.numeric.get, g.strings.get, (_, _) => true))
-        if (kept.size == groups.size) None // nothing pruned: plan blind
+        if (!complete || kept.size == groups.size) None // plan blind
         else {
           // merge byte-adjacent survivors (groups are laid out in
           // file order; a pruned group's midpoint sits strictly above
-          // the previous survivor's end, so the windows exclude it)
+          // the previous survivor's end, so the windows exclude it).
+          // max() keeps the merge monotone even if stats lines ever
+          // yield nested/overlapping extents — a later group ending
+          // before the current window end must not shrink it.
           val merged = kept.sortBy(_.start)
             .foldLeft(List.empty[(Long, Long)]) {
               case ((s0, l0) :: tail, g) if s0 + l0 >= g.start =>
-                (s0, (g.start + g.length) - s0) :: tail
+                (s0, math.max(s0 + l0, g.start + g.length) - s0) :: tail
               case (acc, g) => (g.start, g.length) :: acc
             }.reverse
           Some(key(p) -> merged)

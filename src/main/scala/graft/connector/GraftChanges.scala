@@ -32,7 +32,7 @@ import graft.catalog.TableCatalog
   * entries become `keepOnly` slices over the addressed files (the
   * reader emits exactly the masked rows) — and executors stream the
   * data. No exceptAll, no snapshot diffs, cost O(changed bytes).
-  * REWRITE commits serve from the `_CDC/` sidecars the COW mutators
+  * REWRITE commits serve from the `_CDCLOG/` sidecars the COW mutators
   * record at commit time (compaction's `_CDC_EMPTY` yields zero
   * rows), so the feed survives update/delete/merge/compact; only
   * overwrite/truncate (world-replacing) and pre-CDC rewrites fail

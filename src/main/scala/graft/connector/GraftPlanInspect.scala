@@ -42,13 +42,18 @@ object GraftPlanInspect {
 
   /** Total SCHEDULED slice bytes of the executed `df`'s graft scan —
     * the row-group-skipping evidence: a pruned scan schedules fewer
-    * bytes than the file's physical size. −1 = no graft scan. */
+    * bytes than the file's physical size. −1 = no graft scan, or a
+    * scan containing unknown-size whole-file slices (length sentinel
+    * Long.MaxValue — summing those would overflow to garbage). */
   def scanSliceBytesOf(df: DataFrame): Long =
-    findScan(df.queryExecution.executedPlan)
-      .map(_.partitions.map(_.map {
-        case g: GraftSlicesHolder => g.slices.map(_.length).sum
-        case _ => 0L
-      }.sum).sum).getOrElse(-1L)
+    findScan(df.queryExecution.executedPlan).map { scan =>
+      val slices = scan.partitions.toSeq.flatMap(_.toSeq.flatMap {
+        case g: GraftSlicesHolder => g.slices
+        case _ => Nil
+      })
+      if (slices.exists(_.length == Long.MaxValue)) -1L
+      else slices.map(_.length).sum
+    }.getOrElse(-1L)
 
   /** Executes `df` (finalizing any adaptive plan), then counts. */
   def scanPartitions(df: DataFrame): Int = {

@@ -32,6 +32,67 @@ import graft.catalog.TableCatalog
   * task aborts by deleting its own staged file, and an aborted job
   * deletes the staging dir — nothing partial ever reaches a manifest.
   */
+/** Per-row constraint enforcement for the DSv2 write path: bound
+  * Catalyst expressions evaluated inside the writer's own row loop
+  * (codegen'd predicates, no second validation scan — Delta's
+  * invariant shape). Compiled driver-side against the incoming
+  * LOGICAL schema; ordinals survive the physical rename (positional). */
+final case class GraftConstraintEnforcer(
+    notNulls: Seq[(String, Int)],
+    violations: Seq[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)])
+    extends Serializable {
+  @transient private lazy val preds = violations.map { case (n, e) =>
+    (n, org.apache.spark.sql.catalyst.expressions.Predicate.create(e)) }
+  def check(row: InternalRow): Unit = {
+    notNulls.foreach { case (n, i) =>
+      if (row.isNullAt(i)) throw new IllegalArgumentException(
+        s"NOT NULL constraint violated: $n is null") }
+    preds.foreach { case (n, p) =>
+      if (p.eval(row)) throw new IllegalArgumentException(
+        s"CHECK constraint $n violated") }
+  }
+}
+
+object GraftConstraintEnforcer {
+  import org.apache.spark.sql.catalyst.expressions._
+
+  /** None when the table carries no constraints. Throws at BUILD time
+    * (driver) when a NOT NULL column is absent from the write schema
+    * or a CHECK expression does not resolve against it. */
+  def compile(spark: SparkSession, cat: TableCatalog, fq: String, v: Int,
+      schema: StructType): Option[GraftConstraintEnforcer] = {
+    val cs = cat.constraintsAt(fq, v)
+    if (cs.isEmpty) return None
+    val m = cat.columnMappingAt(fq, v)
+    val attrs = schema.fields.toSeq.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+    val nn = cs.filter(_.kind == "notnull").map { c =>
+      val logical = m.logicalOf.getOrElse(c.arg, c.arg)
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(logical))
+      require(i >= 0, s"write to $fq must carry NOT NULL column $logical")
+      (s"$fq.$logical (${c.name})", i)
+    }
+    val checks = cs.filter(_.kind == "check").map { c =>
+      val parsed = spark.sessionState.sqlParser.parseExpression(c.arg)
+      val plan = org.apache.spark.sql.catalyst.plans.logical.Project(
+        Seq(Alias(parsed, "__c")()),
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(attrs))
+      val resolved = spark.sessionState.analyzer.execute(plan)
+        .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+        .projectList.head.asInstanceOf[Alias].child
+      require(resolved.resolved,
+        s"CHECK ${c.name}: cannot resolve '${c.arg}' against the write " +
+          s"schema ${schema.simpleString}")
+      // violation iff the check evaluates to FALSE (NULL passes — SQL)
+      val bound = BindReferences.bindReference(
+        EqualNullSafe(resolved, Literal(false)), AttributeSeq(attrs))
+      (s"${c.name} (${c.arg})", bound)
+    }
+    Some(GraftConstraintEnforcer(nn, checks))
+  }
+}
+
 object GraftWriteSchema {
   import org.apache.parquet.schema.Type
 
@@ -175,10 +236,14 @@ class GraftWriteBuilder(root: String, fq: String, schema: StructType,
     // fresh chain under the caller's own names (the commit resets the
     // mapping), so they stage verbatim.
     var writeSchema = schema
+    var enforcer: Option[GraftConstraintEnforcer] = None
     if (!overwrite) {
       val spark = SparkSession.active
       val cat = new TableCatalog(spark, root)
       cat.version(fq).foreach { v =>
+        // table constraints enforce per row inside the writers; the
+        // compile binds against the incoming LOGICAL schema
+        enforcer = GraftConstraintEnforcer.compile(spark, cat, fq, v, schema)
         val physicalOf = cat.columnMappingAt(fq, v).physicalOf
         if (physicalOf.nonEmpty)
           writeSchema = org.apache.spark.sql.types.StructType(
@@ -223,13 +288,13 @@ class GraftWriteBuilder(root: String, fq: String, schema: StructType,
         Array.empty
       override def toBatch: BatchWrite =
         new GraftBatchWrite(root, fq, writeSchema, overwrite, replaceWhere,
-          partitionCols, targetFileBytes, bucketSpec)
+          partitionCols, targetFileBytes, bucketSpec, enforcer)
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
         require(!overwrite,
           "graft streaming sink supports OutputMode.Append only")
         new GraftStreamingWrite(root, fq, writeSchema, queryId, targetFileBytes,
-          partitionCols, bucketSpec)
+          partitionCols, bucketSpec, enforcer)
       }
     }
   }
@@ -247,14 +312,16 @@ class GraftWriteBuilder(root: String, fq: String, schema: StructType,
 class GraftStreamingWrite(root: String, fq: String, schema: StructType,
     queryId: String, targetFileBytes: Long = 128L << 20,
     partitionCols: Seq[String] = Seq.empty,
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    enforcer: Option[GraftConstraintEnforcer] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   private val stagingBase = s"$root/_staging/stream-$queryId"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new GraftStreamingWriterFactory(stagingBase, schema,
-      GraftSource.shippedConf(), targetFileBytes, partitionCols, bucketSpec)
+      GraftSource.shippedConf(), targetFileBytes, partitionCols, bucketSpec,
+      enforcer)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -295,15 +362,17 @@ class GraftStreamingWriterFactory(stagingBase: String, schema: StructType,
     shipped: graft.util.SerializableHadoopConf = null,
     targetFileBytes: Long = 128L << 20,
     partitionCols: Seq[String] = Seq.empty,
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    enforcer: Option[GraftConstraintEnforcer] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     if (partitionCols.isEmpty && bucketSpec.isEmpty)
       new GraftDataWriter(s"$stagingBase/$epochId", schema, partitionId,
-        taskId, shipped, targetFileBytes)
+        taskId, shipped, targetFileBytes, enforcer)
     else new GraftPartitionedDataWriter(s"$stagingBase/$epochId", schema,
-      partitionCols, partitionId, taskId, shipped, targetFileBytes, bucketSpec)
+      partitionCols, partitionId, taskId, shipped, targetFileBytes, bucketSpec,
+      enforcer)
 }
 
 class GraftBatchWrite(root: String, fq: String, schema: StructType,
@@ -311,7 +380,8 @@ class GraftBatchWrite(root: String, fq: String, schema: StructType,
     replaceWhere: Option[org.apache.spark.sql.Column] = None,
     partitionCols: Seq[String] = Seq.empty,
     targetFileBytes: Long = 128L << 20,
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    enforcer: Option[GraftConstraintEnforcer] = None)
     extends BatchWrite {
   private val stagingDir = s"$root/_staging/${UUID.randomUUID()}"
   private def layoutCols =
@@ -324,9 +394,9 @@ class GraftBatchWrite(root: String, fq: String, schema: StructType,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     if ((partitionCols.isEmpty && bucketSpec.isEmpty) || replaceWhere.nonEmpty)
       new GraftDataWriterFactory(stagingDir, schema, GraftSource.shippedConf(),
-        targetFileBytes)
+        targetFileBytes, enforcer)
     else new GraftPartitionedWriterFactory(stagingDir, schema, partitionCols,
-      GraftSource.shippedConf(), targetFileBytes, bucketSpec)
+      GraftSource.shippedConf(), targetFileBytes, bucketSpec, enforcer)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -386,11 +456,12 @@ class GraftPartitionedWriterFactory(stagingDir: String, schema: StructType,
     partitionCols: Seq[String],
     shipped: graft.util.SerializableHadoopConf = null,
     targetFileBytes: Long = 128L << 20,
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    enforcer: Option[GraftConstraintEnforcer] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftPartitionedDataWriter(stagingDir, schema, partitionCols,
-      partitionId, taskId, shipped, targetFileBytes, bucketSpec)
+      partitionId, taskId, shipped, targetFileBytes, bucketSpec, enforcer)
 }
 
 /** Routes each row to a per-partition-value staged file in hive
@@ -403,7 +474,8 @@ class GraftPartitionedDataWriter(stagingDir: String, schema: StructType,
     partitionCols: Seq[String], partitionId: Int, taskId: Long,
     shipped: graft.util.SerializableHadoopConf = null,
     targetFileBytes: Long = 128L << 20,
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    enforcer: Option[GraftConstraintEnforcer] = None)
     extends DataWriter[InternalRow] {
   import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -448,6 +520,7 @@ class GraftPartitionedDataWriter(stagingDir: String, schema: StructType,
   }
 
   override def write(row: InternalRow): Unit = {
+    enforcer.foreach(_.check(row))
     val segs = pIdx.zip(pFields).map { case (i, f) =>
       s"${ExternalCatalogUtils.escapePathName(f.name)}=${render(row, i, f)}"
     } ++ bucketAt.map { case (i, dt, n) =>
@@ -486,11 +559,12 @@ class GraftPartitionedDataWriter(stagingDir: String, schema: StructType,
 
 class GraftDataWriterFactory(stagingDir: String, schema: StructType,
     shipped: graft.util.SerializableHadoopConf = null,
-    targetFileBytes: Long = 128L << 20)
+    targetFileBytes: Long = 128L << 20,
+    enforcer: Option[GraftConstraintEnforcer] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(stagingDir, schema, partitionId, taskId, shipped,
-      targetFileBytes)
+      targetFileBytes, enforcer)
 }
 
 /** Streams rows into staged parquet files, created lazily on the
@@ -502,7 +576,8 @@ class GraftDataWriterFactory(stagingDir: String, schema: StructType,
 class GraftDataWriter(stagingDir: String, schema: StructType,
     partitionId: Int, taskId: Long,
     shipped: graft.util.SerializableHadoopConf = null,
-    targetFileBytes: Long = 128L << 20)
+    targetFileBytes: Long = 128L << 20,
+    enforcer: Option[GraftConstraintEnforcer] = None)
     extends DataWriter[InternalRow] {
   // driver's conf when shipped (fs creds/endpoints); classpath
   // defaults only for old direct-construction callers
@@ -537,6 +612,7 @@ class GraftDataWriter(stagingDir: String, schema: StructType,
     }
 
   override def write(row: InternalRow): Unit = {
+    enforcer.foreach(_.check(row))
     ensureOpen()
     val g = factory.newGroup()
     GraftWriteSchema.fillGroup(g, row, schema)

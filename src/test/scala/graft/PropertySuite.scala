@@ -70,12 +70,24 @@ object GraftProperties extends Properties("graft") {
       word.suchThat(v => !v.contains('=') && !v.contains('|'))))) { pairs =>
       val raw = pairs.map { case (k, v) => s"$k=$v" }.mkString("|")
       val parsed = Params.parse(raw)
-      // last occurrence wins for duplicate keys (Map semantics)
-      val want = pairs.toMap
+      // Params.parse lowercases keys (case-insensitive by design, matching
+      // the reference's stage params) — the expected map must collapse keys
+      // that are equal modulo case too, last occurrence winning.
+      val want = pairs.map { case (k, v) => k.toLowerCase -> v }.toMap
       Prop.all(want.toSeq.map { case (k, v) =>
         Prop(parsed.get(k).contains(v.trim)) :| s"key $k"
       }: _*)
     }
+
+  // Regression for the round-10 seed-flaky falsification (seed
+  // FojvQjfJ69ZQdq9IDMUhLCOoQo2hTxXzgyJI9D939qK= drew keys `nC` and `nc`):
+  // keys equal modulo case collapse to one entry, last occurrence wins.
+  property("Params keys case-insensitive, last occurrence wins") = {
+    val parsed = Params.parse("nC=first|nc=second|NC=third")
+    Prop(parsed.get("nc").contains("third")) :| "lowercase lookup" &&
+      Prop(parsed.get("Nc").contains("third")) :| "mixed-case lookup" &&
+      Prop(parsed.named.size == 1) :| "single collapsed entry"
+  }
 
   // ---- split_reorder kernel (mirrors the Column compiler's semantics) -----
 

@@ -1,0 +1,239 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.catalog.TableCatalog
+
+/** Round-11 catalog fixes: swap-shaped column-mapping renames resolve
+  * through ONE projection (not a colliding rename fold), and crash
+  * recovery clears a died ALTER's orphan `_SCHEMAS` action files. */
+class Round11Spec extends SparkTestBase {
+  import spark.implicits._
+
+  private def graftRead(root: String, fq: String): DataFrame =
+    spark.read.format("graft").option("root", root).option("table", fq).load()
+
+  test("rename targeting a live logical name is rejected loudly") {
+    val root = tempDir("r11_renrej")
+    val cat = new TableCatalog(spark, root)
+    val t = "D.S.RENREJ"
+    cat.overwrite(t, Seq((1L, 2L)).toDF("a", "b"))
+    intercept[IllegalArgumentException] { cat.alterRenameColumn(t, "a", "b") }
+  }
+
+  test("3-cycle rename permutation (a->b, c->a, b->c via temp) reads " +
+      "and writes correctly") {
+    val root = tempDir("r11_swap")
+    val cat = new TableCatalog(spark, root)
+    val t = "D.S.SWAP"
+    cat.overwrite(t, Seq((1L, 2L, 3L)).toDF("a", "b", "c"))
+    // rotate logical names one step: value that was under `a` must
+    // surface under `b`, b's under `c`, c's under `a`
+    cat.alterRenameColumn(t, "a", "t0")
+    cat.alterRenameColumn(t, "c", "a")
+    cat.alterRenameColumn(t, "b", "c")
+    cat.alterRenameColumn(t, "t0", "b")
+    val viaCat = cat.read(t).select("a", "b", "c").collect()(0)
+    assert((viaCat.getLong(0), viaCat.getLong(1), viaCat.getLong(2)) ==
+      ((3L, 1L, 2L)), "catalog read resolves the swap-shaped mapping")
+    val viaConn = graftRead(root, t).select("a", "b", "c").collect()(0)
+    assert((viaConn.getLong(0), viaConn.getLong(1), viaConn.getLong(2)) ==
+      ((3L, 1L, 2L)), "connector read resolves the swap-shaped mapping")
+    // the write-side inverse: an append under the LOGICAL names lands
+    // in the correct physical columns and reads back intact
+    cat.append(t, Seq((30L, 10L, 20L)).toDF("a", "b", "c"))
+    val rows = cat.read(t).select("a", "b", "c")
+      .orderBy("b").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((3L, 1L, 2L), (30L, 10L, 20L)))
+    // pushed filter on a swapped name still selects the right rows
+    assert(graftRead(root, t).filter(col("a") === 30L).count() == 1L)
+  }
+
+  test("flat chain checkpoints every Nth commit: explicit manifest, " +
+      "vacuum reclaims fully-retired pre-checkpoint dirs") {
+    val root = tempDir("r11_ckpt")
+    val cat = new TableCatalog(spark, root)
+    val t = "D.S.CKPT"
+    spark.conf.set("graft.flatCheckpointInterval", "4")
+    try {
+      cat.overwrite(t, (1L to 10L).map(i => (i, 0L)).toDF("k", "b")) // v0
+      (1 to 6).foreach(b => cat.append(t, // v1..v6 (v4 = checkpoint)
+        (1L to 10L).map(i => (i, b.toLong)).toDF("k", "b")))
+      def manifest(v: Int): Seq[String] = {
+        val p = java.nio.file.Paths.get(root, "D", "S", "CKPT",
+          f"v_$v%06d", "_MANIFEST")
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(p)).asScala.toSeq
+          .filter(_.nonEmpty)
+      }
+      val isRef = (l: String) => l.matches(".*/v_\\d{6}$")
+      assert(manifest(4).count(isRef) == 1 &&
+          manifest(4).count(l => !isRef(l)) >= 4,
+        "checkpoint = one history ref + the explicit resolved file list")
+      assert(manifest(5).size == 1 && isRef(manifest(5).head),
+        "non-checkpoint versions keep the O(1) back-reference")
+      assert(cat.read(t).count() == 70L)
+      // history BEFORE the checkpoint stays time-travelable until an
+      // explicit vacuum (the commit-time pruner walks through refs)
+      assert(cat.readVersion(t, 2).count() == 30L)
+      // retire v0's file entirely (COW delete of its rows), then cross
+      // the next checkpoint: the chain walk now stops there, so the
+      // fully-retired v0 dir becomes vacuumable — previously the flat
+      // reference chain pinned EVERY link dir back to the base forever
+      cat.deleteWhere(t, col("b") === 0L)                      // v7
+      cat.append(t, Seq((99L, 9L)).toDF("k", "b"))             // v8 = ckpt
+      assert(cat.read(t).count() == 61L)
+      val removed = cat.vacuum(t, keepVersions = 1)
+      assert(removed.contains("v_000000"),
+        s"fully-retired pre-checkpoint dir must be reclaimed ($removed)")
+      assert(cat.read(t).count() == 61L, "post-vacuum read intact")
+      assert(cat.read(t).filter(col("b") === 3L).count() == 10L)
+    } finally spark.conf.unset("graft.flatCheckpointInterval")
+  }
+
+  private def rootCause(t: Throwable): String = {
+    var c: Throwable = t
+    val sb = new StringBuilder(String.valueOf(c.getMessage))
+    while (c.getCause != null) { c = c.getCause; sb.append(" | ").append(c.getMessage) }
+    sb.toString
+  }
+
+  test("NOT NULL + CHECK constraints enforce on append/update/merge") {
+    val root = tempDir("r11_cstr")
+    val cat = new TableCatalog(spark, root)
+    val t = "D.S.CSTR"
+    cat.overwrite(t, Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"))
+    cat.alterAddNotNull(t, "v")
+    cat.alterAddCheck(t, "ck_pos", "v >= 0")
+    cat.append(t, Seq((3L, 30.0)).toDF("k", "v")) // valid
+    assert(cat.read(t).count() == 3L)
+    val e1 = intercept[Throwable] {
+      cat.append(t, Seq((4L, null.asInstanceOf[java.lang.Double]))
+        .toDF("k", "v"))
+    }
+    assert(rootCause(e1).contains("NOT NULL"), rootCause(e1))
+    val e2 = intercept[Throwable] {
+      cat.append(t, Seq((5L, -5.0)).toDF("k", "v"))
+    }
+    assert(rootCause(e2).contains("CHECK"), rootCause(e2))
+    assert(cat.read(t).count() == 3L, "failed appends must not commit")
+    val e3 = intercept[Throwable] {
+      cat.updateWhere(t, Map("v" -> lit(-1.0)), col("k") === 1L)
+    }
+    assert(rootCause(e3).contains("CHECK"), rootCause(e3))
+    assert(cat.read(t).filter(col("v") < 0).count() == 0L)
+    val e4 = intercept[Throwable] {
+      cat.merge(t, Seq((1L, -9.0)).toDF("k", "v"), Seq("k"))
+    }
+    assert(rootCause(e4).contains("CHECK"), rootCause(e4))
+    // DDL-time validation: existing rows must satisfy a new constraint
+    intercept[IllegalArgumentException] {
+      cat.alterAddCheck(t, "ck_big", "v >= 1000")
+    }
+    // drop → the previously-violating write lands
+    cat.alterDropConstraint(t, "ck_pos")
+    cat.append(t, Seq((5L, -5.0)).toDF("k", "v"))
+    assert(cat.read(t).count() == 4L)
+  }
+
+  test("constraints are mapping-aware: NOT NULL survives rename, " +
+      "rename of a CHECK-referenced column is rejected") {
+    val root = tempDir("r11_cstrmap")
+    val cat = new TableCatalog(spark, root)
+    val t = "D.S.CSTRM"
+    cat.overwrite(t, Seq((1L, 10.0)).toDF("k", "v"))
+    cat.alterAddNotNull(t, "v")
+    cat.alterRenameColumn(t, "v", "price") // NOT NULL keys by physical
+    val e = intercept[Throwable] {
+      cat.append(t, Seq((2L, null.asInstanceOf[java.lang.Double]))
+        .toDF("k", "price"))
+    }
+    assert(rootCause(e).contains("NOT NULL"), rootCause(e))
+    cat.append(t, Seq((2L, 5.0)).toDF("k", "price"))
+    assert(cat.read(t).count() == 2L)
+    cat.alterAddCheck(t, "ck_p", "price >= 0")
+    intercept[IllegalArgumentException] {
+      cat.alterRenameColumn(t, "price", "cost")
+    }
+    intercept[IllegalArgumentException] { cat.alterDropColumns(t, Seq("price")) }
+    cat.alterDropConstraint(t, "ck_p")
+    cat.alterRenameColumn(t, "price", "cost") // now allowed
+    assert(cat.read(t).columns.contains("cost"))
+  }
+
+  test("DSv2 write path enforces constraints per row (no extra scan)") {
+    val root = tempDir("r11_cstrdsv2")
+    val cat = new TableCatalog(spark, root)
+    val t = "D.S.CSTRW"
+    cat.overwrite(t, Seq((1L, 10.0)).toDF("k", "v"))
+    cat.alterAddNotNull(t, "v")
+    cat.alterAddCheck(t, "ck_pos", "v >= 0")
+    def dsv2Append(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("graft").option("root", root).option("table", t)
+        .mode("append").save()
+    dsv2Append(Seq((2L, 2.0)).toDF("k", "v"))
+    assert(cat.read(t).count() == 2L)
+    val e1 = intercept[Throwable] {
+      dsv2Append(Seq((3L, null.asInstanceOf[java.lang.Double])).toDF("k", "v"))
+    }
+    assert(rootCause(e1).contains("NOT NULL"), rootCause(e1))
+    val e2 = intercept[Throwable] { dsv2Append(Seq((3L, -1.0)).toDF("k", "v")) }
+    assert(rootCause(e2).contains("CHECK"), rootCause(e2))
+    assert(cat.read(t).count() == 2L, "failed DSv2 writes must not commit")
+  }
+
+  test("rebucket rewrites the layout (count/key change); mixed-spec " +
+      "chains are impossible") {
+    val root = tempDir("r11_rebucket")
+    val cat = new TableCatalog(spark, root)
+    val t = "D.S.REB"
+    val df = (1L to 400L).map(i => (i, i % 17, s"v$i")).toDF("k", "g", "v")
+    cat.overwriteBucketed(t, df, "k", 8)
+    cat.appendBucketed(t, Seq((401L, 401L % 17, "v401")).toDF("k", "g", "v"))
+    assert(cat.read(t).count() == 401L)
+    val vOld = cat.version(t).get
+    // count change
+    cat.rebucket(t, "k", 4)
+    assert(cat.bucketSpecAt(t, cat.version(t).get).contains(("k", 4)))
+    assert(cat.read(t).count() == 401L)
+    assert(cat.read(t).agg(sum("k")).collect()(0).getLong(0) ==
+      (1L to 401L).sum)
+    // the immediately-prior version reads under its OWN (old) spec —
+    // a rewrite keeps one back for in-flight readers
+    assert(cat.readVersion(t, vOld).count() == 401L)
+    assert(cat.bucketSpecAt(t, vOld).contains(("k", 8)))
+    // appends route under the NEW spec
+    cat.appendBucketed(t, Seq((402L, 402L % 17, "v402")).toDF("k", "g", "v"))
+    assert(cat.read(t).count() == 402L)
+    // key change is a rewrite too
+    cat.rebucket(t, "g", 8)
+    assert(cat.bucketSpecAt(t, cat.version(t).get).contains(("g", 8)))
+    assert(cat.read(t).count() == 402L)
+    // silently evolving a bucketed chain to a plain layout is rejected
+    val e = intercept[IllegalArgumentException] {
+      cat.appendEvolvePartitioning(t, Seq((9L, 9L, "x")).toDF("k", "g", "v"),
+        Seq("g"))
+    }
+    assert(e.getMessage.contains("rebucket"))
+  }
+
+  test("crash recovery clears a died ALTER's orphan _SCHEMAS action") {
+    val root = tempDir("r11_orphan")
+    val cat = new TableCatalog(spark, root)
+    val t = "D.S.ORPH"
+    cat.overwrite(t, Seq((1L, 2L)).toDF("a", "b")) // v0
+    // simulate an ALTER that wrote its action for v1 and died before
+    // the pointer swap: the orphan must NOT apply to the next
+    // unrelated commit that reuses version number 1
+    val schemas = java.nio.file.Paths.get(root, "D", "S", "ORPH", "_SCHEMAS")
+    java.nio.file.Files.createDirectories(schemas)
+    java.nio.file.Files.write(schemas.resolve("v000001_000000.rename"),
+      "a\tzzz".getBytes("UTF-8"))
+    cat.append(t, Seq((3L, 4L)).toDF("a", "b")) // commits v1
+    val cols = cat.read(t).columns.toSeq
+    assert(cols == Seq("a", "b"),
+      s"orphan rename must not apply to the unrelated commit (got $cols)")
+    assert(cat.read(t).agg(sum("a")).collect()(0).getLong(0) == 4L)
+  }
+}
