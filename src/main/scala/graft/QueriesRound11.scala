@@ -123,6 +123,47 @@ object QueriesRound11 {
       Seq((r.getLong(0), r.getDouble(1),
         nullRejected && checkRejected && noCommit))
         .toDF("n", "price_sum", "enforced")
+    }),
+
+    // ---- TYPE WIDENING on append (Delta's type-widening shape): an
+    //      int32 column widens to int64 when a wider append lands —
+    //      ZERO bytes rewritten; the chain-union schema resolves to
+    //      the widest type and the parquet readers promote the old
+    //      narrow files' values at decode time. Narrower subsequent
+    //      appends upcast at write; incompatible changes reject at
+    //      write time. Evidence hashed: the widened read (catalog AND
+    //      connector) sums exactly, schema reports int64, and a
+    //      string-into-int append is rejected. ----
+    "q266_type_widening" -> ((s, dir) => {
+      import s.implicits._
+      val work = graft.Scratch.dir("graft_widen")
+      val cat = new graft.catalog.TableCatalog(s, work)
+      val t = "D.S.WIDEQ"
+      val o = table(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"))
+      // seed with int32 keys (sf<=0.1 keys fit comfortably)
+      cat.overwrite(t, o.select(col("o_orderkey").cast("int")
+        .as("o_orderkey"), col("o_custkey").cast("int").as("o_custkey")))
+      // the widening append: same rows under int64 + one key above
+      // the int32 range — the column MUST widen, not overflow
+      cat.append(t, o.unionByName(
+        Seq((9000000000L, 1L)).toDF("o_orderkey", "o_custkey")))
+      val df = s.read.format("graft")
+        .option("root", work).option("table", t).load()
+      val widened =
+        df.schema("o_orderkey").dataType ==
+          org.apache.spark.sql.types.LongType
+      val rejected =
+        try {
+          cat.append(t, Seq(("bad", 1L)).toDF("o_orderkey", "o_custkey"))
+          false
+        } catch { case _: Throwable => true }
+      val r = df.agg(count(col("o_orderkey")).as("n"),
+        sum(col("o_orderkey")).as("key_sum")).collect()(0)
+      val viaCat = cat.read(t).agg(sum(col("o_orderkey"))).collect()(0)
+      val agreeing = viaCat.getLong(0) == r.getLong(1)
+      Seq((r.getLong(0), r.getLong(1), widened && rejected && agreeing))
+        .toDF("n", "key_sum", "widened")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -150,5 +191,11 @@ object QueriesRound11 {
            CAST(2 * sum(CAST(o_totalprice AS DECIMAL(18,2)))
                 + CAST(-5.0 AS DECIMAL(18,2)) AS DOUBLE) AS price_sum,
            TRUE AS enforced
+         FROM orders""",
+
+    "q266_type_widening" ->
+      """SELECT CAST(2 * count(*) + 1 AS BIGINT) AS n,
+           CAST(2 * sum(o_orderkey) + 9000000000 AS BIGINT) AS key_sum,
+           TRUE AS widened
          FROM orders""")
 }

@@ -167,8 +167,52 @@ class TableCatalog(spark: SparkSession, root: String,
     }
 
   /** Read a set of data files with version v's DV masks applied. */
+  /** Physical read of a version's (subset of) files with the CHAIN
+    * union schema requested explicitly: a type-widened chain (int and
+    * long files of one column) must not let schema inference pick a
+    * random footer — the parquet readers promote the narrow files'
+    * values into the widest type (and mergeSchema's StructType.merge
+    * cannot widen at all). Also skips the inference job. */
+  private def readPhysical(fq: String, v: Int, files: Seq[Path]): DataFrame =
+    if (isPartitionedAt(fq, v))
+      // hive layouts: partition values are path-encoded, not in the
+      // payload — an explicit union schema would read them as null
+      spark.read.parquet(files.map(_.toString): _*)
+    else spark.read
+      .schema(graft.connector.GraftSource.physicalChainSchema(
+        spark, this, fq, v))
+      .parquet(files.map(_.toString): _*)
+
   private def readMaskedFiles(fq: String, v: Int, files: Seq[Path]): DataFrame =
-    maskDv(spark.read.parquet(files.map(_.toString): _*), dvFiles(fq, v))
+    maskDv(readPhysical(fq, v, files), dvFiles(fq, v))
+
+  /** Align an incoming frame's column types with the table's: an
+    * incoming NARROWER numeric upcasts to the table type (the new
+    * files stay as wide as the chain); an incoming WIDER numeric
+    * passes through — the append WIDENS the column, and readers
+    * resolve the chain union to the widest type. Any other differing
+    * type rejects at WRITE time (previously it committed fine and
+    * exploded as a footer conflict at read time). */
+  private def alignWriteTypes(fq: String, v: Int, df: DataFrame): DataFrame = {
+    if (v < 0 || dataFilePathsAt(fq, v).isEmpty) return df
+    val table = graft.connector.GraftSource.chainSchema(spark, this, fq, v)
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      table.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+        case Some(e) if e.dataType != f.dataType =>
+          TableCatalog.widerOf(e.dataType, f.dataType) match {
+            case Some(w) if w == e.dataType => // narrower: upcast
+              acc.withColumn(f.name, col(s"`${f.name}`").cast(e.dataType))
+            case Some(_) => acc // wider: the chain widens on read
+            case None => throw new IllegalArgumentException(
+              s"append to $fq: column ${f.name} " +
+                s"(${f.dataType.simpleString}) neither matches nor widens " +
+                s"the table's ${e.dataType.simpleString} — narrowing and " +
+                "incompatible type changes are rejected")
+          }
+        case _ => acc
+      }
+    }
+  }
 
   // ---- hive-partitioned layout support ------------------------------------
   // A partitioned version records its partition columns in _PARTITIONS;
@@ -531,7 +575,7 @@ class TableCatalog(spark: SparkSession, root: String,
         .filter(pred)
     val surviving = statSurvivors(files, physCol, lo, hi)
     if (surviving.isEmpty) read(fq).filter(pred).limit(0)
-    else toLogical(maskDv(spark.read.parquet(surviving.map(_.toString): _*),
+    else toLogical(maskDv(readPhysical(fq, v, surviving),
       dvFiles(fq, v)), m).filter(pred)
   }
 
@@ -773,10 +817,8 @@ class TableCatalog(spark: SparkSession, root: String,
       val df0 =
         if (files.isEmpty) // truncated table: schema-only marker dir
           spark.read.parquet(versionDir(fq, v).toString)
-        else if (m.adds.nonEmpty) // evolved: footers are heterogeneous
-          maskDv(spark.read.option("mergeSchema", "true")
-            .parquet(files.map(_.toString): _*), dvFiles(fq, v))
-        else readMaskedFiles(fq, v, files)
+        else readMaskedFiles(fq, v, files) // chain-union schema: covers
+          // evolved (declared-column) AND type-widened heterogeneity
       // dropped columns hidden, renamed columns exposed logically
       val df = toLogical(df0, m)
       // declared (ALTER ADD COLUMNS) columns no file carries yet read
@@ -807,9 +849,6 @@ class TableCatalog(spark: SparkSession, root: String,
     val files = dataFiles(fq, version)
     val df0 =
       if (files.isEmpty) spark.read.parquet(dir.toString)
-      else if (m.adds.nonEmpty)
-        maskDv(spark.read.option("mergeSchema", "true")
-          .parquet(files.map(_.toString): _*), dvFiles(fq, version))
       else readMaskedFiles(fq, version, files) // each version sees ITS masks
     val df = toLogical(df0, m)
     val have = df.columns.map(_.toLowerCase).toSet
@@ -838,8 +877,7 @@ class TableCatalog(spark: SparkSession, root: String,
     case Some(v) =>
       val files = dataFiles(fq, v)
       if (files.isEmpty) spark.read.parquet(versionDir(fq, v).toString)
-      else toLogical(maskDv(spark.read.option("mergeSchema", "true")
-        .parquet(files.map(_.toString): _*), dvFiles(fq, v)),
+      else toLogical(maskDv(readPhysical(fq, v, files), dvFiles(fq, v)),
         columnMappingAt(fq, v))
     case None => throw new IllegalArgumentException(s"table not found: $fq")
   }
@@ -1102,9 +1140,10 @@ class TableCatalog(spark: SparkSession, root: String,
           val dvs = dvFiles(fq, head) // outstanding masks stay valid:
           // the files they address are carried unmodified
           // data files always carry PHYSICAL names (column mapping);
-          // constraints enforce on the logical view, inside the write
-          val pdf = toPhysical(enforceConstraints(fq, head, df),
-            columnMappingAt(fq, head))
+          // constraints enforce on the logical view, inside the write;
+          // narrower numeric types upcast / wider ones widen the chain
+          val pdf = toPhysical(enforceConstraints(fq, head,
+            alignWriteTypes(fq, head, df)), columnMappingAt(fq, head))
           if (pcols.nonEmpty) {
             // partitioned chain: the delta lands partitioned in the new
             // version dir; prior data rides along as whole directories
@@ -1376,9 +1415,9 @@ class TableCatalog(spark: SparkSession, root: String,
   /** Split a version's files into (files containing rows matching
     * `pred`, untouched files). Parquet footer min/max stats prune the
     * probe scan; comparison is by path, robust to URI qualification. */
-  private def touchedFiles(files: Seq[Path], pred: Column,
-      m: TableCatalog.ColumnMapping): (Seq[Path], Seq[Path]) = {
-    val hit = toLogical(spark.read.parquet(files.map(_.toString): _*), m)
+  private def touchedFiles(fq: String, v: Int, files: Seq[Path],
+      pred: Column, m: TableCatalog.ColumnMapping): (Seq[Path], Seq[Path]) = {
+    val hit = toLogical(readPhysical(fq, v, files), m)
       .filter(pred)
       .select(input_file_name().as("f")).distinct()
       .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
@@ -1456,13 +1495,12 @@ class TableCatalog(spark: SparkSession, root: String,
     // single-file tables have nothing to prune — skip the probe job
     val (hit, carried) =
       if (files.size == 1) (files, Seq.empty[Path])
-      else touchedFiles(files, where, m)
+      else touchedFiles(fq, v, files, where, m)
     if (hit.isEmpty) return // no matching rows anywhere: current version stands
     // the rewrite must read THROUGH outstanding DV masks, or rows a
     // prior merge-on-read delete masked would resurrect in the rewrite
     val dvs = dvFiles(fq, v)
-    val cur = toLogical(
-      maskDv(spark.read.parquet(hit.map(_.toString): _*), dvs), m)
+    val cur = toLogical(maskDv(readPhysical(fq, v, hit), dvs), m)
     val updated = toPhysical(enforceConstraints(fq, v,
       assignments.foldLeft(cur) { case (d, (c, value)) =>
         d.withColumn(c, when(where, value).otherwise(col(c)))
@@ -1529,11 +1567,10 @@ class TableCatalog(spark: SparkSession, root: String,
     if (files.isEmpty) return
     val (hit, carried) =
       if (files.size == 1) (files, Seq.empty[Path])
-      else touchedFiles(files, where, m)
+      else touchedFiles(fq, v, files, where, m)
     if (hit.isEmpty) return
     val dvs = dvFiles(fq, v) // see updateWhere: read through the masks
-    val hitRows = toLogical(
-      maskDv(spark.read.parquet(hit.map(_.toString): _*), dvs), m)
+    val hitRows = toLogical(maskDv(readPhysical(fq, v, hit), dvs), m)
     val kept = toPhysical(hitRows.filter(!where), m)
     val cdc = hitRows.filter(where) // the erased rows
       .withColumn("_change_type", lit("delete"))
@@ -1600,7 +1637,7 @@ class TableCatalog(spark: SparkSession, root: String,
     // sidecar write below reads the cache — the data files are read
     // exactly once per mutation, not once per downstream action.
     // (already-masked rows are excluded, so re-deleting is a no-op)
-    val newDv = toLogical(maskDv(spark.read.parquet(files.map(_.toString): _*),
+    val newDv = toLogical(maskDv(readPhysical(fq, v, files),
         dvs, keepPos = true), mDv)
       .filter(where)
       .select(col("__fp").as("file"), col("__ri").as("row_index"))
@@ -1675,7 +1712,7 @@ class TableCatalog(spark: SparkSession, root: String,
     // sidecar write AND the replacement-data write below each read the
     // cache — previously three separate jobs re-read every candidate
     // file (at 100 TB: three scans of the touched files instead of one).
-    val hit = toLogical(maskDv(spark.read.parquet(files.map(_.toString): _*),
+    val hit = toLogical(maskDv(readPhysical(fq, v, files),
         dvs, keepPos = true), mDv)
       .filter(where)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1771,8 +1808,7 @@ class TableCatalog(spark: SparkSession, root: String,
             // input_file_name() must bind to the scan BEFORE the join
             // (it is per-source)
             val keySet = src.select(keys.map(col): _*).distinct()
-            val target = toLogical(
-              spark.read.parquet(files.map(_.toString): _*), m)
+            val target = toLogical(readPhysical(fq, v, files), m)
               .select(keys.map(col) :+ input_file_name().as("__file"): _*)
             target.join(keySet, keys, "left_semi")
               .select(col("__file")).distinct()
@@ -1783,8 +1819,7 @@ class TableCatalog(spark: SparkSession, root: String,
           val dvs = dvFiles(fq, v) // see updateWhere: merge through masks
           val base =
             if (hit.isEmpty) src.limit(0) // no overlap: plain append of source
-            else toLogical(
-              maskDv(spark.read.parquet(hit.map(_.toString): _*), dvs), m)
+            else toLogical(maskDv(readPhysical(fq, v, hit), dvs), m)
           val merged = toPhysical(enforceConstraints(fq, v,
             graft.operators.MergeOps.upsert(base, src, keys)), m)
           // CDC when files rewrote (see the partitioned branch)
@@ -2225,7 +2260,7 @@ class TableCatalog(spark: SparkSession, root: String,
     else if (pcols.nonEmpty) // bloom-pruned partitioned point lookup
       dropRouting(toLogical(
         readPartitionedSubset(fq, v, surviving), m).filter(pred))
-    else toLogical(maskDv(spark.read.parquet(surviving.map(_.toString): _*),
+    else toLogical(maskDv(readPhysical(fq, v, surviving),
       dvFiles(fq, v)), m).filter(pred)
   }
 
@@ -3320,6 +3355,32 @@ object TableCatalog {
   /** StructField metadata key carrying a declared column's parquet
     * (physical) name when it differs from the logical name. */
   private[graft] val PhysicalKey = "graft.physical"
+
+  /** The wider of two types when the pair is a SAFE widening
+    * (byte→short→int→long within integrals, float→double within
+    * floating point — every value representable exactly); None for
+    * any other differing pair. Drives schema-evolution type widening:
+    * appends may widen a column, never narrow it. */
+  private[graft] def widerOf(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    def rank(t: DataType): Option[(Int, Int)] = t match {
+      case ByteType    => Some((0, 1))
+      case ShortType   => Some((0, 2))
+      case IntegerType => Some((0, 3))
+      case LongType    => Some((0, 4))
+      case FloatType   => Some((1, 1))
+      case DoubleType  => Some((1, 2))
+      case _ => None
+    }
+    if (a == b) Some(a)
+    else (rank(a), rank(b)) match {
+      case (Some((fa, ra)), Some((fb, rb))) if fa == fb =>
+        Some(if (ra >= rb) a else b)
+      case _ => None
+    }
+  }
 
   /** One row group's byte range and column bounds (numeric exact,
     * string truncation-safe). */

@@ -995,13 +995,25 @@ object GraftSource {
       reps.map(p => cat.footerSchemaOf(p)).reduce { (a, b) =>
         val merged = scala.collection.mutable.ArrayBuffer(a.fields: _*)
         b.fields.foreach { f =>
-          merged.find(_.name == f.name) match {
-            case Some(e) =>
-              if (e.dataType != f.dataType) throw new IllegalStateException(
-                s"graft table $fq: column ${f.name} has conflicting types " +
-                  s"across the chain (${e.dataType.simpleString} vs " +
-                  s"${f.dataType.simpleString}) — compact the table first")
-            case None => merged += f
+          merged.indexWhere(_.name == f.name) match {
+            case i if i >= 0 =>
+              val e = merged(i)
+              if (e.dataType != f.dataType)
+                // SAFE WIDENING across the chain (int→long,
+                // float→double — a type-widened append): resolve to
+                // the widest; the parquet readers promote the narrow
+                // files' values at decode time. Anything else is a
+                // real conflict.
+                graft.catalog.TableCatalog
+                  .widerOf(e.dataType, f.dataType) match {
+                  case Some(w) => merged(i) = e.copy(dataType = w)
+                  case None => throw new IllegalStateException(
+                    s"graft table $fq: column ${f.name} has conflicting " +
+                      s"types across the chain (${e.dataType.simpleString} " +
+                      s"vs ${f.dataType.simpleString}) — compact the table " +
+                      "first")
+                }
+            case _ => merged += f
           }
         }
         StructType(merged.toSeq)
@@ -1018,13 +1030,20 @@ object GraftSource {
     // physical name with a DIFFERENT type fails loudly here, like any
     // footer conflict.
     val declared = mapping.adds.foldLeft(base) { case (acc, (phys, f)) =>
-      acc.fields.find(_.name.equalsIgnoreCase(phys)) match {
-        case Some(e) if e.dataType == f.dataType => acc
-        case Some(e) => throw new IllegalStateException(
-          s"graft table $fq: declared column ${f.name} " +
-            s"(${f.dataType.simpleString}) conflicts with data files' " +
-            s"${e.dataType.simpleString} — drop or compact first")
-        case None => StructType(acc.fields :+
+      acc.fields.indexWhere(_.name.equalsIgnoreCase(phys)) match {
+        case i if i >= 0 =>
+          val e = acc.fields(i)
+          if (e.dataType == f.dataType) acc
+          else graft.catalog.TableCatalog
+            .widerOf(e.dataType, f.dataType) match {
+            case Some(w) => // type-widened appends of a declared column
+              StructType(acc.fields.updated(i, e.copy(dataType = w)))
+            case None => throw new IllegalStateException(
+              s"graft table $fq: declared column ${f.name} " +
+                s"(${f.dataType.simpleString}) conflicts with data files' " +
+                s"${e.dataType.simpleString} — drop or compact first")
+          }
+        case _ => StructType(acc.fields :+
           StructField(phys, f.dataType, nullable = true))
       }
     }

@@ -252,16 +252,25 @@ class GraftWriteBuilder(root: String, fq: String, schema: StructType,
         val files = cat.dataFilePathsAt(fq, v)
         if (files.nonEmpty) {
           val existing = GraftSource.chainSchema(spark, cat, fq, v)
-          // name AND type: a same-named column of a different type
-          // would commit fine and only explode (or silently widen)
-          // per-file at read time — reject at the write instead
-          def sig(s: StructType) = s.fields
-            .map(f => (f.name,
-              if (partitionCols.contains(f.name)) NullType else f.dataType))
-            .sortBy(_._1).toSeq
-          require(sig(schema) == sig(existing),
+          // name AND type: a same-named column of an INCOMPATIBLE type
+          // would commit fine and only explode per-file at read time —
+          // reject at the write instead. Types equal-or-widenable pass:
+          // a narrower incoming stages as-is and the readers promote it
+          // to the chain's type; a wider incoming WIDENS the chain
+          // (int→long / float→double type widening on append).
+          def names(s: StructType) = s.fields.map(_.name).sorted.toSeq
+          require(names(schema) == names(existing),
             s"graft append schema [${schema.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")}] does " +
               s"not match table schema [${existing.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")}]")
+          schema.fields.foreach { f =>
+            existing.fields.find(_.name == f.name).foreach { e =>
+              require(partitionCols.contains(f.name) ||
+                  TableCatalog.widerOf(e.dataType, f.dataType).isDefined,
+                s"graft append: column ${f.name} " +
+                  s"(${f.dataType.simpleString}) neither matches nor " +
+                  s"widens the table's ${e.dataType.simpleString}")
+            }
+          }
         }
       }
     }

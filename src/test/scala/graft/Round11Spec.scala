@@ -218,6 +218,64 @@ class Round11Spec extends SparkTestBase {
     assert(e.getMessage.contains("rebucket"))
   }
 
+  test("type widening on append: int->long / float->double; " +
+      "incompatible types rejected") {
+    val root = tempDir("r11_widen")
+    val cat = new TableCatalog(spark, root)
+    val t = "D.S.WIDE"
+    cat.overwrite(t, Seq((1, 1.5f), (2, 2.5f)).toDF("k", "x"))
+    assert(cat.read(t).schema("k").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // wider incoming: the chain WIDENS — old int32/float files promote
+    // at decode time under the union schema
+    cat.append(t, Seq((3000000000L, 3.5)).toDF("k", "x"))
+    val s = cat.read(t).schema
+    assert(s("k").dataType == org.apache.spark.sql.types.LongType)
+    assert(s("x").dataType == org.apache.spark.sql.types.DoubleType)
+    val r = cat.read(t).agg(sum("k"), sum("x")).collect()(0)
+    assert(r.getLong(0) == 3000000003L)
+    assert(math.abs(r.getDouble(1) - 7.5) < 1e-9)
+    // narrower incoming after the widening: upcasts into the chain type
+    cat.append(t, Seq((4, 4.0f)).toDF("k", "x"))
+    assert(cat.read(t).count() == 4L)
+    assert(cat.read(t).agg(sum("k")).collect()(0).getLong(0) == 3000000007L)
+    // the connector (vectorized) path reads the widened chain too
+    val conn = spark.read.format("graft")
+      .option("root", root).option("table", t).load()
+    assert(conn.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    assert(conn.agg(sum("k")).collect()(0).getLong(0) == 3000000007L)
+    assert(conn.filter(col("k") === 3000000000L).count() == 1L)
+    // COW mutators read the mixed chain correctly (explicit schema)
+    cat.updateWhere(t, Map("x" -> lit(9.0)), col("k") === 2L)
+    assert(cat.read(t).filter(col("x") === 9.0).count() == 1L)
+    assert(cat.read(t).agg(sum("k")).collect()(0).getLong(0) == 3000000007L)
+    // incompatible type change rejects loudly at write time
+    val e = intercept[Throwable] {
+      cat.append(t, Seq(("oops", 1.0)).toDF("k", "x"))
+    }
+    assert(rootCause(e).contains("widen"), rootCause(e))
+    // DSv2 append widens the same way and rejects the same way
+    Seq((5L, 5.0)).toDF("k", "x").write.format("graft")
+      .option("root", root).option("table", t).mode("append").save()
+    assert(cat.read(t).count() == 5L)
+    intercept[Throwable] {
+      Seq(("bad", 1.0)).toDF("k", "x").write.format("graft")
+        .option("root", root).option("table", t).mode("append").save()
+    }
+  }
+
+  test("type widening composes with column mapping (rename then widen)") {
+    val root = tempDir("r11_widenmap")
+    val cat = new TableCatalog(spark, root)
+    val t = "D.S.WIDEM"
+    cat.overwrite(t, Seq((1, "a")).toDF("n", "v"))
+    cat.alterRenameColumn(t, "n", "id")
+    cat.append(t, Seq((3000000000L, "b")).toDF("id", "v"))
+    val df = cat.read(t)
+    assert(df.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(df.agg(sum("id")).collect()(0).getLong(0) == 3000000001L)
+  }
+
   test("crash recovery clears a died ALTER's orphan _SCHEMAS action") {
     val root = tempDir("r11_orphan")
     val cat = new TableCatalog(spark, root)

@@ -236,7 +236,7 @@ class Round7Spec extends SparkTestBase {
     val ex = intercept[Exception] {
       write(Seq("x", "y").toDF("k"), "append")
     }
-    assert(allMessages(ex).contains("does not match"))
+    assert(allMessages(ex).contains("neither matches nor widens"))
     // same names AND types still appends fine
     write((6L to 8L).toDF("k"), "append")
     assert(graftRead(root, t).count() == 8)
@@ -889,13 +889,32 @@ class Round7Spec extends SparkTestBase {
     assert(cat.read(t).filter(col("p") === "new").count() == 100)
   }
 
-  test("connector read of a type-conflicting chain fails loudly") {
+  test("type-conflicting appends fail loudly — at WRITE time (round 11); " +
+      "a pre-existing conflicting chain still fails loudly at read") {
     val root = tempDir("r7_conflict")
     val cat = new TableCatalog(spark, root)
     val t = "D.S.CONFLICT"
     cat.overwrite(t, Seq(1L).toDF("k"))
-    cat.append(t, Seq("oops").toDF("k")) // the catalog append is unchecked
-    val ex = intercept[Exception] { graftRead(root, t).collect() }
-    assert(allMessages(ex).contains("conflicting types"))
+    // the catalog append now REJECTS incompatible types up front
+    // (previously it committed and only the read exploded)
+    val ex = intercept[Exception] { cat.append(t, Seq("oops").toDF("k")) }
+    assert(allMessages(ex).contains("neither matches nor widens"))
+    // a conflicting chain that somehow exists on disk (out-of-band
+    // write) still fails loudly at schema-union time: drop a
+    // string-typed file into a fresh version dir by hand
+    cat.append(t, Seq(2L).toDF("k")) // v1 (so v0 stays retained)
+    val dir = java.nio.file.Paths.get(root, "D", "S", "CONFLICT")
+    val vNext = new java.io.File(dir.toFile, "v_000002")
+    Seq("oops").toDF("k").coalesce(1).write
+      .parquet(s"${vNext.getAbsolutePath}")
+    // point the manifest chain at it: ref + own files resolve
+    java.nio.file.Files.write(vNext.toPath.resolve("_MANIFEST"),
+      s"file:${dir.toAbsolutePath}/v_000001".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("_CURRENT"),
+      "2".getBytes("UTF-8"))
+    // the out-of-band rewrite broke the local-FS checksum sidecar
+    java.nio.file.Files.deleteIfExists(dir.resolve("._CURRENT.crc"))
+    val ex2 = intercept[Exception] { graftRead(root, t).collect() }
+    assert(allMessages(ex2).contains("conflicting types"), allMessages(ex2))
   }
 }
