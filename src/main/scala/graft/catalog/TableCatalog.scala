@@ -74,17 +74,14 @@ class TableCatalog(spark: SparkSession, root: String,
     finally out.close()
   }
 
-  private def manifestEntries(dir: Path): Seq[Path] = {
-    val mf = manifestPath(dir)
-    if (!fs.exists(mf)) Nil
-    else {
-      val in = fs.open(mf)
-      val text = try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-      finally in.close()
+  private def manifestEntries(dir: Path): Seq[Path] =
+    // status-keyed cache: manifests are immutable once committed, and
+    // the chain-walk consumers (resolution, flatChainDirNames, the
+    // commit-time pruner) re-read the SAME manifests on every commit —
+    // at 10k commits that is 10k small reads per commit without this
+    TableCatalog.cachedParse(fs, manifestPath(dir), "manifest") { text =>
       text.split("\n").toSeq.filter(_.nonEmpty).map(new Path(_))
-    }
-  }
+    }.getOrElse(Nil)
 
   // ---- merge-on-read deletion vectors -------------------------------------
   // A DV version deletes rows WITHOUT rewriting any data file: the
@@ -202,7 +199,13 @@ class TableCatalog(spark: SparkSession, root: String,
           TableCatalog.widerOf(e.dataType, f.dataType) match {
             case Some(w) if w == e.dataType => // narrower: upcast
               acc.withColumn(f.name, col(s"`${f.name}`").cast(e.dataType))
-            case Some(_) => acc // wider: the chain widens on read
+            case Some(_) if partitionColsOf(fq, v).isEmpty =>
+              acc // wider: the flat chain widens on read
+            case Some(_) => throw new IllegalArgumentException(
+              s"append to $fq: widening ${f.name} to " +
+                s"${f.dataType.simpleString} is not supported in place on " +
+                "a hive-partitioned chain (partition discovery cannot " +
+                "resolve mixed footers) — rewrite via overwritePartitioned")
             case None => throw new IllegalArgumentException(
               s"append to $fq: column ${f.name} " +
                 s"(${f.dataType.simpleString}) neither matches nor widens " +

@@ -41,6 +41,13 @@ class GraftCatalog extends V2TableCatalog
   private var catalogName: String = _
   private var root: String = _
 
+  // declares SQL `ALTER TABLE … ADD/DROP CONSTRAINT` support — without
+  // this the analyzer rejects constraint DDL before alterTable runs
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   // ---- FunctionCatalog: the V2 `bucket` function -----------------------
   // Required for storage-partitioned joins over BUCKETED tables:
   // Spark resolves the bucket transform a scan reports against the
@@ -218,6 +225,24 @@ class GraftCatalog extends V2TableCatalog
     tableFor(fq, None)
   }
 
+  /** CREATE TABLE … (cols, CONSTRAINT … CHECK (…)): the TableInfo
+    * overload — the default implementation would silently DROP the
+    * constraints; record them after the schema-only v0 commits. */
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val t = createTable(ident, info.schema(), info.partitions(),
+      info.properties())
+    val fq = fqOf(ident)
+    info.constraints().foreach {
+      case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        cat.alterAddCheck(fq, ck.name(), ck.predicateSql())
+      case other => throw new UnsupportedOperationException(
+        "graft SQL catalog: only CHECK constraints are enforceable " +
+          s"(got ${other.toDDL})")
+    }
+    if (info.constraints().nonEmpty) loadTable(ident) else t
+  }
+
   // ---- StagingTableCatalog: single-commit CTAS / RTAS -------------------
   // CREATE TABLE AS SELECT stages the table and the DATA write commits
   // v0 (time travel to v0 reads the CTAS snapshot, not an empty
@@ -284,9 +309,16 @@ class GraftCatalog extends V2TableCatalog
       case c: TableChange.DeleteColumn => require(c.fieldNames().length == 1,
         s"graft ALTER TABLE: nested column drop unsupported " +
           s"(${c.fieldNames().mkString(".")})")
+      case a: TableChange.AddConstraint => a.constraint() match {
+        case _: org.apache.spark.sql.connector.catalog.constraints.Check => ()
+        case other => throw new UnsupportedOperationException(
+          "graft SQL catalog: only CHECK constraints are enforceable " +
+            s"(got ${other.toDDL})")
+      }
+      case _: TableChange.DropConstraint => ()
       case other => throw new UnsupportedOperationException(
-        "graft SQL catalog: only ADD / RENAME / DROP COLUMN are " +
-          s"supported (got $other)")
+        "graft SQL catalog: only ADD / RENAME / DROP COLUMN and " +
+          s"ADD / DROP CONSTRAINT are supported (got $other)")
     }
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     if (adds.nonEmpty)
@@ -298,6 +330,19 @@ class GraftCatalog extends V2TableCatalog
         cat.alterRenameColumn(fq, r.fieldNames().head, r.newName())
       case d: TableChange.DeleteColumn =>
         cat.alterDropColumns(fq, Seq(d.fieldNames().head))
+      case a: TableChange.AddConstraint =>
+        // validated against existing data inside alterAddCheck; the
+        // write-path enforcement is the catalog's own (per-row, inside
+        // the write pass)
+        val ck = a.constraint()
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.constraints.Check]
+        cat.alterAddCheck(fq, ck.name(), ck.predicateSql())
+      case d: TableChange.DropConstraint =>
+        val v = cat.version(fq).get
+        if (cat.constraintsAt(fq, v).exists(_.name == d.name()))
+          cat.alterDropConstraint(fq, d.name())
+        else if (!d.ifExists()) throw new IllegalArgumentException(
+          s"no constraint ${d.name()} on $fq")
       case _ => ()
     }
     loadTable(ident)

@@ -130,6 +130,29 @@ class GraftTable(schema: StructType, options: Map[String, String])
     case (key, v) if key.equalsIgnoreCase(k) => v
   }
 
+  /** Surface the table's stored CHECK constraints (DESCRIBE, and any
+    * engine-side planner use) — enforcement itself happens inside the
+    * write paths, per row. NOT NULL constraints have no Check shape
+    * and stay internal. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    try {
+      val cat = new graft.catalog.TableCatalog(
+        org.apache.spark.sql.SparkSession.active, opt("root").get)
+      val fq = opt("table").get
+      cat.version(fq).toArray.flatMap { v =>
+        cat.constraintsAt(fq, v).filter(_.kind == "check").map { c =>
+          org.apache.spark.sql.connector.catalog.constraints.Constraint
+            .check(c.name).predicateSql(c.arg)
+            .enforced(true)
+            .validationStatus(org.apache.spark.sql.connector.catalog
+              .constraints.Constraint.ValidationStatus.VALID)
+            .build()
+            : org.apache.spark.sql.connector.catalog.constraints.Constraint
+        }
+      }
+    } catch { case _: Exception => Array.empty }
+
   /** Row-id metadata columns (`_gfile`, `_gpos`) — the DV address
     * space, synthesized by the reader. */
   override def metadataColumns()

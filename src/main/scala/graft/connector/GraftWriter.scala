@@ -262,13 +262,20 @@ class GraftWriteBuilder(root: String, fq: String, schema: StructType,
           require(names(schema) == names(existing),
             s"graft append schema [${schema.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")}] does " +
               s"not match table schema [${existing.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")}]")
+          // hive-partitioned chains require EXACT types both ways: the
+          // DSv2 writers stage rows as-is (no upcast pass) and
+          // partition discovery cannot resolve mixed footers
+          val layoutPartitioned =
+            partitionCols.nonEmpty || bucketSpec.nonEmpty
           schema.fields.foreach { f =>
             existing.fields.find(_.name == f.name).foreach { e =>
-              require(partitionCols.contains(f.name) ||
-                  TableCatalog.widerOf(e.dataType, f.dataType).isDefined,
-                s"graft append: column ${f.name} " +
-                  s"(${f.dataType.simpleString}) neither matches nor " +
-                  s"widens the table's ${e.dataType.simpleString}")
+              val ok =
+                if (partitionCols.contains(f.name)) true
+                else if (layoutPartitioned) e.dataType == f.dataType
+                else TableCatalog.widerOf(e.dataType, f.dataType).isDefined
+              require(ok, s"graft append: column ${f.name} " +
+                s"(${f.dataType.simpleString}) neither matches nor " +
+                s"widens the table's ${e.dataType.simpleString}")
             }
           }
         }

@@ -276,6 +276,84 @@ class Round11Spec extends SparkTestBase {
     assert(df.agg(sum("id")).collect()(0).getLong(0) == 3000000001L)
   }
 
+  test("SQL ALTER TABLE ADD/DROP CONSTRAINT CHECK enforces through the " +
+      "catalog") {
+    val root = tempDir("r11_sqlcstr")
+    spark.conf.set("spark.sql.catalog.gc_r11", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gc_r11.root", root)
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v").createOrReplaceTempView("r11src")
+    spark.sql("CREATE TABLE gc_r11.d.s.ct AS SELECT * FROM r11src")
+    spark.sql(
+      "ALTER TABLE gc_r11.d.s.ct ADD CONSTRAINT ck_pos CHECK (v >= 0)")
+    spark.sql("INSERT INTO gc_r11.d.s.ct VALUES (3, 30.0)") // valid
+    assert(spark.sql("SELECT count(*) FROM gc_r11.d.s.ct")
+      .collect()(0).getLong(0) == 3L)
+    val e = intercept[Throwable] {
+      spark.sql("INSERT INTO gc_r11.d.s.ct VALUES (4, -1.0)")
+    }
+    assert(rootCause(e).contains("CHECK"), rootCause(e))
+    assert(spark.sql("SELECT count(*) FROM gc_r11.d.s.ct")
+      .collect()(0).getLong(0) == 3L, "violating INSERT must not commit")
+    // adding a constraint existing rows violate is rejected at DDL time
+    intercept[Throwable] {
+      spark.sql("ALTER TABLE gc_r11.d.s.ct ADD CONSTRAINT ck_big CHECK (v >= 1000)")
+    }
+    spark.sql("ALTER TABLE gc_r11.d.s.ct DROP CONSTRAINT ck_pos")
+    spark.sql("INSERT INTO gc_r11.d.s.ct VALUES (4, -1.0)") // now lands
+    assert(spark.sql("SELECT count(*) FROM gc_r11.d.s.ct")
+      .collect()(0).getLong(0) == 4L)
+    // CREATE TABLE with an inline constraint clause records it too
+    spark.sql("CREATE TABLE gc_r11.d.s.ct2 (k BIGINT, v DOUBLE, " +
+      "CONSTRAINT ck2 CHECK (v < 100))")
+    spark.sql("INSERT INTO gc_r11.d.s.ct2 VALUES (1, 5.0)")
+    val e2 = intercept[Throwable] {
+      spark.sql("INSERT INTO gc_r11.d.s.ct2 VALUES (2, 500.0)")
+    }
+    assert(rootCause(e2).contains("CHECK"), rootCause(e2))
+    assert(spark.sql("SELECT count(*) FROM gc_r11.d.s.ct2")
+      .collect()(0).getLong(0) == 1L)
+  }
+
+  test("widening into a hive-partitioned chain is rejected with the " +
+      "rewrite recipe; narrower upcasts fine") {
+    val root = tempDir("r11_widenpart")
+    val cat = new TableCatalog(spark, root)
+    val t = "D.S.WIDEP"
+    cat.overwritePartitioned(t,
+      Seq((1, "a"), (2, "b")).toDF("k", "p"), Seq("p"))
+    // narrower-or-equal appends upcast to the table type: fine
+    cat.append(t, Seq((3, "a")).toDF("k", "p"))
+    assert(cat.read(t).count() == 3L)
+    val e = intercept[IllegalArgumentException] {
+      cat.append(t, Seq((9000000000L, "c")).toDF("k", "p"))
+    }
+    assert(e.getMessage.contains("overwritePartitioned"), e.getMessage)
+    assert(cat.read(t).count() == 3L)
+  }
+
+  test("streaming sink enforces constraints per row") {
+    val root = tempDir("r11_cstream")
+    val cat = new TableCatalog(spark, root)
+    val t = "D.S.CSTRS"
+    cat.overwrite(t, Seq((1L, 1.0)).toDF("k", "v"))
+    cat.alterAddCheck(t, "ck_pos", "v >= 0")
+    val srcDir = tempDir("r11_cstream_src")
+    Seq((2L, 2.0), (3L, -3.0)).toDF("k", "v")
+      .write.mode("overwrite").parquet(srcDir)
+    val q = spark.readStream
+      .schema("k LONG, v DOUBLE").parquet(srcDir)
+      .writeStream.format("graft")
+      .option("root", root).option("table", t)
+      .option("checkpointLocation", tempDir("r11_cstream_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val failed =
+      try { q.awaitTermination(120000); false }
+      catch { case e: Throwable => rootCause(e).contains("CHECK") }
+    assert(failed, "the violating epoch must fail the stream")
+    assert(cat.read(t).count() == 1L, "no partial epoch commits")
+  }
+
   test("crash recovery clears a died ALTER's orphan _SCHEMAS action") {
     val root = tempDir("r11_orphan")
     val cat = new TableCatalog(spark, root)
