@@ -2185,7 +2185,7 @@ class TableCatalog(spark: SparkSession, root: String,
     }.toMap
     import spark.implicits._
     val nh = BloomHashes
-    val built = spark.read.parquet(missing.map(_.toString): _*)
+    val built = readPhysical(fq, v, missing)
       .select(col("_metadata.file_path").as("f"),
         xxhash64(col(colPhys).cast("string")).as("h"))
       .as[(String, Long)]
@@ -2394,17 +2394,17 @@ class TableCatalog(spark: SparkSession, root: String,
           .map(_.getString(0)).toSeq
           .filter(f => setB(new Path(f).toUri.getPath)) // removed files net elsewhere
         if (hitFiles.isEmpty) None
-        else Some(withRowPos(spark.read.parquet(hitFiles: _*))
+        else Some(withRowPos(readPhysical(fq, toV, hitFiles.map(new Path(_))))
           .join(mask, col("__fp") === mask("file") &&
             col("__ri") === mask("row_index"), "left_semi")
           .drop("__fp", "__ri"))
       }
     val candIns =
       if (added.isEmpty) None
-      else Some(maskDv(spark.read.parquet(added.map(_.toString): _*), dvB))
+      else Some(maskDv(readPhysical(fq, toV, added), dvB))
     val removedDeletes =
       if (removed.isEmpty) None
-      else Some(maskDv(spark.read.parquet(removed.map(_.toString): _*), dvA))
+      else Some(maskDv(readPhysical(fq, fromV, removed), dvA))
     val candDel = (removedDeletes.toSeq ++ survivorDeletes.toSeq)
       .map(d => align(d).select(cols: _*)).reduceOption(_.unionByName(_))
     (candIns, candDel) match {
@@ -3171,7 +3171,7 @@ class TableCatalog(spark: SparkSession, root: String,
           dvs, keepPos = true), m)
         .filter(where)
         .select(col("__fp").as("file"), col("__ri").as("row_index")))
-      else Some(toLogical(maskDv(spark.read.parquet(files.map(_.toString): _*),
+      else Some(toLogical(maskDv(readPhysical(fq, v, files),
           dvs, keepPos = true), m)
         .filter(where)
         .select(col("__fp").as("file"), col("__ri").as("row_index")))

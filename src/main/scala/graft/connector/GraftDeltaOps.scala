@@ -80,8 +80,13 @@ class GraftDeltaBatchWrite(root: String, fq: String, rowSchema: StructType,
       if (physicalOf.isEmpty) rowSchema
       else StructType(rowSchema.fields.map(f =>
         physicalOf.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
+    // table constraints apply to the REPLACEMENT rows (SQL UPDATE /
+    // MERGE inserts) — same per-row predicate as every other write
+    // path; delete addresses carry no data to check
+    val enforcer = scanVersion.flatMap(v => GraftConstraintEnforcer
+      .compile(SparkSession.active, cat, fq, v, rowSchema))
     new GraftDeltaWriterFactory(stagingDir, physSchema,
-      GraftSource.shippedConf())
+      GraftSource.shippedConf(), enforcer)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -108,10 +113,12 @@ case class GraftDeltaMessage(dvPaths: Seq[String], dataPaths: Seq[String])
   extends WriterCommitMessage
 
 class GraftDeltaWriterFactory(stagingDir: String, rowSchema: StructType,
-    shipped: graft.util.SerializableHadoopConf = null)
+    shipped: graft.util.SerializableHadoopConf = null,
+    enforcer: Option[GraftConstraintEnforcer] = None)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new GraftDeltaWriter(stagingDir, rowSchema, partitionId, taskId, shipped)
+    new GraftDeltaWriter(stagingDir, rowSchema, partitionId, taskId, shipped,
+      enforcer)
 }
 
 /** Streams a task's delta: deletes → a (file, row_index) parquet
@@ -120,7 +127,8 @@ class GraftDeltaWriterFactory(stagingDir: String, rowSchema: StructType,
   * and vice versa. */
 class GraftDeltaWriter(stagingDir: String, rowSchema: StructType,
     partitionId: Int, taskId: Long,
-    shipped: graft.util.SerializableHadoopConf = null)
+    shipped: graft.util.SerializableHadoopConf = null,
+    enforcer: Option[GraftConstraintEnforcer] = None)
     extends DeltaWriter[InternalRow] {
   private val dvSchema = StructType(Seq(
     StructField("file", StringType), StructField("row_index", LongType)))
@@ -129,7 +137,7 @@ class GraftDeltaWriter(stagingDir: String, rowSchema: StructType,
       shipped)
   private lazy val dataWriter =
     new GraftDataWriter(s"$stagingDir/data", rowSchema, partitionId, taskId,
-      shipped)
+      shipped, enforcer = enforcer)
   private var dvUsed = false
   private var dataUsed = false
 

@@ -249,6 +249,10 @@ class Round11Spec extends SparkTestBase {
     cat.updateWhere(t, Map("x" -> lit(9.0)), col("k") === 2L)
     assert(cat.read(t).filter(col("x") === 9.0).count() == 1L)
     assert(cat.read(t).agg(sum("k")).collect()(0).getLong(0) == 3000000007L)
+    // bloom build and the net-diff change reader handle the mix too
+    assert(cat.buildBloomIndex(t, "k") > 0)
+    assert(cat.readChanges(t, 0, cat.version(t).get)
+      .filter(col("_change_type") === "insert").count() >= 3L)
     // incompatible type change rejects loudly at write time
     val e = intercept[Throwable] {
       cat.append(t, Seq(("oops", 1.0)).toDF("k", "x"))
@@ -298,6 +302,16 @@ class Round11Spec extends SparkTestBase {
     intercept[Throwable] {
       spark.sql("ALTER TABLE gc_r11.d.s.ct ADD CONSTRAINT ck_big CHECK (v >= 1000)")
     }
+    // SQL UPDATE / MERGE replacement rows enforce too (the delta write)
+    spark.sql("UPDATE gc_r11.d.s.ct SET v = 7.0 WHERE k = 1") // valid
+    assert(spark.sql("SELECT v FROM gc_r11.d.s.ct WHERE k = 1")
+      .collect()(0).getDouble(0) == 7.0)
+    val eu = intercept[Throwable] {
+      spark.sql("UPDATE gc_r11.d.s.ct SET v = -7.0 WHERE k = 1")
+    }
+    assert(rootCause(eu).contains("CHECK"), rootCause(eu))
+    assert(spark.sql("SELECT count(*) FROM gc_r11.d.s.ct WHERE v < 0")
+      .collect()(0).getLong(0) == 0L)
     spark.sql("ALTER TABLE gc_r11.d.s.ct DROP CONSTRAINT ck_pos")
     spark.sql("INSERT INTO gc_r11.d.s.ct VALUES (4, -1.0)") // now lands
     assert(spark.sql("SELECT count(*) FROM gc_r11.d.s.ct")
