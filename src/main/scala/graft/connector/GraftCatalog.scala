@@ -316,9 +316,14 @@ class GraftCatalog extends V2TableCatalog
             s"(got ${other.toDDL})")
       }
       case _: TableChange.DropConstraint => ()
+      case n: TableChange.UpdateColumnNullability =>
+        require(n.fieldNames().length == 1,
+          s"graft ALTER TABLE: nested column nullability unsupported " +
+            s"(${n.fieldNames().mkString(".")})")
       case other => throw new UnsupportedOperationException(
-        "graft SQL catalog: only ADD / RENAME / DROP COLUMN and " +
-          s"ADD / DROP CONSTRAINT are supported (got $other)")
+        "graft SQL catalog: only ADD / RENAME / DROP COLUMN, " +
+          "ADD / DROP CONSTRAINT and SET / DROP NOT NULL are supported " +
+          s"(got $other)")
     }
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     if (adds.nonEmpty)
@@ -343,6 +348,17 @@ class GraftCatalog extends V2TableCatalog
           cat.alterDropConstraint(fq, d.name())
         else if (!d.ifExists()) throw new IllegalArgumentException(
           s"no constraint ${d.name()} on $fq")
+      case n: TableChange.UpdateColumnNullability =>
+        // ALTER COLUMN c SET NOT NULL ⇒ the nn_<col> constraint
+        // (validated against existing data); DROP NOT NULL removes it
+        val col = n.fieldNames().head
+        if (!n.nullable()) cat.alterAddNotNull(fq, col)
+        else {
+          val v = cat.version(fq).get
+          val nm = s"nn_${col.toLowerCase}"
+          if (cat.constraintsAt(fq, v).exists(_.name == nm))
+            cat.alterDropConstraint(fq, nm)
+        }
       case _ => ()
     }
     loadTable(ident)

@@ -316,6 +316,20 @@ class Round11Spec extends SparkTestBase {
     spark.sql("INSERT INTO gc_r11.d.s.ct VALUES (4, -1.0)") // now lands
     assert(spark.sql("SELECT count(*) FROM gc_r11.d.s.ct")
       .collect()(0).getLong(0) == 4L)
+    // DROP NOT NULL (SQL) removes a catalog-declared NOT NULL; SET NOT
+    // NULL is blocked upstream by Spark's analyzer for nullable v2
+    // columns, so declaration stays a catalog API (alterAddNotNull)
+    val root2 = root // same catalog root; direct catalog handle
+    val cat2 = new TableCatalog(spark, root2)
+    cat2.alterAddNotNull("d.s.ct", "v")
+    val en = intercept[Throwable] {
+      spark.sql("INSERT INTO gc_r11.d.s.ct VALUES (9, CAST(NULL AS DOUBLE))")
+    }
+    assert(rootCause(en).contains("NOT NULL"), rootCause(en))
+    spark.sql("ALTER TABLE gc_r11.d.s.ct ALTER COLUMN v DROP NOT NULL")
+    spark.sql("INSERT INTO gc_r11.d.s.ct VALUES (9, CAST(NULL AS DOUBLE))")
+    assert(spark.sql("SELECT count(*) FROM gc_r11.d.s.ct WHERE v IS NULL")
+      .collect()(0).getLong(0) == 1L)
     // CREATE TABLE with an inline constraint clause records it too
     spark.sql("CREATE TABLE gc_r11.d.s.ct2 (k BIGINT, v DOUBLE, " +
       "CONSTRAINT ck2 CHECK (v < 100))")
