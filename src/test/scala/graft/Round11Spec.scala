@@ -382,6 +382,45 @@ class Round11Spec extends SparkTestBase {
     assert(cat.read(t).count() == 1L, "no partial epoch commits")
   }
 
+  test("change feed and streaming source stay exact across checkpoint " +
+      "commits") {
+    val root = tempDir("r11_ckptcdf")
+    val cat = new TableCatalog(spark, root)
+    val t = "D.S.CKCDF"
+    spark.conf.set("graft.flatCheckpointInterval", "4")
+    try {
+      cat.overwrite(t, Seq((0L, 0L)).toDF("k", "b")) // v0
+      (1 to 9).foreach(b => cat.append(t, // v1..v9: checkpoints at v4, v8
+        Seq((b.toLong, b.toLong)).toDF("k", "b")))
+      // the feed walks per-commit file DIFFS: a checkpoint's explicit
+      // manifest must contribute exactly its own adds, not re-emit the
+      // whole resolved list as inserts
+      val cdf = spark.read.format("graft")
+        .option("root", root).option("table", t)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1").load()
+      val ins = cdf.filter(col("_change_type") === "insert")
+      assert(ins.count() == 9L, "one insert per append, checkpoints included")
+      assert(ins.filter(col("_commit_version") === 4).count() == 1L)
+      assert(ins.filter(col("_commit_version") === 8).count() == 1L)
+      // the streaming source sees the same bounded diffs
+      val sizes = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+      val q = spark.readStream.format("graft")
+        .option("root", root).option("table", t).load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          sizes.add(df.count()); ()
+        }
+        .option("checkpointLocation", tempDir("r11_ckptcdf_ck"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val total = { var s = 0L; val it = sizes.iterator()
+        while (it.hasNext) s += it.next(); s }
+      assert(total == 10L, s"snapshot batch must deliver all rows ($total)")
+    } finally spark.conf.unset("graft.flatCheckpointInterval")
+  }
+
   test("crash recovery clears a died ALTER's orphan _SCHEMAS action") {
     val root = tempDir("r11_orphan")
     val cat = new TableCatalog(spark, root)
